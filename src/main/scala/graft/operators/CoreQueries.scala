@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Core aggregation queries — the reference's own use case.
+  *
+  * The flagship mirrors the reference UDA's motivating query: several exact
+  * distinct counts in one aggregation pass (`/root/reference/README.md:1`),
+  * grouped, over a fact table. One shuffle total: partial hash-set
+  * aggregation happens map-side, only the deduplicated sets cross the
+  * exchange (SURVEY.md §3).
+  */
+object CoreQueries {
+
+  /** Flagship: multiple count300k instances in one query block. */
+  def qMultiDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    val li = Engine.table(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("count300k(cast(l_partkey as string))").as("distinct_parts"),
+        expr("count300k(cast(l_suppkey as string))").as("distinct_supps"),
+        expr("count300k(cast(l_orderkey as string))").as("distinct_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multi_distinct" -> (qMultiDistinct _)
+  )
+
+  /** NULL-for-empty-group + STRING return encoded per SURVEY.md §5.2. */
+  val oracles: Map[String, String] = Map(
+    "q_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  CASE WHEN COUNT(l_partkey) = 0 THEN NULL
+        |       ELSE CAST(COUNT(DISTINCT l_partkey) AS VARCHAR) END AS distinct_parts,
+        |  CASE WHEN COUNT(l_suppkey) = 0 THEN NULL
+        |       ELSE CAST(COUNT(DISTINCT l_suppkey) AS VARCHAR) END AS distinct_supps,
+        |  CASE WHEN COUNT(l_orderkey) = 0 THEN NULL
+        |       ELSE CAST(COUNT(DISTINCT l_orderkey) AS VARCHAR) END AS distinct_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
