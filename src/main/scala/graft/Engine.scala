@@ -1,21 +1,30 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession, functions => F}
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.types.StringType
 
-import graft.functions.ExactCountDistinct
+import graft.functions.{ExactCountDistinct, HashSetCountDistinct}
 
 /** Session-level wiring for the graft engine: function registration and
   * fixture-table access. Registration is the Spark analogue of the
   * reference's `CREATE AGGREGATE FUNCTION ... LOCATION '...so'` DDL
   * (`/root/reference/README.md:28-33`) — jar on the classpath + runtime
-  * `spark.udf.register` instead of a shared library on HDFS.
+  * registration instead of a shared library on HDFS.
   */
 object Engine {
 
   /** Idempotently register graft's SQL function surface on a session. */
   def register(spark: SparkSession): SparkSession = synchronized {
-    // Exact multi-instance distinct count (the reference's one operator).
-    spark.udf.register("count300k", F.udaf(ExactCountDistinct, Encoders.STRING))
+    // Exact multi-instance distinct count (the reference's one operator):
+    // native TypedImperativeAggregate on the hot path...
+    // Non-string arguments are coerced here; SimplifyCasts drops the no-op.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count300k",
+      exprs => HashSetCountDistinct(Cast(exprs.head, StringType)),
+      "scala_udf")
+    // ...and the idiomatic Aggregator surface under an explicit alias.
+    spark.udf.register("count300k_agg", F.udaf(ExactCountDistinct, Encoders.STRING))
     spark
   }
 
