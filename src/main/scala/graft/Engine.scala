@@ -25,10 +25,20 @@ object Engine {
       "scala_udf")
     // ...and the idiomatic Aggregator surface under an explicit alias.
     spark.udf.register("count300k_agg", F.udaf(ExactCountDistinct, Encoders.STRING))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 
-  /** Load one fixture table (TESTDATA.md layout: `<dir>/<name>.parquet`). */
+  /** Load one fixture table (TESTDATA.md layout: `<dir>/<name>.parquet`).
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; it is read as raw nanos (legacy conf, set in
+    * [[register]]) and floor-converted to a microsecond timestamp —
+    * the same truncation DuckDB applies when it reads the file.
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 }

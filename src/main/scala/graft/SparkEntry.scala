@@ -18,8 +18,8 @@ object SparkEntry {
     CoreQueries.qMultiDistinct(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ RelationalQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles
+    CoreQueries.oracles ++ RelationalQueries.oracles
 }

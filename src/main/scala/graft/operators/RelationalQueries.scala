@@ -1,0 +1,323 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Capability sweep over the host-engine-provided operator categories
+  * (SURVEY.md §2.2): the reference shipped one aggregate and relied on
+  * Impala for scans, joins, windows, rollups, set ops and scalar
+  * functions (`/root/reference/README.md:1,26`). Here each category is a
+  * declarative DataFrame query — Catalyst owns pushdown/pruning/join
+  * selection — with a DuckDB oracle.
+  *
+  * Oracle-stability rules (drift between engines would flap the hash
+  * compare): no floating-point arithmetic in outputs except
+  * `floor(x*100)` → integer sums (exact per IEEE in both engines); raw
+  * doubles only as pure selections (min/max/passthrough); every query
+  * ORDER BY a total key; computed ints cast to BIGINT to match DuckDB's
+  * widths.
+  */
+object RelationalQueries {
+
+  /** Money doubles → exact integer cents; per-row floor is IEEE-identical
+    * across engines, and the integer sum is order-independent.
+    */
+  private def cents(c: Column): Column = floor(c * 100).cast("long")
+
+  // --- scans / filter / projection (pushdown-friendly) -----------------
+
+  def qFilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = Engine.table(spark, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_quantity") < 10)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // --- aggregation framework (TPC-H Q1 shape, FP-safe) -----------------
+
+  def qAggGroup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Engine.table(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // --- joins: star join with broadcast dims ----------------------------
+
+  def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Engine.table(spark, dir, "orders")
+    val customer = Engine.table(spark, dir, "customer")
+    val nation = broadcast(Engine.table(spark, dir, "nation"))
+    val region = broadcast(Engine.table(spark, dir, "region"))
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // --- joins: semi / anti ----------------------------------------------
+
+  def qJoinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Engine.table(spark, dir, "customer")
+    val orders = Engine.table(spark, dir, "orders")
+    val cond = col("c_custkey") === col("o_custkey")
+    val semi = customer.join(orders, cond, "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("with_orders"))
+    val anti = customer.join(orders, cond, "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("no_orders"))
+    semi.unionByName(anti)
+      .select(col("kind"), col("c_mktsegment"), col("n"))
+      .orderBy("kind", "c_mktsegment")
+  }
+
+  // --- grouping sets: rollup -------------------------------------------
+
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Engine.table(spark, dir, "customer")
+    val nation = broadcast(Engine.table(spark, dir, "nation"))
+    val region = broadcast(Engine.table(spark, dir, "region"))
+    customer
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), cents(max(col("c_acctbal"))).as("max_bal_cents"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("n_cust"), col("max_bal_cents"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // --- grouping sets: cube ---------------------------------------------
+
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val li = Engine.table(spark, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // --- window functions: ranking / analytic / frames -------------------
+
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Engine.table(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+        lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+        count(lit(1)).over(Window.partitionBy(col("o_custkey"))).as("cust_orders"),
+        sum(cents(col("o_totalprice")))
+          .over(w.rowsBetween(-2, Window.currentRow)).as("run3_cents"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  // --- sort / limit / per-group top-k ----------------------------------
+
+  def qTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Engine.table(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  def qSortLimit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Engine.table(spark, dir, "lineitem")
+    li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
+  // --- set operations ---------------------------------------------------
+
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Engine.table(spark, dir, "customer")
+    val orders = Engine.table(spark, dir, "orders")
+    val a = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val b = orders.filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey").as("k")).distinct()
+    def tagged(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    tagged("a_except_b", a.except(b))
+      .unionByName(tagged("a_intersect_b", a.intersect(b)))
+      .unionByName(tagged("a_union_b", a.union(b).distinct()))
+      .orderBy("op")
+  }
+
+  // --- scalar function families (string / date / math / json / regex) --
+
+  def qScalarFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val events = Engine.table(spark, dir, "events")
+    events
+      .filter(pmod(col("event_id"), lit(10)) === 0)
+      .select(
+        col("event_id"),
+        upper(col("event_type")).as("etype_u"),
+        substring(col("event_type"), 1, 3).as("etype_3"),
+        length(col("props")).cast("long").as("prop_len"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_str"),
+        date_trunc("hour", col("ts")).as("ts_hour"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        abs(col("user_id") - 500).as("au"),
+        pmod(col("event_id"), lit(7)).as("em"),
+        concat_ws("-", col("event_type"), col("user_id").cast("string")).as("tag"))
+      .orderBy("event_id")
+  }
+
+  // --- registry ---------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_project" -> (qFilterProject _),
+    "q_agg_group" -> (qAggGroup _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_semi_anti" -> (qJoinSemiAnti _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_window" -> (qWindow _),
+    "q_topk" -> (qTopK _),
+    "q_sort_limit" -> (qSortLimit _),
+    "q_setops" -> (qSetOps _),
+    "q_scalar_funcs" -> (qScalarFuncs _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+        |       l_returnflag, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price,
+        |       count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS order_cnt,
+        |       count(DISTINCT o_custkey) AS n_cust, max(o_totalprice) AS max_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_semi_anti" ->
+      """SELECT 'no_orders' AS kind, c_mktsegment, count(*) AS n FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'with_orders' AS kind, c_mktsegment, count(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY kind, c_mktsegment""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        |       count(*) AS n_cust,
+        |       CAST(floor(max(c_acctbal)*100) AS BIGINT) AS max_bal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER w AS rn,
+        |       lag(o_orderkey, 1) OVER w AS prev_ok,
+        |       lead(o_orderkey, 1) OVER w AS next_ok,
+        |       count(*) OVER (PARTITION BY o_custkey) AS cust_orders,
+        |       CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT))
+        |            OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS run3_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    "q_setops" ->
+      """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |           WHERE year(o_orderdate) = 1995)
+        |SELECT 'a_except_b' AS op, count(*) AS n FROM (SELECT k FROM a EXCEPT SELECT k FROM b) t1
+        |UNION ALL
+        |SELECT 'a_intersect_b' AS op, count(*) AS n FROM (SELECT k FROM a INTERSECT SELECT k FROM b) t2
+        |UNION ALL
+        |SELECT 'a_union_b' AS op, count(*) AS n FROM (SELECT k FROM a UNION SELECT k FROM b) t3
+        |ORDER BY op""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT event_id,
+        |       upper(event_type) AS etype_u,
+        |       substr(event_type, 1, 3) AS etype_3,
+        |       CAST(length(props) AS BIGINT) AS prop_len,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |       regexp_extract(props, '"k": (\d+)', 1) AS k_str,
+        |       date_trunc('hour', ts) AS ts_hour,
+        |       CAST(year(ts) AS BIGINT) AS y,
+        |       CAST(month(ts) AS BIGINT) AS m,
+        |       CAST(day(ts) AS BIGINT) AS d,
+        |       abs(user_id - 500) AS au,
+        |       event_id % 7 AS em,
+        |       event_type || '-' || CAST(user_id AS VARCHAR) AS tag
+        |FROM events WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin
+  )
+}
