@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (tokenize / count / score / dedup /
+  * fingerprint / language-ID) layered on the same engine that serves the
+  * reference's distinct-count workload. All declarative: tokenization is
+  * `split` + higher-order array functions (codegen'd), aggregation is
+  * hash aggregation, so every query scales out on document count with
+  * one shuffle at most.
+  */
+object TextQueries {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  // --- token counting + quality metrics, per document ------------------
+
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    docs
+      .withColumn("toks", toks(col("text")))
+      .select(
+        col("doc_id"), col("lang"),
+        col("n_chars"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("size(regexp_extract_all(text, '\\\\w+', 0))").cast("long").as("n_tokens_re"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("chars_nospace"),
+        expr("size(filter(toks, t -> t IN ('the','and','of','a','to')))")
+          .cast("long").as("n_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  // --- per-language corpus profile (explode + distinct + count300k) ----
+
+  def qLangProfile(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    val docs = Engine.table(spark, dir, "documents")
+    docs
+      .select(col("lang"), col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct_tokens"),
+        expr("count300k(tok)").as("count300k_tokens"),
+        min(length(col("tok"))).cast("long").as("min_tok_len"),
+        max(length(col("tok"))).cast("long").as("max_tok_len"))
+      .orderBy("lang")
+  }
+
+  // --- exact deduplication: hash-groupBy keeper selection ---------------
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy("text_md5")
+  }
+
+  // --- document fingerprinting: bag-of-words content hash ---------------
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    docs
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(toks(col("text")))))).as("bow_fp"),
+        md5(col("text")).as("exact_fp"))
+      .orderBy("doc_id")
+  }
+
+  // --- quality scoring: integer-safe ratios + rule-based label ----------
+
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    val withStats = docs
+      .withColumn("toks", toks(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(toks, t -> t IN ('the','and','of','a','to')))").cast("long"))
+    withStats
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        floor(lit(100.0) * col("n_distinct") / col("n_tokens")).cast("long")
+          .as("distinct_pct"),
+        floor(lit(100.0) * col("n_stop") / col("n_tokens")).cast("long")
+          .as("stopword_pct"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("n_distinct") * 100 < col("n_tokens") * 30, "repetitive")
+          .otherwise("ok").as("quality_label"))
+      .orderBy("doc_id")
+  }
+
+  // --- language ID: char-n-gram marker heuristic ------------------------
+
+  /** Per-language marker n-grams (frequent character sequences of real
+    * text in each language). Deterministic argmax with lexicographic
+    * tiebreak; accuracy on the synthetic fixture is incidental — the
+    * operator shape (n-gram scoring scaled over docs) is the point.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("sch", "ein", "der", "ich"),
+    "en" -> Seq("th", "the", "ing", "er"),
+    "es" -> Seq("ción", "los", "ar ", "que"),
+    "fr" -> Seq("les", "oux", "eau", "que"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Occurrences of `m` in `text` = (len - len(text without m)) / len(m);
+    * identical arithmetic in Spark and DuckDB (literal replace, exact
+    * integer-valued division).
+    */
+  private def occurrences(text: Column, m: String): Column = {
+    val esc = m.replace("'", "''")
+    ((length(text) - length(expr(s"replace(text, '$esc', '')"))) / m.length).cast("long")
+  }
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    val scored = langMarkers.foldLeft(docs) { case (df, (lang, ms)) =>
+      df.withColumn(s"score_$lang", ms.map(occurrences(col("text"), _)).reduce(_ + _))
+    }
+    // argmax; ties broken by language-code order (same CASE order as oracle)
+    val best = greatest(langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+    val predicted = langMarkers.map(_._1).sorted
+      .foldRight(lit("und"): Column) { case (lang, acc) =>
+        when(col(s"score_$lang") === best, lang).otherwise(acc)
+      }
+    scored
+      .withColumn("predicted_lang", predicted)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted_lang")
+  }
+
+  // --- registry ---------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_lang_profile" -> (qLangProfile _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_langid" -> (qLangId _)
+  )
+
+  private val duckStop = "('the','and','of','a','to')"
+
+  private def duckOccurrences(m: String): String = {
+    val esc = m.replace("'", "''")
+    s"CAST((length(text) - length(replace(text, '$esc', ''))) / ${m.length} AS BIGINT)"
+  }
+
+  private val duckLangScores: String = langMarkers.map { case (lang, ms) =>
+    ms.map(duckOccurrences).mkString(" + ") + s" AS score_$lang"
+  }.mkString(",\n       ")
+
+  private val duckArgmax: String = {
+    val scores = langMarkers.map { case (l, _) => s"score_$l" }
+    val greatest = s"greatest(${scores.mkString(", ")})"
+    // CASE evaluates in order → earlier language codes win ties
+    langMarkers.map(_._1).sorted
+      .map(l => s"WHEN score_$l = $greatest THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |       CAST(length(text) AS BIGINT) AS len_chars,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |       CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens_re,
+         |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+         |       CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_nospace,
+         |       CAST(len(list_filter(string_split(text, ' '), t -> t IN $duckStop)) AS BIGINT) AS n_stopwords
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_profile" ->
+      """SELECT lang,
+        |       count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_tokens,
+        |       count(DISTINCT tok) AS n_distinct_tokens,
+        |       CASE WHEN count(tok) = 0 THEN NULL
+        |            ELSE CAST(count(DISTINCT tok) AS VARCHAR) END AS count300k_tokens,
+        |       CAST(min(length(tok)) AS BIGINT) AS min_tok_len,
+        |       CAST(max(length(tok)) AS BIGINT) AS max_tok_len
+        |FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_copies,
+        |       min(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp,
+        |       md5(text) AS exact_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         |         CAST(len(list_filter(string_split(text, ' '), t -> t IN $duckStop)) AS BIGINT) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |       CAST(floor(100.0 * n_distinct / n_tokens) AS BIGINT) AS distinct_pct,
+         |       CAST(floor(100.0 * n_stop / n_tokens) AS BIGINT) AS stopword_pct,
+         |       CASE WHEN n_tokens < 20 THEN 'too_short'
+         |            WHEN n_distinct * 100 < n_tokens * 30 THEN 'repetitive'
+         |            ELSE 'ok' END AS quality_label
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |       $duckLangScores
+         |  FROM documents)
+         |SELECT lang, $duckArgmax AS predicted_lang, count(*) AS n_docs
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin
+  )
+}
