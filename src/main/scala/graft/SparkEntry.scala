@@ -18,8 +18,10 @@ object SparkEntry {
     CoreQueries.qMultiDistinct(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries
+    CoreQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
+      DedupQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles
+    CoreQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
+      DedupQueries.oracles
 }

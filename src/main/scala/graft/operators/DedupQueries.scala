@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Near-duplicate detection over `documents`: MinHash+LSH, SimHash and
+  * direct n-gram Jaccard. (Exact dedup lives in TextQueries.)
+  *
+  * Cross-engine determinism trick: every hash is a salted `md5` hex
+  * string. Lexicographic MIN over fixed-length hex strings is a valid
+  * min-hash (any total order over a uniform hash works), and md5 is
+  * bit-identical in Spark and DuckDB — so the whole
+  * shingle→minhash→band→bucket-join pipeline is oracle-checkable, which
+  * a seeded xxhash64/murmur3 pipeline would not be. Thresholds use
+  * integer cross-multiplication (10*inter >= 9*union), never FP ratios.
+  *
+  * Scale shape (the 100 TB story): tokenize/hash is embarrassingly
+  * parallel map work; the only shuffles are (a) groupBy doc_id for
+  * signatures — combines map-side, (b) the band-bucket self-join, whose
+  * fan-out is bounded by bucket size, exactly why LSH beats the O(n²)
+  * all-pairs join that qNgramJaccard demonstrates on small data.
+  */
+object DedupQueries {
+
+  private val NumHashes = 16
+  private val BandSize = 4 // 4 bands x 4 rows: P(cand | j=0.9) ~ 0.986
+  private val NumBands = NumHashes / BandSize
+  private val SimHashBits = 16
+
+  /** doc_id + exploded DISTINCT word set (1-gram shingles). */
+  private def wordSet(spark: SparkSession, dir: String): DataFrame =
+    Engine.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+
+  // --- MinHash + LSH -----------------------------------------------------
+
+  /** Per-doc signature: h0..h15 = min(md5("<seed>|" || w)). */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until NumHashes).map { s =>
+      min(md5(concat(lit(s"$s|"), col("w")))).as(s"h$s")
+    }
+    wordSet(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate pairs: docs sharing any LSH band bucket (i < j). */
+  private def candidates(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir)
+    val bandCols = (0 until NumBands).map { b =>
+      val parts = (0 until BandSize).map(r => col(s"h${b * BandSize + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bh"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val l = buckets.as("l")
+    val r = buckets.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, verified at word-Jaccard >= 0.9. */
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val cand = candidates(spark, dir)
+    val s = wordSet(spark, dir)
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(s.as("a"), col("i") === col("a.doc_id"))
+      .join(s.as("b"), col("j") === col("b.doc_id") && col("a.w") === col("b.w"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("ci"), col("i") === col("ci.doc_id"))
+      .join(sizes.as("cj"), col("j") === col("cj.doc_id"))
+      .withColumn("union_n", col("ci.n") + col("cj.n") - col("inter"))
+      .filter(col("inter") * 10 >= col("union_n") * 9)
+      .select(col("i"), col("j"), col("inter"), col("union_n"),
+        floor(lit(100.0) * col("inter") / col("union_n")).cast("long").as("jac_pct"))
+      .orderBy("i", "j")
+  }
+
+  // --- SimHash -----------------------------------------------------------
+
+  /** Unbiased per-(bit, token) coin: first hex char of salted md5 >= '8'
+    * (8,9,a..f = 8 of 16 outcomes).
+    */
+  private def simBit(j: Int): Column =
+    when(substring(md5(concat(lit(s"sh$j|"), col("w"))), 1, 1) >= "8", 1L).otherwise(-1L)
+
+  /** Per-doc SimHash fingerprint over the distinct word set, plus the
+    * size of its identical-fingerprint cluster (the near-dup grouping).
+    */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sums = (0 until SimHashBits).map(j => sum(simBit(j)).as(s"b$j"))
+    val fp = (0 until SimHashBits)
+      .map(j => when(col(s"b$j") >= 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    wordSet(spark, dir)
+      .groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("simhash"))))
+      .orderBy("doc_id")
+  }
+
+  // --- direct n-gram (3-token shingle) Jaccard ---------------------------
+
+  /** All-pairs shingle Jaccard — the exact baseline LSH approximates.
+    * O(pairs-sharing-a-shingle); the shared-shingle join IS the blocking.
+    */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    val sh = docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(transform(sequence(1, size(tk)-2), i -> concat_ws(' ', slice(tk, i, 3))))")).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= 2)
+    inter
+      .join(sizes.as("ci"), col("i") === col("ci.doc_id"))
+      .join(sizes.as("cj"), col("j") === col("cj.doc_id"))
+      .withColumn("union_n", col("ci.n") + col("cj.n") - col("inter"))
+      .filter(col("inter") * 20 >= col("union_n"))
+      .select(col("i"), col("j"), col("inter"), col("union_n"))
+      .orderBy("i", "j")
+  }
+
+  // --- registry ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash" -> (qSimhash _),
+    "q_ngram_jaccard" -> (qNgramJaccard _)
+  )
+
+  // Oracle SQL generated from the same constants as the Spark pipeline.
+
+  private val duckSigCols: String = (0 until NumHashes)
+    .map(s => s"min(md5('$s|' || w)) AS h$s").mkString(",\n         ")
+
+  private val duckBandRows: String = (0 until NumBands).map { b =>
+    val parts = (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(" || ")
+    s"SELECT doc_id, $b AS band, md5($parts) AS bh FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
+
+  private val duckSimSums: String = (0 until SimHashBits)
+    .map(j => s"sum(CASE WHEN substr(md5('sh$j|' || w), 1, 1) >= '8' THEN 1 ELSE -1 END) AS b$j")
+    .mkString(",\n         ")
+
+  private val duckSimFp: String = (0 until SimHashBits)
+    .map(j => s"(CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END)")
+    .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q_minhash_lsh" ->
+      s"""WITH ws AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sigs AS (SELECT doc_id,
+         |         $duckSigCols
+         |         FROM ws GROUP BY doc_id),
+         |buckets AS (
+         |  $duckBandRows
+         |),
+         |cand AS (SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+         |         FROM buckets l JOIN buckets r
+         |           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id),
+         |inter AS (SELECT i, j, count(*) AS inter FROM cand
+         |          JOIN ws a ON a.doc_id = i JOIN ws b ON b.doc_id = j AND a.w = b.w
+         |          GROUP BY i, j)
+         |SELECT i, j, inter, ci.n + cj.n - inter AS union_n,
+         |       CAST(floor(100.0 * inter / (ci.n + cj.n - inter)) AS BIGINT) AS jac_pct
+         |FROM inter JOIN sizes ci ON i = ci.doc_id JOIN sizes cj ON j = cj.doc_id
+         |WHERE inter * 10 >= (ci.n + cj.n - inter) * 9
+         |ORDER BY i, j""".stripMargin,
+    "q_simhash" ->
+      s"""WITH ws AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |bits AS (SELECT doc_id,
+         |         $duckSimSums
+         |         FROM ws GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($duckSimFp AS BIGINT) AS simhash FROM bits)
+         |SELECT doc_id, simhash,
+         |       count(*) OVER (PARTITION BY simhash) AS cluster_size
+         |FROM fp ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        |       FROM toks, unnest(generate_series(1, len(tk)-2)) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT i, j, inter, ci.n + cj.n - inter AS union_n
+        |FROM inter JOIN sizes ci ON i = ci.doc_id JOIN sizes cj ON j = cj.doc_id
+        |WHERE inter * 20 >= ci.n + cj.n - inter
+        |ORDER BY i, j""".stripMargin
+  )
+}
