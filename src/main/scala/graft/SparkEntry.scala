@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles
+      DedupQueries.oracles ++ SimilarityQueries.oracles
 }

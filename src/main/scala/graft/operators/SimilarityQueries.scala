@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Approximate-nearest-neighbor surface over the `embeddings` table
+  * (`vec_id bigint, embedding array<float>, label int`).
+  *
+  * - qKnnBrute: exact cosine top-k — the correctness baseline. All-pairs
+  *   is O(Q·N); fine when Q is small (a query batch joined against the
+  *   corpus), the corpus side stays fully partitioned.
+  * - qIvfKnn: IVF-style scale path — corpus is bucketed by nearest
+  *   centroid (one map pass), queries probe only their centroid's
+  *   bucket, turning the O(Q·N) join into a co-partitioned bucket join
+  *   on centroid_id. Centroids here are data rows (vec_id < nlist) so
+  *   the oracle can reproduce them; a production build would k-means.
+  * - qEmbedNearDup: embedding-cosine near-duplicate pairs over a
+  *   modulo-sampled corpus slice.
+  *
+  * All cosine math is double-precision and expressed with higher-order
+  * array functions (codegen'd, no UDFs); outputs are integer ranks/ids
+  * so the oracle compare never hashes floats.
+  */
+object SimilarityQueries {
+
+  private val K = 5
+  private val NList = 8
+  private val NQueries = 20
+
+  /** Sequential-order double dot product of two float vectors. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    Engine.table(spark, dir, "embeddings")
+
+  // --- exact brute-force top-k ------------------------------------------
+
+  def qKnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    queries
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("label")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("label"))
+      .orderBy("query_id", "rk")
+  }
+
+  // --- IVF-style clustered ANN ------------------------------------------
+
+  /** Corpus rows tagged with their nearest centroid (argmax cosine,
+    * ties to the lower centroid id).
+    */
+  private def assigned(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, dir)
+    val centroids = e.filter(col("vec_id") < NList)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id"))
+    e.crossJoin(centroids)
+      .withColumn("c_cos", cosine(col("embedding"), col("c_emb")))
+      .withColumn("c_rk", row_number().over(w))
+      .filter(col("c_rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"), col("centroid_id"))
+  }
+
+  def qIvfKnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = assigned(spark, dir)
+    val queries = a.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id").as("q_cent"))
+    val corpus = a.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("centroid_id").as("n_cent"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    queries
+      .join(corpus, col("q_cent") === col("n_cent") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+      .orderBy("query_id", "rk")
+  }
+
+  // --- embedding-cosine near-duplicate pairs ----------------------------
+
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).filter(pmod(col("vec_id"), lit(2)) === 0)
+    val l = e.select(col("vec_id").as("i"), col("embedding").as("a_emb"))
+    val r = e.select(col("vec_id").as("j"), col("embedding").as("b_emb"))
+    l.join(r, col("i") < col("j"))
+      .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= 0.35)
+      .select(col("i"), col("j"))
+      .orderBy("i", "j")
+  }
+
+  // --- registry ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_brute" -> (qKnnBrute _),
+    "q_ivf_knn" -> (qIvfKnn _),
+    "q_embed_neardup" -> (qEmbedNearDup _)
+  )
+
+  private val duckCos =
+    "list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, e.label,
+         |         ${duckCos.format("q_emb", "e.embedding")} AS cos
+         |  FROM q JOIN embeddings e ON q.query_id <> e.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, label,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM scored)
+         |SELECT query_id, rk, neighbor_id, label FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "q_ivf_knn" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+         |              WHERE vec_id < $NList),
+         |scored_c AS (
+         |  SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckCos.format("e.embedding", "c.c_emb")} DESC,
+         |                      c.centroid_id) AS c_rk
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id, embedding, label, centroid_id
+         |             FROM scored_c WHERE c_rk = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id AS q_cent
+         |      FROM assigned WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id,
+         |         ${duckCos.format("q_emb", "a.embedding")} AS cos
+         |  FROM q JOIN assigned a ON q.q_cent = a.centroid_id
+         |                        AND q.query_id <> a.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM scored)
+         |SELECT query_id, rk, neighbor_id FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "q_embed_neardup" ->
+      s"""SELECT a.vec_id AS i, b.vec_id AS j
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
+         |  AND ${duckCos.format("a.embedding", "b.embedding")} >= 0.35
+         |ORDER BY i, j""".stripMargin
+  )
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ANN semantics: the IVF path trades recall for the bucket join; the
+  * trade must be measurable and bounded, and both paths deterministic.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("brute-force kNN returns exactly k neighbors per query") {
+    val byQuery = SimilarityQueries.qKnnBrute(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    assert(byQuery.values.forall(_.length == 5))
+  }
+
+  test("IVF kNN with nprobe=1 keeps nonzero recall vs brute force") {
+    val brute = pairs(SimilarityQueries.qKnnBrute(spark, dir))
+    val ivf = pairs(SimilarityQueries.qIvfKnn(spark, dir))
+    // IVF only ever returns same-cluster vectors, so a subset relation
+    // does NOT hold for ranks — but every IVF neighbor must be a real
+    // corpus vector and recall must be > 0 on random data with 8 cells.
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall > 0.0, s"recall=$recall")
+    info(f"IVF recall@5 vs brute force: $recall%.2f")
+  }
+
+  test("near-dup pairs are symmetric-free (i < j) and deterministic") {
+    val a = SimilarityQueries.qEmbedNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.forall { case (i, j) => i < j })
+    val b = SimilarityQueries.qEmbedNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+}
