@@ -27,8 +27,20 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Batch run of the streaming aggregation shape (tumbling 1h window +
+    * count300k) — same code path `graft.streaming.StreamingDistinct`
+    * runs incrementally; here it is oracle-checkable.
+    */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    graft.streaming.StreamingDistinct
+      .hourlyDistinctUsers(Engine.table(spark, dir, "events"))
+      .orderBy("window_start", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multi_distinct" -> (qMultiDistinct _)
+    "q_multi_distinct" -> (qMultiDistinct _),
+    "q_events_hourly" -> (qEventsHourly _)
   )
 
   /** NULL-for-empty-group + STRING return encoded per SURVEY.md §5.2. */
@@ -41,6 +53,12 @@ object CoreQueries {
         |       ELSE CAST(COUNT(DISTINCT l_suppkey) AS VARCHAR) END AS distinct_supps,
         |  CASE WHEN COUNT(l_orderkey) = 0 THEN NULL
         |       ELSE CAST(COUNT(DISTINCT l_orderkey) AS VARCHAR) END AS distinct_orders
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  CASE WHEN COUNT(user_id) = 0 THEN NULL
+        |       ELSE CAST(COUNT(DISTINCT user_id) AS VARCHAR) END AS distinct_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
   )
 }
