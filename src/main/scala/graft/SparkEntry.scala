@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ SimilarityQueries.oracles
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles
 }

@@ -1,0 +1,105 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Multimodal column handling: media as opaque `binary` + typed metadata,
+  * with decode / feature-extract / frame-sample stages shaped for a real
+  * cluster run — schema, partitioning and per-partition batch iteration
+  * are real; only the codec call itself is stubbed (no image/audio
+  * libraries in this container; see [[StubCodec]]).
+  *
+  * Scale shape: media bytes never pass through a shuffle — decode and
+  * feature extraction are narrow mapPartitions stages; only the small
+  * extracted-feature rows (ids + fixed-width features) flow into joins
+  * and aggregations downstream.
+  */
+object Multimodal {
+
+  /** One media object: opaque payload + the metadata a lakehouse would
+    * carry alongside it (content type, source, declared size).
+    */
+  case class MediaItem(
+      media_id: Long,
+      media_type: String,
+      source: String,
+      declared_bytes: Long,
+      content: Array[Byte])
+
+  /** Decoded features: fixed-width, shuffle-friendly. */
+  case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      checksum: String)
+
+  /** STUB CODEC — deterministic fake in place of a real image/audio
+    * decoder (libraries absent in this environment). A production build
+    * swaps `decode` for e.g. javax.imageio / ffmpeg bindings; everything
+    * around it (typed Dataset, mapPartitions batch shape, partitioning)
+    * is the real pipeline.
+    */
+  object StubCodec {
+    /** Fake "decode": derives dimensions/frames from the bytes, so the
+      * output is stable, content-sensitive, and test-assertable.
+      */
+    def decode(item: MediaItem): MediaFeatures = {
+      val bytes = item.content
+      val n = bytes.length.toLong
+      // content-derived pseudo-dimensions (NOT a real decode)
+      val h = java.util.Arrays.hashCode(bytes)
+      MediaFeatures(
+        media_id = item.media_id,
+        media_type = item.media_type,
+        n_bytes = n,
+        width = 16 + math.floorMod(h, 64),
+        height = 16 + math.floorMod(h >> 8, 64),
+        n_frames = 1 + math.floorMod(h >> 16, 30),
+        checksum = java.lang.Long.toHexString(
+          bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)))
+    }
+
+    /** Fake "frame sample": every k-th byte window stands in for frames. */
+    def sampleFrames(item: MediaItem, every: Int): Seq[Array[Byte]] =
+      item.content.grouped(math.max(1, every)).toSeq
+  }
+
+  /** Fixture adapter: the `documents` table posed as a media corpus
+    * (text payload as the opaque binary). Real deployments point this
+    * at an object-store manifest instead.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    Engine.table(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        lit("text/plain").as("media_type"),
+        col("source"),
+        col("n_chars").as("declared_bytes"),
+        col("text").cast("binary").as("content"))
+      .as[MediaItem]
+  }
+
+  /** Decode stage: narrow, per-partition, no shuffle of media bytes. */
+  def decodeFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map(StubCodec.decode))
+  }
+
+  /** Per-type feature profile over the decoded corpus (the downstream
+    * aggregation only ever sees the small feature rows).
+    */
+  def featureProfile(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF()
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("width")).as("min_w"), max(col("width")).as("max_w"),
+        countDistinct(col("checksum")).as("n_distinct_content"))
+}

@@ -1,0 +1,49 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** The stub-codec pipeline: typed Dataset plumbing, per-partition decode,
+  * determinism of the fake codec, and the downstream profile aggregation.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media adapter produces one item per document with payload bytes") {
+    val items = Multimodal.mediaFromDocuments(spark, dir).collect()
+    assert(items.nonEmpty)
+    assert(items.forall(i => i.content.nonEmpty && i.media_type == "text/plain"))
+    assert(items.map(_.media_id).distinct.length == items.length)
+  }
+
+  test("decode stage is deterministic and preserves cardinality") {
+    val items = Multimodal.mediaFromDocuments(spark, dir)
+    val f1 = Multimodal.decodeFeatures(items).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeFeatures(items).collect().sortBy(_.media_id)
+    assert(f1.length == items.count())
+    assert(f1.map(f => (f.media_id, f.checksum, f.width, f.height)).toSeq ==
+      f2.map(f => (f.media_id, f.checksum, f.width, f.height)).toSeq)
+    assert(f1.forall(f => f.width >= 16 && f.height >= 16 && f.n_frames >= 1))
+  }
+
+  test("distinct payloads get distinct checksums (content sensitivity)") {
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.mediaFromDocuments(spark, dir)).collect()
+    // fixture has no duplicate texts, so checksums must all differ
+    assert(feats.map(_.checksum).distinct.length == feats.length)
+  }
+
+  test("stub frame sampling yields ceil(n/k) frames") {
+    val item = Multimodal.MediaItem(1L, "video/fake", "s", 10L, Array.fill(100)(7.toByte))
+    assert(Multimodal.StubCodec.sampleFrames(item, 30).length == 4)
+    assert(Multimodal.StubCodec.sampleFrames(item, 1).length == 100)
+  }
+
+  test("feature profile aggregates only small feature rows") {
+    val profile = graft.operators.MultimodalQueries.qMediaProfile(spark, dir).collect()
+    assert(profile.length == 1) // one media_type in fixture
+    val r = profile.head
+    assert(r.getAs[Long]("n_items") == 500L)
+    assert(r.getAs[Long]("n_distinct_content") == 500L)
+  }
+}
