@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession, functions => F}
 import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{ExactCountDistinct, HashSetCountDistinct}
+import graft.functions.{ExactCountDistinct, HashSetCountDistinct, VectorDot}
 
 /** Session-level wiring for the graft engine: function registration and
   * fixture-table access. Registration is the Spark analogue of the
@@ -25,6 +25,11 @@ object Engine {
       "scala_udf")
     // ...and the idiomatic Aggregator surface under an explicit alias.
     spark.udf.register("count300k_agg", F.udaf(ExactCountDistinct, Encoders.STRING))
+    // Codegen'd double dot product over float/double arrays (similarity path).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      exprs => VectorDot(exprs(0), exprs(1)),
+      "scala_udf")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }

@@ -54,6 +54,7 @@ object DedupQueries {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .cache()
     val l = buckets.as("l")
     val r = buckets.as("r")
     l.join(r,
@@ -63,10 +64,13 @@ object DedupQueries {
       .distinct()
   }
 
-  /** MinHash-LSH near-dup pairs, verified at word-Jaccard >= 0.9. */
+  /** MinHash-LSH near-dup pairs, verified at word-Jaccard >= 0.9.
+    * The word-set and bucket frames each feed two join sides; caching
+    * them turns four scan+tokenize(+signature) passes into two.
+    */
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val cand = candidates(spark, dir)
-    val s = wordSet(spark, dir)
+    val s = wordSet(spark, dir).cache()
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(s.as("a"), col("i") === col("a.doc_id"))

@@ -29,21 +29,18 @@ object SimilarityQueries {
   private val NList = 8
   private val NQueries = 20
 
-  /** Sequential-order double dot product of two float vectors. */
+  /** Codegen'd sequential-order double dot product (graft `vec_dot`). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
-
-  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus with the L2 norm materialized once per vector — every pair
+    * evaluation downstream is a single dot product + one divide.
+    */
+  private def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
     Engine.table(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+  }
 
   // --- exact brute-force top-k ------------------------------------------
 
@@ -51,14 +48,16 @@ object SimilarityQueries {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     queries
       .crossJoin(e.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("n_emb"), col("label")))
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm"), col("label")))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= K)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("label"))
@@ -74,14 +73,17 @@ object SimilarityQueries {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(spark, dir)
     val centroids = e.filter(col("vec_id") < NList)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("centroid_id"))
     e.crossJoin(centroids)
-      .withColumn("c_cos", cosine(col("embedding"), col("c_emb")))
+      .withColumn("c_cos",
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
       .withColumn("c_rk", row_number().over(w))
       .filter(col("c_rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("label"), col("centroid_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
+        col("centroid_id"))
   }
 
   def qIvfKnn(spark: SparkSession, dir: String): DataFrame = {
@@ -89,15 +91,17 @@ object SimilarityQueries {
     val a = assigned(spark, dir)
     val queries = a.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("centroid_id").as("q_cent"))
+        col("nrm").as("q_nrm"), col("centroid_id").as("q_cent"))
     val corpus = a.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("n_emb"), col("centroid_id").as("n_cent"))
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"),
+      col("centroid_id").as("n_cent"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     queries
       .join(corpus, col("q_cent") === col("n_cent") &&
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= K)
       .select(col("query_id"), col("rk"), col("neighbor_id"))
@@ -108,10 +112,13 @@ object SimilarityQueries {
 
   def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).filter(pmod(col("vec_id"), lit(2)) === 0)
-    val l = e.select(col("vec_id").as("i"), col("embedding").as("a_emb"))
-    val r = e.select(col("vec_id").as("j"), col("embedding").as("b_emb"))
+    val l = e.select(col("vec_id").as("i"), col("embedding").as("a_emb"),
+      col("nrm").as("a_nrm"))
+    val r = e.select(col("vec_id").as("j"), col("embedding").as("b_emb"),
+      col("nrm").as("b_nrm"))
     l.join(r, col("i") < col("j"))
-      .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+      .withColumn("cos",
+        dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cos") >= 0.35)
       .select(col("i"), col("j"))
       .orderBy("i", "j")
