@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkSpec
+
+/** Plan-shape regressions: properties that don't change results at test
+  * scale but decide whether the same query survives a 1000-executor,
+  * 100 TB run — pushdown reaching the scan, broadcast joins for dims,
+  * bounded shuffle counts, partial aggregation before the exchange.
+  * AQE is disabled here so the classic plan nodes are inspectable;
+  * production runs keep it on.
+  */
+class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    super.afterAll()
+  }
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+
+  test("q_filter_project pushes predicates and prunes columns at the scan") {
+    val s = df2s(RelationalQueries.qFilterProject(spark, dir))
+    assert(s.contains("PushedFilters: ["), s)
+    assert(s.contains("GreaterThanOrEqual(l_discount,0.05)"), s)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_comment"),
+      readSchema)
+  }
+
+  private def df2s(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q_join_broadcast uses broadcast joins for all three dims") {
+    val p = plan(RelationalQueries.qJoinBroadcast(spark, dir))
+    val bcasts = collectAll(p).collect { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.size >= 3, s"expected >=3 broadcast joins, got ${bcasts.size}\n$p")
+  }
+
+  test("flagship multi-distinct aggregates partially before its single shuffle") {
+    val p = plan(CoreQueries.qMultiDistinct(spark, dir))
+    val all = collectAll(p)
+    val shuffles = all.collect { case s: ShuffleExchangeExec => s }
+    // one shuffle for the groupBy, one for the final orderBy — no more
+    assert(shuffles.size <= 2, s"got ${shuffles.size} shuffles:\n$p")
+    val objAggs = all.filter(_.nodeName.contains("ObjectHashAggregate"))
+    assert(objAggs.size == 2, s"expected partial+final ObjectHashAggregate:\n$p")
+  }
+
+  test("q_agg_group runs inside whole-stage codegen") {
+    val p = plan(RelationalQueries.qAggGroup(spark, dir))
+    val wsc = collectAll(p).collect { case w: WholeStageCodegenExec => w }
+    assert(wsc.nonEmpty, s"no WholeStageCodegen spans:\n$p")
+  }
+
+  test("vec_dot participates in whole-stage codegen (no udf fallback)") {
+    val p = plan(SimilarityQueries.qKnnBrute(spark, dir))
+    val s = p.toString
+    assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"), s)
+    assert(s.contains("vec_dot"), s)
+    val wsc = collectAll(p).collect { case w: WholeStageCodegenExec => w }
+    assert(wsc.nonEmpty, s"no WholeStageCodegen spans:\n$p")
+  }
+
+  test("q_topk bounds its shuffles (rank filter below the final sort)") {
+    val p = plan(RelationalQueries.qTopK(spark, dir))
+    val shuffles = collectAll(p).collect { case x: ShuffleExchangeExec => x }
+    assert(shuffles.size <= 2, s"got ${shuffles.size} shuffles:\n$p")
+  }
+}
