@@ -204,9 +204,59 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  // --- sessionization (gaps-and-islands over the event stream) ---------
+
+  /** 6h-gap user sessionization: lag/cumulative-sum islands, then
+    * per-user session stats. The window partitioning is by user_id, so
+    * the computation scales out with users; no global ordering exists.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = Engine.table(spark, dir, "events")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 6L * 3600 * 1000000 // 6 hours in microseconds
+    val sessions = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(byUser))
+    sessions
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("sess_span_us"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("sess_id")).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"),
+        max(col("sess_span_us")).as("max_session_span_us"))
+      .orderBy("user_id")
+  }
+
+  // --- explicit grouping sets ------------------------------------------
+
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Engine.table(spark, dir, "orders")
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("o_custkey")).as("n_cust"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("cnt"), col("n_cust"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   // --- registry ---------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (qSessionize _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_filter_project" -> (qFilterProject _),
     "q_agg_group" -> (qAggGroup _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -221,6 +271,35 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, us,
+        |         sum(CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM marked),
+        |per_session AS (
+        |  SELECT user_id, sess_id, count(*) AS n_events,
+        |         max(us) - min(us) AS sess_span_us
+        |  FROM islands GROUP BY user_id, sess_id)
+        |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       CAST(max(n_events) AS BIGINT) AS max_session_events,
+        |       CAST(max(sess_span_us) AS BIGINT) AS max_session_span_us
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       count(*) AS cnt, count(DISTINCT o_custkey) AS n_cust
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
         |       l_returnflag, l_extendedprice
