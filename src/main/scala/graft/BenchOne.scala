@@ -23,8 +23,9 @@ object BenchOne {
       val df = fn(spark, sfDir)
       if (explain) { println(s"=== $name ==="); df.explain("formatted") }
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"$name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      df.write.format("noop").mode("overwrite").save() // full evaluation
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-20s $secs%8.2f s  (${df.count()} rows)")
     }
     spark.stop()
   }

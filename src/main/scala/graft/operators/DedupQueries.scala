@@ -35,52 +35,92 @@ object DedupQueries {
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
 
   // --- MinHash + LSH -----------------------------------------------------
+  //
+  // Dedup-before-LSH: docs with identical word SETS have identical
+  // signatures and collide in every band, so they are collapsed to one
+  // representative (keyed by the sorted-set fingerprint) before any
+  // quadratic step. LSH + exact verification run over unique sets only;
+  // clique-internal pairs (Jaccard = 1 by construction) and cross-clique
+  // doc pairs are expanded back afterwards. Output is provably identical
+  // to the per-doc pipeline — identical sets <=> identical signatures —
+  // while candidate and verification volume drop by the duplication
+  // factor squared. On a web-scale corpus (duplication factors of 2-10x)
+  // this is the difference between LSH working and not.
 
-  /** Per-doc signature: h0..h15 = min(md5("<seed>|" || w)). */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+  /** One row per distinct word set: fingerprint, representative doc,
+    * member count, and the set itself (exploded).
+    */
+  private def uniqueSets(spark: SparkSession, dir: String): DataFrame =
+    Engine.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        sort_array(array_distinct(split(col("text"), " "))).as("ws"))
+      .withColumn("fp", md5(concat_ws(" ", col("ws"))))
+
+  /** Per-set signature h0..h15 = min(md5("<seed>|" || w)), over reps. */
+  private def repSignatures(reps: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map { s =>
       min(md5(concat(lit(s"$s|"), col("w")))).as(s"h$s")
     }
-    wordSet(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    reps.select(col("fp"), explode(col("ws")).as("w"))
+      .groupBy(col("fp")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Candidate pairs: docs sharing any LSH band bucket (i < j). */
-  private def candidates(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir)
+  /** MinHash-LSH near-dup pairs, verified at word-Jaccard >= 0.9. */
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = uniqueSets(spark, dir).cache()
+    val reps = docs.groupBy(col("fp")).agg(
+      min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members"),
+      first(col("ws")).as("ws"), size(first(col("ws"))).as("n"))
+      .cache()
+
+    // LSH over unique sets only
+    val sigs = repSignatures(reps)
     val bandCols = (0 until NumBands).map { b =>
       val parts = (0 until BandSize).map(r => col(s"h${b * BandSize + r}"))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("bh"))
     }
     val buckets = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("fp"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("fp"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .cache()
-    val l = buckets.as("l")
-    val r = buckets.as("r")
-    l.join(r,
+    val repPair = buckets.as("l")
+      .join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
+          col("l.fp") < col("r.fp"))
+      .select(col("l.fp").as("fp_a"), col("r.fp").as("fp_b"))
       .distinct()
-  }
 
-  /** MinHash-LSH near-dup pairs, verified at word-Jaccard >= 0.9.
-    * The word-set and bucket frames each feed two join sides; caching
-    * them turns four scan+tokenize(+signature) passes into two.
-    */
-  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val cand = candidates(spark, dir)
-    val s = wordSet(spark, dir).cache()
-    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(s.as("a"), col("i") === col("a.doc_id"))
-      .join(s.as("b"), col("j") === col("b.doc_id") && col("a.w") === col("b.w"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("ci"), col("i") === col("ci.doc_id"))
-      .join(sizes.as("cj"), col("j") === col("cj.doc_id"))
-      .withColumn("union_n", col("ci.n") + col("cj.n") - col("inter"))
+    // exact verification once per unique-set pair
+    val words = reps.select(col("fp"), explode(col("ws")).as("w"))
+    val verified = repPair
+      .join(words.as("a"), col("fp_a") === col("a.fp"))
+      .join(words.as("b"), col("fp_b") === col("b.fp") && col("a.w") === col("b.w"))
+      .groupBy(col("fp_a"), col("fp_b")).agg(count(lit(1)).as("inter"))
+      .join(reps.select(col("fp").as("fp_a"), col("n").as("na")), "fp_a")
+      .join(reps.select(col("fp").as("fp_b"), col("n").as("nb")), "fp_b")
+      .withColumn("union_n", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 10 >= col("union_n") * 9)
+
+    // expand cross-clique doc pairs (normalize to i < j)
+    val membersA = docs.select(col("fp").as("m_fp_a"), col("doc_id").as("doc_a"))
+    val membersB = docs.select(col("fp").as("m_fp_b"), col("doc_id").as("doc_b"))
+    val cross = verified
+      .join(membersA, col("fp_a") === col("m_fp_a"))
+      .join(membersB, col("fp_b") === col("m_fp_b"))
+      .select(
+        least(col("doc_a"), col("doc_b")).as("i"),
+        greatest(col("doc_a"), col("doc_b")).as("j"),
+        col("inter"), col("union_n"))
+
+    // clique-internal pairs: identical sets, Jaccard = 1
+    val intra = reps.filter(col("n_members") >= 2)
+      .join(membersA, col("fp") === col("m_fp_a"))
+      .join(membersB, col("fp") === col("m_fp_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a").as("i"), col("doc_b").as("j"),
+        col("n").as("inter"), col("n").as("union_n"))
+
+    cross.unionByName(intra)
       .select(col("i"), col("j"), col("inter"), col("union_n"),
         floor(lit(100.0) * col("inter") / col("union_n")).cast("long").as("jac_pct"))
       .orderBy("i", "j")

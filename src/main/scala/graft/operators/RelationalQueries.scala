@@ -252,11 +252,64 @@ object RelationalQueries {
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 
+  // --- as-of join (most recent click before each error, per user) ------
+
+  /** As-of join without an inequality join: tag both streams, union,
+    * and carry the last click forward with a running window. On a
+    * cluster this is one shuffle on user_id and a linear pass per
+    * partition — the naive `e.ts >= c.ts` inequality join is O(n·m)
+    * per user and is exactly what this pattern replaces at scale.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = Engine.table(spark, dir, "events")
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("click_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"), col("click_ts"), col("click_id"))
+      .orderBy("error_id")
+  }
+
+  // --- salted aggregation (skew pattern, two-stage) ---------------------
+
+  /** Two-stage salted aggregate over a 3-key (maximally skewed) group
+    * column: stage 1 fans each hot key out over 16 salts, stage 2
+    * combines the partials. Identical integer results to the direct
+    * aggregate (the oracle is the unsalted query) — the point is the
+    * shuffle shape: no reducer ever owns a whole hot key.
+    */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Engine.table(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(16)).as("salt"))
+      .agg(
+        count(lit(1)).as("p_cnt"),
+        sum(col("l_quantity").cast("long")).as("p_qty"),
+        sum(cents(col("l_extendedprice"))).as("p_cents"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("p_cnt")).as("cnt"),
+        sum(col("p_qty")).as("sum_qty"),
+        sum(col("p_cents")).as("sum_price_cents"))
+      .orderBy("l_returnflag")
+  }
+
   // --- registry ---------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (qSessionize _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_filter_project" -> (qFilterProject _),
     "q_agg_group" -> (qAggGroup _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -293,6 +346,27 @@ object RelationalQueries {
         |       CAST(max(n_events) AS BIGINT) AS max_session_events,
         |       CAST(max(sess_span_us) AS BIGINT) AS max_session_span_us
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |filled AS (
+        |  SELECT user_id, ts, event_id, kind,
+        |         last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS click_ts,
+        |         last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS click_id
+        |  FROM u)
+        |SELECT event_id AS error_id, user_id, ts AS error_ts, click_ts, click_id
+        |FROM filled WHERE kind = 1 ORDER BY error_id""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
