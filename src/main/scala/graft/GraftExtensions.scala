@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.{HashSetCountDistinct, VectorDot}
+
+/** Cluster-wide injection point: set
+  * `spark.sql.extensions=graft.GraftExtensions` and every session —
+  * including thrift-server / connect sessions that never call
+  * [[Engine.register]] — gets graft's SQL functions. This is the Spark
+  * analogue of installing the reference's `.so` on HDFS once and
+  * running `CREATE AGGREGATE FUNCTION` cluster-wide
+  * (`/root/reference/README.md:25-33`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("count300k"),
+      new ExpressionInfo(classOf[HashSetCountDistinct].getCanonicalName, "count300k"),
+      (exprs: Seq[Expression]) =>
+        HashSetCountDistinct(Cast(exprs.head, StringType))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getCanonicalName, "vec_dot"),
+      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+  }
+}
