@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen/scheduler warm-up so the first measured query isn't
+    // charged for session infrastructure (startup still ~6s before this)
+    spark.range(1000000).selectExpr("count(distinct id % 100)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column —

@@ -78,6 +78,11 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(wsc.nonEmpty, s"no WholeStageCodegen spans:\n$p")
   }
 
+  test("q_minhash_lsh plans no cartesian or nested-loop joins") {
+    val s = plan(DedupQueries.qMinhashLsh(spark, dir)).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q_topk bounds its shuffles (rank filter below the final sort)") {
     val p = plan(RelationalQueries.qTopK(spark, dir))
     val shuffles = collectAll(p).collect { case x: ShuffleExchangeExec => x }
