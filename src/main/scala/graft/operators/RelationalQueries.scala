@@ -303,6 +303,46 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  // --- range join (value-to-interval classification) --------------------
+
+  /** Non-equi join of parts against a tiny interval table. The ranges
+    * side is broadcast, so the non-equi condition never forces a
+    * shuffle of the big side — the pattern for value→bucket
+    * classification joins at scale.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Engine.table(spark, dir, "part")
+    val ranges = Seq(
+      ("small", 1, 10), ("medium", 11, 25), ("large", 26, 50))
+      .toDF("size_class", "lo", "hi")
+    part.join(broadcast(ranges),
+        col("p_size") >= col("lo") && col("p_size") <= col("hi"))
+      .groupBy(col("size_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("p_size")).cast("long").as("min_size"),
+        max(col("p_size")).cast("long").as("max_size"),
+        countDistinct(col("p_brand")).as("n_brands"))
+      .orderBy("size_class")
+  }
+
+  // --- array function family -------------------------------------------
+
+  def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        concat_ws("|", slice(col("toks"), 1, 3)).as("first3"),
+        array_contains(col("toks"), "the").as("has_the"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        array_max(col("toks")).as("max_tok"),
+        array_position(col("toks"), "value").as("value_pos"),
+        arrays_overlap(col("toks"), array(lit("fast"), lit("slow"))).as("has_speed"))
+      .orderBy("doc_id")
+  }
+
   // --- registry ---------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -310,6 +350,8 @@ object RelationalQueries {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_asof_join" -> (qAsofJoin _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_array_funcs" -> (qArrayFuncs _),
     "q_filter_project" -> (qFilterProject _),
     "q_agg_group" -> (qAggGroup _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -346,6 +388,24 @@ object RelationalQueries {
         |       CAST(max(n_events) AS BIGINT) AS max_session_events,
         |       CAST(max(sess_span_us) AS BIGINT) AS max_session_span_us
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_range_join" ->
+      """WITH ranges(size_class, lo, hi) AS (
+        |  VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 50))
+        |SELECT size_class, count(*) AS n_parts,
+        |       CAST(min(p_size) AS BIGINT) AS min_size,
+        |       CAST(max(p_size) AS BIGINT) AS max_size,
+        |       count(DISTINCT p_brand) AS n_brands
+        |FROM part JOIN ranges ON p_size >= lo AND p_size <= hi
+        |GROUP BY size_class ORDER BY size_class""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |       array_to_string(string_split(text, ' ')[1:3], '|') AS first3,
+        |       list_contains(string_split(text, ' '), 'the') AS has_the,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |       list_aggregate(string_split(text, ' '), 'max') AS max_tok,
+        |       CAST(list_position(string_split(text, ' '), 'value') AS BIGINT) AS value_pos,
+        |       list_has_any(string_split(text, ' '), ['fast', 'slow']) AS has_speed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id,
