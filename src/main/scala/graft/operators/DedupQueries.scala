@@ -120,9 +120,12 @@ object DedupQueries {
       .select(col("doc_a").as("i"), col("doc_b").as("j"),
         col("n").as("inter"), col("n").as("union_n"))
 
+    // cache before the global sort: range partitioning samples its
+    // input, which would otherwise run the expansion joins twice
     cross.unionByName(intra)
       .select(col("i"), col("j"), col("inter"), col("union_n"),
         floor(lit(100.0) * col("inter") / col("union_n")).cast("long").as("jac_pct"))
+      .cache()
       .orderBy("i", "j")
   }
 

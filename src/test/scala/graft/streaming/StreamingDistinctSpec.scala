@@ -70,6 +70,38 @@ class StreamingDistinctSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("count300k state survives the RocksDB state store (production provider)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, Long, String)]
+      val agg = StreamingDistinct.hourlyDistinctUsers(
+        input.toDF().toDF("ts", "user_id", "event_type"))
+      val q = agg.writeStream
+        .format("memory").queryName("rocksdb_distinct")
+        .outputMode("complete").start()
+      try {
+        input.addData((ts(9, 0), 1L, "view"), (ts(9, 5), 2L, "view"))
+        q.processAllAvailable()
+        input.addData((ts(9, 10), 1L, "view"), (ts(9, 20), 3L, "view"))
+        q.processAllAvailable()
+        val rows = spark.table("rocksdb_distinct").collect()
+          .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+        // buffer deserialized from RocksDB between batches: 3 distinct of 4
+        assert(rows.toSeq == Seq(("view", "3", 4L)), rows.toSeq.toString)
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("file-source streaming over the events fixture reaches a result") {
     val stream = StreamingDistinct.readEventsStream(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
