@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession, functions => F}
 import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{ExactCountDistinct, HashSetCountDistinct, VectorDot}
+import graft.functions.{ExactCountDistinct, Fnv1a64, HashSetCountDistinct, VectorDot}
 
 /** Session-level wiring for the graft engine: function registration and
   * fixture-table access. Registration is the Spark analogue of the
@@ -29,6 +29,11 @@ object Engine {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
       exprs => VectorDot(exprs(0), exprs(1)),
+      "scala_udf")
+    // The reference's own hash (FNV-1a 64, hashset-count.cc:49-59).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fnv64",
+      exprs => Fnv1a64(exprs.head),
       "scala_udf")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark

@@ -303,6 +303,23 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  // --- exact-distinct rewrite (dedup-then-count, the skew-proof plan) --
+
+  /** `COUNT(DISTINCT x)` as dedup-then-count: shuffle once on
+    * (group, value) to dedup, then count per group. For a skewed group
+    * with billions of distinct values this spreads the dedup across all
+    * reducers — the single-aggregate plan funnels every value of a hot
+    * group through one task. Results identical; the oracle is the plain
+    * COUNT(DISTINCT).
+    */
+  def qDistinctRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val li = Engine.table(spark, dir, "lineitem")
+    li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("l_returnflag")
+  }
+
   // --- range join (value-to-interval classification) --------------------
 
   /** Non-equi join of parts against a tiny interval table. The ranges
@@ -352,6 +369,7 @@ object RelationalQueries {
     "q_salted_agg" -> (qSaltedAgg _),
     "q_range_join" -> (qRangeJoin _),
     "q_array_funcs" -> (qArrayFuncs _),
+    "q_distinct_rewrite" -> (qDistinctRewrite _),
     "q_filter_project" -> (qFilterProject _),
     "q_agg_group" -> (qAggGroup _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -388,6 +406,9 @@ object RelationalQueries {
         |       CAST(max(n_events) AS BIGINT) AS max_session_events,
         |       CAST(max(sess_span_us) AS BIGINT) AS max_session_span_us
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_distinct_rewrite" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_range_join" ->
       """WITH ranges(size_class, lo, hi) AS (
         |  VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 50))

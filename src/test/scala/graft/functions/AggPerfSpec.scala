@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** Coarse perf sanity for the aggregate hot path: count300k at
+  * reference-sweet-spot cardinality (300k distinct) must stay within a
+  * small factor of the built-in exact countDistinct — the reference's
+  * own stated trade ("not as efficiently as the built-in",
+  * /root/reference/README.md:1). Wide margins: this guards order-of-
+  * magnitude regressions, not noise.
+  */
+class AggPerfSpec extends SparkSpec {
+
+  private def time[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("count300k at 300k distinct stays within 8x of built-in countDistinct") {
+    val q = "cast(id % 300000 AS string)"
+    // warm both paths once
+    spark.sql(s"SELECT count(DISTINCT $q) FROM range(100000)").collect()
+    spark.sql(s"SELECT count300k($q) FROM range(100000)").collect()
+    val (builtin, tBuiltin) = time {
+      spark.sql(s"SELECT count(DISTINCT $q) FROM range(3000000)").collect()(0).getLong(0)
+    }
+    val (ours, tOurs) = time {
+      spark.sql(s"SELECT count300k($q) FROM range(3000000)").collect()(0).getString(0)
+    }
+    assert(builtin == 300000L && ours == "300000")
+    info(f"count300k: $tOurs%.2fs vs countDistinct: $tBuiltin%.2fs (${tOurs / tBuiltin}%.1fx)")
+    assert(tOurs < tBuiltin * 8, f"count300k too slow: $tOurs%.2fs vs $tBuiltin%.2fs")
+  }
+
+  test("multi-distinct in one pass: 3 count300k vs 3 countDistinct (the reference's raison d'etre)") {
+    val cols300k = (1 to 3)
+      .map(i => s"count300k(cast(id % ${i * 1000} AS string))").mkString(", ")
+    val colsBuiltin = (1 to 3)
+      .map(i => s"count(DISTINCT cast(id % ${i * 1000} AS string))").mkString(", ")
+    spark.sql(s"SELECT $cols300k FROM range(100000)").collect() // warm
+    spark.sql(s"SELECT $colsBuiltin FROM range(100000)").collect()
+    val (_, tOurs) = time {
+      spark.sql(s"SELECT $cols300k FROM range(3000000)").collect()
+    }
+    val (_, tBuiltin) = time {
+      spark.sql(s"SELECT $colsBuiltin FROM range(3000000)").collect()
+    }
+    info(f"3x count300k: $tOurs%.2fs vs 3x countDistinct (Expand rewrite): $tBuiltin%.2fs")
+    // one shared scan + one agg pass vs Spark's Expand-based rewrite;
+    // ours must at least stay in the same ballpark
+    assert(tOurs < tBuiltin * 4, f"$tOurs%.2fs vs $tBuiltin%.2fs")
+  }
+}
