@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{HashSetCountDistinct, VectorDot}
+import graft.functions.{Fnv1a64, HashSetCountDistinct, VectorDot}
 
 /** Cluster-wide injection point: set
   * `spark.sql.extensions=graft.GraftExtensions` and every session —
@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getCanonicalName, "vec_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("fnv64"),
+      new ExpressionInfo(classOf[Fnv1a64].getCanonicalName, "fnv64"),
+      (exprs: Seq[Expression]) => Fnv1a64(exprs.head)))
   }
 }

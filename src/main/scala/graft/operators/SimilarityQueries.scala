@@ -108,6 +108,47 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- LSH-bucketed ANN (random-hyperplane signs) -----------------------
+
+  /** Sign-LSH: bucket vectors by the sign pattern of dot products
+    * against `NPlanes` hyperplanes (data rows, so the oracle can
+    * reproduce them), then search only within the bucket. Vectors with
+    * high cosine share signs with high probability; the bucket join
+    * replaces the all-pairs scan, like IVF but with hash buckets
+    * instead of nearest-centroid cells.
+    */
+  private val NPlanes = 4
+
+  def qEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, dir)
+    val planes = e.filter(col("vec_id") < NPlanes)
+      .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
+    val bucketed = e.crossJoin(planes)
+      .withColumn("bit",
+        when(dot(col("embedding"), col("p_emb")) >= 0,
+          expr("shiftleft(1L, cast(plane_id AS int))")).otherwise(0L))
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(sum(col("bit")).as("bucket"))
+    val queries = bucketed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+    val corpus = bucketed.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"),
+      col("bucket").as("n_bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    queries
+      .join(corpus, col("q_bucket") === col("n_bucket") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+      .orderBy("query_id", "rk")
+  }
+
   // --- embedding-cosine near-duplicate pairs ----------------------------
 
   def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
@@ -129,6 +170,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> (qKnnBrute _),
     "q_ivf_knn" -> (qIvfKnn _),
+    "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
 
@@ -167,6 +209,29 @@ object SimilarityQueries {
          |         ${duckCos.format("q_emb", "a.embedding")} AS cos
          |  FROM q JOIN assigned a ON q.q_cent = a.centroid_id
          |                        AND q.query_id <> a.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM scored)
+         |SELECT query_id, rk, neighbor_id FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "q_embed_lsh" ->
+      s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
+         |                WHERE vec_id < $NPlanes),
+         |bucketed AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
+         |                  THEN power(2, p.plane_id) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, e.embedding),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+         |      FROM bucketed WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT query_id, b.vec_id AS neighbor_id,
+         |         ${duckCos.format("q_emb", "b.embedding")} AS cos
+         |  FROM q JOIN bucketed b ON q.q_bucket = b.bucket
+         |                        AND q.query_id <> b.vec_id),
          |ranked AS (SELECT query_id, neighbor_id,
          |                  row_number() OVER (PARTITION BY query_id
          |                                     ORDER BY cos DESC, neighbor_id) AS rk

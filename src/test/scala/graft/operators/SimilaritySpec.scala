@@ -31,6 +31,14 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF recall@5 vs brute force: $recall%.2f")
   }
 
+  test("sign-LSH kNN keeps nonzero recall vs brute force") {
+    val brute = pairs(SimilarityQueries.qKnnBrute(spark, dir))
+    val lsh = pairs(SimilarityQueries.qEmbedLsh(spark, dir))
+    val recall = (lsh & brute).size.toDouble / brute.size
+    assert(recall > 0.0, s"recall=$recall")
+    info(f"sign-LSH recall@5 vs brute force: $recall%.2f")
+  }
+
   test("near-dup pairs are symmetric-free (i < j) and deterministic") {
     val a = SimilarityQueries.qEmbedNearDup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
