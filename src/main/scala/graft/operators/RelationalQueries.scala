@@ -303,6 +303,48 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  // --- pivot / unpivot ---------------------------------------------------
+
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Engine.table(spark, dir, "orders")
+    orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+  }
+
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val src = Engine.table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+    src.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+  }
+
+  // --- correlated subquery ----------------------------------------------
+
+  /** Orders whose price exceeds 5x the max line price of the same order
+    * — a correlated scalar subquery Catalyst decorrelates into an
+    * aggregate + join (exact double comparisons, no FP accumulation).
+    */
+  def qCorrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Engine.table(spark, dir, "orders").createOrReplaceTempView("g_orders")
+    Engine.table(spark, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM g_orders
+        |WHERE o_totalprice > 5 * (
+        |  SELECT max(l_extendedprice) FROM g_lineitem
+        |  WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   // --- exact-distinct rewrite (dedup-then-count, the skew-proof plan) --
 
   /** `COUNT(DISTINCT x)` as dedup-then-count: shuffle once on
@@ -370,6 +412,9 @@ object RelationalQueries {
     "q_range_join" -> (qRangeJoin _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_distinct_rewrite" -> (qDistinctRewrite _),
+    "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_corr_subquery" -> (qCorrSubquery _),
     "q_filter_project" -> (qFilterProject _),
     "q_agg_group" -> (qAggGroup _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -409,6 +454,28 @@ object RelationalQueries {
     "q_distinct_rewrite" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |       l_quantity AS value
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,
+        |       l_extendedprice AS value
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "q_corr_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 5 * (
+        |  SELECT max(l_extendedprice) FROM lineitem
+        |  WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_range_join" ->
       """WITH ranges(size_class, lo, hi) AS (
         |  VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 50))
