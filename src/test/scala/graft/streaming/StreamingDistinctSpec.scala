@@ -102,6 +102,33 @@ class StreamingDistinctSpec extends SparkSpec {
     }
   }
 
+  test("query restart recovers count300k state from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val input = MemoryStream[(Timestamp, Long, String)]
+    def start(name: String) =
+      StreamingDistinct.hourlyDistinctUsers(
+        input.toDF().toDF("ts", "user_id", "event_type"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+    val q1 = start("ckpt_run1")
+    input.addData((ts(8, 0), 1L, "click"), (ts(8, 5), 2L, "click"))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the same checkpoint: prior distinct set must survive
+    val q2 = start("ckpt_run2")
+    try {
+      input.addData((ts(8, 10), 1L, "click"), (ts(8, 15), 3L, "click"))
+      q2.processAllAvailable()
+      val rows = spark.table("ckpt_run2").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+      // user 1 deduped against the recovered state: 3 distinct of 4 events
+      assert(rows.toSeq == Seq(("click", "3", 4L)), rows.toSeq.toString)
+    } finally q2.stop()
+  }
+
   test("file-source streaming over the events fixture reaches a result") {
     val stream = StreamingDistinct.readEventsStream(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
