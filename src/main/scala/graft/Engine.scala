@@ -39,6 +39,20 @@ object Engine {
     spark
   }
 
+  /** All fixture tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every fixture table as a temp view so `spark.sql` works
+    * against the full schema — the switch-over surface for users who
+    * queried the reference through plain SQL.
+    */
+  def registerTables(spark: SparkSession, dir: String): SparkSession = {
+    tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    spark
+  }
+
   /** Load one fixture table (TESTDATA.md layout: `<dir>/<name>.parquet`).
     * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; it is read as raw nanos (legacy conf, set in

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, functions => F}
+
+/** Column-DSL for graft's custom functions, so DataFrame-API users get
+  * typed entry points instead of `expr("count300k(...)")` strings.
+  * Requires the functions to be registered on the session
+  * ([[graft.Engine.register]] or `spark.sql.extensions`).
+  */
+object dsl {
+
+  /** Exact multi-instance distinct count (the reference's operator);
+    * non-string inputs are cast like the SQL surface does.
+    */
+  def count300k(c: Column): Column =
+    F.call_function("count300k", c)
+
+  /** Codegen'd double dot product over float/double arrays. */
+  def vec_dot(a: Column, b: Column): Column =
+    F.call_function("vec_dot", a, b)
+
+  /** The reference's FNV-1a 64 hash (hashset-count.cc:49-59). */
+  def fnv64(c: Column): Column =
+    F.call_function("fnv64", c)
+
+  /** Cosine similarity from one dot product given precomputed norms. */
+  def cosine(a: Column, aNorm: Column, b: Column, bNorm: Column): Column =
+    vec_dot(a, b) / (aNorm * bNorm)
+
+  /** L2 norm of a vector column. */
+  def vec_norm(c: Column): Column = F.sqrt(vec_dot(c, c))
+}
