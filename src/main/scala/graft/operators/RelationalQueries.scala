@@ -303,6 +303,24 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  // --- statistical aggregates -------------------------------------------
+
+  /** Exact order statistics on integers: median of n ints is either an
+    * int or the average of two ints — one IEEE division, identical in
+    * both engines (general-p interpolation formulas differ; median
+    * doesn't).
+    */
+  def qMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Engine.table(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(cast(l_quantity AS bigint), 0.5)").as("median_qty"),
+        expr("percentile(cast(floor(l_extendedprice*100) AS bigint), 0.5)")
+          .as("median_cents"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   // --- pivot / unpivot ---------------------------------------------------
 
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
@@ -412,6 +430,7 @@ object RelationalQueries {
     "q_range_join" -> (qRangeJoin _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_distinct_rewrite" -> (qDistinctRewrite _),
+    "q_median" -> (qMedian _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "q_corr_subquery" -> (qCorrSubquery _),
@@ -453,6 +472,12 @@ object RelationalQueries {
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_distinct_rewrite" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_median" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS median_qty,
+        |       quantile_cont(CAST(floor(l_extendedprice*100) AS BIGINT), 0.5) AS median_cents,
+        |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,

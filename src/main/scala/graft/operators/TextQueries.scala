@@ -76,6 +76,30 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // --- winnowing fingerprint (rolling char-k-gram min-sampling) ---------
+
+  /** Winnowing (Schleimer et al.): hash every char 8-gram, keep the min
+    * hash per sliding window of 16 — the standard local fingerprinting
+    * scheme whose selected set is position-robust. Entirely array HOFs
+    * (no explode/shuffle until the final projection); the per-doc work
+    * is linear in text length, embarrassingly parallel over docs.
+    */
+  def qWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    docs
+      .withColumn("hs",
+        expr("transform(sequence(1, length(text)-7), i -> md5(substring(text, i, 8)))"))
+      .withColumn("wins",
+        expr("transform(sequence(1, size(hs)-15), j -> array_min(slice(hs, j, 16)))"))
+      .withColumn("fps", array_distinct(col("wins")))
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
   // --- quality scoring: integer-safe ratios + rule-based label ----------
 
   def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -148,6 +172,7 @@ object TextQueries {
     "q_lang_profile" -> (qLangProfile _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_winnow" -> (qWinnow _),
     "q_quality_score" -> (qQualityScore _),
     "q_langid" -> (qLangId _)
   )
@@ -202,6 +227,21 @@ object TextQueries {
         |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp,
         |       md5(text) AS exact_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, length(text)-7),
+        |                        i -> md5(substr(text, i, 8))) AS hs
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(hs)-15),
+        |                       j -> list_aggregate(list_slice(hs, j, j+15), 'min'))) AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |       list_aggregate(fps, 'min') AS min_fp,
+        |       list_aggregate(fps, 'max') AS max_fp
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
       s"""WITH s AS (
          |  SELECT doc_id,
