@@ -16,12 +16,14 @@ import graft.Engine
   *   bucket, turning the O(Q·N) join into a co-partitioned bucket join
   *   on centroid_id. Centroids here are data rows (vec_id < nlist) so
   *   the oracle can reproduce them; a production build would k-means.
+  * - qEmbedLsh: sign-LSH scale path — hash buckets from hyperplane dot
+  *   signs instead of nearest-centroid cells; same bucket-join shape.
   * - qEmbedNearDup: embedding-cosine near-duplicate pairs over a
   *   modulo-sampled corpus slice.
   *
-  * All cosine math is double-precision and expressed with higher-order
-  * array functions (codegen'd, no UDFs); outputs are integer ranks/ids
-  * so the oracle compare never hashes floats.
+  * All cosine math is double-precision through the codegen'd `vec_dot`
+  * expression with L2 norms materialized once per vector; outputs are
+  * integer ranks/ids so the oracle compare never hashes floats.
   */
 object SimilarityQueries {
 
