@@ -67,6 +67,17 @@ object Multimodal {
     /** Fake "frame sample": every k-th byte window stands in for frames. */
     def sampleFrames(item: MediaItem, every: Int): Seq[Array[Byte]] =
       item.content.grouped(math.max(1, every)).toSeq
+
+    /** Fake "resize": deterministic byte down/up-sampling to `targetLen`
+      * (stride sampling — stands in for pixel-space interpolation).
+      */
+    def resize(item: MediaItem, targetLen: Int): MediaItem = {
+      val src = item.content
+      val out =
+        if (src.isEmpty || targetLen <= 0) Array.emptyByteArray
+        else Array.tabulate(targetLen)(i => src((i.toLong * src.length / targetLen).toInt))
+      item.copy(content = out, declared_bytes = out.length.toLong)
+    }
   }
 
   /** Fixture adapter: the `documents` table posed as a media corpus
@@ -89,6 +100,12 @@ object Multimodal {
   def decodeFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions(_.map(StubCodec.decode))
+  }
+
+  /** Resize stage: same narrow per-partition shape as decode. */
+  def resizeAll(items: Dataset[MediaItem], targetLen: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map(StubCodec.resize(_, targetLen)))
   }
 
   /** Per-type feature profile over the decoded corpus (the downstream

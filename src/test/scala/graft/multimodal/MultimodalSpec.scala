@@ -33,6 +33,14 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.checksum).distinct.length == feats.length)
   }
 
+  test("stub resize produces exactly targetLen bytes, deterministically") {
+    val items = Multimodal.mediaFromDocuments(spark, dir)
+    val resized = Multimodal.resizeAll(items, 64).collect()
+    assert(resized.forall(i => i.content.length == 64 && i.declared_bytes == 64L))
+    val again = Multimodal.resizeAll(items, 64).collect()
+    assert(resized.map(_.content.toSeq).toSeq == again.map(_.content.toSeq).toSeq)
+  }
+
   test("stub frame sampling yields ceil(n/k) frames") {
     val item = Multimodal.MediaItem(1L, "video/fake", "s", 10L, Array.fill(100)(7.toByte))
     assert(Multimodal.StubCodec.sampleFrames(item, 30).length == 4)
