@@ -56,12 +56,20 @@ object DedupQueries {
         sort_array(array_distinct(split(col("text"), " "))).as("ws"))
       .withColumn("fp", md5(concat_ws(" ", col("ws"))))
 
-  /** Per-set signature h0..h15 = min(md5("<seed>|" || w)), over reps. */
+  /** Per-set signature h0..h15 = min(md5("<seed>|" || w)), over reps.
+    * Hash-once-per-distinct-word, then join: the corpus vocabulary is
+    * far smaller than token occurrences, so the seedwise md5s are
+    * computed once per word and broadcast instead of recomputed per
+    * (set, word) row — same values, a fraction of the hash work.
+    */
   private def repSignatures(reps: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map { s =>
-      min(md5(concat(lit(s"$s|"), col("w")))).as(s"h$s")
-    }
+    val words = reps.select(explode(col("ws")).as("w"))
+    val hashed = words.select(col("w")).distinct()
+      .select(col("w") +:
+        (0 until NumHashes).map(s => md5(concat(lit(s"$s|"), col("w"))).as(s"h$s")): _*)
+    val aggs = (0 until NumHashes).map(s => min(col(s"h$s")).as(s"h$s"))
     reps.select(col("fp"), explode(col("ws")).as("w"))
+      .join(broadcast(hashed), "w")
       .groupBy(col("fp")).agg(aggs.head, aggs.tail: _*)
   }
 
