@@ -17,16 +17,26 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column —
       // count() would let Spark skip projected expressions entirely
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
       val secs = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // queries are benched standalone
-      name -> secs
+      // a failed query records -1.0, never its wall time — a broken
+      // query must be visible in the emitted JSON, not look fast
+      name -> (if (err.isEmpty) secs else -1.0, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "; case c => c.toString } + "\""
+    val errs = results.collect { case (k, (_, Some(e))) => s"\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.values.collect { case (v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

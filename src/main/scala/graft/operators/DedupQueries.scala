@@ -59,8 +59,12 @@ object DedupQueries {
   /** Per-set signature h0..h15 = min(md5("<seed>|" || w)), over reps.
     * Hash-once-per-distinct-word, then join: the corpus vocabulary is
     * far smaller than token occurrences, so the seedwise md5s are
-    * computed once per word and broadcast instead of recomputed per
-    * (set, word) row — same values, a fraction of the hash work.
+    * computed once per word and joined back instead of recomputed per
+    * (set, word) row — same values, a fraction of the hash work. No
+    * broadcast hint: vocabulary size is corpus-dependent and unbounded
+    * (a forced broadcast would OOM on a web-scale vocabulary); AQE
+    * picks broadcast at runtime whenever the hashed vocab actually
+    * fits under the threshold.
     */
   private def repSignatures(reps: DataFrame): DataFrame = {
     val words = reps.select(explode(col("ws")).as("w"))
@@ -69,11 +73,19 @@ object DedupQueries {
         (0 until NumHashes).map(s => md5(concat(lit(s"$s|"), col("w"))).as(s"h$s")): _*)
     val aggs = (0 until NumHashes).map(s => min(col(s"h$s")).as(s"h$s"))
     reps.select(col("fp"), explode(col("ws")).as("w"))
-      .join(broadcast(hashed), "w")
+      .join(hashed, "w")
       .groupBy(col("fp")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash-LSH near-dup pairs, verified at word-Jaccard >= 0.9. */
+  /** MinHash-LSH near-dup pairs, verified at word-Jaccard >= 0.9.
+    *
+    * Cache lifecycle: the cached frames feed two join branches each
+    * and the final range-partitioned sort (whose sampling pass would
+    * otherwise recompute the expansion joins); a lazy DataFrame can't
+    * unpersist them itself, so session owners clear them after the
+    * action — Bench and Verify both `spark.catalog.clearCache()`
+    * per query.
+    */
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = uniqueSets(spark, dir).cache()
     val reps = docs.groupBy(col("fp")).agg(
@@ -139,22 +151,25 @@ object DedupQueries {
 
   // --- SimHash -----------------------------------------------------------
 
-  /** Unbiased per-(bit, token) coin: first hex char of salted md5 >= '8'
-    * (8,9,a..f = 8 of 16 outcomes).
-    */
-  private def simBit(j: Int): Column =
-    when(substring(md5(concat(lit(s"sh$j|"), col("w"))), 1, 1) >= "8", 1L).otherwise(-1L)
-
   /** Per-doc SimHash fingerprint over the distinct word set, plus the
     * size of its identical-fingerprint cluster (the near-dup grouping).
+    *
+    * ONE md5 digest per token row: bit j is an unbiased coin read from
+    * hex char j+1 of a single salted digest (>= '8' is 8 of 16
+    * outcomes, and md5 hex chars are independent). The digest is
+    * materialized as a projected column before the aggregate, so the
+    * hash runs once per row — not once per (bit, token) as a per-bit
+    * salt would (16x the hash work for identical statistics).
     */
   def qSimhash(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sums = (0 until SimHashBits).map(j => sum(simBit(j)).as(s"b$j"))
+    val sums = (0 until SimHashBits).map(j =>
+      sum(when(substring(col("d"), j + 1, 1) >= "8", 1L).otherwise(-1L)).as(s"b$j"))
     val fp = (0 until SimHashBits)
       .map(j => when(col(s"b$j") >= 0, 1L << j).otherwise(0L))
       .reduce(_ + _)
     wordSet(spark, dir)
+      .withColumn("d", md5(concat(lit("sh|"), col("w"))))
       .groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
       .withColumn("cluster_size",
@@ -208,7 +223,7 @@ object DedupQueries {
   }.mkString("\n  UNION ALL\n  ")
 
   private val duckSimSums: String = (0 until SimHashBits)
-    .map(j => s"sum(CASE WHEN substr(md5('sh$j|' || w), 1, 1) >= '8' THEN 1 ELSE -1 END) AS b$j")
+    .map(j => s"sum(CASE WHEN substr(md5('sh|' || w), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b$j")
     .mkString(",\n         ")
 
   private val duckSimFp: String = (0 until SimHashBits)

@@ -305,19 +305,51 @@ object RelationalQueries {
 
   // --- statistical aggregates -------------------------------------------
 
-  /** Exact order statistics on integers: median of n ints is either an
-    * int or the average of two ints — one IEEE division, identical in
-    * both engines (general-p interpolation formulas differ; median
-    * doesn't).
+  /** Exact median as a counting median: collapse the input to
+    * (group, metric, value) counts first — a hash aggregate with
+    * map-side combine — then walk the cumulative counts over DISTINCT
+    * values to pick the middle element(s). Spark's `percentile` builds
+    * a per-group value→count map inside an ObjectHashAggregate whose
+    * merge funnels through one reducer per group; here every stage is
+    * distributed and the window only ever sees distinct values, not
+    * rows. Median of n ints is an int or the average of two ints — one
+    * IEEE division, identical in both engines (general-p interpolation
+    * formulas differ; median doesn't).
     */
   def qMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val li = Engine.table(spark, dir, "lineitem")
-    li.groupBy(col("l_returnflag"))
+    val vals = li.selectExpr(
+      "l_returnflag",
+      "stack(2, 'qty',   cast(l_quantity AS bigint)," +
+        "       'cents', cast(floor(l_extendedprice*100) AS bigint)) AS (metric, v)")
+    val counts = vals
+      .groupBy(col("l_returnflag"), col("metric"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(col("l_returnflag"), col("metric"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("l_returnflag"), col("metric"))
+    // each distinct value covers cumulative positions [lo, hi]; the
+    // median positions are (n+1) div 2 and (n+2) div 2 (equal when odd)
+    val ranked = counts
+      .withColumn("hi", sum(col("c")).over(cum))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(whole))
+      .withColumn("p1", expr("(n + 1) div 2"))
+      .withColumn("p2", expr("(n + 2) div 2"))
+    val med = ranked
+      .groupBy(col("l_returnflag"), col("metric"))
       .agg(
-        expr("percentile(cast(l_quantity AS bigint), 0.5)").as("median_qty"),
-        expr("percentile(cast(floor(l_extendedprice*100) AS bigint), 0.5)")
-          .as("median_cents"),
-        count(lit(1)).as("cnt"))
+        max(when(col("lo") <= col("p1") && col("p1") <= col("hi"), col("v"))).as("v1"),
+        max(when(col("lo") <= col("p2") && col("p2") <= col("hi"), col("v"))).as("v2"),
+        max(col("n")).as("n"))
+      .withColumn("median", (col("v1") + col("v2")) / 2.0)
+    med.groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("metric") === "qty", col("median"))).as("median_qty"),
+        max(when(col("metric") === "cents", col("median"))).as("median_cents"),
+        max(when(col("metric") === "qty", col("n"))).as("cnt"))
       .orderBy("l_returnflag")
   }
 

@@ -46,20 +46,36 @@ object SimilarityQueries {
 
   // --- exact brute-force top-k ------------------------------------------
 
+  /** Two-stage exact top-k: a local top-k per (query, input partition)
+    * — parallelism NQueries x partitions — reduces the candidate set
+    * to at most K x partitions per query BEFORE the per-query ranking
+    * window, so no single task ever holds a full corpus scan's scored
+    * output. (The single-stage form funnels the whole scored corpus
+    * through NQueries window tasks — dead at a 100x corpus.) The
+    * per-partition cut is exact: the global top-K per query is a
+    * subset of the union of per-partition top-Ks, and ties break
+    * deterministically on neighbor_id in both stages.
+    */
   def qKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    queries
+    val scored = queries
       .crossJoin(e.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("n_emb"), col("nrm").as("n_nrm"), col("label")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("query_id"), col("pid"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= K)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= K)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("label"))
@@ -153,17 +169,55 @@ object SimilarityQueries {
 
   // --- embedding-cosine near-duplicate pairs ----------------------------
 
+  /** Block count for the balanced block-pair (triangle) self-join. At a
+    * larger scale B grows ~sqrt(cluster cores) so each of the
+    * B*(B+1)/2 buckets holds an (N/B)^2 comparison tile that fits one
+    * task.
+    */
+  private val NDBlocks = 8
+
+  /** All pairs with cosine >= 0.35, as a balanced block-pair
+    * partitioned equi-join — the scalable EXACT shape for a
+    * low-threshold all-pairs similarity join.
+    *
+    * Why not LSH blocking: at threshold 0.35 the angle is ~69.5°, so a
+    * random hyperplane separates a qualifying pair with probability
+    * ~0.39; any band scheme driving the miss rate to ~0 (required —
+    * the oracle is exact, and this fixture's qualifying pairs start at
+    * cos 0.3501 with thousands more just below threshold) generates
+    * more candidates than the N^2/2 all-pairs total. Sign-LSH blocking
+    * is a top-k/high-threshold tool (see [[qEmbedLsh]]); an exact
+    * low-threshold join is inherently quadratic, and the scalable form
+    * distributes that quadratic evenly:
+    *
+    * Each vector lands in block g; block-PAIR key (p,q), p <= q, gets
+    * the tile {block p} x {block q}. A row in block g replicates to
+    * keys (g, q>=g) on the left and (p<=g, g) on the right, so every
+    * unordered pair meets in exactly one bucket (twice, both
+    * orientations, when p = q — deduped by id order). The join is a
+    * pure equi-join on (p,q): shuffle-partitioned, no broadcast of the
+    * corpus, no BroadcastNestedLoopJoin/CartesianProduct (asserted by
+    * PlanQualitySpec), parallelism B*(B+1)/2 with each task scanning
+    * an (N/B)^2 tile.
+    */
   def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir).filter(pmod(col("vec_id"), lit(2)) === 0)
-    val l = e.select(col("vec_id").as("i"), col("embedding").as("a_emb"),
-      col("nrm").as("a_nrm"))
-    val r = e.select(col("vec_id").as("j"), col("embedding").as("b_emb"),
-      col("nrm").as("b_nrm"))
-    l.join(r, col("i") < col("j"))
+    val e = embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(2)) === 0)
+      .withColumn("g", expr(s"pmod(vec_id div 2, $NDBlocks)"))
+    val l = e.select(col("vec_id").as("li"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"), col("g").as("lg"))
+      .withColumn("kq", explode(expr(s"sequence(lg, ${NDBlocks - 1})")))
+    val r = e.select(col("vec_id").as("rj"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"), col("g").as("rg"))
+      .withColumn("kp", explode(expr("sequence(0, rg)")))
+    l.join(r,
+        col("lg") === col("kp") && col("kq") === col("rg") &&
+          (col("lg") =!= col("kq") || col("li") < col("rj")))
       .withColumn("cos",
         dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cos") >= 0.35)
-      .select(col("i"), col("j"))
+      .select(least(col("li"), col("rj")).as("i"),
+        greatest(col("li"), col("rj")).as("j"))
       .orderBy("i", "j")
   }
 

@@ -83,14 +83,25 @@ object TextQueries {
     * scheme whose selected set is position-robust. Entirely array HOFs
     * (no explode/shuffle until the final projection); the per-doc work
     * is linear in text length, embarrassingly parallel over docs.
+    *
+    * Short-document degeneracy is guarded explicitly: Spark's
+    * `sequence(1, n)` DESCENDS when n < 1 (DuckDB's generate_series
+    * returns empty), so texts under 8 chars yield an empty fingerprint
+    * set (n_fp = 0, NULL min/max) and texts with fewer than 16 8-grams
+    * yield the single min over all their grams — the natural winnow of
+    * one window — on both engines.
     */
-  def qWinnow(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Engine.table(spark, dir, "documents")
+  def winnowFingerprints(docs: DataFrame): DataFrame =
     docs
-      .withColumn("hs",
-        expr("transform(sequence(1, length(text)-7), i -> md5(substring(text, i, 8)))"))
-      .withColumn("wins",
-        expr("transform(sequence(1, size(hs)-15), j -> array_min(slice(hs, j, 16)))"))
+      .withColumn("hs", expr(
+        """CASE WHEN length(text) >= 8
+          |     THEN transform(sequence(1, length(text)-7), i -> md5(substring(text, i, 8)))
+          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("wins", expr(
+        """CASE WHEN size(hs) >= 16
+          |     THEN transform(sequence(1, size(hs)-15), j -> array_min(slice(hs, j, 16)))
+          |     WHEN size(hs) >= 1 THEN array(array_min(hs))
+          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
       .withColumn("fps", array_distinct(col("wins")))
       .select(
         col("doc_id"),
@@ -98,7 +109,9 @@ object TextQueries {
         array_min(col("fps")).as("min_fp"),
         array_max(col("fps")).as("max_fp"))
       .orderBy("doc_id")
-  }
+
+  def qWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(Engine.table(spark, dir, "documents"))
 
   // --- quality scoring: integer-safe ratios + rule-based label ----------
 
@@ -230,13 +243,18 @@ object TextQueries {
     "q_winnow" ->
       """WITH g AS (
         |  SELECT doc_id,
-        |         list_transform(generate_series(1, length(text)-7),
-        |                        i -> md5(substr(text, i, 8))) AS hs
+        |         CASE WHEN length(text) >= 8
+        |              THEN list_transform(generate_series(1, length(text)-7),
+        |                                  i -> md5(substr(text, i, 8)))
+        |              ELSE [] END AS hs
         |  FROM documents),
         |w AS (
         |  SELECT doc_id,
-        |         list_distinct(list_transform(generate_series(1, len(hs)-15),
-        |                       j -> list_aggregate(list_slice(hs, j, j+15), 'min'))) AS fps
+        |         list_distinct(CASE WHEN len(hs) >= 16
+        |              THEN list_transform(generate_series(1, len(hs)-15),
+        |                   j -> list_aggregate(list_slice(hs, j, j+15), 'min'))
+        |              WHEN len(hs) >= 1 THEN [list_aggregate(hs, 'min')]
+        |              ELSE [] END) AS fps
         |  FROM g)
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
         |       list_aggregate(fps, 'min') AS min_fp,
