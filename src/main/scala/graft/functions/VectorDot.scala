@@ -41,15 +41,30 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
           s"vec_dot requires array<float|double> arguments, got ${l.sql}, ${r.sql}")
     }
 
+  /** Null when lengths differ or an element is null — matching the HOF
+    * form (`aggregate(zip_with(...))`), which null-pads mismatched
+    * lengths and propagates element nulls; a malformed embedding must
+    * surface as NULL, never as a plausible truncated dot product.
+    */
+  override def nullable: Boolean = true
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
+    val checkNulls = elemNullable(left) || elemNullable(right)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -62,17 +77,32 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
       val getL =
         if (elemType(left) == FloatType) s"(double) $a.getFloat($i)"
         else s"$a.getDouble($i)"
       val getR =
         if (elemType(right) == FloatType) s"(double) $b.getFloat($i)"
         else s"$b.getDouble($i)"
+      // element null checks only compiled in when the schema allows nulls
+      // — the common non-null hot path stays a bare fused loop
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $getL * $getR;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += $getL * $getR;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

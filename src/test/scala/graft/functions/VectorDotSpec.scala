@@ -31,6 +31,28 @@ class VectorDotSpec extends SparkSpec {
     assert(e.eval(InternalRow(farr(1f, 2f), farr(3f, 4f))) == 11.0)
   }
 
+  test("length mismatch and element nulls yield NULL, like the HOF form") {
+    val e = VectorDot(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      BoundReference(1, ArrayType(DoubleType), nullable = true))
+    assert(e.eval(InternalRow(arr(1, 2, 3), arr(4, 5))) == null)
+    assert(e.eval(InternalRow(
+      ArrayData.toArrayData(Array[Any](1.0, null, 3.0)), arr(4, 5, 6))) == null)
+    assert(e.nullable)
+  }
+
+  test("SQL path returns NULL on length mismatch and null elements") {
+    import spark.implicits._
+    Seq(
+      (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](1f)),
+      (Array[java.lang.Float](1f, null), Array[java.lang.Float](1f, 2f)),
+      (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](3f, 4f))
+    ).toDF("a", "b").createOrReplaceTempView("t_vec_null")
+    val got = spark.sql("SELECT vec_dot(a, b) FROM t_vec_null").collect()
+    assert(got(0).isNullAt(0) && got(1).isNullAt(0))
+    assert(got(2).getDouble(0) == 11.0)
+  }
+
   test("type check rejects non-numeric-array inputs") {
     val bad = VectorDot(
       Literal.create("x", StringType),

@@ -83,6 +83,19 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q_embed_neardup plans no cartesian or nested-loop join (block-pair equi-join)") {
+    val s = plan(SimilarityQueries.qEmbedNearDup(spark, dir)).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q_knn_brute reduces to a local top-k before the per-query ranking window") {
+    // two window stages: the (query, partition)-local cut, then the
+    // global per-query rank over at most K x partitions candidates
+    val p = plan(SimilarityQueries.qKnnBrute(spark, dir))
+    val windows = collectAll(p).filter(_.nodeName.contains("Window"))
+    assert(windows.size >= 2, s"expected local+global ranking windows:\n$p")
+  }
+
   test("q_topk bounds its shuffles (rank filter below the final sort)") {
     val p = plan(RelationalQueries.qTopK(spark, dir))
     val shuffles = collectAll(p).collect { case x: ShuffleExchangeExec => x }

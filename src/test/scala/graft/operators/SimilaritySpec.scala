@@ -39,6 +39,23 @@ class SimilaritySpec extends SparkSpec {
     info(f"sign-LSH recall@5 vs brute force: $recall%.2f")
   }
 
+  test("block-pair near-dup join equals the naive all-pairs result") {
+    import org.apache.spark.sql.functions._
+    val blocked = SimilarityQueries.qEmbedNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive all-pairs reference, built inline (the shape the oracle uses)
+    val e = graft.Engine.table(spark, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(2)) === 0)
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+    val l = e.select(col("vec_id").as("i"), col("embedding").as("ae"), col("nrm").as("an"))
+    val r = e.select(col("vec_id").as("j"), col("embedding").as("be"), col("nrm").as("bn"))
+    val naive = l.join(r, col("i") < col("j"))
+      .filter(expr("vec_dot(ae, be)") / (col("an") * col("bn")) >= 0.35)
+      .select("i", "j").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(blocked == naive,
+      s"missing=${(naive -- blocked).take(5)} extra=${(blocked -- naive).take(5)}")
+  }
+
   test("near-dup pairs are symmetric-free (i < j) and deterministic") {
     val a = SimilarityQueries.qEmbedNearDup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
