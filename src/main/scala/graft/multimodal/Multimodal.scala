@@ -8,8 +8,10 @@ import graft.Engine
 /** Multimodal column handling: media as opaque `binary` + typed metadata,
   * with decode / feature-extract / frame-sample stages shaped for a real
   * cluster run — schema, partitioning and per-partition batch iteration
-  * are real; only the codec call itself is stubbed (no image/audio
-  * libraries in this container; see [[StubCodec]]).
+  * are real. Image payloads decode through the REAL codec
+  * ([[ImageCodec]], JDK `javax.imageio` — PNG/JPEG/GIF/BMP); only
+  * audio/video remain stubbed ([[StubCodec]]; no codec libraries for
+  * those in this container).
   *
   * Scale shape: media bytes never pass through a shuffle — decode and
   * feature extraction are narrow mapPartitions stages; only the small
@@ -38,11 +40,43 @@ object Multimodal {
       n_frames: Int,
       checksum: String)
 
-  /** STUB CODEC — deterministic fake in place of a real image/audio
-    * decoder (libraries absent in this environment). A production build
-    * swaps `decode` for e.g. javax.imageio / ffmpeg bindings; everything
-    * around it (typed Dataset, mapPartitions batch shape, partitioning)
-    * is the real pipeline.
+  /** Stable content checksum shared by both codec paths. */
+  private def checksum(bytes: Array[Byte]): String =
+    java.lang.Long.toHexString(
+      bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b))
+
+  /** Codec dispatch: image payloads go through the real
+    * [[ImageCodec]]; anything else (and undecodable image bytes)
+    * falls back to the deterministic [[StubCodec]].
+    */
+  object Codec {
+    def decode(item: MediaItem): MediaFeatures =
+      if (item.media_type.startsWith("image/"))
+        ImageCodec.decodeDims(item.content) match {
+          case Some((w, h)) =>
+            MediaFeatures(item.media_id, item.media_type,
+              item.content.length.toLong, w, h, n_frames = 1,
+              checksum = checksum(item.content))
+          case None => StubCodec.decode(item)
+        }
+      else StubCodec.decode(item)
+
+    /** Image: pixel-space resize to (w, h); non-image: byte-stride
+      * stub resize to w*h bytes (keeps the declared-length contract).
+      */
+    def resize(item: MediaItem, width: Int, height: Int): MediaItem =
+      if (item.media_type.startsWith("image/"))
+        ImageCodec.resizePng(item.content, width, height) match {
+          case Some(out) => item.copy(content = out, declared_bytes = out.length.toLong)
+          case None => StubCodec.resize(item, width * height)
+        }
+      else StubCodec.resize(item, width * height)
+  }
+
+  /** STUB CODEC — deterministic fake for media types without a decoder
+    * in this environment (audio/video). A production build swaps it
+    * for e.g. ffmpeg bindings; everything around it (typed Dataset,
+    * mapPartitions batch shape, partitioning) is the real pipeline.
     */
   object StubCodec {
     /** Fake "decode": derives dimensions/frames from the bytes, so the
@@ -60,8 +94,7 @@ object Multimodal {
         width = 16 + math.floorMod(h, 64),
         height = 16 + math.floorMod(h >> 8, 64),
         n_frames = 1 + math.floorMod(h >> 16, 30),
-        checksum = java.lang.Long.toHexString(
-          bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)))
+        checksum = Multimodal.checksum(bytes))
     }
 
     /** Fake "frame sample": every k-th byte window stands in for frames. */
@@ -96,16 +129,24 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  /** Decode stage: narrow, per-partition, no shuffle of media bytes. */
+  /** Decode stage: narrow, per-partition, no shuffle of media bytes.
+    * Dispatches through [[Codec]] — real `javax.imageio` for images.
+    */
   def decodeFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
-    items.mapPartitions(_.map(StubCodec.decode))
+    items.mapPartitions(_.map(Codec.decode))
   }
 
   /** Resize stage: same narrow per-partition shape as decode. */
   def resizeAll(items: Dataset[MediaItem], targetLen: Int): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
     items.mapPartitions(_.map(StubCodec.resize(_, targetLen)))
+  }
+
+  /** Pixel-space resize stage for image media (real codec). */
+  def resizeImages(items: Dataset[MediaItem], width: Int, height: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map(Codec.resize(_, width, height)))
   }
 
   /** Per-type feature profile over the decoded corpus (the downstream

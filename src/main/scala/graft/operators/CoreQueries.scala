@@ -38,9 +38,39 @@ object CoreQueries {
       .orderBy("window_start", "event_type")
   }
 
+  /** The SAME aggregation executed as an actual Structured Streaming
+    * query: file source over the events fixture → watermarked windowed
+    * count300k → memory sink, Trigger.AvailableNow, complete mode. The
+    * result a true incremental execution produces is oracle-compared
+    * against the identical batch SQL — streaming correctness in the
+    * hard signal, not just in specs. (The fixture is one parquet file,
+    * so AvailableNow runs it as one micro-batch and the watermark
+    * drops nothing — the batch and streaming answers must agree
+    * exactly.)
+    */
+  def qStreamHourly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    Engine.register(spark)
+    val agg = graft.streaming.StreamingDistinct
+      .hourlyDistinctUsers(
+        graft.streaming.StreamingDistinct.readEventsStream(spark, dir))
+    val name = "g_stream_hourly_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("window_start", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multi_distinct" -> (qMultiDistinct _),
-    "q_events_hourly" -> (qEventsHourly _)
+    "q_events_hourly" -> (qEventsHourly _),
+    "q_stream_hourly" -> (qStreamHourly _)
   )
 
   /** NULL-for-empty-group + STRING return encoded per SURVEY.md §5.2. */
@@ -55,6 +85,12 @@ object CoreQueries {
         |       ELSE CAST(COUNT(DISTINCT l_orderkey) AS VARCHAR) END AS distinct_orders
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  CASE WHEN COUNT(user_id) = 0 THEN NULL
+        |       ELSE CAST(COUNT(DISTINCT user_id) AS VARCHAR) END AS distinct_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  CASE WHEN COUNT(user_id) = 0 THEN NULL
         |       ELSE CAST(COUNT(DISTINCT user_id) AS VARCHAR) END AS distinct_users,

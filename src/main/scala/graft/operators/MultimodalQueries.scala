@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageCodec, Multimodal}
 
 /** Query surface for the multimodal module. The SQL-expressible metadata
-  * path is oracle-checked; the stubbed-codec feature path is covered by
+  * path is oracle-checked; the real-image-codec path is oracle-checked
+  * through q_image_decode (decoded dimensions are predictable);
+  * the stubbed-codec (audio/video) feature path is covered by
   * MultimodalSpec (not SQL-expressible — fake decode).
   */
 object MultimodalQueries {
@@ -35,9 +37,50 @@ object MultimodalQueries {
       Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(spark, dir)))
       .orderBy("media_type")
 
+  /** Number of synthetic PNG fixtures for the real-codec round trip. */
+  private val NImages = 64
+
+  /** REAL image decode + resize through the full distributed pipeline:
+    * encode deterministic PNGs of known size (JDK `javax.imageio`),
+    * run them through the Dataset decode stage, pixel-space resize to
+    * half size, decode again — and emit the decoded dimensions, which
+    * the oracle predicts arithmetically. The codec work is genuine
+    * PNG encode/decode on executors; only the image CONTENT is
+    * synthetic.
+    */
+  def qImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = spark.range(NImages).map { i =>
+      val w = 16 + (i % 32).toInt
+      val h = 8 + (i % 16).toInt
+      Multimodal.MediaItem(i, "image/png", "synthetic", 0L,
+        ImageCodec.encodePng(w, h, i))
+    }
+    val decoded = Multimodal.decodeFeatures(items).toDF()
+      .select(col("media_id"), col("width"), col("height"))
+    // per-item half-size resize, then decode the resized PNG again
+    val halved = Multimodal.decodeFeatures(
+      items.map { it =>
+        ImageCodec.decodeDims(it.content) match {
+          case Some((w, h)) =>
+            Multimodal.Codec.resize(it, math.max(1, w / 2), math.max(1, h / 2))
+          case None => it
+        }
+      }).toDF()
+      .select(col("media_id"), col("width").as("half_w"), col("height").as("half_h"))
+    decoded.join(halved, "media_id")
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("half_w").cast("long").as("half_w"),
+        col("half_h").cast("long").as("half_h"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
-    "q_media_profile" -> (qMediaProfile _)
+    "q_media_profile" -> (qMediaProfile _),
+    "q_image_decode" -> (qImageDecode _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -46,7 +89,15 @@ object MultimodalQueries {
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |       sha256(text) AS sha256_hex,
         |       to_base64(CAST(substr(text, 1, 8) AS BLOB)) AS head8_b64
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
     // q_media_profile: stub-codec output, rows-only check by design
+    "q_image_decode" ->
+      s"""SELECT i AS media_id,
+         |       CAST(16 + i % 32 AS BIGINT) AS width,
+         |       CAST(8 + i % 16 AS BIGINT) AS height,
+         |       CAST(greatest(1, (16 + i % 32) // 2) AS BIGINT) AS half_w,
+         |       CAST(greatest(1, (8 + i % 16) // 2) AS BIGINT) AS half_h
+         |FROM generate_series(0, ${NImages - 1}) AS t(i)
+         |ORDER BY media_id""".stripMargin
   )
 }

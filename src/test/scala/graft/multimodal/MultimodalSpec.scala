@@ -41,6 +41,41 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.map(_.content.toSeq).toSeq == again.map(_.content.toSeq).toSeq)
   }
 
+  test("real PNG codec round-trips true dimensions through decode") {
+    val png = ImageCodec.encodePng(37, 21, seed = 5L)
+    assert(ImageCodec.decodeDims(png).contains((37, 21)))
+    val item = Multimodal.MediaItem(9L, "image/png", "s", png.length.toLong, png)
+    val f = Multimodal.Codec.decode(item)
+    assert(f.width == 37 && f.height == 21 && f.n_frames == 1)
+    assert(f.n_bytes == png.length.toLong)
+  }
+
+  test("real pixel-space resize changes decoded dimensions to the target") {
+    val png = ImageCodec.encodePng(40, 24, seed = 11L)
+    val item = Multimodal.MediaItem(3L, "image/png", "s", png.length.toLong, png)
+    val small = Multimodal.Codec.resize(item, 20, 12)
+    assert(ImageCodec.decodeDims(small.content).contains((20, 12)))
+  }
+
+  test("undecodable image bytes fall back to the stub codec") {
+    val junk = Array.fill(32)(0x42.toByte)
+    val item = Multimodal.MediaItem(7L, "image/png", "s", 32L, junk)
+    val f = Multimodal.Codec.decode(item) // must not throw
+    assert(f.n_bytes == 32L && f.n_frames >= 1)
+  }
+
+  test("distributed image pipeline decodes real dimensions end-to-end") {
+    val rows = graft.operators.MultimodalQueries.qImageDecode(spark, dir).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getLong(1) == 16 + i % 32, s"width of $i")
+      assert(r.getLong(2) == 8 + i % 16, s"height of $i")
+      assert(r.getLong(3) == math.max(1, (16 + i % 32) / 2), s"half_w of $i")
+      assert(r.getLong(4) == math.max(1, (8 + i % 16) / 2), s"half_h of $i")
+    }
+  }
+
   test("stub frame sampling yields ceil(n/k) frames") {
     val item = Multimodal.MediaItem(1L, "video/fake", "s", 10L, Array.fill(100)(7.toByte))
     assert(Multimodal.StubCodec.sampleFrames(item, 30).length == 4)
