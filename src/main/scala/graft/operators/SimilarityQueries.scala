@@ -126,6 +126,84 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- IVF with learned (k-means) centroids ------------------------------
+
+  /** Lloyd's iterations for the learned-centroid IVF path. */
+  private val KmIters = 2
+
+  /** Deterministic, oracle-reproducible k-means: centroids start from
+    * data rows (vec_id < NList) and take `KmIters` Lloyd steps where
+    * the new centroid coordinate is `sum(floor(x*1e6)) / (n*1e6)` —
+    * integer fixed-point sums are order-independent (FP accumulation
+    * is not, and would diverge between engines/runs), and the single
+    * final IEEE division is bit-identical in Spark and DuckDB. Ties in
+    * assignment break to the lower centroid_id. The per-coordinate
+    * groupBy((centroid, pos)) distributes the mean computation; no
+    * driver-side iteration state beyond the tiny centroid table.
+    */
+  private def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cent = e.filter(col("vec_id") < NList)
+      .select(col("vec_id").as("centroid_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("c_emb"))
+    for (_ <- 1 to iters) {
+      val cNorm = cent.withColumn("c_nrm", sqrt(expr("vec_dot(c_emb, c_emb)")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("centroid_id"))
+      val members = e.crossJoin(cNorm)
+        .withColumn("c_cos",
+          dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .withColumn("c_rk", row_number().over(w))
+        .filter(col("c_rk") === 1)
+        .select(col("centroid_id"), col("embedding"))
+      cent = members
+        .select(col("centroid_id"),
+          posexplode(expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "fx")
+        .groupBy(col("centroid_id"), col("p"))
+        .agg((sum(col("fx")).cast("double") / (count(lit(1)) * lit(1000000.0))).as("cx"))
+        .groupBy(col("centroid_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(p, cx))), s -> s.cx)").as("c_emb"))
+    }
+    cent
+  }
+
+  /** IVF ANN over learned centroids — same probe cost as [[qIvfKnn]]
+    * (one cell), but the cells come from k-means instead of arbitrary
+    * data rows, so cell occupancy is balanced by the data distribution.
+    */
+  def qIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, dir)
+    val cent = kmeansCentroids(e, KmIters)
+      .withColumn("c_nrm", sqrt(expr("vec_dot(c_emb, c_emb)")))
+    val w0 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id"))
+    val a = e.crossJoin(cent)
+      .withColumn("c_cos",
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("c_rk", row_number().over(w0))
+      .filter(col("c_rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+    val queries = a.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("centroid_id").as("q_cent"))
+    val corpus = a.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"),
+      col("centroid_id").as("n_cent"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    queries
+      .join(corpus, col("q_cent") === col("n_cent") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+      .orderBy("query_id", "rk")
+  }
+
   // --- LSH-bucketed ANN (random-hyperplane signs) -----------------------
 
   /** Sign-LSH: bucket vectors by the sign pattern of dot products
@@ -226,12 +304,31 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> (qKnnBrute _),
     "q_ivf_knn" -> (qIvfKnn _),
+    "q_ivf_kmeans" -> (qIvfKmeans _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
 
   private val duckCos =
     "list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+
+  /** One unrolled Lloyd step in DuckDB SQL: assign to nearest centroid
+    * (explicit dot/(nrm*nrm) — bit-identical to the Spark formula, not
+    * list_cosine_similarity), then the fixed-point coordinate mean.
+    * `prev` names the incoming centroid CTE; emits CTE `c$i`.
+    */
+  private def duckKmIter(i: Int, prev: String): String =
+    s"""cn$i AS (SELECT centroid_id, c, sqrt(list_inner_product(c, c)) AS cn FROM $prev),
+       |a$i AS (SELECT vec_id, emb, centroid_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY
+       |           list_inner_product(emb, c) / (nrm * cn) DESC, centroid_id) AS rk
+       |       FROM en CROSS JOIN cn$i),
+       |m$i AS (SELECT centroid_id, emb FROM a$i WHERE rk = 1),
+       |u$i AS (SELECT centroid_id, i AS p, CAST(floor(emb[i] * 1000000) AS BIGINT) AS fx
+       |       FROM m$i, unnest(generate_series(1, len(emb))) AS t(i)),
+       |s$i AS (SELECT centroid_id, p, CAST(sum(fx) AS DOUBLE) / (count(*) * 1000000.0) AS cx
+       |       FROM u$i GROUP BY 1, 2),
+       |c$i AS (SELECT centroid_id, list(cx ORDER BY p) AS c FROM s$i GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_knn_brute" ->
@@ -265,6 +362,30 @@ object SimilarityQueries {
          |         ${duckCos.format("q_emb", "a.embedding")} AS cos
          |  FROM q JOIN assigned a ON q.q_cent = a.centroid_id
          |                        AND q.query_id <> a.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM scored)
+         |SELECT query_id, rk, neighbor_id FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "q_ivf_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |en AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) AS nrm FROM e),
+         |c0 AS (SELECT vec_id AS centroid_id, emb AS c FROM e WHERE vec_id < $NList),
+         |${duckKmIter(1, "c0")},
+         |${duckKmIter(2, "c1")},
+         |cnf AS (SELECT centroid_id, c, sqrt(list_inner_product(c, c)) AS cn FROM c2),
+         |af AS (SELECT vec_id, emb, nrm, centroid_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY
+         |           list_inner_product(emb, c) / (nrm * cn) DESC, centroid_id) AS rk
+         |       FROM en CROSS JOIN cnf),
+         |asg AS (SELECT vec_id, emb, nrm, centroid_id FROM af WHERE rk = 1),
+         |q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn, centroid_id AS qc
+         |      FROM asg WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id,
+         |         list_inner_product(qe, a.emb) / (qn * a.nrm) AS cos
+         |  FROM q JOIN asg a ON q.qc = a.centroid_id AND q.query_id <> a.vec_id),
          |ranked AS (SELECT query_id, neighbor_id,
          |                  row_number() OVER (PARTITION BY query_id
          |                                     ORDER BY cos DESC, neighbor_id) AS rk

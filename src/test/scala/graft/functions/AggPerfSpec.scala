@@ -11,10 +11,18 @@ import graft.SparkSpec
   */
 class AggPerfSpec extends SparkSpec {
 
-  private def time[T](body: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = body
-    (r, (System.nanoTime() - t0) / 1e9)
+  /** Median of three timed runs — single-shot timings flap badly when
+    * other suites share the session's scheduler. The credible isolated
+    * number comes from `graft.PerfCheck` (dedicated session); this
+    * spec only guards order-of-magnitude regressions.
+    */
+  private def time3(body: => Unit): Double = {
+    val ts = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    ts.sorted.apply(1)
   }
 
   test("count300k at 300k distinct stays within 20x of built-in countDistinct") {
@@ -22,16 +30,20 @@ class AggPerfSpec extends SparkSpec {
     // warm both paths once
     spark.sql(s"SELECT count(DISTINCT $q) FROM range(100000)").collect()
     spark.sql(s"SELECT count300k($q) FROM range(100000)").collect()
-    val (builtin, tBuiltin) = time {
+    val builtin =
       spark.sql(s"SELECT count(DISTINCT $q) FROM range(3000000)").collect()(0).getLong(0)
-    }
-    val (ours, tOurs) = time {
+    val ours =
       spark.sql(s"SELECT count300k($q) FROM range(3000000)").collect()(0).getString(0)
-    }
     assert(builtin == 300000L && ours == "300000")
-    info(f"count300k: $tOurs%.2fs vs countDistinct: $tBuiltin%.2fs (${tOurs / tBuiltin}%.1fx)")
+    val tBuiltin = time3 {
+      spark.sql(s"SELECT count(DISTINCT $q) FROM range(3000000)").collect()
+    }
+    val tOurs = time3 {
+      spark.sql(s"SELECT count300k($q) FROM range(3000000)").collect()
+    }
+    info(f"count300k: $tOurs%.2fs vs countDistinct: $tBuiltin%.2fs (${tOurs / tBuiltin}%.1fx, median of 3)")
     // wide margin: parallel test suites add scheduler noise; this guards
-    // order-of-magnitude regressions only (typical measured ratio: 0.6-0.7x)
+    // order-of-magnitude regressions only (isolated ratio: see PerfCheck)
     assert(tOurs < tBuiltin * 20, f"count300k too slow: $tOurs%.2fs vs $tBuiltin%.2fs")
   }
 
@@ -42,15 +54,15 @@ class AggPerfSpec extends SparkSpec {
       .map(i => s"count(DISTINCT cast(id % ${i * 1000} AS string))").mkString(", ")
     spark.sql(s"SELECT $cols300k FROM range(100000)").collect() // warm
     spark.sql(s"SELECT $colsBuiltin FROM range(100000)").collect()
-    val (_, tOurs) = time {
+    val tOurs = time3 {
       spark.sql(s"SELECT $cols300k FROM range(3000000)").collect()
     }
-    val (_, tBuiltin) = time {
+    val tBuiltin = time3 {
       spark.sql(s"SELECT $colsBuiltin FROM range(3000000)").collect()
     }
-    info(f"3x count300k: $tOurs%.2fs vs 3x countDistinct (Expand rewrite): $tBuiltin%.2fs")
+    info(f"3x count300k: $tOurs%.2fs vs 3x countDistinct (Expand rewrite): $tBuiltin%.2fs (median of 3)")
     // one shared scan + one agg pass vs Spark's Expand-based rewrite;
-    // ours must at least stay in the same ballpark (typical: 0.5-0.7x)
+    // ours must at least stay in the same ballpark
     assert(tOurs < tBuiltin * 10, f"$tOurs%.2fs vs $tBuiltin%.2fs")
   }
 }

@@ -31,6 +31,19 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF recall@5 vs brute force: $recall%.2f")
   }
 
+  test("k-means IVF at equal probe cost does not lose recall vs data-row centroids") {
+    val brute = pairs(SimilarityQueries.qKnnBrute(spark, dir))
+    val dataRows = pairs(SimilarityQueries.qIvfKnn(spark, dir))
+    val kmeans = pairs(SimilarityQueries.qIvfKmeans(spark, dir))
+    val rData = (dataRows & brute).size.toDouble / brute.size
+    val rKm = (kmeans & brute).size.toDouble / brute.size
+    info(f"IVF recall@5: data-row centroids $rData%.2f, k-means centroids $rKm%.2f")
+    assert(rKm > 0.0)
+    // Lloyd-refined cells must not be materially worse than arbitrary
+    // data rows at the same probe budget (1 cell)
+    assert(rKm >= rData - 0.05, f"k-means recall $rKm%.2f << data-row $rData%.2f")
+  }
+
   test("sign-LSH kNN keeps nonzero recall vs brute force") {
     val brute = pairs(SimilarityQueries.qKnnBrute(spark, dir))
     val lsh = pairs(SimilarityQueries.qEmbedLsh(spark, dir))
