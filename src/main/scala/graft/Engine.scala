@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession, functions => F}
 import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{ExactCountDistinct, Fnv1a64, HashSetCountDistinct, VectorDot}
+import graft.functions.{ExactCountDistinct, Fnv1a64, HashSetCountDistinct, TopKAgg, VectorDot}
 
 /** Session-level wiring for the graft engine: function registration and
   * fixture-table access. Registration is the Spark analogue of the
@@ -34,6 +34,11 @@ object Engine {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fnv64",
       exprs => Fnv1a64(exprs.head),
+      "scala_udf")
+    // Bounded exact top-k with map-side cut (shuffle ≤ k per group/task).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_agg",
+      exprs => TopKAgg(exprs(0), exprs(1), exprs(2)),
       "scala_udf")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{Fnv1a64, HashSetCountDistinct, VectorDot}
+import graft.functions.{Fnv1a64, HashSetCountDistinct, TopKAgg, VectorDot}
 
 /** Cluster-wide injection point: set
   * `spark.sql.extensions=graft.GraftExtensions` and every session —
@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[Fnv1a64].getCanonicalName, "fnv64"),
       (exprs: Seq[Expression]) => Fnv1a64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getCanonicalName, "topk_agg"),
+      (exprs: Seq[Expression]) => TopKAgg(exprs(0), exprs(1), exprs(2))))
   }
 }

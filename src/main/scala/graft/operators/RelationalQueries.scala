@@ -157,6 +157,29 @@ object RelationalQueries {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** Per-group top-k via the bounded `topk_agg`
+    * TypedImperativeAggregate — identical result to the window form
+    * ([[qTopK]]'s shape), radically different physical plan: the
+    * partial aggregate keeps at most k pairs per group per task, so
+    * the exchange carries k x tasks rows per group instead of the
+    * group's full contents. At a 100 TB fact table the window form
+    * shuffles everything; this shuffles O(k x tasks) per group.
+    */
+  def qTopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    val orders = Engine.table(spark, dir, "orders")
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("topk_agg(o_totalprice, o_orderkey, 5)").as("tk"))
+      .select(col("o_orderpriority"), posexplode(col("tk")))
+      .select(
+        col("o_orderpriority"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("col.payload").as("o_orderkey"),
+        col("col.score").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
   def qSortLimit(spark: SparkSession, dir: String): DataFrame = {
     val li = Engine.table(spark, dir, "lineitem")
     li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
@@ -474,6 +497,7 @@ object RelationalQueries {
     "q_cube" -> (qCube _),
     "q_window" -> (qWindow _),
     "q_topk" -> (qTopK _),
+    "q_topk_agg" -> (qTopKAgg _),
     "q_sort_limit" -> (qSortLimit _),
     "q_setops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _)
@@ -647,6 +671,13 @@ object RelationalQueries {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) t
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_topk_agg" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin,
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem
