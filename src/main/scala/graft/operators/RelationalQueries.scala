@@ -458,6 +458,33 @@ object RelationalQueries {
       .orderBy("size_class")
   }
 
+  // --- map function family ----------------------------------------------
+
+  /** Map construction / extraction / enumeration / concat — the map
+    * scalar family (map_from_arrays, element_at, size, map_keys,
+    * map_values, map_concat), all codegen'd built-ins, key order
+    * preserved by construction in both engines.
+    */
+  def qMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val events = Engine.table(spark, dir, "events")
+    events
+      .filter(pmod(col("event_id"), lit(20)) === 0)
+      .withColumn("m", map_from_arrays(
+        array(lit("type"), lit("uid"), lit("val")),
+        array(col("event_type"), col("user_id").cast("string"),
+          floor(col("value") * 100).cast("long").cast("string"))))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "type").as("v_type"),
+        element_at(col("m"), "uid").as("v_uid"),
+        size(col("m")).cast("long").as("n_keys"),
+        concat_ws(",", map_keys(col("m"))).as("keys_csv"),
+        concat_ws(",", map_values(col("m"))).as("vals_csv"),
+        element_at(map_concat(col("m"), map(lit("extra"), lit("1"))), "extra")
+          .as("v_extra"))
+      .orderBy("event_id")
+  }
+
   // --- array function family -------------------------------------------
 
   def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
@@ -498,6 +525,7 @@ object RelationalQueries {
     "q_window" -> (qWindow _),
     "q_topk" -> (qTopK _),
     "q_topk_agg" -> (qTopKAgg _),
+    "q_map_funcs" -> (qMapFuncs _),
     "q_sort_limit" -> (qSortLimit _),
     "q_setops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _)
@@ -678,6 +706,20 @@ object RelationalQueries {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) t
         |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |       m['type'][1] AS v_type,
+        |       m['uid'][1] AS v_uid,
+        |       CAST(cardinality(m) AS BIGINT) AS n_keys,
+        |       array_to_string(map_keys(m), ',') AS keys_csv,
+        |       array_to_string(map_values(m), ',') AS vals_csv,
+        |       map_concat(m, MAP {'extra': '1'})['extra'][1] AS v_extra
+        |FROM (
+        |  SELECT event_id,
+        |         MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR),
+        |              'val': CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)} AS m
+        |  FROM events WHERE event_id % 20 = 0)
+        |ORDER BY event_id""".stripMargin,
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem
