@@ -129,7 +129,7 @@ object SimilarityQueries {
   // --- IVF with learned (k-means) centroids ------------------------------
 
   /** Lloyd's iterations for the learned-centroid IVF path. */
-  private val KmIters = 2
+  val KmIters = 2
 
   /** Deterministic, oracle-reproducible k-means: centroids start from
     * data rows (vec_id < NList) and take `KmIters` Lloyd steps where
@@ -172,10 +172,35 @@ object SimilarityQueries {
     * (one cell), but the cells come from k-means instead of arbitrary
     * data rows, so cell occupancy is balanced by the data distribution.
     */
-  def qIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+  def qIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    probeIvfKmeans(spark, dir, KmIters)
+
+  /** Corpus→cell assignments for an iteration count (0 = data-row
+    * centroids) — the occupancy/probe-cost experiment hook.
+    */
+  def probeAssignments(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(spark, dir)
-    val cent = kmeansCentroids(e, KmIters)
+    val cent = kmeansCentroids(e, iters)
+      .withColumn("c_nrm", sqrt(expr("vec_dot(c_emb, c_emb)")))
+    val w0 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id"))
+    e.crossJoin(cent)
+      .withColumn("c_cos",
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("c_rk", row_number().over(w0))
+      .filter(col("c_rk") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  /** Same as [[qIvfKmeans]] with an explicit iteration count — the
+    * recall-vs-iterations experiment hook (only `KmIters` is wired to
+    * the oracle).
+    */
+  def probeIvfKmeans(spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, dir)
+    val cent = kmeansCentroids(e, iters)
       .withColumn("c_nrm", sqrt(expr("vec_dot(c_emb, c_emb)")))
     val w0 = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("centroid_id"))

@@ -39,9 +39,25 @@ class SimilaritySpec extends SparkSpec {
     val rKm = (kmeans & brute).size.toDouble / brute.size
     info(f"IVF recall@5: data-row centroids $rData%.2f, k-means centroids $rKm%.2f")
     assert(rKm > 0.0)
-    // Lloyd-refined cells must not be materially worse than arbitrary
-    // data rows at the same probe budget (1 cell)
+    // The fixture embeddings are isotropic random vectors, so recall
+    // cannot systematically improve (no cluster structure to learn);
+    // Lloyd-refined cells must simply not be materially worse at the
+    // same probe budget (1 cell). The measurable k-means win on this
+    // data is occupancy balance — next test.
     assert(rKm >= rData - 0.05, f"k-means recall $rKm%.2f << data-row $rData%.2f")
+  }
+
+  test("k-means cells bound worst-case probe cost at least as well as data rows") {
+    def maxShare(iters: Int): Double = {
+      val sizes = SimilarityQueries.probeAssignments(spark, dir, iters)
+        .groupBy("centroid_id").count().collect().map(_.getLong(1))
+      sizes.max.toDouble / sizes.sum
+    }
+    val dr = maxShare(0)
+    val km = maxShare(SimilarityQueries.KmIters)
+    info(f"worst-cell share: data-row $dr%.3f, k-means $km%.3f")
+    // measured at sf0.1: 0.15 -> 0.13; tolerance for small-SF noise
+    assert(km <= dr * 1.25, f"k-means worst cell $km%.3f vs data-row $dr%.3f")
   }
 
   test("sign-LSH kNN keeps nonzero recall vs brute force") {
