@@ -110,16 +110,22 @@ object DedupQueries {
       .select(col("l.fp").as("fp_a"), col("r.fp").as("fp_b"))
       .distinct()
 
-    // exact verification once per unique-set pair
-    val words = reps.select(col("fp"), explode(col("ws")).as("w"))
+    // exact verification once per unique-set pair: the distinct word
+    // sets ride along as (small) sorted arrays, so the intersection is
+    // a narrow per-row array_intersect instead of an explode → equi-join
+    // → re-group cycle — two hash joins and zero extra shuffles. (The
+    // oracle computes the same count via the join formulation.)
     val verified = repPair
-      .join(words.as("a"), col("fp_a") === col("a.fp"))
-      .join(words.as("b"), col("fp_b") === col("b.fp") && col("a.w") === col("b.w"))
-      .groupBy(col("fp_a"), col("fp_b")).agg(count(lit(1)).as("inter"))
-      .join(reps.select(col("fp").as("fp_a"), col("n").as("na")), "fp_a")
-      .join(reps.select(col("fp").as("fp_b"), col("n").as("nb")), "fp_b")
+      .join(reps.select(col("fp").as("fp_a"), col("ws").as("ws_a"),
+        col("n").as("na")), "fp_a")
+      .join(reps.select(col("fp").as("fp_b"), col("ws").as("ws_b"),
+        col("n").as("nb")), "fp_b")
+      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))).cast("long"))
       .withColumn("union_n", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 10 >= col("union_n") * 9)
+      // drop the set arrays before the expansion joins — only the
+      // counts flow into the (wide) doc-pair expansion
+      .select(col("fp_a"), col("fp_b"), col("inter"), col("union_n"))
 
     // expand cross-clique doc pairs (normalize to i < j)
     val membersA = docs.select(col("fp").as("m_fp_a"), col("doc_id").as("doc_a"))
