@@ -259,6 +259,27 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Native session windows: Spark's `session_window` aggregation (the
+    * operator Structured Streaming uses for session state) run in
+    * batch, vs the oracle's gaps-and-islands formulation. Sessions are
+    * end-EXCLUSIVE: a new session starts when the inter-event gap is
+    * >= the 6h window (Spark's `[start, last + gap)` range), mirrored
+    * in the oracle's `>=` break condition; the islands cumsum uses a
+    * ROWS frame so tied timestamps get one session id in both engines.
+    */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val events = Engine.table(spark, dir, "events")
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"), col("n_types"))
+      .orderBy("user_id", "s_start")
+  }
+
   // --- explicit grouping sets ------------------------------------------
 
   def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
@@ -526,6 +547,7 @@ object RelationalQueries {
     "q_topk" -> (qTopK _),
     "q_topk_agg" -> (qTopKAgg _),
     "q_map_funcs" -> (qMapFuncs _),
+    "q_session_window" -> (qSessionWindow _),
     "q_sort_limit" -> (qSortLimit _),
     "q_setops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _)
@@ -720,6 +742,21 @@ object RelationalQueries {
         |              'val': CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)} AS m
         |  FROM events WHERE event_id % 20 = 0)
         |ORDER BY event_id""".stripMargin,
+    "q_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, event_type,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 6 HOUR AS s_end,
+        |       count(*) AS n_events, count(DISTINCT event_type) AS n_types
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem
