@@ -82,6 +82,33 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Brute-force kNN through the bounded `topk_agg` aggregate instead
+    * of ranking windows: scoring stays narrow, then ONE aggregation
+    * whose partial keeps at most K pairs per query per task — the
+    * exchange carries K x tasks rows per query, with no window sort at
+    * all. Same result as [[qKnnBrute]] (identical deterministic
+    * tie-break), one less shuffle, and shuffle volume independent of
+    * corpus size — the shape that wins at 100 TB.
+    */
+  def qKnnTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    queries
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_agg(cos, neighbor_id, $K)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.payload").as("neighbor_id"))
+      .orderBy("query_id", "rk")
+  }
+
   // --- IVF-style clustered ANN ------------------------------------------
 
   /** Corpus rows tagged with their nearest centroid (argmax cosine,
@@ -328,6 +355,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> (qKnnBrute _),
+    "q_knn_topk_agg" -> (qKnnTopkAgg _),
     "q_ivf_knn" -> (qIvfKnn _),
     "q_ivf_kmeans" -> (qIvfKmeans _),
     "q_embed_lsh" -> (qEmbedLsh _),
@@ -368,6 +396,19 @@ object SimilarityQueries {
          |                                     ORDER BY cos DESC, neighbor_id) AS rk
          |           FROM scored)
          |SELECT query_id, rk, neighbor_id, label FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "q_knn_topk_agg" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         ${duckCos.format("q_emb", "e.embedding")} AS cos
+         |  FROM q JOIN embeddings e ON q.query_id <> e.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM scored)
+         |SELECT query_id, rk, neighbor_id FROM ranked
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
     "q_ivf_knn" ->
       s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
