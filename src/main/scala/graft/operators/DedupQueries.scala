@@ -210,12 +210,54 @@ object DedupQueries {
       .orderBy("i", "j")
   }
 
+  /** Document-frequency cap for the stop-shingle variant: shingles
+    * shared by more than this many docs are excluded from blocking AND
+    * from the similarity universe.
+    */
+  private val MaxShingleDf = 5
+
+  /** Stop-shingle n-gram Jaccard: identical pipeline to
+    * [[qNgramJaccard]], but shingles with document frequency >
+    * `MaxShingleDf` are dropped BEFORE the self-join — the cap that
+    * makes shared-shingle blocking survive web-scale data, where a hot
+    * shingle ("click here to") would otherwise expand to df² join rows
+    * on one key. Dropping stop-shingles from both the intersection and
+    * the set sizes defines similarity over the informative-shingle
+    * universe (the IDF intuition); the oracle applies the same cap, so
+    * the semantics change is explicit and checked, not silent.
+    */
+  def qNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    val sh = docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(transform(sequence(1, size(tk)-2), i -> concat_ws(' ', slice(tk, i, 3))))")).as("s"))
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select(col("s"))
+    val kept = sh.join(rare, "s")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = kept.as("a")
+      .join(kept.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= 2)
+    inter
+      .join(sizes.as("ci"), col("i") === col("ci.doc_id"))
+      .join(sizes.as("cj"), col("j") === col("cj.doc_id"))
+      .withColumn("union_n", col("ci.n") + col("cj.n") - col("inter"))
+      .filter(col("inter") * 20 >= col("union_n"))
+      .select(col("i"), col("j"), col("inter"), col("union_n"))
+      .orderBy("i", "j")
+  }
+
   // --- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
-    "q_ngram_jaccard" -> (qNgramJaccard _)
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_ngram_capped" -> (qNgramJaccardCapped _)
   )
 
   // Oracle SQL generated from the same constants as the Spark pipeline.
@@ -266,6 +308,21 @@ object DedupQueries {
          |SELECT doc_id, simhash,
          |       count(*) OVER (PARTITION BY simhash) AS cluster_size
          |FROM fp ORDER BY doc_id""".stripMargin,
+    "q_ngram_capped" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+         |       FROM toks, unnest(generate_series(1, len(tk)-2)) AS u(i)),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf),
+         |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+         |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT i, j, inter, ci.n + cj.n - inter AS union_n
+         |FROM inter JOIN sizes ci ON i = ci.doc_id JOIN sizes cj ON j = cj.doc_id
+         |WHERE inter * 20 >= ci.n + cj.n - inter
+         |ORDER BY i, j""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
         |              WHERE len(string_split(text, ' ')) >= 3),
