@@ -19,9 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries ++ SourceQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      MultimodalQueries.oracles ++ SourceQueries.oracles
 }
