@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Stream-stream interval join (click attribution): matches must emit
+  * incrementally across micro-batches, the interval condition must
+  * bound what joins (and what state is retained), and the streaming
+  * result must equal the batch range-join on the same data.
+  */
+class StreamStreamJoinSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val imps = Seq((1L, ts(0)), (2L, ts(2)))
+  private val clicks = Seq(
+    (1L, ts(5)),  // within 10 min of imp 1 → match
+    (2L, ts(8)),  // within 10 min of imp 2 → match
+    (1L, ts(30))) // 30 min after imp 1 → outside window, no match
+
+  test("streaming interval join matches clicks within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impIn = MemoryStream[(Long, Timestamp)]
+    val clickIn = MemoryStream[(Long, Timestamp)]
+    val joined = StreamJoins.clickAttribution(
+      impIn.toDF().toDF("ad_id", "imp_ts"),
+      clickIn.toDF().toDF("click_ad", "click_ts"))
+    assert(joined.isStreaming)
+    val q = joined.writeStream
+      .format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      impIn.addData(imps)
+      clickIn.addData(clicks.head)
+      q.processAllAvailable()
+      clickIn.addData(clicks.tail)
+      q.processAllAvailable()
+      val got = spark.table("attributed").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+      assert(got == Set((1L, ts(5)), (2L, ts(8))))
+    } finally q.stop()
+  }
+
+  test("streaming result equals the batch range-join on the same data") {
+    import spark.implicits._
+    val batch = StreamJoins.clickAttribution(
+      imps.toDF("ad_id", "imp_ts"),
+      clicks.toDF("click_ad", "click_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+    assert(batch == Set((1L, ts(5)), (2L, ts(8))))
+  }
+}
