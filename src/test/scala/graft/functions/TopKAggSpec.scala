@@ -76,6 +76,25 @@ class TopKAggSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("sort-based fallback path yields identical results (spill robustness)") {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val saved = spark.conf.getOption(key)
+    val sql =
+      """SELECT g, topk_agg(s, p, 3) AS tk FROM (
+        |  SELECT id % 20 AS g, cast(id % 97 AS double) AS s, id AS p
+        |  FROM range(50000)) GROUP BY g ORDER BY g""".stripMargin
+    graft.Engine.register(spark)
+    val hashed = spark.sql(sql).collect().map(_.toString).toSeq
+    try {
+      spark.conf.set(key, "2") // abandon hashing after 2 groups → sort path
+      val sorted = spark.sql(sql).collect().map(_.toString).toSeq
+      assert(sorted == hashed)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("plans as a two-phase ObjectHashAggregate with bounded shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
