@@ -13,7 +13,13 @@ object Bench {
     // JIT/codegen/scheduler warm-up so the first measured query isn't
     // charged for session infrastructure (startup still ~6s before this)
     spark.range(1000000).selectExpr("count(distinct id % 100)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic name order: Map iteration order shifts whenever a
+    // query is added, which changes each query's JVM/GC neighborhood
+    // and makes rounds incomparable. The GC below levels heap state so
+    // each query is benched standalone, not charged for its
+    // predecessor's garbage.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc()
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column —
       // count() would let Spark skip projected expressions entirely
@@ -30,12 +36,14 @@ object Bench {
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // results is an ordered Seq of pairs now
+    def values = results.map(_._2)
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => " "; case c => c.toString } + "\""
     val errs = results.collect { case (k, (_, Some(e))) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.values.collect { case (v, None) => v }.sum
+    val total = values.collect { case (v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
