@@ -397,6 +397,52 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Exact quartiles (p25/p50/p75) by the same counting method as
+    * [[qMedian]], generalized to the `1 + (n-1)p` interpolation both
+    * engines define `quantile_cont` with. For quarter fractions every
+    * FP step is exact (frac ∈ {0, .25, .5, .75} are powers-of-two
+    * sums, and the values are integer cents), so the interpolated
+    * doubles are bit-identical cross-engine — no accumulation, no
+    * rounding ambiguity. Distributed shape identical to the counting
+    * median: one hash aggregate collapses rows to distinct values,
+    * windows walk only distinct values.
+    */
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Engine.table(spark, dir, "lineitem")
+    val counts = li
+      .select(col("l_returnflag"),
+        expr("cast(floor(l_extendedprice*100) AS bigint)").as("v"))
+      .groupBy(col("l_returnflag"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("l_returnflag"))
+    var df = counts
+      .withColumn("hi", sum(col("c")).over(cum))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(whole))
+    val ps = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
+    ps.foreach { case (nm, p) =>
+      df = df.withColumn(s"pos_$nm",
+        lit(1.0) + (col("n") - 1).cast("double") * lit(p))
+    }
+    val aggCols = ps.flatMap { case (nm, _) => Seq(
+      max(when(col("lo") <= floor(col(s"pos_$nm")) &&
+        floor(col(s"pos_$nm")) <= col("hi"), col("v"))).as(s"vlo_$nm"),
+      max(when(col("lo") <= ceil(col(s"pos_$nm")) &&
+        ceil(col(s"pos_$nm")) <= col("hi"), col("v"))).as(s"vhi_$nm"),
+      max(col(s"pos_$nm")).as(s"pos_$nm"))
+    }
+    val agg = df.groupBy(col("l_returnflag")).agg(aggCols.head, aggCols.tail: _*)
+    ps.foldLeft(agg) { case (d, (nm, _)) =>
+      d.withColumn(nm,
+        col(s"vlo_$nm") + (col(s"vhi_$nm") - col(s"vlo_$nm")) *
+          (col(s"pos_$nm") - floor(col(s"pos_$nm")).cast("double")))
+    }
+      .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"))
+      .orderBy("l_returnflag")
+  }
+
   // --- pivot / unpivot ---------------------------------------------------
 
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
@@ -548,6 +594,7 @@ object RelationalQueries {
     "q_topk_agg" -> (qTopKAgg _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_session_window" -> (qSessionWindow _),
+    "q_quantiles" -> (qQuantiles _),
     "q_sort_limit" -> (qSortLimit _),
     "q_setops" -> (qSetOps _),
     "q_scalar_funcs" -> (qScalarFuncs _)
@@ -585,6 +632,34 @@ object RelationalQueries {
         |       quantile_cont(CAST(floor(l_extendedprice*100) AS BIGINT), 0.5) AS median_cents,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_quantiles" ->
+      """WITH v AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice*100) AS BIGINT) AS v
+        |           FROM lineitem),
+        |counts AS (SELECT g, v, count(*) AS c FROM v GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c,
+        |        sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi,
+        |        sum(c) OVER (PARTITION BY g) AS n FROM counts),
+        |r AS (SELECT g, v, hi - c + 1 AS lo, hi,
+        |        1 + (n - 1) * CAST(0.25 AS DOUBLE) AS pos_p25,
+        |        1 + (n - 1) * CAST(0.5 AS DOUBLE)  AS pos_p50,
+        |        1 + (n - 1) * CAST(0.75 AS DOUBLE) AS pos_p75
+        |      FROM cum),
+        |a AS (SELECT g,
+        |        max(CASE WHEN lo <= CAST(floor(pos_p25) AS BIGINT) AND CAST(floor(pos_p25) AS BIGINT) <= hi THEN v END) AS vlo_p25,
+        |        max(CASE WHEN lo <= CAST(ceil(pos_p25) AS BIGINT)  AND CAST(ceil(pos_p25) AS BIGINT)  <= hi THEN v END) AS vhi_p25,
+        |        max(pos_p25) AS pos_p25,
+        |        max(CASE WHEN lo <= CAST(floor(pos_p50) AS BIGINT) AND CAST(floor(pos_p50) AS BIGINT) <= hi THEN v END) AS vlo_p50,
+        |        max(CASE WHEN lo <= CAST(ceil(pos_p50) AS BIGINT)  AND CAST(ceil(pos_p50) AS BIGINT)  <= hi THEN v END) AS vhi_p50,
+        |        max(pos_p50) AS pos_p50,
+        |        max(CASE WHEN lo <= CAST(floor(pos_p75) AS BIGINT) AND CAST(floor(pos_p75) AS BIGINT) <= hi THEN v END) AS vlo_p75,
+        |        max(CASE WHEN lo <= CAST(ceil(pos_p75) AS BIGINT)  AND CAST(ceil(pos_p75) AS BIGINT)  <= hi THEN v END) AS vhi_p75,
+        |        max(pos_p75) AS pos_p75
+        |      FROM r GROUP BY g)
+        |SELECT g AS l_returnflag,
+        |       vlo_p25 + (vhi_p25 - vlo_p25) * (pos_p25 - floor(pos_p25)) AS p25,
+        |       vlo_p50 + (vhi_p50 - vlo_p50) * (pos_p50 - floor(pos_p50)) AS p50,
+        |       vlo_p75 + (vhi_p75 - vlo_p75) * (pos_p75 - floor(pos_p75)) AS p75
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
