@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 import graft.SparkSpec
 
@@ -74,6 +76,44 @@ class TopKAggSpec extends SparkSpec {
       .filter(col("rk") <= 5)
       .orderBy("o_orderpriority", "rk").collect().toSeq
     assert(viaAgg == viaWindow)
+  }
+
+  private val genPairs: Gen[List[(Double, Long)]] = Gen.listOf(
+    for {
+      s <- Gen.chooseNum(-5.0, 5.0)
+      p <- Gen.chooseNum(0L, 30L)
+    } yield (s, p))
+
+  private def samples(n: Int): Seq[List[(Double, Long)]] =
+    (1 to n).flatMap { i =>
+      genPairs(Gen.Parameters.default.withSize(1 + i % 50), Seed(i.toLong)).toSeq
+    }
+
+  test("property: partition-invariance — any split merges to the window-ranked result") {
+    for (xs <- samples(150); k <- Seq(1, 2, 5)) {
+      val ag = agg(k)
+      // reference semantics: rank all rows by (score desc, payload asc)
+      // and take k — duplicate (s, p) rows are independent rows, in the
+      // heap exactly as in row_number's input
+      val expected = xs.sortBy { case (s, p) => (-s, p) }.take(k)
+      for (splits <- Seq(1, 2, 3)) {
+        val parts =
+          if (xs.isEmpty) List(Nil)
+          else xs.grouped(math.max(1, (xs.size + splits - 1) / splits)).toList
+        val bufs = parts.map(p =>
+          p.foldLeft(ag.createAggregationBuffer()) { (b, r) =>
+            ag.update(b, InternalRow(r._1, r._2))
+          })
+        val merged = bufs.foldLeft(ag.createAggregationBuffer())(ag.merge)
+        val got = ag.eval(merged)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+          .array.map { r =>
+            val row = r.asInstanceOf[InternalRow]
+            (row.getDouble(0), row.getLong(1))
+          }.toSeq
+        assert(got == expected, s"input=$xs k=$k splits=$splits")
+      }
+    }
   }
 
   test("sort-based fallback path yields identical results (spill robustness)") {
