@@ -67,10 +67,32 @@ object CoreQueries {
     spark.table(name).orderBy("window_start", "event_type")
   }
 
+  /** Reference hash parity in the hard signal: every part name hashed
+    * with the codegen'd `fnv64` (bit-parity port of the reference's
+    * FnvHash, `/root/reference/hashset-count.cc:49-59`) and bucketed
+    * with the reference's unsigned `% 300000`
+    * (`hashset-count.cc:67,123`), against a DuckDB oracle that
+    * re-implements FNV-1a 64 from its constants in pure SQL
+    * (list_reduce over code points, UHUGEINT mod 2^64). A single bit
+    * of divergence in seed, prime, byte order, or signedness breaks
+    * the hash compare on all 2,000 rows.
+    */
+  def qFnvBucket(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    Engine.table(spark, dir, "part")
+      .select(col("p_partkey"), expr("fnv64(p_name)").as("h"))
+      .withColumn("bucket", expr(
+        """CAST((CAST(h AS DECIMAL(38,0)) +
+          |      CASE WHEN h < 0 THEN CAST(18446744073709551616 AS DECIMAL(38,0))
+          |           ELSE CAST(0 AS DECIMAL(38,0)) END) % 300000 AS BIGINT)""".stripMargin))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multi_distinct" -> (qMultiDistinct _),
     "q_events_hourly" -> (qEventsHourly _),
-    "q_stream_hourly" -> (qStreamHourly _)
+    "q_stream_hourly" -> (qStreamHourly _),
+    "q_fnv_bucket" -> (qFnvBucket _)
   )
 
   /** NULL-for-empty-group + STRING return encoded per SURVEY.md §5.2. */
@@ -95,6 +117,22 @@ object CoreQueries {
         |  CASE WHEN COUNT(user_id) = 0 THEN NULL
         |       ELSE CAST(COUNT(DISTINCT user_id) AS VARCHAR) END AS distinct_users,
         |  count(*) AS n_events
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_fnv_bucket" ->
+      """WITH hh AS (
+        |  SELECT p_partkey,
+        |         list_reduce(
+        |           list_prepend(CAST(14695981039346656037 AS UHUGEINT),
+        |             list_transform(range(1, length(p_name)+1),
+        |                            i -> CAST(ord(p_name[i]) AS UHUGEINT))),
+        |           (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616
+        |         ) AS hu
+        |  FROM part)
+        |SELECT p_partkey,
+        |       CAST(CASE WHEN hu >= 9223372036854775808
+        |                 THEN CAST(hu AS HUGEINT) - 18446744073709551616
+        |                 ELSE CAST(hu AS HUGEINT) END AS BIGINT) AS h,
+        |       CAST(hu % 300000 AS BIGINT) AS bucket
+        |FROM hh ORDER BY p_partkey""".stripMargin
   )
 }
