@@ -64,7 +64,26 @@ object CoreQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("window_start", "event_type")
+    // materialize into a local relation so the memory-sink view and the
+    // checkpoint directory can be released NOW — repeated bench/verify
+    // invocations must not accumulate driver-held tables or tmp dirs
+    val out = spark.table(name).orderBy("window_start", "event_type")
+    val rows = out.collect()
+    val result = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+    spark.catalog.dropTempView(name)
+    deleteRecursively(ckpt)
+    result
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
   }
 
   /** Reference hash parity in the hard signal: every part name hashed

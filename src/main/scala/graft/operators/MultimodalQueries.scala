@@ -50,12 +50,15 @@ object MultimodalQueries {
     */
   def qImageDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // cached: both the decode branch and the resize branch consume the
+    // same synthetic items — without this each branch re-encodes all
+    // PNGs from scratch
     val items = spark.range(NImages).map { i =>
       val w = 16 + (i % 32).toInt
       val h = 8 + (i % 16).toInt
       Multimodal.MediaItem(i, "image/png", "synthetic", 0L,
         ImageCodec.encodePng(w, h, i))
-    }
+    }.cache()
     val decoded = Multimodal.decodeFeatures(items).toDF()
       .select(col("media_id"), col("width"), col("height"))
     // per-item half-size resize, then decode the resized PNG again

@@ -264,8 +264,12 @@ object RelationalQueries {
     * batch, vs the oracle's gaps-and-islands formulation. Sessions are
     * end-EXCLUSIVE: a new session starts when the inter-event gap is
     * >= the 6h window (Spark's `[start, last + gap)` range), mirrored
-    * in the oracle's `>=` break condition; the islands cumsum uses a
-    * ROWS frame so tied timestamps get one session id in both engines.
+    * in the oracle's `>=` break condition. The islands cumsum uses the
+    * default RANGE frame deliberately: RANGE includes ORDER-BY peers,
+    * so when several events share one timestamp at a session boundary
+    * every tied row sums the single brk=1 peer and lands in the new
+    * session — exactly Spark's session_window semantics. (A ROWS frame
+    * would make tied rows' session ids depend on arbitrary tie order.)
     */
   def qSessionWindow(spark: SparkSession, dir: String): DataFrame = {
     val events = Engine.table(spark, dir, "events")
@@ -368,6 +372,10 @@ object RelationalQueries {
       "stack(2, 'qty',   cast(l_quantity AS bigint)," +
         "       'cents', cast(floor(l_extendedprice*100) AS bigint)) AS (metric, v)")
     val counts = vals
+      // percentile/quantile_cont ignore NULLs; without this filter a
+      // NULL metric value would occupy cumulative positions (Spark
+      // sorts NULLS FIRST) and shift the elected median
+      .filter(col("v").isNotNull)
       .groupBy(col("l_returnflag"), col("metric"), col("v"))
       .agg(count(lit(1)).as("c"))
     val cum = Window.partitionBy(col("l_returnflag"), col("metric"))
@@ -413,6 +421,7 @@ object RelationalQueries {
     val counts = li
       .select(col("l_returnflag"),
         expr("cast(floor(l_extendedprice*100) AS bigint)").as("v"))
+      .filter(col("v").isNotNull) // quantile_cont ignores NULLs
       .groupBy(col("l_returnflag"), col("v")).agg(count(lit(1)).as("c"))
     val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -826,7 +835,7 @@ object RelationalQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |g AS (SELECT user_id, ts, event_type,
         |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |                            RANGE UNBOUNDED PRECEDING) AS sid
         |      FROM x)
         |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 6 HOUR AS s_end,
         |       count(*) AS n_events, count(DISTINCT event_type) AS n_types

@@ -168,22 +168,30 @@ object SimilarityQueries {
     * groupBy((centroid, pos)) distributes the mean computation; no
     * driver-side iteration state beyond the tiny centroid table.
     */
-  private def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
+  /** Nearest-centroid assignment (argmax cosine, ties to the lower
+    * centroid_id): the ONE tie-break and formula contract every Lloyd
+    * step, probe, and the DuckDB oracle share — change it here or
+    * nowhere. Input `cent` carries (centroid_id, c_emb double array).
+    */
+  private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val cNorm = cent.withColumn("c_nrm", sqrt(expr("vec_dot(c_emb, c_emb)")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id"))
+    e.crossJoin(cNorm)
+      .withColumn("c_cos",
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .withColumn("c_rk", row_number().over(w))
+      .filter(col("c_rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+  }
+
+  private def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
     var cent = e.filter(col("vec_id") < NList)
       .select(col("vec_id").as("centroid_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("c_emb"))
     for (_ <- 1 to iters) {
-      val cNorm = cent.withColumn("c_nrm", sqrt(expr("vec_dot(c_emb, c_emb)")))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("centroid_id"))
-      val members = e.crossJoin(cNorm)
-        .withColumn("c_cos",
-          dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-        .withColumn("c_rk", row_number().over(w))
-        .filter(col("c_rk") === 1)
-        .select(col("centroid_id"), col("embedding"))
-      cent = members
+      cent = assignToCentroids(e, cent)
         .select(col("centroid_id"),
           posexplode(expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")))
         .withColumnRenamed("pos", "p").withColumnRenamed("col", "fx")
@@ -206,17 +214,8 @@ object SimilarityQueries {
     * centroids) — the occupancy/probe-cost experiment hook.
     */
   def probeAssignments(spark: SparkSession, dir: String, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = embeddings(spark, dir)
-    val cent = kmeansCentroids(e, iters)
-      .withColumn("c_nrm", sqrt(expr("vec_dot(c_emb, c_emb)")))
-    val w0 = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("centroid_id"))
-    e.crossJoin(cent)
-      .withColumn("c_cos",
-        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .withColumn("c_rk", row_number().over(w0))
-      .filter(col("c_rk") === 1)
+    assignToCentroids(e, kmeansCentroids(e, iters))
       .select(col("vec_id"), col("centroid_id"))
   }
 
@@ -227,16 +226,12 @@ object SimilarityQueries {
   def probeIvfKmeans(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(spark, dir)
-    val cent = kmeansCentroids(e, iters)
-      .withColumn("c_nrm", sqrt(expr("vec_dot(c_emb, c_emb)")))
-    val w0 = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("centroid_id"))
-    val a = e.crossJoin(cent)
-      .withColumn("c_cos",
-        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .withColumn("c_rk", row_number().over(w0))
-      .filter(col("c_rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+    // cache the tiny (NList-row) centroid table: `a` feeds both join
+    // sides below, and without this the whole nested Lloyd lineage
+    // (crossJoin per iteration) is planned — and absent exchange
+    // reuse, executed — once per side
+    val cent = kmeansCentroids(e, iters).cache()
+    val a = assignToCentroids(e, cent)
     val queries = a.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("centroid_id").as("q_cent"))
@@ -438,9 +433,8 @@ object SimilarityQueries {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |en AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) AS nrm FROM e),
          |c0 AS (SELECT vec_id AS centroid_id, emb AS c FROM e WHERE vec_id < $NList),
-         |${duckKmIter(1, "c0")},
-         |${duckKmIter(2, "c1")},
-         |cnf AS (SELECT centroid_id, c, sqrt(list_inner_product(c, c)) AS cn FROM c2),
+         |${(1 to KmIters).map(i => duckKmIter(i, s"c${i - 1}")).mkString(",\n")},
+         |cnf AS (SELECT centroid_id, c, sqrt(list_inner_product(c, c)) AS cn FROM c$KmIters),
          |af AS (SELECT vec_id, emb, nrm, centroid_id,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY
          |           list_inner_product(emb, c) / (nrm * cn) DESC, centroid_id) AS rk

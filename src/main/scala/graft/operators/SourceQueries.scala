@@ -42,7 +42,24 @@ object SourceQueries {
         .select(lit(fmt).as("fmt"), col("n"), col("key_sum"),
           col("first_name"), col("last_name"))
     }
-    parts.reduce(_ unionByName _).orderBy("fmt")
+    // materialize (3 rows) so the temp write directory can be deleted
+    // immediately instead of leaking one tree per invocation
+    val out = parts.reduce(_ unionByName _).orderBy("fmt")
+    val rows = out.collect()
+    val result = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+    deleteRecursively(base)
+    result
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.Paths
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -137,17 +137,18 @@ class TopKAggSpec extends SparkSpec {
 
   test("plans as a two-phase ObjectHashAggregate with bounded shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val p = graft.operators.RelationalQueries
-        .qTopKAgg(spark, "/root/testdata/sf0.001")
-        .queryExecution.executedPlan
-      def all(x: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-        x +: x.children.flatMap(all)
-      val objAggs = all(p).filter(_.nodeName.contains("ObjectHashAggregate"))
-      assert(objAggs.size == 2, s"expected partial+final ObjectHashAggregate:\n$p")
-      val shuffles = all(p).collect { case s: ShuffleExchangeExec => s }
-      assert(shuffles.size <= 2, s"got ${shuffles.size} shuffles:\n$p")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // own newSession(): toggling AQE on the suite-shared session races
+    // with concurrently-running plan-assertion suites
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = graft.operators.RelationalQueries
+      .qTopKAgg(s, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    def all(x: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      x +: x.children.flatMap(all)
+    val objAggs = all(p).filter(_.nodeName.contains("ObjectHashAggregate"))
+    assert(objAggs.size == 2, s"expected partial+final ObjectHashAggregate:\n$p")
+    val shuffles = all(p).collect { case x: ShuffleExchangeExec => x }
+    assert(shuffles.size <= 2, s"got ${shuffles.size} shuffles:\n$p")
   }
 }
