@@ -125,7 +125,13 @@ case class TopKAgg(
     else if (payload.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"topk_agg payload must be BIGINT, got ${payload.dataType.sql}")
-    else if (!kExpr.foldable || kExpr.eval() == null ||
+    // type-check k BEFORE eval/cast: a foldable non-numeric k must fail
+    // cleanly here, not ClassCastException inside analysis
+    else if (!kExpr.foldable ||
+      !Seq(ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg k must be an integral literal, got ${kExpr.dataType.sql}")
+    else if (kExpr.eval() == null ||
       kExpr.eval().asInstanceOf[Number].intValue() < 1)
       TypeCheckResult.TypeCheckFailure("topk_agg k must be a positive literal")
     else TypeCheckResult.TypeCheckSuccess

@@ -63,26 +63,19 @@ object CoreQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
     // materialize into a local relation so the memory-sink view and the
     // checkpoint directory can be released NOW — repeated bench/verify
-    // invocations must not accumulate driver-held tables or tmp dirs
-    val out = spark.table(name).orderBy("window_start", "event_type")
-    val rows = out.collect()
-    val result = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
-    spark.catalog.dropTempView(name)
-    deleteRecursively(ckpt)
-    result
-  }
-
-  private def deleteRecursively(path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(path)
-    if (Files.exists(root)) {
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+    // invocations must not accumulate driver-held tables or tmp dirs,
+    // even when the query or the sink read throws (hence the finally)
+    try {
+      q.awaitTermination()
+      val out = spark.table(name).orderBy("window_start", "event_type")
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView(name)
+      graft.Fs.deleteRecursively(ckpt)
     }
   }
 

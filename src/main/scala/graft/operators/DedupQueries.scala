@@ -56,21 +56,39 @@ object DedupQueries {
         sort_array(array_distinct(split(col("text"), " "))).as("ws"))
       .withColumn("fp", md5(concat_ws(" ", col("ws"))))
 
+  /** Vocabulary-size ceiling below which the hashed-vocab frame is
+    * broadcast. One vocab row is `w` plus 16 md5 hex strings (~0.6 KB
+    * in MEMORY_AND_DISK row format), so 2^20 words is ~600 MB of
+    * executor heap at the very worst — within a big-executor budget,
+    * and a web-scale vocabulary (>>1M distinct words) falls back to a
+    * shuffle join instead of OOMing the driver.
+    */
+  private val BroadcastVocabMaxWords = 1L << 20
+
   /** Per-set signature h0..h15 = min(md5("<seed>|" || w)), over reps.
     * Hash-once-per-distinct-word, then join: the corpus vocabulary is
     * far smaller than token occurrences, so the seedwise md5s are
     * computed once per word and joined back instead of recomputed per
-    * (set, word) row — same values, a fraction of the hash work. No
-    * broadcast hint: vocabulary size is corpus-dependent and unbounded
-    * (a forced broadcast would OOM on a web-scale vocabulary); AQE
-    * picks broadcast at runtime whenever the hashed vocab actually
-    * fits under the threshold.
+    * (set, word) row — same values, a fraction of the hash work.
+    *
+    * The vocab side carries an explicit size-guarded broadcast: the
+    * distinct-word frame is cached and counted (one cheap job over
+    * data the join needs anyway), and broadcast only when the count
+    * fits [[BroadcastVocabMaxWords]]. Leaving the decision to AQE is
+    * not reliable here — over this cached multi-branch lineage AQE
+    * was observed to pick a shuffle join on a 31-word vocabulary,
+    * which turned the (token x vocab) join into the whole bench's
+    * pathology (222s for this query in the round-2 driver run vs ~20s
+    * with broadcast). A corpus-dependent unbounded vocab still must
+    * not be force-broadcast, hence measured, not assumed.
     */
   private def repSignatures(reps: DataFrame): DataFrame = {
-    val words = reps.select(explode(col("ws")).as("w"))
-    val hashed = words.select(col("w")).distinct()
-      .select(col("w") +:
-        (0 until NumHashes).map(s => md5(concat(lit(s"$s|"), col("w"))).as(s"h$s")): _*)
+    val vocab = reps.select(explode(col("ws")).as("w")).distinct().cache()
+    val vocabWords = vocab.count() // materializes the cache; guards the hint
+    val hashed0 = vocab.select(col("w") +:
+      (0 until NumHashes).map(s => md5(concat(lit(s"$s|"), col("w"))).as(s"h$s")): _*)
+    val hashed =
+      if (vocabWords <= BroadcastVocabMaxWords) broadcast(hashed0) else hashed0
     val aggs = (0 until NumHashes).map(s => min(col(s"h$s")).as(s"h$s"))
     reps.select(col("fp"), explode(col("ws")).as("w"))
       .join(hashed, "w")

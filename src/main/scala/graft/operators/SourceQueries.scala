@@ -25,12 +25,20 @@ object SourceQueries {
     val parts = Seq("csv", "json", "orc").map { fmt =>
       val p = s"$base/$fmt"
       fmt match {
-        case "csv" => nation.write.mode("overwrite").option("header", "true").csv(p)
+        // escape = '"' (RFC 4180 quote-doubling) on BOTH sides, and
+        // multiLine on the read: the writer quotes values with embedded
+        // newlines correctly, but a default read would split them into
+        // spurious rows — the round-trip contract must hold for any
+        // string value, not just newline-free fixtures
+        case "csv" => nation.write.mode("overwrite")
+          .option("header", "true").option("escape", "\"").csv(p)
         case "json" => nation.write.mode("overwrite").json(p)
         case "orc" => nation.write.mode("overwrite").orc(p)
       }
       val back = fmt match {
-        case "csv" => spark.read.option("header", "true").schema(nation.schema).csv(p)
+        case "csv" => spark.read.option("header", "true")
+          .option("multiLine", "true").option("escape", "\"")
+          .schema(nation.schema).csv(p)
         case "json" => spark.read.schema(nation.schema).json(p)
         case "orc" => spark.read.orc(p)
       }
@@ -43,23 +51,13 @@ object SourceQueries {
           col("first_name"), col("last_name"))
     }
     // materialize (3 rows) so the temp write directory can be deleted
-    // immediately instead of leaking one tree per invocation
+    // immediately instead of leaking one tree per invocation — in a
+    // finally, so a failed collect doesn't leak it either
     val out = parts.reduce(_ unionByName _).orderBy("fmt")
-    val rows = out.collect()
-    val result = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
-    deleteRecursively(base)
-    result
-  }
-
-  private def deleteRecursively(path: String): Unit = {
-    import java.nio.file.Paths
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(path)
-    if (Files.exists(root)) {
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
+    try {
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally graft.Fs.deleteRecursively(base)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
