@@ -40,6 +40,11 @@ object Engine {
       "topk_agg",
       exprs => TopKAgg(exprs(0), exprs(1), exprs(2)),
       "scala_udf")
+    // Session-construction conf, set HERE (the explicit session-wiring
+    // call) and nowhere else: `events.ts` is parquet TIMESTAMP(NANOS),
+    // which the vectorized reader rejects unless read as raw longs.
+    // Read helpers like [[table]] stay side-effect free — a concurrent
+    // query on a shared session must never see a conf flip mid-read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
@@ -54,19 +59,21 @@ object Engine {
     * queried the reference through plain SQL.
     */
   def registerTables(spark: SparkSession, dir: String): SparkSession = {
+    register(spark) // functions + the nanos read conf `events` needs
     tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
     spark
   }
 
   /** Load one fixture table (TESTDATA.md layout: `<dir>/<name>.parquet`).
     * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; it is read as raw nanos (legacy conf, set in
-    * [[register]]) and floor-converted to a microsecond timestamp —
-    * the same truncation DuckDB applies when it reads the file.
+    * reader rejects; it is read as raw nanos and floor-converted to a
+    * microsecond timestamp — the same truncation DuckDB applies when it
+    * reads the file. Pure: requires the legacy-nanos conf from
+    * [[register]] (or session-build config); it never mutates the
+    * session itself.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -53,7 +53,7 @@ object StreamingDistinct {
 
   /** Stream the events fixture directory as a file source. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Engine.register(spark) // session wiring incl. the legacy-nanos conf
     spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet") // fixture is a bare file

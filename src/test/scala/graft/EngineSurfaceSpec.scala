@@ -48,6 +48,21 @@ class EngineSurfaceSpec extends SparkSpec {
     assert(n == Engine.table(spark, dir, "orders").count())
   }
 
+  test("Engine.table is pure: events needs session wiring; table() never mutates conf") {
+    // A brand-new session has no session-local confs from the shared
+    // test session — in particular not the legacy-nanos flag.
+    val unwired = spark.newSession()
+    assert(unwired.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false")
+    // events is TIMESTAMP(NANOS): unreadable without the wiring conf,
+    // and the failed attempt must NOT have flipped it behind our back.
+    assert(scala.util.Try(Engine.table(unwired, dir, "events").count()).isFailure)
+    assert(unwired.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false")
+    // register() is the one place that wires the session; after it the
+    // same pure helper works.
+    Engine.register(unwired)
+    assert(Engine.table(unwired, dir, "events").count() > 0)
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark drops replayed events") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
