@@ -95,14 +95,40 @@ object DedupQueries {
       .groupBy(col("fp")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Row-count ceiling below which a small fingerprint-keyed frame
+    * (unique-set reps with their word arrays, or the doc_id→fp member
+    * map) is broadcast into the verification / expansion joins. A rep
+    * row is a 32-hex fp plus a short sorted word array (~200 B); a
+    * member row is fp + doc_id (~50 B) — 2^20 rows is ≤ ~200 MB of
+    * executor heap either way. A web-scale corpus (millions of unique
+    * sets / billions of docs) falls back to shuffle joins instead of
+    * OOMing, exactly like [[BroadcastVocabMaxWords]].
+    */
+  private val BroadcastSideMaxRows = 1L << 20
+
   /** MinHash-LSH near-dup pairs, verified at word-Jaccard >= 0.9.
     *
-    * Cache lifecycle: the cached frames feed two join branches each
-    * and the final range-partitioned sort (whose sampling pass would
-    * otherwise recompute the expansion joins); a lazy DataFrame can't
-    * unpersist them itself, so session owners clear them after the
-    * action — Bench and Verify both `spark.catalog.clearCache()`
-    * per query.
+    * Building this frame runs SMALL EAGER JOBS (counts over cached
+    * frames): the measured size guards below decide broadcast vs
+    * shuffle from real row counts, not estimates — plan-only consumers
+    * (e.g. plan-shape specs) therefore trigger execution when they
+    * construct it, and the caches live until the session owner's
+    * `clearCache`. That is deliberate: leaving the choice to AQE
+    * turned the vocab join into a shuffle join over a 31-word
+    * vocabulary in the round-2 driver run (222s vs ~20s broadcast).
+    *
+    * Shuffle inventory after the guards (the 100 TB shape): signature
+    * groupBy, ONE distinct over verified survivors (≤ NumBands × true
+    * pairs — candidate dedup happens after the cheap array_intersect
+    * filter, so the 37%-of-all-pairs candidate blow-up this fixture's
+    * 31-word vocabulary produces is never shuffled), and the final
+    * range-partitioned sort. Candidate generation, verification and
+    * member expansion are map-side broadcast joins while the
+    * rep/member frames fit [[BroadcastSideMaxRows]].
+    *
+    * Cache lifecycle: cached frames feed multiple join branches and
+    * the final sort's sampling pass; Bench and Verify both
+    * `spark.catalog.clearCache()` per query.
     */
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = uniqueSets(spark, dir).cache()
@@ -110,6 +136,10 @@ object DedupQueries {
       min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members"),
       first(col("ws")).as("ws"), size(first(col("ws"))).as("n"))
       .cache()
+    val nReps = reps.count() // materializes both caches; guards the hints
+    val nDocs = docs.count() // cheap: docs is cached by the count above
+    def guard(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= BroadcastSideMaxRows) broadcast(df) else df
 
     // LSH over unique sets only
     val sigs = repSignatures(reps)
@@ -121,33 +151,46 @@ object DedupQueries {
       .select(col("fp"), explode(array(bandCols: _*)).as("bb"))
       .select(col("fp"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .cache()
-    val repPair = buckets.as("l")
-      .join(buckets.as("r"),
+    // Candidate collisions, NOT deduped here: one (l,r) row per shared
+    // band. Dedup is deferred until after verification so the shuffle
+    // dedups ≤ NumBands copies of the TRUE pairs instead of the full
+    // candidate set (2.9M candidate pairs vs 29k true pairs on this
+    // fixture — the distinct was the single biggest shuffle in the
+    // plan). Verification work grows ≤ NumBands×, but it is narrow
+    // map-side array_intersect over broadcast reps — cheap where the
+    // shuffle was not.
+    val collisions = buckets.as("l")
+      .join(guard(buckets, nReps * NumBands).as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.fp") < col("r.fp"))
       .select(col("l.fp").as("fp_a"), col("r.fp").as("fp_b"))
-      .distinct()
 
-    // exact verification once per unique-set pair: the distinct word
-    // sets ride along as (small) sorted arrays, so the intersection is
-    // a narrow per-row array_intersect instead of an explode → equi-join
-    // → re-group cycle — two hash joins and zero extra shuffles. (The
-    // oracle computes the same count via the join formulation.)
-    val verified = repPair
-      .join(reps.select(col("fp").as("fp_a"), col("ws").as("ws_a"),
-        col("n").as("na")), "fp_a")
-      .join(reps.select(col("fp").as("fp_b"), col("ws").as("ws_b"),
-        col("n").as("nb")), "fp_b")
+    // exact verification per collision row: the distinct word sets ride
+    // along as (small) sorted arrays from the broadcast rep frame, so
+    // the intersection is a per-row array_intersect instead of an
+    // explode → equi-join → re-group cycle. (The oracle computes the
+    // same count via the join formulation.)
+    val repSets = reps.select(col("fp"), col("ws"), col("n"))
+    val verified = collisions
+      .join(guard(repSets.select(col("fp").as("fp_a"), col("ws").as("ws_a"),
+        col("n").as("na")), nReps), "fp_a")
+      .join(guard(repSets.select(col("fp").as("fp_b"), col("ws").as("ws_b"),
+        col("n").as("nb")), nReps), "fp_b")
       .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))).cast("long"))
       .withColumn("union_n", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 10 >= col("union_n") * 9)
-      // drop the set arrays before the expansion joins — only the
-      // counts flow into the (wide) doc-pair expansion
+      // drop the set arrays before the dedup + expansion — only the
+      // counts flow on; inter/union_n are functions of the pair, so
+      // distinct-over-4-columns == distinct-over-pairs
       .select(col("fp_a"), col("fp_b"), col("inter"), col("union_n"))
+      .distinct()
 
-    // expand cross-clique doc pairs (normalize to i < j)
-    val membersA = docs.select(col("fp").as("m_fp_a"), col("doc_id").as("doc_a"))
-    val membersB = docs.select(col("fp").as("m_fp_b"), col("doc_id").as("doc_b"))
+    // expand cross-clique doc pairs (normalize to i < j); member map is
+    // broadcast while it fits, so expansion is map-side too
+    val membersA = guard(
+      docs.select(col("fp").as("m_fp_a"), col("doc_id").as("doc_a")), nDocs)
+    val membersB = guard(
+      docs.select(col("fp").as("m_fp_b"), col("doc_id").as("doc_b")), nDocs)
     val cross = verified
       .join(membersA, col("fp_a") === col("m_fp_a"))
       .join(membersB, col("fp_b") === col("m_fp_b"))
