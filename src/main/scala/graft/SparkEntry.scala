@@ -20,10 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries ++ SourceQueries.queries
+      MultimodalQueries.queries ++ SourceQueries.queries ++
+      StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      MultimodalQueries.oracles ++ SourceQueries.oracles
+      MultimodalQueries.oracles ++ SourceQueries.oracles ++
+      StreamingQueries.oracles
 }

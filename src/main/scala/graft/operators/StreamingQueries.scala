@@ -1,0 +1,199 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Engine
+import graft.streaming.{StreamJoins, StreamingDistinct, StreamingSessionize}
+
+/** Stateful Structured-Streaming operators run as TRUE incremental
+  * executions in the hard signal (file sources → watermarked state →
+  * file sink → read-back), oracle-compared against the equivalent
+  * batch SQL — the same treatment `q_stream_hourly` gives windowed
+  * aggregation, extended to `flatMapGroupsWithState` sessionization
+  * and the stream-stream interval join.
+  *
+  * Both use a parquet FILE sink, not the memory sink: the file sink
+  * supports append-mode checkpoint recovery (the sessionize query
+  * restarts from its checkpoint on purpose) and keeps results off the
+  * driver — output scales with HDFS capacity, not driver heap, which
+  * is the 100 TB shape for unbounded session/match output.
+  */
+object StreamingQueries {
+
+  /** Gap mirroring the batch `q_sessionize` (6 h, exclusive `>`). */
+  private val SessionGapMs = 6L * 3600 * 1000
+
+  /** Run one AvailableNow pass of `df` into a parquet sink. */
+  private def runPass(df: DataFrame, outDir: String, ckpt: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally if (q.isActive) Try(q.stop())
+  }
+
+  /** Pin down a streaming result: read the sink directory back,
+    * materialize into a driver-local relation, then delete every temp
+    * dir — each cleanup step individually guarded so one failure
+    * neither masks a primary error nor skips the rest.
+    */
+  private def materializeAndClean(
+      spark: SparkSession,
+      read: => DataFrame,
+      tmpDirs: Seq[String]): DataFrame =
+    try {
+      val out = read
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally tmpDirs.foreach(d => Try(graft.Fs.deleteRecursively(d)))
+
+  /** Sessionization as an actual incremental execution, including a
+    * CHECKPOINT RESTART. Pass 1 streams the events fixture through
+    * `flatMapGroupsWithState` (in-batch gap closes emit immediately;
+    * tail sessions stay in state because nothing advances the
+    * watermark past them). Then two far-future sentinel files are
+    * dropped into the source directory and pass 2 resumes from the
+    * same checkpoint with maxFilesPerTrigger=1: the first sentinel
+    * batch advances the watermark to 2100, the second fires the
+    * event-time timeouts, flushing every remaining session through
+    * the SAME append sink. The sentinel user (-1) is filtered in the
+    * streaming plan. Oracle: the batch gaps-and-islands session list.
+    */
+  def qStreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Engine.register(spark)
+    val inDir = Files.createTempDirectory("graft_sess_in").toString
+    val outDir = Files.createTempDirectory("graft_sess_out").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+    try {
+      Files.copy(
+        Paths.get(s"$dir/events.parquet"),
+        Paths.get(s"$inDir/events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+
+      def pipeline(): DataFrame = {
+        val src = spark.readStream
+          .schema(StreamingDistinct.eventsSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val sessions = StreamingSessionize.sessions(
+          src.select(col("user_id"), col("ts"))
+            .withWatermark("ts", "1 hour")
+            .as[StreamingSessionize.Event],
+          gapMs = SessionGapMs)
+        sessions.toDF()
+          .filter(col("user_id") >= 0) // drop the watermark sentinels
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("s_start_us"),
+            unix_micros(col("session_end")).as("s_end_us"),
+            col("n_events"))
+      }
+
+      runPass(pipeline(), outDir, ckpt)
+
+      // Sentinels: one row each, far past every fixture event + gap +
+      // watermark delay. Two files (with maxFilesPerTrigger=1) so the
+      // first advances the watermark and the second's batch runs the
+      // timed-out state handlers against it.
+      val sentinelSchema = StreamingDistinct.eventsSchema
+      Seq("2100-01-01T00:00:00Z", "2100-02-01T00:00:00Z").foreach { iso =>
+        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+        spark.createDataFrame(
+          java.util.Arrays.asList(
+            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      runPass(pipeline(), outDir, ckpt) // resumes from the checkpoint
+
+      materializeAndClean(spark,
+        spark.read.parquet(outDir).orderBy("user_id", "s_start_us"),
+        Seq(inDir, outDir, ckpt))
+    } catch {
+      case e: Throwable =>
+        Seq(inDir, outDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
+  /** Stream-stream interval join (click attribution) as a true
+    * incremental execution: the view and click streams are two
+    * filtered branches of the watermarked events file source, joined
+    * on user within `[imp_ts, imp_ts + 1 hour]`. Inner-join matches
+    * emit as soon as both sides arrive — no sentinel needed — and the
+    * watermarks bound both sides' join state. Oracle: the identical
+    * batch range join.
+    */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    val outDir = Files.createTempDirectory("graft_sj_out").toString
+    val ckpt = Files.createTempDirectory("graft_sj_ckpt").toString
+    try {
+      val ev = StreamingDistinct.readEventsStream(spark, dir)
+      val imps = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("ad_id"), col("ts").as("imp_ts"),
+          col("event_id").as("imp_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("click_ad"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val joined = StreamJoins.clickAttribution(imps, clicks, "1 hour")
+        .select(col("ad_id"), col("imp_id"), col("click_id"),
+          unix_micros(col("imp_ts")).as("imp_us"),
+          unix_micros(col("click_ts")).as("click_us"))
+      runPass(joined, outDir, ckpt)
+      materializeAndClean(spark,
+        spark.read.parquet(outDir).orderBy("imp_id", "click_id"),
+        Seq(outDir, ckpt))
+    } catch {
+      case e: Throwable =>
+        Seq(outDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sessionize" -> (qStreamSessionize _),
+    "q_stream_join" -> (qStreamJoin _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Batch gaps-and-islands, microsecond arithmetic, exclusive-> gap —
+    // exactly the semantics the streaming transition implements.
+    "q_stream_sessionize" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us,
+         |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |                                 ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |islands AS (
+         |  SELECT user_id, us,
+         |         sum(CASE WHEN prev_us IS NULL OR us - prev_us > ${SessionGapMs * 1000L}
+         |                  THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM marked)
+         |SELECT user_id, CAST(min(us) AS BIGINT) AS s_start_us,
+         |       CAST(max(us) AS BIGINT) AS s_end_us, count(*) AS n_events
+         |FROM islands GROUP BY user_id, sess_id
+         |ORDER BY user_id, s_start_us""".stripMargin,
+    "q_stream_join" ->
+      """SELECT i.user_id AS ad_id, i.event_id AS imp_id, c.event_id AS click_id,
+        |       epoch_us(i.ts) AS imp_us, epoch_us(c.ts) AS click_us
+        |FROM events i JOIN events c
+        |  ON c.user_id = i.user_id
+        | AND i.event_type = 'view' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(i.ts)
+        | AND epoch_us(c.ts) <= epoch_us(i.ts) + 3600000000
+        |ORDER BY imp_id, click_id""".stripMargin
+  )
+}

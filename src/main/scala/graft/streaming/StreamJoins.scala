@@ -26,9 +26,11 @@ object StreamJoins {
     val c =
       if (clicks.isStreaming) clicks.withWatermark("click_ts", window)
       else clicks
-    i.join(c, expr(
+    val joined = i.join(c, expr(
       s"""ad_id = click_ad AND
          |click_ts >= imp_ts AND click_ts <= imp_ts + interval $window""".stripMargin))
-      .select(col("ad_id"), col("imp_ts"), col("click_ts"))
+    // pass event ids through when the caller tagged its sides with them
+    val ids = Seq("imp_id", "click_id").filter(joined.columns.contains(_))
+    joined.select((Seq("ad_id", "imp_ts", "click_ts") ++ ids).map(col): _*)
   }
 }

@@ -13,6 +13,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermark passes; both paths bound state size (no session lives past
   * watermark + gap).
   *
+  * All arithmetic runs in event-time MICROSECONDS (Catalyst's native
+  * timestamp precision): `Timestamp.getTime` is millisecond-truncated,
+  * and a gap decided at ms precision can disagree with the batch
+  * query's microsecond `>` comparison when an inter-event gap lands
+  * within 1 ms of the boundary — session starts/ends round-trip
+  * exactly through the Catalyst encoder this way.
+  *
   * Scale shape: state is partitioned by user_id across executors by the
   * state store; per micro-batch work is O(new events) + O(timed-out
   * keys). This is the `KeyValueGroupedDataset` custom-state surface the
@@ -22,7 +29,8 @@ object StreamingSessionize {
 
   case class Event(user_id: Long, ts: Timestamp)
 
-  case class SessionState(start: Long, last: Long, nEvents: Long)
+  /** Per-user open session; bounds are epoch MICROSECONDS. */
+  case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
 
   /** A closed session, emitted downstream. */
   case class ClosedSession(
@@ -33,30 +41,43 @@ object StreamingSessionize {
 
   val DefaultGapMs: Long = 30 * 60 * 1000
 
+  /** Epoch micros of a Timestamp (getTime is ms-truncated; the nanos
+    * field carries the full sub-second part).
+    */
+  def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Microsecond-precise Timestamp (inverse of [[micros]]). */
+  def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   private def close(userId: Long, s: SessionState): ClosedSession =
-    ClosedSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.nEvents)
+    ClosedSession(userId, tsOf(s.startUs), tsOf(s.lastUs), s.nEvents)
 
   /** The per-user state transition. Exposed for direct unit testing. */
   def onUser(gapMs: Long)(
       userId: Long,
       events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[ClosedSession] = {
+    val gapUs = gapMs * 1000L
     if (state.hasTimedOut) {
       val out = state.getOption.map(close(userId, _)).iterator
       state.remove()
       return out
     }
-    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    val sorted = events.map(e => micros(e.ts)).toSeq.sorted
     var cur = state.getOption
     val closed = Seq.newBuilder[ClosedSession]
-    for (e <- sorted) {
-      val t = e.ts.getTime
+    for (t <- sorted) {
       cur match {
-        case Some(s) if t - s.last > gapMs =>
+        case Some(s) if t - s.lastUs > gapUs =>
           closed += close(userId, s)
           cur = Some(SessionState(t, t, 1))
         case Some(s) =>
-          cur = Some(SessionState(s.start, math.max(s.last, t), s.nEvents + 1))
+          cur = Some(SessionState(s.startUs, math.max(s.lastUs, t), s.nEvents + 1))
         case None =>
           cur = Some(SessionState(t, t, 1))
       }
@@ -64,7 +85,8 @@ object StreamingSessionize {
     cur.foreach { s =>
       state.update(s)
       // close via timeout when the watermark passes last-event + gap
-      state.setTimeoutTimestamp(s.last + gapMs)
+      // (+1 ms: the timeout clock is ms-grained, the gap test is not)
+      state.setTimeoutTimestamp(s.lastUs / 1000L + gapMs + 1L)
     }
     closed.result().iterator
   }
