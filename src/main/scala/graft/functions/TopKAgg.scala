@@ -132,8 +132,14 @@ case class TopKAgg(
       TypeCheckResult.TypeCheckFailure(
         s"topk_agg k must be an integral literal, got ${kExpr.dataType.sql}")
     else if (kExpr.eval() == null ||
-      kExpr.eval().asInstanceOf[Number].intValue() < 1)
+      kExpr.eval().asInstanceOf[Number].longValue() < 1)
       TypeCheckResult.TypeCheckFailure("topk_agg k must be a positive literal")
+    // compare at LONG width: a BIGINT k above Int.MaxValue would pass
+    // the >= 1 check after intValue() truncation and silently run with
+    // the wrong k — reject it instead of wrapping
+    else if (kExpr.eval().asInstanceOf[Number].longValue() > Int.MaxValue)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg k must fit in INT, got ${kExpr.eval()}")
     else TypeCheckResult.TypeCheckSuccess
 
   override def prettyName: String = "topk_agg"

@@ -54,28 +54,33 @@ object CoreQueries {
     val agg = graft.streaming.StreamingDistinct
       .hourlyDistinctUsers(
         graft.streaming.StreamingDistinct.readEventsStream(spark, dir))
+    import scala.util.Try
     val name = "g_stream_hourly_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
     // materialize into a local relation so the memory-sink view and the
     // checkpoint directory can be released NOW — repeated bench/verify
-    // invocations must not accumulate driver-held tables or tmp dirs,
-    // even when the query or the sink read throws (hence the finally)
+    // invocations must not accumulate driver-held tables or tmp dirs.
+    // start() is INSIDE the try (a failed start must not leak the ckpt
+    // dir), and each cleanup step is individually guarded so one
+    // failing step (e.g. a stop timeout) neither masks the primary
+    // error nor skips the steps after it.
+    var q: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     try {
-      q.awaitTermination()
+      q = Some(agg.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start())
+      q.get.awaitTermination()
       val out = spark.table(name).orderBy("window_start", "event_type")
       val rows = out.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
-      if (q.isActive) q.stop()
-      spark.catalog.dropTempView(name)
-      graft.Fs.deleteRecursively(ckpt)
+      q.filter(_.isActive).foreach(x => Try(x.stop()))
+      Try(spark.catalog.dropTempView(name))
+      Try(graft.Fs.deleteRecursively(ckpt))
     }
   }
 

@@ -60,8 +60,69 @@ object SourceQueries {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  /** Number of buckets for [[bucketedOrdersCustomer]]. Fixed, not
+    * data-derived: both tables must agree for the co-located join, and
+    * at cluster scale the count is a layout decision made once at
+    * write time (rule of thumb: total size / target file size).
+    */
+  val NumBuckets = 8
+
+  /** Write `orders` and `customer` as bucketed+sorted tables on their
+    * custkey and return the co-located join, plus a cleanup that drops
+    * both tables (managed tables — DROP deletes the files). The
+    * `merge` hint pins a sort-merge join so the plan exercises the
+    * bucketed-layout path (a broadcast of tiny fixture tables would
+    * trivially avoid the shuffle without proving anything);
+    * bucket-aligned scans satisfy the join's distribution+ordering
+    * requirement, so the join subtree plans ZERO shuffle exchanges and
+    * zero sorts — asserted in PlanQualitySpec. At 100 TB this layout
+    * is the difference between re-shuffling both fact tables on every
+    * join and reading co-located buckets.
+    */
+  def bucketedOrdersCustomer(
+      spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val tOrders = s"graft_b_orders_$tag"
+    val tCustomer = s"graft_b_customer_$tag"
+    Engine.table(spark, dir, "orders")
+      .write.format("parquet").bucketBy(NumBuckets, "o_custkey")
+      .sortBy("o_custkey").mode("overwrite").saveAsTable(tOrders)
+    Engine.table(spark, dir, "customer")
+      .write.format("parquet").bucketBy(NumBuckets, "c_custkey")
+      .sortBy("c_custkey").mode("overwrite").saveAsTable(tCustomer)
+    val joined = spark.table(tOrders)
+      .join(spark.table(tCustomer).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+    val cleanup = () => {
+      spark.sql(s"DROP TABLE IF EXISTS $tOrders")
+      spark.sql(s"DROP TABLE IF EXISTS $tCustomer")
+      ()
+    }
+    (joined, cleanup)
+  }
+
+  /** Bucketed co-located join in the hard signal: write both fact
+    * tables bucketed by the join key, join without re-shuffling either
+    * side, aggregate. The oracle runs the plain join on the raw
+    * fixtures — identical results prove the bucketed layout changes
+    * the plan, not the answer.
+    */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (joined, cleanup) = bucketedOrdersCustomer(spark, dir)
+    val out = joined
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy("c_mktsegment")
+    try {
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally cleanup()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sink_roundtrip" -> (qSinkRoundtrip _)
+    "q_sink_roundtrip" -> (qSinkRoundtrip _),
+    "q_bucketed_join" -> (qBucketedJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -69,6 +130,11 @@ object SourceQueries {
       """SELECT fmt, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
         |       min(n_name) AS first_name, max(n_name) AS last_name
         |FROM nation CROSS JOIN (SELECT unnest(['csv','json','orc']) AS fmt) f
-        |GROUP BY fmt ORDER BY fmt""".stripMargin
+        |GROUP BY fmt ORDER BY fmt""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -61,6 +61,20 @@ class TopKAggSpec extends SparkSpec {
     assert(merged.toList.sortBy(-_._1) == List((9.0, 1L), (8.0, 4L), (7.0, 2L)))
   }
 
+  test("k outside [1, Int.MaxValue] fails type-check instead of truncating") {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def check(k: Long): TypeCheckResult = TopKAgg(
+      BoundReference(0, DoubleType, nullable = true),
+      BoundReference(1, LongType, nullable = true),
+      Literal(k)).checkInputDataTypes()
+    // 2^32 + 1 truncates to 1 via intValue() — must be rejected, not
+    // silently run with k=1
+    assert(!check(4294967297L).isSuccess)
+    assert(!check(0L).isSuccess)
+    assert(!check(-3L).isSuccess)
+    assert(check(5L).isSuccess)
+  }
+
   test("SQL path equals the row_number window formulation") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -101,4 +101,16 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     val shuffles = collectAll(p).collect { case x: ShuffleExchangeExec => x }
     assert(shuffles.size <= 2, s"got ${shuffles.size} shuffles:\n$p")
   }
+
+  test("q_bucketed_join's co-located join subtree plans zero shuffles") {
+    val (joined, cleanup) = SourceQueries.bucketedOrdersCustomer(spark, dir)
+    try {
+      val p = plan(joined)
+      val smj = collectAll(p).find(_.nodeName.contains("SortMergeJoin"))
+      assert(smj.isDefined, s"expected SortMergeJoin over bucketed scans:\n$p")
+      val shuffles = collectAll(smj.get).collect { case x: ShuffleExchangeExec => x }
+      assert(shuffles.isEmpty,
+        s"bucket-aligned join must not re-shuffle either side:\n$p")
+    } finally cleanup()
+  }
 }
