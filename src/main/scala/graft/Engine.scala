@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession, functions => F}
 import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{ExactCountDistinct, Fnv1a64, HashSetCountDistinct, TopKAgg, VectorDot}
+import graft.functions.{ExactCountDistinct, Fnv1a64, FnvGrams, HashSetCountDistinct, SlidingMin, TopKAgg, VectorDot}
 
 /** Session-level wiring for the graft engine: function registration and
   * fixture-table access. Registration is the Spark analogue of the
@@ -39,6 +39,17 @@ object Engine {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_agg",
       exprs => TopKAgg(exprs(0), exprs(1), exprs(2)),
+      "scala_udf")
+    // One-pass text fingerprinting primitives (winnowing path): per-gram
+    // FNV and O(n) sliding-window min — tight loops where HOF lambdas
+    // would run interpreted per element.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fnv_grams",
+      exprs => FnvGrams(exprs(0), exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sliding_min",
+      exprs => SlidingMin(exprs(0), exprs(1)),
       "scala_udf")
     // Session-construction conf, set HERE (the explicit session-wiring
     // call) and nowhere else: `events.ts` is parquet TIMESTAMP(NANOS),

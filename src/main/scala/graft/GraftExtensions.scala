@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{Fnv1a64, HashSetCountDistinct, TopKAgg, VectorDot}
+import graft.functions.{Fnv1a64, FnvGrams, HashSetCountDistinct, SlidingMin, TopKAgg, VectorDot}
 
 /** Cluster-wide injection point: set
   * `spark.sql.extensions=graft.GraftExtensions` and every session —
@@ -36,5 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_agg"),
       new ExpressionInfo(classOf[TopKAgg].getCanonicalName, "topk_agg"),
       (exprs: Seq[Expression]) => TopKAgg(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("fnv_grams"),
+      new ExpressionInfo(classOf[FnvGrams].getCanonicalName, "fnv_grams"),
+      (exprs: Seq[Expression]) => FnvGrams(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sliding_min"),
+      new ExpressionInfo(classOf[SlidingMin].getCanonicalName, "sliding_min"),
+      (exprs: Seq[Expression]) => SlidingMin(exprs(0), exprs(1))))
   }
 }

@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.Engine
 import graft.multimodal.{ImageCodec, Multimodal}
 
-/** Query surface for the multimodal module. The SQL-expressible metadata
-  * path is oracle-checked; the real-image-codec path is oracle-checked
-  * through q_image_decode (decoded dimensions are predictable);
-  * the stubbed-codec (audio/video) feature path is covered by
-  * MultimodalSpec (not SQL-expressible — fake decode).
+/** Query surface for the multimodal module. All three queries are
+  * oracle-checked: metadata extraction (q_multimodal_meta), the real
+  * image codec round trip (q_image_decode — decoded dimensions are
+  * predictable), and the mixed-corpus feature profile
+  * (q_media_profile — per-type columns restricted to decode
+  * contracts). The stubbed-codec (audio/video) feature path stays
+  * spec-only in MultimodalSpec (fake decode, not SQL-expressible).
   */
 object MultimodalQueries {
 
@@ -31,14 +33,57 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
-  /** Feature profile through the full typed pipeline (stub decode). */
-  def qMediaProfile(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.featureProfile(
-      Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(spark, dir)))
-      .orderBy("media_type")
-
   /** Number of synthetic PNG fixtures for the real-codec round trip. */
   private val NImages = 64
+
+  /** Feature profile over a MIXED media corpus through the full typed
+    * pipeline: the documents table as `text/plain` plus [[NImages]]
+    * deterministic PNGs decoded by the REAL codec. Each profile column
+    * is emitted only for the types where its value is a decode
+    * contract rather than a codec artifact — total_bytes for text
+    * (byte length is exact), pixel dims and frame count for images
+    * (the oracle predicts them arithmetically), content distinctness
+    * for both — so the whole profile is rows+schema+hash checkable.
+    * (PNG byte size would depend on the encoder's compression choices:
+    * deliberately not exposed. Audio/video remain the stub codec,
+    * covered by MultimodalSpec — no codec libs in this container.)
+    */
+  def qMediaProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val text = Multimodal.mediaFromDocuments(spark, dir)
+    val images = spark.range(NImages).map { i =>
+      val w = 16 + (i % 32).toInt
+      val h = 8 + (i % 16).toInt
+      Multimodal.MediaItem(i, "image/png", "synthetic", 0L,
+        ImageCodec.encodePng(w, h, i))
+    }
+    val feats = Multimodal.decodeFeatures(text.union(images)).toDF()
+    feats
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        min(col("width")).as("mnw"), max(col("width")).as("mxw"),
+        min(col("height")).as("mnh"), max(col("height")).as("mxh"),
+        sum(col("n_frames")).as("frames"),
+        countDistinct(col("checksum")).as("n_distinct_content"))
+      .select(
+        col("media_type"), col("n_items"),
+        when(col("media_type") === "text/plain", col("sum_bytes"))
+          .cast("long").as("total_bytes"),
+        when(col("media_type") === "image/png", col("mnw"))
+          .cast("long").as("min_w"),
+        when(col("media_type") === "image/png", col("mxw"))
+          .cast("long").as("max_w"),
+        when(col("media_type") === "image/png", col("mnh"))
+          .cast("long").as("min_h"),
+        when(col("media_type") === "image/png", col("mxh"))
+          .cast("long").as("max_h"),
+        when(col("media_type") === "image/png", col("frames"))
+          .cast("long").as("n_frames"),
+        col("n_distinct_content"))
+      .orderBy("media_type")
+  }
 
   /** REAL image decode + resize through the full distributed pipeline:
     * encode deterministic PNGs of known size (JDK `javax.imageio`),
@@ -93,7 +138,28 @@ object MultimodalQueries {
         |       sha256(text) AS sha256_hex,
         |       to_base64(CAST(substr(text, 1, 8) AS BLOB)) AS head8_b64
         |FROM documents ORDER BY media_id""".stripMargin,
-    // q_media_profile: stub-codec output, rows-only check by design
+    "q_media_profile" ->
+      s"""WITH txt AS (
+         |  SELECT 'text/plain' AS media_type,
+         |         count(*) AS n_items,
+         |         CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+         |         CAST(NULL AS BIGINT) AS min_w, CAST(NULL AS BIGINT) AS max_w,
+         |         CAST(NULL AS BIGINT) AS min_h, CAST(NULL AS BIGINT) AS max_h,
+         |         CAST(NULL AS BIGINT) AS n_frames,
+         |         count(DISTINCT text) AS n_distinct_content
+         |  FROM documents),
+         |img AS (
+         |  SELECT 'image/png' AS media_type,
+         |         count(*) AS n_items,
+         |         CAST(NULL AS BIGINT) AS total_bytes,
+         |         CAST(min(16 + i % 32) AS BIGINT) AS min_w,
+         |         CAST(max(16 + i % 32) AS BIGINT) AS max_w,
+         |         CAST(min(8 + i % 16) AS BIGINT) AS min_h,
+         |         CAST(max(8 + i % 16) AS BIGINT) AS max_h,
+         |         CAST(count(*) AS BIGINT) AS n_frames,
+         |         count(DISTINCT i) AS n_distinct_content
+         |  FROM generate_series(0, ${NImages - 1}) AS t(i))
+         |SELECT * FROM img UNION ALL SELECT * FROM txt ORDER BY media_type""".stripMargin,
     "q_image_decode" ->
       s"""SELECT i AS media_id,
          |       CAST(16 + i % 32 AS BIGINT) AS width,

@@ -80,28 +80,30 @@ object TextQueries {
 
   /** Winnowing (Schleimer et al.): hash every char 8-gram, keep the min
     * hash per sliding window of 16 — the standard local fingerprinting
-    * scheme whose selected set is position-robust. Entirely array HOFs
-    * (no explode/shuffle until the final projection); the per-doc work
-    * is linear in text length, embarrassingly parallel over docs.
+    * scheme whose selected set is position-robust. No explode/shuffle
+    * before the final projection; the per-doc work is linear in text
+    * length, embarrassingly parallel over docs.
     *
-    * Short-document degeneracy is guarded explicitly: Spark's
-    * `sequence(1, n)` DESCENDS when n < 1 (DuckDB's generate_series
-    * returns empty), so texts under 8 chars yield an empty fingerprint
-    * set (n_fp = 0, NULL min/max) and texts with fewer than 16 8-grams
-    * yield the single min over all their grams — the natural winnow of
-    * one window — on both engines.
+    * Both hot stages are custom expressions ([[graft.functions.FnvGrams]],
+    * [[graft.functions.SlidingMin]]): the original HOF formulation
+    * (`transform(sequence(...), i -> md5(substring(...)))` + per-window
+    * `array_min(slice(...))`) evaluated its lambdas interpreted, one
+    * Expression tree walk per gram — ~2.5s per stage at sf0.1 where the
+    * one-pass loops cost milliseconds. The gram hash is the reference's
+    * own FNV-1a 64 (signed-BIGINT carrier), the window min a monotonic
+    * deque; min/max compare SIGNED longs on both engines (the oracle
+    * converts its unsigned FNV before any aggregate).
+    *
+    * Short-document degeneracy (mirrored by the oracle's CASE): texts
+    * under 8 chars yield an empty fingerprint set (n_fp = 0, NULL
+    * min/max); texts with fewer than 16 8-grams yield the single min
+    * over all their grams — the natural winnow of one clamped window.
     */
-  def winnowFingerprints(docs: DataFrame): DataFrame =
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    Engine.register(docs.sparkSession) // fnv_grams, sliding_min
     docs
-      .withColumn("hs", expr(
-        """CASE WHEN length(text) >= 8
-          |     THEN transform(sequence(1, length(text)-7), i -> md5(substring(text, i, 8)))
-          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-      .withColumn("wins", expr(
-        """CASE WHEN size(hs) >= 16
-          |     THEN transform(sequence(1, size(hs)-15), j -> array_min(slice(hs, j, 16)))
-          |     WHEN size(hs) >= 1 THEN array(array_min(hs))
-          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("hs", expr("fnv_grams(text, 8)"))
+      .withColumn("wins", expr("sliding_min(hs, 16)"))
       .withColumn("fps", array_distinct(col("wins")))
       .select(
         col("doc_id"),
@@ -109,6 +111,7 @@ object TextQueries {
         array_min(col("fps")).as("min_fp"),
         array_max(col("fps")).as("max_fp"))
       .orderBy("doc_id")
+  }
 
   def qWinnow(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprints(Engine.table(spark, dir, "documents"))
@@ -240,12 +243,25 @@ object TextQueries {
         |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp,
         |       md5(text) AS exact_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // FNV-1a 64 per 8-gram, re-derived in pure SQL from the reference's
+    // constants (the q_fnv_bucket formulation, applied per gram), then
+    // converted to the signed BIGINT carrier BEFORE any min/max so the
+    // ordering matches Spark's signed longs. ASCII fixture => ord
+    // (codepoint) == byte. ~5s at sf0.01 — acceptable for the gate.
     "q_winnow" ->
       """WITH g AS (
         |  SELECT doc_id,
         |         CASE WHEN length(text) >= 8
-        |              THEN list_transform(generate_series(1, length(text)-7),
-        |                                  i -> md5(substr(text, i, 8)))
+        |              THEN list_transform(
+        |                     list_transform(generate_series(1, length(text)-7),
+        |                       i -> list_reduce(
+        |                         list_prepend(CAST(14695981039346656037 AS UHUGEINT),
+        |                           list_transform(range(1, 9),
+        |                             k -> CAST(ord(substr(text, i + k - 1, 1)) AS UHUGEINT))),
+        |                         (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616)),
+        |                     hu -> CAST(CASE WHEN hu >= 9223372036854775808
+        |                                THEN CAST(hu AS HUGEINT) - 18446744073709551616
+        |                                ELSE CAST(hu AS HUGEINT) END AS BIGINT))
         |              ELSE [] END AS hs
         |  FROM documents),
         |w AS (

@@ -82,11 +82,17 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.StubCodec.sampleFrames(item, 1).length == 100)
   }
 
-  test("feature profile aggregates only small feature rows") {
+  test("feature profile covers both corpus types with per-type contract columns") {
     val profile = graft.operators.MultimodalQueries.qMediaProfile(spark, dir).collect()
-    assert(profile.length == 1) // one media_type in fixture
-    val r = profile.head
-    assert(r.getAs[Long]("n_items") == 500L)
-    assert(r.getAs[Long]("n_distinct_content") == 500L)
+    assert(profile.length == 2) // image/png (synthetic) + text/plain (fixture)
+    val byType = profile.map(r => r.getAs[String]("media_type") -> r).toMap
+    val txt = byType("text/plain")
+    assert(txt.getAs[Long]("n_items") == 500L)
+    assert(txt.getAs[Long]("n_distinct_content") == 500L)
+    assert(txt.isNullAt(txt.fieldIndex("min_w"))) // pixel dims are image-only
+    val img = byType("image/png")
+    assert(img.getAs[Long]("n_items") == 64L)
+    assert(img.getAs[Long]("min_w") == 16L && img.getAs[Long]("max_w") == 47L)
+    assert(img.isNullAt(img.fieldIndex("total_bytes"))) // codec-dependent
   }
 }

@@ -19,11 +19,10 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle or is explicitly rows-only") {
-    val rowsOnlyByDesign = Set("q_media_profile") // stub-codec output
+  test("every query has an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // keep this list tiny and deliberate: non-SQL-expressible ops only
-    assert(noOracle == rowsOnlyByDesign, s"queries missing oracle SQL: $noOracle")
+    // since round 4 the full surface is oracle-checked — keep it that way
+    assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
   }
 
   test("flagship entry returns rows") {

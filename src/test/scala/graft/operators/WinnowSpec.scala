@@ -2,11 +2,12 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** Short-document degeneracy of the winnowing fingerprint: Spark's
-  * `sequence(1, n)` DESCENDS for n < 1, so unguarded winnowing crashes
-  * (`slice` index 0) on texts under ~23 chars and silently diverges
-  * from the oracle below 8. The guarded transform must degrade
-  * gracefully instead.
+/** Short-document degeneracy of the winnowing fingerprint: texts under
+  * 8 chars must yield an empty fingerprint set and texts with fewer
+  * than 16 grams the single clamped-window min — the contract the
+  * fnv_grams/sliding_min expressions encode (and that the original HOF
+  * formulation needed explicit CASE guards for, because Spark's
+  * `sequence(1, n)` DESCENDS when n < 1).
   */
 class WinnowSpec extends SparkSpec {
 
@@ -29,7 +30,7 @@ class WinnowSpec extends SparkSpec {
     val rows = winnow((1L, "exactly8"), (2L, "a bit longer text"))
     rows.foreach { r =>
       assert(r.getLong(1) == 1L, s"n_fp for doc ${r.getLong(0)}")
-      assert(r.getString(2) == r.getString(3)) // min_fp == max_fp
+      assert(r.getLong(2) == r.getLong(3)) // min_fp == max_fp
     }
   }
 
