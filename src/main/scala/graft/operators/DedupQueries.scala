@@ -246,29 +246,57 @@ object DedupQueries {
 
   // --- direct n-gram (3-token shingle) Jaccard ---------------------------
 
-  /** All-pairs shingle Jaccard — the exact baseline LSH approximates.
-    * O(pairs-sharing-a-shingle); the shared-shingle join IS the blocking.
-    */
-  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Engine.table(spark, dir, "documents")
-    val sh = docs
+  /** Distinct 3-token shingles per doc (docs under 3 tokens drop out). */
+  private[operators] def shingles(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"),
         explode(expr("array_distinct(transform(sequence(1, size(tk)-2), i -> concat_ws(' ', slice(tk, i, 3))))")).as("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+
+  /** Shared-shingle pair counts — the blocking self-join both Jaccard
+    * variants run. `cap = Some(df)` drops shingles with document
+    * frequency above `df` from blocking AND the similarity universe
+    * before the join (the compile-time skew guard); `None` is the
+    * exact all-pairs baseline. Exposed for the skew spec, which drives
+    * both modes over a synthetic hot-shingle corpus.
+    */
+  private[operators] def shinglePairs(
+      docs: DataFrame, cap: Option[Int]): DataFrame = {
+    val sh = shingles(docs)
+    val kept = cap.fold(sh) { c =>
+      val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= c).select(col("s"))
+      sh.join(rare, "s")
+    }
+    kept.as("a")
+      .join(kept.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Jaccard filter + output shape shared by both variants. */
+  private def jaccardOutput(pairs: DataFrame, universe: DataFrame): DataFrame = {
+    val sizes = universe.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairs
       .filter(col("inter") >= 2)
-    inter
       .join(sizes.as("ci"), col("i") === col("ci.doc_id"))
       .join(sizes.as("cj"), col("j") === col("cj.doc_id"))
       .withColumn("union_n", col("ci.n") + col("cj.n") - col("inter"))
       .filter(col("inter") * 20 >= col("union_n"))
       .select(col("i"), col("j"), col("inter"), col("union_n"))
       .orderBy("i", "j")
+  }
+
+  /** All-pairs shingle Jaccard — the exact baseline LSH approximates.
+    * O(pairs-sharing-a-shingle); the shared-shingle join IS the
+    * blocking. Deliberately uncapped (the documented df² skew risk its
+    * capped sibling guards against — at runtime, residual skew falls
+    * to AQE's skew-join split, exercised in AqeSkewSpec).
+    */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    jaccardOutput(shinglePairs(docs, None), shingles(docs))
   }
 
   /** Document-frequency cap for the stop-shingle variant: shingles
@@ -289,27 +317,15 @@ object DedupQueries {
     */
   def qNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
     val docs = Engine.table(spark, dir, "documents")
-    val sh = docs
-      .withColumn("tk", split(col("text"), " "))
-      .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("array_distinct(transform(sequence(1, size(tk)-2), i -> concat_ws(' ', slice(tk, i, 3))))")).as("s"))
+    val sh = shingles(docs)
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf).select(col("s"))
     val kept = sh.join(rare, "s")
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = kept.as("a")
+    val pairs = kept.as("a")
       .join(kept.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("inter"))
-      .filter(col("inter") >= 2)
-    inter
-      .join(sizes.as("ci"), col("i") === col("ci.doc_id"))
-      .join(sizes.as("cj"), col("j") === col("cj.doc_id"))
-      .withColumn("union_n", col("ci.n") + col("cj.n") - col("inter"))
-      .filter(col("inter") * 20 >= col("union_n"))
-      .select(col("i"), col("j"), col("inter"), col("union_n"))
-      .orderBy("i", "j")
+    jaccardOutput(pairs, kept)
   }
 
   // --- registry ----------------------------------------------------------

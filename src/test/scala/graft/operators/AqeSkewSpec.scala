@@ -42,4 +42,55 @@ class AqeSkewSpec extends SparkSpec {
     assert(plan.contains("skew=true"),
       s"expected AQE to mark the skewed join:\n$plan")
   }
+
+  test("shared-shingle join: df cap excludes the hot shingle; AQE splits it when uncapped") {
+    // 600 synthetic docs all containing one hot shingle ("click here
+    // now", df=600 — the web-scale pathology) and each PAIR (2j, 2j+1)
+    // sharing two rare df=2 shingles.
+    val s = spark.newSession()
+    Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // thresholds sized to POST-COMPRESSION shuffle bytes: the hot
+      // partition is 600 near-identical strings, which lz4 collapses
+      // ~50x — exactly what a real stop-shingle's partition does
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    ).foreach { case (k, v) => s.conf.set(k, v) }
+    // hot tokens are padded so the hot shingle's shuffle partition
+    // dwarfs the rare-shingle partitions even after compression — AQE
+    // sizes skew on join INPUT partitions, and a df-600 shingle in a
+    // real corpus carries its string bytes into the shuffle this way
+    val pad = "x" * 100
+    val docs = s.range(600).select(col("id").as("doc_id"),
+      concat(lit(s"${pad}click ${pad}here ${pad}now s"), expr("id div 2"),
+        lit("x s"), expr("id div 2"), lit("y")).as("text"))
+
+    // compile-time guard: with the df cap, the hot shingle never joins —
+    // only the 300 rare-shingle pairs (inter=2 each) survive
+    val capped = DedupQueries.shinglePairs(docs, Some(5)).collect()
+    assert(capped.length == 300, s"got ${capped.length}")
+    assert(capped.forall(_.getAs[Long]("inter") == 2L))
+
+    // runtime guard: uncapped, the hot shingle funnels all 600 docs
+    // through ONE join key; its shuffle partition dwarfs the rest and
+    // AQE must split it across tasks. Asserted on the raw self-join —
+    // the stage the skew actually lands on.
+    val sh = DedupQueries.shingles(docs)
+    val raw = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+    // hot pairs (each doc pair) + the two rare shingles per doc pair
+    assert(raw.collect().length == 600 * 599 / 2 + 2 * 300)
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected AQE to mark the hot-shingle join:\n$plan")
+    // and the grouped pair counts stay correct through the split
+    assert(DedupQueries.shinglePairs(docs, None).collect().length == 600 * 599 / 2)
+  }
 }
