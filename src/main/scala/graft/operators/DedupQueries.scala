@@ -169,15 +169,20 @@ object DedupQueries {
     // along as (small) sorted arrays from the broadcast rep frame, so
     // the intersection is a per-row array_intersect instead of an
     // explode → equi-join → re-group cycle. (The oracle computes the
-    // same count via the join formulation.)
-    val repSets = reps.select(col("fp"), col("ws"), col("n"))
+    // same count via the join formulation.) Both sides join the SAME
+    // broadcast frame under different aliases: identical exchange
+    // subtrees, so ReuseExchange builds the broadcast ONCE — broadcast
+    // builds are driver-side and serialized, and this query runs in a
+    // bench/session alongside dozens of other broadcast-holding
+    // queries; every build it doesn't do is stall surface it doesn't
+    // expose.
+    val repB = guard(reps.select(col("fp"), col("ws"), col("n")), nReps)
     val verified = collisions
-      .join(guard(repSets.select(col("fp").as("fp_a"), col("ws").as("ws_a"),
-        col("n").as("na")), nReps), "fp_a")
-      .join(guard(repSets.select(col("fp").as("fp_b"), col("ws").as("ws_b"),
-        col("n").as("nb")), nReps), "fp_b")
-      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))).cast("long"))
-      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      .join(repB.as("ra"), col("fp_a") === col("ra.fp"))
+      .join(repB.as("rb"), col("fp_b") === col("rb.fp"))
+      .withColumn("inter",
+        size(array_intersect(col("ra.ws"), col("rb.ws"))).cast("long"))
+      .withColumn("union_n", col("ra.n") + col("rb.n") - col("inter"))
       .filter(col("inter") * 10 >= col("union_n") * 9)
       // drop the set arrays before the dedup + expansion — only the
       // counts flow on; inter/union_n are functions of the pair, so
@@ -185,26 +190,25 @@ object DedupQueries {
       .select(col("fp_a"), col("fp_b"), col("inter"), col("union_n"))
       .distinct()
 
-    // expand cross-clique doc pairs (normalize to i < j); member map is
-    // broadcast while it fits, so expansion is map-side too
-    val membersA = guard(
-      docs.select(col("fp").as("m_fp_a"), col("doc_id").as("doc_a")), nDocs)
+    // expand cross-clique doc pairs (normalize to i < j); the member
+    // map is one reused broadcast while it fits, so expansion is
+    // map-side too
     val membersB = guard(
-      docs.select(col("fp").as("m_fp_b"), col("doc_id").as("doc_b")), nDocs)
+      docs.select(col("fp").as("m_fp"), col("doc_id")), nDocs)
     val cross = verified
-      .join(membersA, col("fp_a") === col("m_fp_a"))
-      .join(membersB, col("fp_b") === col("m_fp_b"))
+      .join(membersB.as("ma"), col("fp_a") === col("ma.m_fp"))
+      .join(membersB.as("mb"), col("fp_b") === col("mb.m_fp"))
       .select(
-        least(col("doc_a"), col("doc_b")).as("i"),
-        greatest(col("doc_a"), col("doc_b")).as("j"),
+        least(col("ma.doc_id"), col("mb.doc_id")).as("i"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("j"),
         col("inter"), col("union_n"))
 
     // clique-internal pairs: identical sets, Jaccard = 1
     val intra = reps.filter(col("n_members") >= 2)
-      .join(membersA, col("fp") === col("m_fp_a"))
-      .join(membersB, col("fp") === col("m_fp_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a").as("i"), col("doc_b").as("j"),
+      .join(membersB.as("ma"), col("fp") === col("ma.m_fp"))
+      .join(membersB.as("mb"), col("fp") === col("mb.m_fp"))
+      .filter(col("ma.doc_id") < col("mb.doc_id"))
+      .select(col("ma.doc_id").as("i"), col("mb.doc_id").as("j"),
         col("n").as("inter"), col("n").as("union_n"))
 
     // cache before the global sort: range partitioning samples its
