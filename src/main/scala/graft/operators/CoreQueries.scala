@@ -47,6 +47,13 @@ object CoreQueries {
     * so AvailableNow runs it as one micro-batch and the watermark
     * drops nothing — the batch and streaming answers must agree
     * exactly.)
+    *
+    * Sink contract: memory sink + complete mode holds every (window,
+    * event_type) group on the driver — memory scales with GROUP
+    * cardinality (bounded: windows x types; 3,385 rows at sf0.01),
+    * never with input rows. For unbounded-output streaming shapes the
+    * engine's 100x path is the append-mode parquet file sink, which
+    * `q_stream_sessionize` / `q_stream_join` (StreamingQueries) use.
     */
   def qStreamHourly(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger

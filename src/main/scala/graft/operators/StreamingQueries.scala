@@ -161,9 +161,52 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming dedup as exactly-once under SOURCE REPLAY: the events
+    * fixture enters the stream twice (two copies of the file,
+    * maxFilesPerTrigger=1, so the second micro-batch replays every
+    * event against the state built by the first), and
+    * `dropDuplicatesWithinWatermark` on event_id must emit each event
+    * exactly once. The watermark delay (40 days) exceeds the fixture's
+    * one-month span, so nothing is late-dropped and state stays
+    * bounded by delay — the contract that makes this run at 100x: per
+    * key state expires at watermark + delay instead of growing
+    * forever. Oracle: the events table itself, once.
+    */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    val inDir = Files.createTempDirectory("graft_dd_in").toString
+    val outDir = Files.createTempDirectory("graft_dd_out").toString
+    val ckpt = Files.createTempDirectory("graft_dd_ckpt").toString
+    try {
+      Seq("events.parquet", "events_replay.parquet").foreach { name =>
+        Files.copy(
+          Paths.get(s"$dir/events.parquet"), Paths.get(s"$inDir/$name"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      val deduped = spark.readStream
+        .schema(StreamingDistinct.eventsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      runPass(deduped, outDir, ckpt)
+      materializeAndClean(spark,
+        spark.read.parquet(outDir).orderBy("event_id"),
+        Seq(inDir, outDir, ckpt))
+    } catch {
+      case e: Throwable =>
+        Seq(inDir, outDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (qStreamSessionize _),
-    "q_stream_join" -> (qStreamJoin _)
+    "q_stream_join" -> (qStreamJoin _),
+    "q_stream_dedup" -> (qStreamDedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -194,6 +237,10 @@ object StreamingQueries {
         | AND i.event_type = 'view' AND c.event_type = 'click'
         | AND epoch_us(c.ts) >= epoch_us(i.ts)
         | AND epoch_us(c.ts) <= epoch_us(i.ts) + 3600000000
-        |ORDER BY imp_id, click_id""".stripMargin
+        |ORDER BY imp_id, click_id""".stripMargin,
+    // each event exactly once despite the stream seeing it twice
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
