@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine
@@ -148,16 +148,4 @@ object Multimodal {
     import items.sparkSession.implicits._
     items.mapPartitions(_.map(Codec.resize(_, width, height)))
   }
-
-  /** Per-type feature profile over the decoded corpus (the downstream
-    * aggregation only ever sees the small feature rows).
-    */
-  def featureProfile(features: Dataset[MediaFeatures]): DataFrame =
-    features.toDF()
-      .groupBy(col("media_type"))
-      .agg(
-        count(lit(1)).as("n_items"),
-        sum(col("n_bytes")).as("total_bytes"),
-        min(col("width")).as("min_w"), max(col("width")).as("max_w"),
-        countDistinct(col("checksum")).as("n_distinct_content"))
 }

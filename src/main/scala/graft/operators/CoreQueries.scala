@@ -81,9 +81,7 @@ object CoreQueries {
         .trigger(Trigger.AvailableNow())
         .start())
       q.get.awaitTermination()
-      val out = spark.table(name).orderBy("window_start", "event_type")
-      val rows = out.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      graft.Local.pin(spark.table(name).orderBy("window_start", "event_type"))
     } finally {
       q.filter(_.isActive).foreach(x => Try(x.stop()))
       Try(spark.catalog.dropTempView(name))

@@ -207,6 +207,7 @@ object RelationalQueries {
   // --- scalar function families (string / date / math / json / regex) --
 
   def qScalarFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark) // events is TIMESTAMP(NANOS): needs session wiring
     val events = Engine.table(spark, dir, "events")
     events
       .filter(pmod(col("event_id"), lit(10)) === 0)
@@ -235,6 +236,7 @@ object RelationalQueries {
     */
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    Engine.register(spark) // events is TIMESTAMP(NANOS): needs session wiring
     val events = Engine.table(spark, dir, "events")
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -272,6 +274,7 @@ object RelationalQueries {
     * would make tied rows' session ids depend on arbitrary tie order.)
     */
   def qSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark) // events is TIMESTAMP(NANOS): needs session wiring
     val events = Engine.table(spark, dir, "events")
     events
       .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
@@ -310,6 +313,7 @@ object RelationalQueries {
     */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    Engine.register(spark) // events is TIMESTAMP(NANOS): needs session wiring
     val events = Engine.table(spark, dir, "events")
       .filter(col("event_type").isin("click", "error"))
       .select(col("user_id"), col("ts"), col("event_id"),
@@ -542,6 +546,7 @@ object RelationalQueries {
     * preserved by construction in both engines.
     */
   def qMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark) // events is TIMESTAMP(NANOS): needs session wiring
     val events = Engine.table(spark, dir, "events")
     events
       .filter(pmod(col("event_id"), lit(20)) === 0)

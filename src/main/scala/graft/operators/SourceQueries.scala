@@ -54,10 +54,8 @@ object SourceQueries {
     // immediately instead of leaking one tree per invocation — in a
     // finally, so a failed collect doesn't leak it either
     val out = parts.reduce(_ unionByName _).orderBy("fmt")
-    try {
-      val rows = out.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    } finally graft.Fs.deleteRecursively(base)
+    try graft.Local.pin(out)
+    finally graft.Fs.deleteRecursively(base)
   }
 
   /** Number of buckets for [[bucketedOrdersCustomer]]. Fixed, not
@@ -84,20 +82,27 @@ object SourceQueries {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val tOrders = s"graft_b_orders_$tag"
     val tCustomer = s"graft_b_customer_$tag"
-    Engine.table(spark, dir, "orders")
-      .write.format("parquet").bucketBy(NumBuckets, "o_custkey")
-      .sortBy("o_custkey").mode("overwrite").saveAsTable(tOrders)
-    Engine.table(spark, dir, "customer")
-      .write.format("parquet").bucketBy(NumBuckets, "c_custkey")
-      .sortBy("c_custkey").mode("overwrite").saveAsTable(tCustomer)
-    val joined = spark.table(tOrders)
-      .join(spark.table(tCustomer).hint("merge"),
-        col("o_custkey") === col("c_custkey"))
     val cleanup = () => {
       spark.sql(s"DROP TABLE IF EXISTS $tOrders")
       spark.sql(s"DROP TABLE IF EXISTS $tCustomer")
       ()
     }
+    // both writes under the cleanup contract from the start: a failed
+    // second write must not orphan the first table (managed tables —
+    // UUID-tagged names are never reclaimed by a later overwrite)
+    try {
+      Engine.table(spark, dir, "orders")
+        .write.format("parquet").bucketBy(NumBuckets, "o_custkey")
+        .sortBy("o_custkey").mode("overwrite").saveAsTable(tOrders)
+      Engine.table(spark, dir, "customer")
+        .write.format("parquet").bucketBy(NumBuckets, "c_custkey")
+        .sortBy("c_custkey").mode("overwrite").saveAsTable(tCustomer)
+    } catch {
+      case e: Throwable => scala.util.Try(cleanup()); throw e
+    }
+    val joined = spark.table(tOrders)
+      .join(spark.table(tCustomer).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
     (joined, cleanup)
   }
 
@@ -114,10 +119,8 @@ object SourceQueries {
       .agg(count(lit(1)).as("n_orders"),
         sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
       .orderBy("c_mktsegment")
-    try {
-      val rows = out.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    } finally cleanup()
+    try graft.Local.pin(out)
+    finally cleanup()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

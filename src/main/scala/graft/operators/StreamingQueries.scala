@@ -42,20 +42,20 @@ object StreamingQueries {
     finally if (q.isActive) Try(q.stop())
   }
 
-  /** Pin down a streaming result: read the sink directory back,
-    * materialize into a driver-local relation, then delete every temp
-    * dir — each cleanup step individually guarded so one failure
-    * neither masks a primary error nor skips the rest.
+  /** Pin down a streaming result: read the sink directory back WITH the
+    * sink's statically-known schema (a zero-match run commits no data
+    * files, and schema inference on a metadata-only directory throws —
+    * the query must return an empty frame there, like its batch
+    * oracle), materialize into a driver-local relation, then delete
+    * every temp dir — each cleanup step individually guarded so one
+    * failure neither masks a primary error nor skips the rest.
     */
   private def materializeAndClean(
       spark: SparkSession,
       read: => DataFrame,
       tmpDirs: Seq[String]): DataFrame =
-    try {
-      val out = read
-      val rows = out.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    } finally tmpDirs.foreach(d => Try(graft.Fs.deleteRecursively(d)))
+    try graft.Local.pin(read)
+    finally tmpDirs.foreach(d => Try(graft.Fs.deleteRecursively(d)))
 
   /** Sessionization as an actual incremental execution, including a
     * CHECKPOINT RESTART. Pass 1 streams the events fixture through
@@ -114,10 +114,12 @@ object StreamingQueries {
             Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
           .coalesce(1).write.mode("append").parquet(inDir)
       }
-      runPass(pipeline(), outDir, ckpt) // resumes from the checkpoint
+      val resumed = pipeline()
+      runPass(resumed, outDir, ckpt) // resumes from the checkpoint
 
       materializeAndClean(spark,
-        spark.read.parquet(outDir).orderBy("user_id", "s_start_us"),
+        spark.read.schema(resumed.schema).parquet(outDir)
+          .orderBy("user_id", "s_start_us"),
         Seq(inDir, outDir, ckpt))
     } catch {
       case e: Throwable =>
@@ -152,7 +154,8 @@ object StreamingQueries {
           unix_micros(col("click_ts")).as("click_us"))
       runPass(joined, outDir, ckpt)
       materializeAndClean(spark,
-        spark.read.parquet(outDir).orderBy("imp_id", "click_id"),
+        spark.read.schema(joined.schema).parquet(outDir)
+          .orderBy("imp_id", "click_id"),
         Seq(outDir, ckpt))
     } catch {
       case e: Throwable =>
@@ -194,7 +197,8 @@ object StreamingQueries {
           unix_micros(col("ts")).as("ts_us"), col("event_type"))
       runPass(deduped, outDir, ckpt)
       materializeAndClean(spark,
-        spark.read.parquet(outDir).orderBy("event_id"),
+        spark.read.schema(deduped.schema).parquet(outDir)
+          .orderBy("event_id"),
         Seq(inDir, outDir, ckpt))
     } catch {
       case e: Throwable =>
