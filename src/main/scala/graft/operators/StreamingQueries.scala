@@ -29,6 +29,27 @@ object StreamingQueries {
   /** Gap mirroring the batch `q_sessionize` (6 h, exclusive `>`). */
   private val SessionGapMs = 6L * 3600 * 1000
 
+  /** State partition count for these fixture-scale streaming runs. The
+    * parent session's `spark.sql.shuffle.partitions` (= cores) sizes
+    * BATCH shuffles; a stateful streaming query materializes one state
+    * store instance per partition PER MICRO-BATCH, so 32 partitions
+    * over a few thousand keys is pure per-batch overhead. Each query
+    * runs on its own `newSession()` with this session-local override —
+    * the shared session's conf is never touched (a fresh checkpoint is
+    * created per invocation, so the baked-in state partitioning is
+    * free to differ from the parent's). At production scale this knob
+    * is sized to state volume, not cores.
+    */
+  private val StreamShufflePartitions = "8"
+
+  /** Fresh session wired for one streaming run (session-local conf). */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    Engine.register(s)
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    s
+  }
+
   /** Run one AvailableNow pass of `df` into a parquet sink. */
   private def runPass(df: DataFrame, outDir: String, ckpt: String): Unit = {
     val q = df.writeStream
@@ -70,8 +91,8 @@ object StreamingQueries {
     * streaming plan. Oracle: the batch gaps-and-islands session list.
     */
   def qStreamSessionize(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Engine.register(spark)
+    val ss = streamSession(spark)
+    import ss.implicits._
     val inDir = Files.createTempDirectory("graft_sess_in").toString
     val outDir = Files.createTempDirectory("graft_sess_out").toString
     val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
@@ -82,7 +103,7 @@ object StreamingQueries {
         StandardCopyOption.REPLACE_EXISTING)
 
       def pipeline(): DataFrame = {
-        val src = spark.readStream
+        val src = ss.readStream
           .schema(StreamingDistinct.eventsSchema)
           .option("maxFilesPerTrigger", "1")
           .parquet(inDir)
@@ -109,7 +130,7 @@ object StreamingQueries {
       val sentinelSchema = StreamingDistinct.eventsSchema
       Seq("2100-01-01T00:00:00Z", "2100-02-01T00:00:00Z").foreach { iso =>
         val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
-        spark.createDataFrame(
+        ss.createDataFrame(
           java.util.Arrays.asList(
             Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
           .coalesce(1).write.mode("append").parquet(inDir)
@@ -117,8 +138,8 @@ object StreamingQueries {
       val resumed = pipeline()
       runPass(resumed, outDir, ckpt) // resumes from the checkpoint
 
-      materializeAndClean(spark,
-        spark.read.schema(resumed.schema).parquet(outDir)
+      materializeAndClean(ss,
+        ss.read.schema(resumed.schema).parquet(outDir)
           .orderBy("user_id", "s_start_us"),
         Seq(inDir, outDir, ckpt))
     } catch {
@@ -137,11 +158,11 @@ object StreamingQueries {
     * batch range join.
     */
   def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    Engine.register(spark)
+    val ss = streamSession(spark)
     val outDir = Files.createTempDirectory("graft_sj_out").toString
     val ckpt = Files.createTempDirectory("graft_sj_ckpt").toString
     try {
-      val ev = StreamingDistinct.readEventsStream(spark, dir)
+      val ev = StreamingDistinct.readEventsStream(ss, dir)
       val imps = ev.filter(col("event_type") === "view")
         .select(col("user_id").as("ad_id"), col("ts").as("imp_ts"),
           col("event_id").as("imp_id"))
@@ -153,8 +174,8 @@ object StreamingQueries {
           unix_micros(col("imp_ts")).as("imp_us"),
           unix_micros(col("click_ts")).as("click_us"))
       runPass(joined, outDir, ckpt)
-      materializeAndClean(spark,
-        spark.read.schema(joined.schema).parquet(outDir)
+      materializeAndClean(ss,
+        ss.read.schema(joined.schema).parquet(outDir)
           .orderBy("imp_id", "click_id"),
         Seq(outDir, ckpt))
     } catch {
@@ -176,7 +197,7 @@ object StreamingQueries {
     * forever. Oracle: the events table itself, once.
     */
   def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    Engine.register(spark)
+    val ss = streamSession(spark)
     val inDir = Files.createTempDirectory("graft_dd_in").toString
     val outDir = Files.createTempDirectory("graft_dd_out").toString
     val ckpt = Files.createTempDirectory("graft_dd_ckpt").toString
@@ -186,7 +207,7 @@ object StreamingQueries {
           Paths.get(s"$dir/events.parquet"), Paths.get(s"$inDir/$name"),
           StandardCopyOption.REPLACE_EXISTING)
       }
-      val deduped = spark.readStream
+      val deduped = ss.readStream
         .schema(StreamingDistinct.eventsSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir)
@@ -196,8 +217,8 @@ object StreamingQueries {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("event_type"))
       runPass(deduped, outDir, ckpt)
-      materializeAndClean(spark,
-        spark.read.schema(deduped.schema).parquet(outDir)
+      materializeAndClean(ss,
+        ss.read.schema(deduped.schema).parquet(outDir)
           .orderBy("event_id"),
         Seq(inDir, outDir, ckpt))
     } catch {
