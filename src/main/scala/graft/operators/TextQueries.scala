@@ -181,6 +181,40 @@ object TextQueries {
       .orderBy("lang", "predicted_lang")
   }
 
+  // --- TF-IDF: per-document top terms -----------------------------------
+
+  /** Top-5 terms per document by TF-IDF, with the score kept EXACT: the
+    * usual `tf * ln(N/df)` ranks identically to `tf * N / df` (ln is
+    * monotone), so the score is the integer `(tf * 100000 * N) div df`
+    * — IEEE log implementations differ across engines and the fixture's
+    * 31-word vocabulary is tie-dense, so an FP score would be
+    * oracle-hostile exactly where it matters. Ties break by term.
+    * (DuckDB `//` floors and Spark `div` truncates — identical on the
+    * all-positive operands here.)
+    *
+    * Scale shape: two hash aggregates (tf, df) + one shuffle join on
+    * term + one per-doc ranking window — each keyed on terms or docs,
+    * never on pairs; the N-count rides in as a 1-row broadcast.
+    */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Engine.table(spark, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tokRows = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val tf = tokRows.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tokRows.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("(tf * 100000L * n_docs) div df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   // --- registry ---------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -190,7 +224,8 @@ object TextQueries {
     "q_fingerprint" -> (qFingerprint _),
     "q_winnow" -> (qWinnow _),
     "q_quality_score" -> (qQualityScore _),
-    "q_langid" -> (qLangId _)
+    "q_langid" -> (qLangId _),
+    "q_tfidf" -> (qTfidf _)
   )
 
   private val duckStop = "('the','and','of','a','to')"
@@ -296,6 +331,23 @@ object TextQueries {
          |       $duckLangScores
          |  FROM documents)
          |SELECT lang, $duckArgmax AS predicted_lang, count(*) AS n_docs
-         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
+    // integer-exact tf-idf ranking (ln dropped — monotone), // floors =
+    // div truncation on all-positive operands
+    "q_tfidf" ->
+      """WITH tokrows AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tokrows GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tokrows GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok, tf, df, tf * 100000 * n_docs // df AS score
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, tok) AS rk
+        |  FROM scored)
+        |SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin
   )
 }
