@@ -215,6 +215,59 @@ object TextQueries {
       .orderBy("doc_id", "rk")
   }
 
+  // --- deterministic train/eval split -----------------------------------
+
+  /** Content-hash split: 'train' when the first hex char of a salted
+    * md5 of the TEXT is < 'd' (13/16 ≈ 81%), else 'eval'. Hashing the
+    * content (not the id) is the ML-correct choice: the assignment
+    * survives re-ingestion/renumbering, and exact duplicates land in
+    * the SAME split (no train→eval leakage through copies) — the same
+    * reason `q_dedup_exact` keys on the text hash. md5 is bit-identical
+    * in both engines (the repo's standard cross-engine coin). Output is
+    * the per-(lang, split) census with the char budget; one hash
+    * aggregate, no shuffle of the texts themselves.
+    */
+  def qTrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    docs
+      .withColumn("split",
+        when(substring(md5(concat(lit("split1|"), col("text"))), 1, 1) < "d",
+          "train").otherwise("eval"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars_total"))
+      .orderBy("lang", "split")
+  }
+
+  // --- sequence packing (context-window chunking) ------------------------
+
+  /** Greedy sequential packing of documents into fixed-size context
+    * windows, per language: docs are laid end to end in doc_id order
+    * and a doc's pack is `floor(chars_before / ContextLen)` — the
+    * streaming-concatenation shape tokenizer pipelines use to fill
+    * training contexts. Output is the per-pack census. The running sum
+    * partitions by lang, so the computation scales out with strata
+    * (a global pack order would serialize); within a stratum the
+    * window is one shuffle + linear walk.
+    */
+  private val ContextLen = 4096L
+
+  def qPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Engine.table(spark, dir, "documents")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .withColumn("pack_id",
+        expr(s"(cum_chars - n_chars) div $ContextLen")) // integer div: exact on both engines (all-positive)
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "pack_id")
+  }
+
   // --- registry ---------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -225,7 +278,9 @@ object TextQueries {
     "q_winnow" -> (qWinnow _),
     "q_quality_score" -> (qQualityScore _),
     "q_langid" -> (qLangId _),
-    "q_tfidf" -> (qTfidf _)
+    "q_tfidf" -> (qTfidf _),
+    "q_train_split" -> (qTrainSplit _),
+    "q_pack" -> (qPack _)
   )
 
   private val duckStop = "('the','and','of','a','to')"
@@ -348,6 +403,27 @@ object TextQueries {
         |  FROM scored)
         |SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |       CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
-        |FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin
+        |FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "q_train_split" ->
+      """SELECT lang,
+        |       CASE WHEN substr(md5('split1|' || text), 1, 1) < 'd'
+        |            THEN 'train' ELSE 'eval' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q_pack" ->
+      """WITH cum AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum_chars
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         (cum_chars - n_chars) // 4096 AS pack_id
+        |  FROM cum)
+        |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
   )
 }
