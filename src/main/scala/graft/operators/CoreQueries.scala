@@ -57,10 +57,13 @@ object CoreQueries {
     */
   def qStreamHourly(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    Engine.register(spark)
+    // dedicated low-partition streaming session, like the other
+    // stateful streaming queries (state stores are per partition per
+    // micro-batch; the parent's core-count partitioning is batch-sized)
+    val ss = StreamingQueries.streamSession(spark)
     val agg = graft.streaming.StreamingDistinct
       .hourlyDistinctUsers(
-        graft.streaming.StreamingDistinct.readEventsStream(spark, dir))
+        graft.streaming.StreamingDistinct.readEventsStream(ss, dir))
     import scala.util.Try
     val name = "g_stream_hourly_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -81,10 +84,10 @@ object CoreQueries {
         .trigger(Trigger.AvailableNow())
         .start())
       q.get.awaitTermination()
-      graft.Local.pin(spark.table(name).orderBy("window_start", "event_type"))
+      graft.Local.pin(ss.table(name).orderBy("window_start", "event_type"))
     } finally {
       q.filter(_.isActive).foreach(x => Try(x.stop()))
-      Try(spark.catalog.dropTempView(name))
+      Try(ss.catalog.dropTempView(name))
       Try(graft.Fs.deleteRecursively(ckpt))
     }
   }

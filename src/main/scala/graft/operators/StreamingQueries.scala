@@ -42,8 +42,10 @@ object StreamingQueries {
     */
   private val StreamShufflePartitions = "8"
 
-  /** Fresh session wired for one streaming run (session-local conf). */
-  private def streamSession(spark: SparkSession): SparkSession = {
+  /** Fresh session wired for one streaming run (session-local conf).
+    * Shared with the other stateful streaming query (qStreamHourly).
+    */
+  private[operators] def streamSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
     Engine.register(s)
     s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)

@@ -200,7 +200,12 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val docs = Engine.table(spark, dir, "documents")
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // cached: tf and df both fork from the exploded token rows, and
+    // Spark does not share subplans across DataFrame forks — without
+    // this the text column is split + exploded twice. Lazy (no eager
+    // job); session owners clearCache per query (Bench/Verify).
     val tokRows = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .cache()
     val tf = tokRows.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tokRows.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
@@ -412,14 +417,14 @@ object TextQueries {
         |       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q_pack" ->
-      """WITH cum AS (
+      s"""WITH cum AS (
         |  SELECT lang, doc_id, n_chars,
         |         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
         |                            ROWS UNBOUNDED PRECEDING) AS cum_chars
         |  FROM documents),
         |packed AS (
         |  SELECT lang, doc_id, n_chars,
-        |         (cum_chars - n_chars) // 4096 AS pack_id
+        |         (cum_chars - n_chars) // $ContextLen AS pack_id
         |  FROM cum)
         |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
