@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("extensions-configured session resolves count300k and vec_dot") {
+  test("extensions-configured session resolves every injected function") {
     val shared = SparkSpec.session // materialize the shared context first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -29,6 +29,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |FROM range(100)""".stripMargin).collect()(0)
       assert(r.getString(0) == "5")
       assert(r.getDouble(1) == 11.0)
+      val r2 = s.sql(
+        """SELECT fnv64('chars') AS h,
+          |       size(fnv_grams('abcdefgh', 3)) AS ng,
+          |       sliding_min(fnv_grams('abcdefgh', 3), 2) AS mins,
+          |       topk_agg(cast(id AS double), id, 2) AS tk
+          |FROM range(10)""".stripMargin).collect()(0)
+      assert(r2.getInt(1) == 6) // 8 chars -> 6 3-grams
+      assert(r2.getSeq[Long](2).length == 5) // 6 grams -> 5 windows of 2
+      assert(r2.getSeq[AnyRef](3).length == 2)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
