@@ -27,4 +27,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // GC-pause visibility for the bench-variance harness (dev-only knob)
+  sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc:file=$f").toSeq

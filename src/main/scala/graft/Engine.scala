@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession, functions => F}
-import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{ExactCountDistinct, Fnv1a64, FnvGrams, HashSetCountDistinct, SlidingMin, TopKAgg, VectorDot}
+import graft.functions.{ExactCountDistinct, Fnv1a64, FnvGrams, HashSetCountDistinct, SlidingMin, SortedInterCount, TopKAgg, VectorDot}
 
 /** Session-level wiring for the graft engine: function registration and
   * fixture-table access. Registration is the Spark analogue of the
@@ -14,48 +15,45 @@ import graft.functions.{ExactCountDistinct, Fnv1a64, FnvGrams, HashSetCountDisti
   */
 object Engine {
 
-  /** Idempotently register graft's SQL function surface on a session. */
+  /** Idempotently register graft's SQL function surface on a session.
+    * Register-if-absent: re-registering an existing name makes Spark
+    * log a "replaced a previously registered function" WARN per name
+    * per call, and register() runs once per derived session and per
+    * helper entry point — a bench run would otherwise spray dozens of
+    * them into the harness log.
+    */
   def register(spark: SparkSession): SparkSession = synchronized {
+    val registry = spark.sessionState.functionRegistry
+    def temp(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     // Exact multi-instance distinct count (the reference's one operator):
     // native TypedImperativeAggregate on the hot path...
     // Non-string arguments are coerced here; SimplifyCasts drops the no-op.
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "count300k",
-      exprs => HashSetCountDistinct(Cast(exprs.head, StringType)),
-      "scala_udf")
+    temp("count300k")(exprs => HashSetCountDistinct(Cast(exprs.head, StringType)))
     // ...and the idiomatic Aggregator surface under an explicit alias.
-    spark.udf.register("count300k_agg", F.udaf(ExactCountDistinct, Encoders.STRING))
+    if (!registry.functionExists(FunctionIdentifier("count300k_agg")))
+      spark.udf.register("count300k_agg", F.udaf(ExactCountDistinct, Encoders.STRING))
     // Codegen'd double dot product over float/double arrays (similarity path).
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot",
-      exprs => VectorDot(exprs(0), exprs(1)),
-      "scala_udf")
+    temp("vec_dot")(exprs => VectorDot(exprs(0), exprs(1)))
     // The reference's own hash (FNV-1a 64, hashset-count.cc:49-59).
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv64",
-      exprs => Fnv1a64(exprs.head),
-      "scala_udf")
+    temp("fnv64")(exprs => Fnv1a64(exprs.head))
     // Bounded exact top-k with map-side cut (shuffle ≤ k per group/task).
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_agg",
-      exprs => TopKAgg(exprs(0), exprs(1), exprs(2)),
-      "scala_udf")
+    temp("topk_agg")(exprs => TopKAgg(exprs(0), exprs(1), exprs(2)))
     // One-pass text fingerprinting primitives (winnowing path): per-gram
     // FNV and O(n) sliding-window min — tight loops where HOF lambdas
     // would run interpreted per element.
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv_grams",
-      exprs => FnvGrams(exprs(0), exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sliding_min",
-      exprs => SlidingMin(exprs(0), exprs(1)),
-      "scala_udf")
-    // Session-construction conf, set HERE (the explicit session-wiring
-    // call) and nowhere else: `events.ts` is parquet TIMESTAMP(NANOS),
-    // which the vectorized reader rejects unless read as raw longs.
-    // Read helpers like [[table]] stay side-effect free — a concurrent
-    // query on a shared session must never see a conf flip mid-read.
+    temp("fnv_grams")(exprs => FnvGrams(exprs(0), exprs(1)))
+    temp("sliding_min")(exprs => SlidingMin(exprs(0), exprs(1)))
+    // Zero-allocation exact intersection count over sorted word sets
+    // (the MinHash verification hot path).
+    temp("sorted_inter_count")(exprs => SortedInterCount(exprs(0), exprs(1)))
+    // Session-construction conf: set at register() or as session-build
+    // config (Bench/Verify/BenchOne/PlanDump builders), never by read
+    // helpers — `events.ts` is parquet TIMESTAMP(NANOS), which the
+    // vectorized reader rejects unless read as raw longs. [[table]]
+    // stays side-effect free — a concurrent query on a shared session
+    // must never see a conf flip mid-read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{Fnv1a64, FnvGrams, HashSetCountDistinct, SlidingMin, TopKAgg, VectorDot}
+import graft.functions.{Fnv1a64, FnvGrams, HashSetCountDistinct, SlidingMin, SortedInterCount, TopKAgg, VectorDot}
 
 /** Cluster-wide injection point: set
   * `spark.sql.extensions=graft.GraftExtensions` and every session —
@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sliding_min"),
       new ExpressionInfo(classOf[SlidingMin].getCanonicalName, "sliding_min"),
       (exprs: Seq[Expression]) => SlidingMin(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_inter_count"),
+      new ExpressionInfo(classOf[SortedInterCount].getCanonicalName, "sorted_inter_count"),
+      (exprs: Seq[Expression]) => SortedInterCount(exprs(0), exprs(1))))
   }
 }

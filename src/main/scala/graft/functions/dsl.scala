@@ -29,4 +29,11 @@ object dsl {
 
   /** L2 norm of a vector column. */
   def vec_norm(c: Column): Column = F.sqrt(vec_dot(c, c))
+
+  /** Exact intersection size of two sorted, duplicate-free string
+    * arrays (zero-allocation merge walk; see
+    * [[graft.functions.SortedInterCount]] for the input contract).
+    */
+  def sorted_inter_count(a: Column, b: Column): Column =
+    F.call_function("sorted_inter_count", a, b)
 }

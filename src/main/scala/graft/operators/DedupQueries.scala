@@ -71,24 +71,21 @@ object DedupQueries {
     * computed once per word and joined back instead of recomputed per
     * (set, word) row — same values, a fraction of the hash work.
     *
-    * The vocab side carries an explicit size-guarded broadcast: the
-    * distinct-word frame is cached and counted (one cheap job over
-    * data the join needs anyway), and broadcast only when the count
-    * fits [[BroadcastVocabMaxWords]]. Leaving the decision to AQE is
-    * not reliable here — over this cached multi-branch lineage AQE
-    * was observed to pick a shuffle join on a 31-word vocabulary,
-    * which turned the (token x vocab) join into the whole bench's
-    * pathology (222s for this query in the round-2 driver run vs ~20s
-    * with broadcast). A corpus-dependent unbounded vocab still must
-    * not be force-broadcast, hence measured, not assumed.
+    * The vocab side carries an explicit size-guarded broadcast
+    * (`nVocab` is a measured count, see [[qMinhashLsh]]'s guards).
+    * Leaving the decision to AQE is not reliable here — over this
+    * cached multi-branch lineage AQE was observed to pick a shuffle
+    * join on a 31-word vocabulary, which turned the (token x vocab)
+    * join into the whole bench's pathology (222s for this query in the
+    * round-2 driver run vs ~20s with broadcast). A corpus-dependent
+    * unbounded vocab still must not be force-broadcast, hence
+    * measured, not assumed.
     */
-  private def repSignatures(reps: DataFrame): DataFrame = {
-    val vocab = reps.select(explode(col("ws")).as("w")).distinct().cache()
-    val vocabWords = vocab.count() // materializes the cache; guards the hint
+  private def repSignatures(reps: DataFrame, vocab: DataFrame, nVocab: Long): DataFrame = {
     val hashed0 = vocab.select(col("w") +:
       (0 until NumHashes).map(s => md5(concat(lit(s"$s|"), col("w"))).as(s"h$s")): _*)
     val hashed =
-      if (vocabWords <= BroadcastVocabMaxWords) broadcast(hashed0) else hashed0
+      if (nVocab <= BroadcastVocabMaxWords) broadcast(hashed0) else hashed0
     val aggs = (0 until NumHashes).map(s => min(col(s"h$s")).as(s"h$s"))
     reps.select(col("fp"), explode(col("ws")).as("w"))
       .join(hashed, "w")
@@ -107,15 +104,16 @@ object DedupQueries {
   private val BroadcastSideMaxRows = 1L << 20
 
   /** MinHash-LSH near-dup pairs, verified at word-Jaccard >= 0.9.
+    * [[qMinhashLsh]] is the materializing form; [[qMinhashLshPlan]]
+    * keeps the identical pipeline lazy for plan inspection.
     *
-    * Building this frame runs SMALL EAGER JOBS (counts over cached
-    * frames): the measured size guards below decide broadcast vs
-    * shuffle from real row counts, not estimates — plan-only consumers
-    * (e.g. plan-shape specs) therefore trigger execution when they
-    * construct it, and the caches live until the session owner's
-    * `clearCache`. That is deliberate: leaving the choice to AQE
-    * turned the vocab join into a shuffle join over a 31-word
-    * vocabulary in the round-2 driver run (222s vs ~20s broadcast).
+    * Building this frame runs EAGER JOBS: three small counts feed the
+    * measured size guards (broadcast vs shuffle from real row counts,
+    * not estimates — leaving the choice to AQE turned the vocab join
+    * into a shuffle join over a 31-word vocabulary in the round-2
+    * driver run, 222s vs ~20s broadcast), and the materializing form
+    * additionally runs the pipeline itself through two staged
+    * `localCheckpoint`s (see `cut` below).
     *
     * Shuffle inventory after the guards (the 100 TB shape): signature
     * groupBy, ONE distinct over verified survivors (≤ NumBands × true
@@ -126,31 +124,87 @@ object DedupQueries {
     * member expansion are map-side broadcast joins while the
     * rep/member frames fit [[BroadcastSideMaxRows]].
     *
-    * Cache lifecycle: cached frames feed multiple join branches and
-    * the final sort's sampling pass; Bench and Verify both
-    * `spark.catalog.clearCache()` per query.
+    * Cache lifecycle — SELF-CONTAINED in the materializing form: the
+    * driver bench hit 222.8s (r2) and 253.4s (r4) on runs the same
+    * code reproduced at 16-20s, and the standing suspect is the peak
+    * concurrent footprint (4 cached frames + 3 guarded broadcasts)
+    * interacting with heap/GC state inherited from the rest of the
+    * suite. `cut` therefore materializes each stage eagerly
+    * (`localCheckpoint`, truncating lineage so the final sort's
+    * range-partition sampling reads stored partitions instead of
+    * re-running the expansion joins) and unpersists every cached
+    * frame the moment its last consumer has run — construction
+    * returns with NO caches resident and only the checkpointed
+    * true-pair partitions alive. No reliance on the session owner's
+    * `clearCache`, and repeated construction never stacks caches.
     */
-  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    lshPairs(spark, dir, (df, label, consumed) => {
+      val ck = staged(label) {
+        df.localCheckpoint() // eager: runs the stage now
+      }
+      consumed.foreach(_.unpersist())
+      ck
+    })
+
+  /** Identical pipeline, no checkpoints/unpersists: the executed plan
+    * of the FULL query (joins, broadcasts, exchanges) stays
+    * inspectable end to end — the plan-shape specs assert on this
+    * form. Runs the three guard counts but no other jobs.
+    */
+  private[operators] def qMinhashLshPlan(spark: SparkSession, dir: String): DataFrame =
+    lshPairs(spark, dir, (df, _, _) => df)
+
+  /** Per-stage wall-clock to stderr when GRAFT_STAGE_LOG is set — the
+    * debugging hook for this query's recorded driver-run bimodality
+    * (which stage stalls, not just that the total did).
+    */
+  private def staged[A](label: String)(body: => A): A =
+    if (sys.env.contains("GRAFT_STAGE_LOG")) {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[lsh] $label%-12s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      r
+    } else body
+
+  /** The shared pipeline; `cut(stage, label, consumedCaches)` is
+    * applied at the three stage boundaries (post-banding,
+    * post-verification, post-expansion).
+    */
+  private def lshPairs(
+      spark: SparkSession, dir: String,
+      cut: (DataFrame, String, Seq[DataFrame]) => DataFrame): DataFrame = {
+    Engine.register(spark) // sorted_inter_count on the verification path
     val docs = uniqueSets(spark, dir).cache()
     val reps = docs.groupBy(col("fp")).agg(
       min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members"),
       first(col("ws")).as("ws"), size(first(col("ws"))).as("n"))
       .cache()
-    val nReps = reps.count() // materializes both caches; guards the hints
-    val nDocs = docs.count() // cheap: docs is cached by the count above
+    val nReps = staged("reps.count")(reps.count()) // materializes both caches; guards the hints
+    val nDocs = staged("docs.count")(docs.count()) // cheap: docs is cached by the count above
+    val vocab = reps.select(explode(col("ws")).as("w")).distinct().cache()
+    val nVocab = staged("vocab.count")(vocab.count()) // materializes the cache; guards the hint
     def guard(df: DataFrame, rows: Long): DataFrame =
       if (rows <= BroadcastSideMaxRows) broadcast(df) else df
 
     // LSH over unique sets only
-    val sigs = repSignatures(reps)
+    val sigs = repSignatures(reps, vocab, nVocab)
     val bandCols = (0 until NumBands).map { b =>
       val parts = (0 until BandSize).map(r => col(s"h${b * BandSize + r}"))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("bh"))
     }
-    val buckets = sigs
-      .select(col("fp"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("fp"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .cache()
+    // stage boundary: the band-bucket frame feeds BOTH sides of the
+    // collision self-join — the streaming side and the broadcast-build
+    // future would otherwise race to materialize the same signature
+    // lineage concurrently (block-lock serialization, duplicate
+    // broadcast pressure). Cut here so both sides read stored
+    // partitions; the vocab cache's last consumer is the signature
+    // aggregate inside this stage.
+    val buckets = cut(
+      sigs
+        .select(col("fp"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("fp"), col("bb.band").as("band"), col("bb.bh").as("bh")),
+      "buckets", Seq(vocab))
     // Candidate collisions, NOT deduped here: one (l,r) row per shared
     // band. Dedup is deferred until after verification so the shuffle
     // dedups ≤ NumBands copies of the TRUE pairs instead of the full
@@ -167,9 +221,13 @@ object DedupQueries {
 
     // exact verification per collision row: the distinct word sets ride
     // along as (small) sorted arrays from the broadcast rep frame, so
-    // the intersection is a per-row array_intersect instead of an
-    // explode → equi-join → re-group cycle. (The oracle computes the
-    // same count via the join formulation.) Both sides join the SAME
+    // the intersection is a per-row merge-count instead of an
+    // explode → equi-join → re-group cycle — `sorted_inter_count`, a
+    // zero-allocation codegen'd walk over the already-sorted arrays
+    // (array_intersect built a hash set + output array per candidate
+    // row; across millions of candidates that garbage made this stage
+    // the bench's measured variance center). The oracle computes the
+    // same count via the join formulation. Both sides join the SAME
     // broadcast frame under different aliases: identical exchange
     // subtrees, so ReuseExchange builds the broadcast ONCE — broadcast
     // builds are driver-side and serialized, and this query runs in a
@@ -181,7 +239,7 @@ object DedupQueries {
       .join(repB.as("ra"), col("fp_a") === col("ra.fp"))
       .join(repB.as("rb"), col("fp_b") === col("rb.fp"))
       .withColumn("inter",
-        size(array_intersect(col("ra.ws"), col("rb.ws"))).cast("long"))
+        graft.functions.dsl.sorted_inter_count(col("ra.ws"), col("rb.ws")))
       .withColumn("union_n", col("ra.n") + col("rb.n") - col("inter"))
       .filter(col("inter") * 10 >= col("union_n") * 9)
       // drop the set arrays before the dedup + expansion — only the
@@ -190,12 +248,19 @@ object DedupQueries {
       .select(col("fp_a"), col("fp_b"), col("inter"), col("union_n"))
       .distinct()
 
+    // stage boundary: the verification join + distinct is the garbage
+    // churn center (millions of candidate rows each carrying two word
+    // arrays) — cut here so the expansion stage starts from the small
+    // true-pair set. The buckets checkpoint is dereferenced after this
+    // (its blocks fall to the ContextCleaner); no cache()s to release.
+    val verifiedM = cut(verified, "verify", Seq.empty)
+
     // expand cross-clique doc pairs (normalize to i < j); the member
     // map is one reused broadcast while it fits, so expansion is
     // map-side too
     val membersB = guard(
       docs.select(col("fp").as("m_fp"), col("doc_id")), nDocs)
-    val cross = verified
+    val cross = verifiedM
       .join(membersB.as("ma"), col("fp_a") === col("ma.m_fp"))
       .join(membersB.as("mb"), col("fp_b") === col("mb.m_fp"))
       .select(
@@ -211,13 +276,16 @@ object DedupQueries {
       .select(col("ma.doc_id").as("i"), col("mb.doc_id").as("j"),
         col("n").as("inter"), col("n").as("union_n"))
 
-    // cache before the global sort: range partitioning samples its
-    // input, which would otherwise run the expansion joins twice
-    cross.unionByName(intra)
-      .select(col("i"), col("j"), col("inter"), col("union_n"),
-        floor(lit(100.0) * col("inter") / col("union_n")).cast("long").as("jac_pct"))
-      .cache()
-      .orderBy("i", "j")
+    // stage boundary before the global sort: range partitioning
+    // samples its input, which would otherwise run the expansion
+    // joins twice — the cut materializes the pair set once and
+    // releases the last two caches (docs, reps)
+    val pairs = cut(
+      cross.unionByName(intra)
+        .select(col("i"), col("j"), col("inter"), col("union_n"),
+          floor(lit(100.0) * col("inter") / col("union_n")).cast("long").as("jac_pct")),
+      "expand", Seq(docs, reps))
+    pairs.orderBy("i", "j")
   }
 
   // --- SimHash -----------------------------------------------------------

@@ -192,22 +192,29 @@ object TextQueries {
     * (DuckDB `//` floors and Spark `div` truncates — identical on the
     * all-positive operands here.)
     *
-    * Scale shape: two hash aggregates (tf, df) + one shuffle join on
-    * term + one per-doc ranking window — each keyed on terms or docs,
-    * never on pairs; the N-count rides in as a 1-row broadcast.
+    * Scale shape: ONE pass over the exploded tokens pre-aggregates
+    * `(doc_id, tok, tf)`; document frequency is derived from that
+    * frame (`df` = rows per tok — each (doc, tok) row is one
+    * containing doc), so the only cached frame is the tf aggregate —
+    * vocabulary x docs-containing-it, orders of magnitude smaller
+    * than the raw token occurrences a corpus-scale explode produces.
+    * Then one shuffle join on term + one per-doc ranking window —
+    * each keyed on terms or docs, never on pairs; the N-count rides
+    * in as a 1-row broadcast.
     */
   def qTfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Engine.table(spark, dir, "documents")
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    // cached: tf and df both fork from the exploded token rows, and
-    // Spark does not share subplans across DataFrame forks — without
-    // this the text column is split + exploded twice. Lazy (no eager
-    // job); session owners clearCache per query (Bench/Verify).
-    val tokRows = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    // cached: the join branch and the df derivation both fork from tf,
+    // and Spark does not share subplans across DataFrame forks —
+    // without this the text column is split + exploded + aggregated
+    // twice. Lazy (no eager job); session owners clearCache per query
+    // (Bench/Verify).
+    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .cache()
-    val tf = tokRows.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tokRows.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))
     tf.join(dfreq, "tok")

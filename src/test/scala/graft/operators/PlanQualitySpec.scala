@@ -79,7 +79,9 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   test("q_minhash_lsh plans no cartesian or nested-loop joins") {
-    val s = plan(DedupQueries.qMinhashLsh(spark, dir)).toString
+    // the lazy pipeline form: qMinhashLsh itself checkpoints stage
+    // results, which would truncate the join subtrees out of the plan
+    val s = plan(DedupQueries.qMinhashLshPlan(spark, dir)).toString
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
