@@ -8,10 +8,12 @@ import graft.Engine
 /** Multimodal column handling: media as opaque `binary` + typed metadata,
   * with decode / feature-extract / frame-sample stages shaped for a real
   * cluster run — schema, partitioning and per-partition batch iteration
-  * are real. Image payloads decode through the REAL codec
-  * ([[ImageCodec]], JDK `javax.imageio` — PNG/JPEG/GIF/BMP); only
-  * audio/video remain stubbed ([[StubCodec]]; no codec libraries for
-  * those in this container).
+  * are real. Image payloads decode through the REAL image codec
+  * ([[ImageCodec]], JDK `javax.imageio` — PNG/JPEG/GIF/BMP); audio
+  * payloads decode through the REAL PCM/WAV codec ([[WavCodec]],
+  * pure-JVM RIFF parse + sample decode); only compressed audio and
+  * video remain stubbed ([[StubCodec]]; no codec libraries for those
+  * in this container).
   *
   * Scale shape: media bytes never pass through a shuffle — decode and
   * feature extraction are narrow mapPartitions stages; only the small
@@ -46,8 +48,11 @@ object Multimodal {
       bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b))
 
   /** Codec dispatch: image payloads go through the real
-    * [[ImageCodec]]; anything else (and undecodable image bytes)
-    * falls back to the deterministic [[StubCodec]].
+    * [[ImageCodec]], audio payloads through the real [[WavCodec]]
+    * (feature mapping: width = sample rate, height = channels,
+    * n_frames = per-channel samples — fixed-width facts a downstream
+    * aggregation can contract on); anything else (and undecodable
+    * payload bytes) falls back to the deterministic [[StubCodec]].
     */
   object Codec {
     def decode(item: MediaItem): MediaFeatures =
@@ -57,6 +62,15 @@ object Multimodal {
             MediaFeatures(item.media_id, item.media_type,
               item.content.length.toLong, w, h, n_frames = 1,
               checksum = checksum(item.content))
+          case None => StubCodec.decode(item)
+        }
+      else if (item.media_type.startsWith("audio/"))
+        WavCodec.decode(item.content) match {
+          case Some(w) =>
+            MediaFeatures(item.media_id, item.media_type,
+              item.content.length.toLong,
+              width = w.sampleRate, height = w.channels,
+              n_frames = w.nFrames, checksum = checksum(item.content))
           case None => StubCodec.decode(item)
         }
       else StubCodec.decode(item)

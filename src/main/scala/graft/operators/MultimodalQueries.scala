@@ -4,15 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine
-import graft.multimodal.{ImageCodec, Multimodal}
+import graft.multimodal.{ImageCodec, Multimodal, WavCodec}
 
-/** Query surface for the multimodal module. All three queries are
+/** Query surface for the multimodal module. All four queries are
   * oracle-checked: metadata extraction (q_multimodal_meta), the real
   * image codec round trip (q_image_decode — decoded dimensions are
-  * predictable), and the mixed-corpus feature profile
-  * (q_media_profile — per-type columns restricted to decode
-  * contracts). The stubbed-codec (audio/video) feature path stays
-  * spec-only in MultimodalSpec (fake decode, not SQL-expressible).
+  * predictable), the real audio codec round trip (q_audio_decode —
+  * decoded PCM sample statistics are predictable), and the
+  * mixed-corpus feature profile (q_media_profile — per-type columns
+  * restricted to decode contracts). The stubbed-codec (compressed
+  * audio / video) feature path stays spec-only in MultimodalSpec
+  * (fake decode, not SQL-expressible).
   */
 object MultimodalQueries {
 
@@ -36,16 +38,43 @@ object MultimodalQueries {
   /** Number of synthetic PNG fixtures for the real-codec round trip. */
   private val NImages = 64
 
+  /** Number of synthetic PCM WAV fixtures for the audio round trip. */
+  private val NAudio = 48
+
+  /** Deterministic PCM16 WAV corpus: the i-th item has sample rate
+    * `8000 + 1000*(i%4)`, `1 + i%2` channels, `64 + 8*i` frames per
+    * channel, and interleaved samples `((k*37 + i*11) % 997) - 498` —
+    * every field (including the exact byte size, 44 + frames*ch*2, and
+    * the sum of |sample|) is closed-form, so a SQL oracle can predict
+    * what the REAL decoder must recover from the bytes.
+    */
+  private def audioItems(spark: SparkSession) = {
+    import spark.implicits._
+    spark.range(NAudio).map { i =>
+      val ii = i.toInt
+      val sampleRate = 8000 + 1000 * (ii % 4)
+      val channels = 1 + (ii % 2)
+      val frames = 64 + 8 * ii
+      val samples = Array.tabulate(frames * channels)(k =>
+        (((k * 37 + ii * 11) % 997) - 498).toShort)
+      Multimodal.MediaItem(i, "audio/wav", "synthetic", 0L,
+        WavCodec.encodePcm16(sampleRate, channels, samples))
+    }
+  }
+
   /** Feature profile over a MIXED media corpus through the full typed
-    * pipeline: the documents table as `text/plain` plus [[NImages]]
-    * deterministic PNGs decoded by the REAL codec. Each profile column
-    * is emitted only for the types where its value is a decode
-    * contract rather than a codec artifact — total_bytes for text
-    * (byte length is exact), pixel dims and frame count for images
-    * (the oracle predicts them arithmetically), content distinctness
-    * for both — so the whole profile is rows+schema+hash checkable.
-    * (PNG byte size would depend on the encoder's compression choices:
-    * deliberately not exposed. Audio/video remain the stub codec,
+    * pipeline: the documents table as `text/plain`, [[NImages]]
+    * deterministic PNGs decoded by the REAL image codec, and
+    * [[NAudio]] deterministic PCM WAVs decoded by the REAL audio
+    * codec. Each profile column is emitted only for the types where
+    * its value is a decode contract rather than a codec artifact —
+    * total_bytes for text and audio (byte length is exact: WAV is
+    * 44 + frames*channels*2 by construction), dims and frame count
+    * for images (pixels) and audio (sample rate / channels /
+    * per-channel samples), content distinctness for all — so the
+    * whole profile is rows+schema+hash checkable. (PNG byte size
+    * would depend on the encoder's compression choices: deliberately
+    * not exposed. Compressed audio / video remain the stub codec,
     * covered by MultimodalSpec — no codec libs in this container.)
     */
   def qMediaProfile(spark: SparkSession, dir: String): DataFrame = {
@@ -57,7 +86,9 @@ object MultimodalQueries {
       Multimodal.MediaItem(i, "image/png", "synthetic", 0L,
         ImageCodec.encodePng(w, h, i))
     }
-    val feats = Multimodal.decodeFeatures(text.union(images)).toDF()
+    val feats = Multimodal.decodeFeatures(
+      text.union(images).union(audioItems(spark))).toDF()
+    val dimTypes = Seq("image/png", "audio/wav")
     feats
       .groupBy(col("media_type"))
       .agg(
@@ -69,20 +100,42 @@ object MultimodalQueries {
         countDistinct(col("checksum")).as("n_distinct_content"))
       .select(
         col("media_type"), col("n_items"),
-        when(col("media_type") === "text/plain", col("sum_bytes"))
+        when(col("media_type").isin("text/plain", "audio/wav"), col("sum_bytes"))
           .cast("long").as("total_bytes"),
-        when(col("media_type") === "image/png", col("mnw"))
+        when(col("media_type").isin(dimTypes: _*), col("mnw"))
           .cast("long").as("min_w"),
-        when(col("media_type") === "image/png", col("mxw"))
+        when(col("media_type").isin(dimTypes: _*), col("mxw"))
           .cast("long").as("max_w"),
-        when(col("media_type") === "image/png", col("mnh"))
+        when(col("media_type").isin(dimTypes: _*), col("mnh"))
           .cast("long").as("min_h"),
-        when(col("media_type") === "image/png", col("mxh"))
+        when(col("media_type").isin(dimTypes: _*), col("mxh"))
           .cast("long").as("max_h"),
-        when(col("media_type") === "image/png", col("frames"))
+        when(col("media_type").isin(dimTypes: _*), col("frames"))
           .cast("long").as("n_frames"),
         col("n_distinct_content"))
       .orderBy("media_type")
+  }
+
+  /** REAL audio decode through the distributed pipeline: encode
+    * deterministic PCM WAVs, decode them on executors with the real
+    * RIFF/PCM parser, and emit per-item facts INCLUDING a sample-level
+    * aggregate (sum and truncated mean of |sample|) — values the
+    * oracle derives arithmetically from the generation formula, so a
+    * header-only "decode" cannot fake them. The audio analogue of
+    * [[qImageDecode]].
+    */
+  def qAudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioItems(spark)
+      .map { it =>
+        val info = WavCodec.decode(it.content).getOrElse(
+          sys.error(s"undecodable WAV fixture ${it.media_id}"))
+        val nSamples = info.nFrames.toLong * info.channels
+        (it.media_id, info.sampleRate.toLong, info.channels.toLong,
+          info.nFrames.toLong, info.sumAbs, info.sumAbs / nSamples)
+      }
+      .toDF("media_id", "sample_rate", "channels", "n_frames", "sum_abs", "mean_abs")
+      .orderBy("media_id")
   }
 
   /** REAL image decode + resize through the full distributed pipeline:
@@ -128,7 +181,8 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_profile" -> (qMediaProfile _),
-    "q_image_decode" -> (qImageDecode _)
+    "q_image_decode" -> (qImageDecode _),
+    "q_audio_decode" -> (qAudioDecode _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -158,8 +212,34 @@ object MultimodalQueries {
          |         CAST(max(8 + i % 16) AS BIGINT) AS max_h,
          |         CAST(count(*) AS BIGINT) AS n_frames,
          |         count(DISTINCT i) AS n_distinct_content
-         |  FROM generate_series(0, ${NImages - 1}) AS t(i))
-         |SELECT * FROM img UNION ALL SELECT * FROM txt ORDER BY media_type""".stripMargin,
+         |  FROM generate_series(0, ${NImages - 1}) AS t(i)),
+         |aud AS (
+         |  SELECT 'audio/wav' AS media_type,
+         |         count(*) AS n_items,
+         |         CAST(sum(44 + (64 + 8*i) * (1 + i % 2) * 2) AS BIGINT) AS total_bytes,
+         |         CAST(min(8000 + 1000 * (i % 4)) AS BIGINT) AS min_w,
+         |         CAST(max(8000 + 1000 * (i % 4)) AS BIGINT) AS max_w,
+         |         CAST(min(1 + i % 2) AS BIGINT) AS min_h,
+         |         CAST(max(1 + i % 2) AS BIGINT) AS max_h,
+         |         CAST(sum(64 + 8*i) AS BIGINT) AS n_frames,
+         |         count(DISTINCT i) AS n_distinct_content
+         |  FROM generate_series(0, ${NAudio - 1}) AS t(i))
+         |SELECT * FROM aud UNION ALL SELECT * FROM img UNION ALL SELECT * FROM txt
+         |ORDER BY media_type""".stripMargin,
+    "q_audio_decode" ->
+      s"""WITH params AS (
+         |  SELECT i, 8000 + 1000 * (i % 4) AS rate, 1 + i % 2 AS ch,
+         |         64 + 8*i AS frames
+         |  FROM generate_series(0, ${NAudio - 1}) AS t(i)),
+         |sums AS (
+         |  SELECT i, CAST(sum(abs(((k * 37 + i * 11) % 997) - 498)) AS BIGINT) AS sum_abs
+         |  FROM params, unnest(generate_series(0, frames * ch - 1)) AS u(k)
+         |  GROUP BY i)
+         |SELECT p.i AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+         |       CAST(ch AS BIGINT) AS channels, CAST(frames AS BIGINT) AS n_frames,
+         |       s.sum_abs, CAST(s.sum_abs // (frames * ch) AS BIGINT) AS mean_abs
+         |FROM params p JOIN sums s ON p.i = s.i
+         |ORDER BY media_id""".stripMargin,
     "q_image_decode" ->
       s"""SELECT i AS media_id,
          |       CAST(16 + i % 32 AS BIGINT) AS width,

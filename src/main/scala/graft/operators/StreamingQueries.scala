@@ -42,15 +42,28 @@ object StreamingQueries {
     */
   private val StreamShufflePartitions = "8"
 
-  /** Fresh session wired for one streaming run (session-local conf).
-    * Shared with the other stateful streaming query (qStreamHourly).
+  /** Derived session wired for streaming runs (session-local conf),
+    * memoized per parent: the four streaming queries (incl.
+    * qStreamHourly) in one bench/verify invocation share ONE derived
+    * session instead of building session state + function registry
+    * four times. Safe to share because every run uses fresh temp
+    * checkpoint/sink dirs — no cross-query streaming state lives in
+    * the session itself. Weak keys: a discarded parent session must
+    * not be pinned by this cache.
     */
-  private[operators] def streamSession(spark: SparkSession): SparkSession = {
-    val s = spark.newSession()
-    Engine.register(s)
-    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
-    s
-  }
+  private val derivedSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  private[operators] def streamSession(spark: SparkSession): SparkSession =
+    derivedSessions.synchronized {
+      derivedSessions.computeIfAbsent(spark, parent => {
+        val s = parent.newSession()
+        Engine.register(s)
+        s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+        s
+      })
+    }
 
   /** Run one AvailableNow pass of `df` into a parquet sink. */
   private def runPass(df: DataFrame, outDir: String, ckpt: String): Unit = {
@@ -197,6 +210,12 @@ object StreamingQueries {
     * bounded by delay — the contract that makes this run at 100x: per
     * key state expires at watermark + delay instead of growing
     * forever. Oracle: the events table itself, once.
+    *
+    * Scale note: the STREAMING pipeline (source → state → parquet
+    * sink) is the 100x-safe part; the trailing `Local.pin` read-back
+    * exists only so the fixture harness can hash-compare the result,
+    * and is the driver-memory bound at larger scale — a production
+    * consumer reads the sink directory, never pins it.
     */
   def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)

@@ -82,17 +82,78 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.StubCodec.sampleFrames(item, 1).length == 100)
   }
 
-  test("feature profile covers both corpus types with per-type contract columns") {
+  test("feature profile covers all three corpus types with per-type contract columns") {
     val profile = graft.operators.MultimodalQueries.qMediaProfile(spark, dir).collect()
-    assert(profile.length == 2) // image/png (synthetic) + text/plain (fixture)
+    assert(profile.length == 3) // audio/wav + image/png (synthetic) + text/plain
     val byType = profile.map(r => r.getAs[String]("media_type") -> r).toMap
     val txt = byType("text/plain")
     assert(txt.getAs[Long]("n_items") == 500L)
     assert(txt.getAs[Long]("n_distinct_content") == 500L)
-    assert(txt.isNullAt(txt.fieldIndex("min_w"))) // pixel dims are image-only
+    assert(txt.isNullAt(txt.fieldIndex("min_w"))) // dims are image/audio-only
     val img = byType("image/png")
     assert(img.getAs[Long]("n_items") == 64L)
     assert(img.getAs[Long]("min_w") == 16L && img.getAs[Long]("max_w") == 47L)
     assert(img.isNullAt(img.fieldIndex("total_bytes"))) // codec-dependent
+    val aud = byType("audio/wav")
+    assert(aud.getAs[Long]("n_items") == 48L)
+    assert(aud.getAs[Long]("min_w") == 8000L && aud.getAs[Long]("max_w") == 11000L)
+    assert(aud.getAs[Long]("min_h") == 1L && aud.getAs[Long]("max_h") == 2L)
+    // WAV byte size IS a contract: 44-byte header + frames*ch*2
+    val expectedBytes = (0 until 48).map(i => 44L + (64 + 8 * i).toLong * (1 + i % 2) * 2).sum
+    assert(aud.getAs[Long]("total_bytes") == expectedBytes)
+  }
+
+  test("WAV codec round-trips header facts and sample statistics") {
+    val samples = Array.tabulate(200)(k => ((k * 7) % 300 - 150).toShort)
+    val wav = WavCodec.encodePcm16(16000, 2, samples)
+    assert(wav.length == 44 + 400)
+    val info = WavCodec.decode(wav).get
+    assert(info.sampleRate == 16000 && info.channels == 2 && info.bitsPerSample == 16)
+    assert(info.nFrames == 100) // 200 interleaved samples / 2 channels
+    assert(info.sumAbs == samples.map(s => math.abs(s.toLong)).sum)
+  }
+
+  test("WAV codec skips unknown chunks and rejects malformed input") {
+    val wav = WavCodec.encodePcm16(8000, 1, Array[Short](1, -2, 3))
+    // splice a LIST chunk between fmt and data: still decodable
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = wav.slice(0, 36) ++ listChunk ++ wav.slice(36, wav.length)
+    // fix the RIFF size field (bytes 4-7, little-endian)
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    assert(WavCodec.decode(spliced).exists(i => i.nFrames == 3 && i.sumAbs == 6L))
+    // malformed inputs: truncated, bad magic, size overflow
+    assert(WavCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(WavCodec.decode("RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty)
+    val overflow = wav.clone()
+    java.nio.ByteBuffer.wrap(overflow).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue) // data size far past the buffer
+    assert(WavCodec.decode(overflow).isEmpty)
+  }
+
+  test("audio dispatch uses the real codec; non-WAV audio falls back to stub") {
+    val wav = WavCodec.encodePcm16(11000, 1, Array.tabulate(80)(k => k.toShort))
+    val item = Multimodal.MediaItem(5L, "audio/wav", "s", wav.length.toLong, wav)
+    val f = Multimodal.Codec.decode(item)
+    assert(f.width == 11000 && f.height == 1 && f.n_frames == 80)
+    val junk = Multimodal.MediaItem(6L, "audio/mpeg", "s", 32L, Array.fill(32)(0x11.toByte))
+    val g = Multimodal.Codec.decode(junk) // must not throw: stub fallback
+    assert(g.n_bytes == 32L && g.n_frames >= 1)
+  }
+
+  test("distributed audio pipeline decodes real PCM statistics end-to-end") {
+    val rows = graft.operators.MultimodalQueries.qAudioDecode(spark, dir).collect()
+    assert(rows.length == 48)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      val frames = 64 + 8 * i
+      val ch = 1 + i % 2
+      assert(r.getLong(1) == 8000 + 1000 * (i % 4), s"rate of $i")
+      assert(r.getLong(2) == ch, s"channels of $i")
+      assert(r.getLong(3) == frames, s"frames of $i")
+      val expSum = (0 until frames * ch).map(k => math.abs(((k * 37 + i * 11) % 997) - 498).toLong).sum
+      assert(r.getLong(4) == expSum, s"sum_abs of $i")
+      assert(r.getLong(5) == expSum / (frames * ch), s"mean_abs of $i")
+    }
   }
 }
