@@ -21,11 +21,11 @@ object SparkEntry {
     CoreQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ SourceQueries.queries ++
-      StreamingQueries.queries
+      StreamingQueries.queries ++ CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ SourceQueries.oracles ++
-      StreamingQueries.oracles
+      StreamingQueries.oracles ++ CurationQueries.oracles
 }

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and tokenization: PII scrubbing, train→eval contamination
+  * detection, degenerate-repetition scoring, and deterministic domain
+  * mixture sampling. All outputs are integer-only (oracle-discipline:
+  * no FP accumulation crosses the engine boundary) and every random
+  * choice is an md5-prefix coin — bit-identical in Spark and DuckDB.
+  */
+object CurationQueries {
+
+  /** Regexes shared by query and oracle. Written WITHOUT backslash
+    * escapes (`[.]`, not `\.`): Spark SQL string literals process
+    * backslashes while standard SQL strings do not, so an escaped
+    * regex would silently differ between the two engines.
+    */
+  private val EmailRe = "[a-z0-9]+@[a-z]+[.][a-z]+"
+  private val PhoneRe = "555-[0-9]+"
+
+  /** PII scrub census. The fixture vocabulary contains no emails or
+    * digits, so deterministic PII is INJECTED first (docs ≡ 0 mod 5
+    * get an email, ≡ 1 mod 5 a phone number — both derived from
+    * doc_id), then scrubbed with the shared regexes; the output is
+    * the per-doc redaction census plus before/after lengths, which
+    * the oracle reproduces by applying the same injection + scrub in
+    * SQL. Redaction itself is a narrow map (regexp_replace is
+    * codegen'd); nothing shuffles but the final sort.
+    */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    val injected = docs.withColumn("t2", concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit(" call 555-"), col("doc_id").cast("string"), lit(" today")))
+        .otherwise(lit(""))))
+    injected.select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(t2, '$EmailRe', 0)")).cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(t2, '$PhoneRe', 0)")).cast("long").as("n_phones"),
+        length(col("t2")).cast("long").as("len_raw"),
+        length(
+          regexp_replace(
+            regexp_replace(col("t2"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>")).cast("long").as("len_scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** Train→eval contamination: for every EVAL document (the same
+    * content-hash split as `q_train_split`, so the two queries agree
+    * on membership), how many of its distinct 3-token shingles also
+    * occur anywhere in the TRAIN corpus. An eval doc sharing most of
+    * its shingles with training data is a leaked benchmark item — the
+    * check every LLM data pipeline runs before publishing eval
+    * numbers.
+    *
+    * Scale shape: the train side reduces to ONE distinct-shingle set
+    * (shuffle keyed on shingle, map-side combined); the eval side is
+    * tiny by construction (held-out fraction), so at 100 TB the join
+    * broadcasts the eval shingles and streams the train set past it —
+    * the same guarded-broadcast pattern as the LSH verification. The
+    * per-shingle df cap of the capped-Jaccard query applies here too
+    * if a hot shingle ever dominates (not needed at fixture scale).
+    */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    val isTrain = substring(md5(concat(lit("split1|"), col("text"))), 1, 1) < "d"
+    val trainSh = DedupQueries.shingles(docs.filter(isTrain))
+      .select(col("s")).distinct().withColumn("hit", lit(1))
+    val evalSh = DedupQueries.shingles(docs.filter(!isTrain))
+    evalSh.join(trainSh, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+      .withColumn("contam_pct",
+        floor(lit(100.0) * col("n_shared") / col("n_shingles")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Degenerate-repetition score: per doc, total 3-gram occurrences,
+    * the count of the most-repeated 3-gram, and their ratio — the
+    * standard quality filter for looping/boilerplate text (a doc whose
+    * single hottest n-gram covers a large share of all n-grams is
+    * degenerate output, not prose). Two keyed aggregations, linear in
+    * corpus size; docs under 3 tokens drop out (no 3-grams), exactly
+    * as in the Jaccard family.
+    */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    val grams = docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(tk)-2), i -> concat_ws(' ', slice(tk, i, 3)))")).as("s"))
+    grams.groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_grams"),
+        max(col("c")).cast("long").as("max_rep"),
+        count(lit(1)).as("n_distinct_grams"))
+      .withColumn("rep_pct",
+        floor(lit(100.0) * col("max_rep") / col("n_grams")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic domain-mixture sampling: each source gets a target
+    * acceptance rate of `(4 + srcnum % 8)/16` (25%–68.75%), and a doc
+    * is kept iff the first hex char of a salted content md5 is below
+    * the rate's hex threshold — the hash-coin idiom of
+    * `q_train_split`, extended to per-stratum rates. Content-keyed
+    * sampling means re-ingestion keeps the same docs, and exact
+    * duplicates are kept or dropped TOGETHER across sources with the
+    * same rate. One aggregate over the corpus; the census output is
+    * what a mixture tuner consumes.
+    */
+  def qDomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    // 'srcN' → N; rate threshold = hex digit at (4 + N % 8) + 1 (1-based)
+    val thr = expr("substring('0123456789abcdef', 5 + cast(substring(source, 4, 8) as int) % 8, 1)")
+    val keep = substring(md5(concat(lit("mix|"), col("text"))), 1, 1) < thr
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).cast("long").as("n_sampled"),
+        sum(when(keep, col("n_chars")).otherwise(0L)).cast("long").as("sampled_chars"))
+      .withColumn("target_sixteenths",
+        (lit(4) + expr("cast(substring(source, 4, 8) as int) % 8")).cast("long"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scrub" -> (qPiiScrub _),
+    "q_contamination" -> (qContamination _),
+    "q_repetition" -> (qRepetition _),
+    "q_domain_mix" -> (qDomainMix _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pii_scrub" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 0
+         |           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |         WHEN doc_id % 5 = 1
+         |           THEN ' call 555-' || CAST(doc_id AS VARCHAR) || ' today'
+         |         ELSE '' END AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |       CAST(length(t2) AS BIGINT) AS len_raw,
+         |       CAST(length(regexp_replace(
+         |              regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'),
+         |              '$PhoneRe', '<PHONE>', 'g')) AS BIGINT) AS len_scrubbed
+         |FROM inj ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |         substr(md5('split1|' || text), 1, 1) < 'd' AS is_train
+        |  FROM documents),
+        |toks AS (SELECT doc_id, is_train, string_split(text, ' ') AS tk FROM sp
+        |         WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, is_train, array_to_string(tk[i:i+2], ' ') AS s
+        |       FROM toks, unnest(generate_series(1, len(tk)-2)) AS u(i)),
+        |tr AS (SELECT DISTINCT s FROM sh WHERE is_train),
+        |ev AS (SELECT doc_id, s FROM sh WHERE NOT is_train)
+        |SELECT ev.doc_id, count(*) AS n_shingles, count(tr.s) AS n_shared,
+        |       CAST(floor(100.0 * count(tr.s) / count(*)) AS BIGINT) AS contam_pct
+        |FROM ev LEFT JOIN tr USING (s)
+        |GROUP BY ev.doc_id ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        |       FROM toks, unnest(generate_series(1, len(tk)-2)) AS u(i)),
+        |c AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |       CAST(max(c) AS BIGINT) AS max_rep,
+        |       count(*) AS n_distinct_grams,
+        |       CAST(floor(100.0 * max(c) / sum(c)) AS BIGINT) AS rep_pct
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_domain_mix" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN substr(md5('mix|' || text), 1, 1) <
+        |                          substr('0123456789abcdef', 5 + CAST(substr(source, 4) AS INT) % 8, 1)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |       CAST(sum(CASE WHEN substr(md5('mix|' || text), 1, 1) <
+        |                          substr('0123456789abcdef', 5 + CAST(substr(source, 4) AS INT) % 8, 1)
+        |                     THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars,
+        |       CAST(4 + CAST(substr(source, 4) AS INT) % 8 AS BIGINT) AS target_sixteenths
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, SparkSpec}
+
+/** Semantics of the curation family beyond execution: injected-PII
+  * accounting, split-consistency of the contamination check, repetition
+  * bounds, and mixture-rate sanity.
+  */
+class CurationSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pii scrub finds exactly the injected email/phone per doc_id class") {
+    val rows = CurationQueries.qPiiScrub(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (emails, phones) = (r.getLong(1), r.getLong(2))
+      if (id % 5 == 0) assert(emails == 1 && phones == 0, s"doc $id")
+      else if (id % 5 == 1) assert(emails == 0 && phones == 1, s"doc $id")
+      else assert(emails == 0 && phones == 0, s"doc $id")
+      // scrubbing only ever shortens or keeps length: the placeholders
+      // are shorter than any injected match (user<id>@example.com)
+      if (id % 5 == 0) assert(r.getLong(4) < r.getLong(3), s"doc $id not scrubbed")
+      else if (id % 5 != 1) assert(r.getLong(4) == r.getLong(3), s"doc $id changed")
+    }
+  }
+
+  test("contamination reports exactly the eval docs of q_train_split") {
+    val docs = Engine.table(spark, dir, "documents")
+    val evalIds = docs
+      .filter(substring(md5(concat(lit("split1|"), col("text"))), 1, 1) >= "d")
+      .withColumn("ntk", size(split(col("text"), " ")))
+      .filter(col("ntk") >= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = CurationQueries.qContamination(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet == evalIds)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "shared cannot exceed total shingles")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 100)
+    }
+  }
+
+  test("repetition: max_rep <= n_grams, distinct <= total, pct in range") {
+    val rows = CurationQueries.qRepetition(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mx, nd, pct) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mx >= 1 && mx <= n)
+      assert(nd <= n)
+      assert(pct >= 1 && pct <= 100) // max_rep >= 1 ⇒ pct >= floor(100/n) and n>0
+    }
+  }
+
+  test("domain mix: per-source sample counts respect the deterministic coin") {
+    val rows = CurationQueries.qDomainMix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nSampled, target) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(target >= 4 && target <= 11)
+      assert(nSampled <= nDocs)
+    }
+    // mixture must actually differentiate: not all sources sample at
+    // the same realized rate (targets span 25%..68.75%)
+    val rates = rows.map(r => r.getLong(2).toDouble / r.getLong(1)).distinct
+    assert(rates.length > 1)
+  }
+
+  test("domain mix is content-keyed: identical across invocations") {
+    val a = CurationQueries.qDomainMix(spark, dir).collect().map(_.toSeq)
+    val b = CurationQueries.qDomainMix(spark, dir).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+}
