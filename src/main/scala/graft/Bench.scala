@@ -68,12 +68,14 @@ object Bench {
     val results = firstPass.map { case (name, fn, (t1, err1)) =>
       if (err1.isEmpty && t1 > RerunThresholdSecs) {
         var attempts = List(t1)
-        while (attempts.length < 3 && attempts.min > RerunThresholdSecs) {
+        // loop on the best SUCCESSFUL time: a failed rerun records -1.0
+        // in the disclosure list but must not count as "fast enough"
+        // and abort the remaining permitted attempt
+        def best = attempts.filter(_ >= 0).min
+        while (attempts.length < 3 && best > RerunThresholdSecs) {
           val (t, err) = runOnce(fn)
-          if (err.isEmpty) attempts = attempts :+ t
-          else attempts = attempts :+ -1.0 // visible, never the min (t1 >= 0 stays)
+          attempts = attempts :+ (if (err.isEmpty) t else -1.0)
         }
-        val best = attempts.filter(_ >= 0).min
         (name, best, err1, attempts)
       } else {
         // a failed query records -1.0, never its wall time — a broken

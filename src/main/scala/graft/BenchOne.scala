@@ -16,10 +16,20 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val explain = args.contains("-explain")
     val nIdx = args.indexOf("-n")
-    val reps =
-      if (nIdx >= 0 && nIdx + 1 < args.length) args(nIdx + 1).toInt else 1
+    // tolerate a malformed/missing -n operand ("-n q_x" or "-n 0"):
+    // fall back to a single run instead of crashing after session build
+    val reps = math.max(1,
+      if (nIdx >= 0 && nIdx + 1 < args.length)
+        args(nIdx + 1).toIntOption.getOrElse(1)
+      else 1)
+    // the -n operand is excluded from query names only when it actually
+    // parsed as a count — "-n q_tfidf" must still run q_tfidf
+    val nValIdx =
+      if (nIdx >= 0 && nIdx + 1 < args.length && args(nIdx + 1).toIntOption.isDefined)
+        nIdx + 1
+      else -1
     val names = args.zipWithIndex.collect {
-      case (a, i) if !a.startsWith("-") && !(nIdx >= 0 && i == nIdx + 1) => a
+      case (a, i) if !a.startsWith("-") && i != nValIdx => a
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -61,10 +61,15 @@ object CurationQueries {
     * numbers.
     *
     * Scale shape: the train side reduces to ONE distinct-shingle set
-    * (shuffle keyed on shingle, map-side combined); the eval side is
-    * tiny by construction (held-out fraction), so at 100 TB the join
-    * broadcasts the eval shingles and streams the train set past it —
-    * the same guarded-broadcast pattern as the LSH verification. The
+    * (shuffle keyed on shingle, map-side combined), and the shared
+    * count comes from an INNER join of that set with the eval
+    * shingles — deliberately not a left-outer from the eval side,
+    * which could only ever build-broadcast the huge train set (Spark
+    * cannot broadcast the left/streamed side of a LeftOuter join).
+    * With the inner formulation the planner is free to broadcast the
+    * small held-out eval side and stream the train set past it; eval
+    * docs sharing nothing reappear via the left join against the
+    * per-doc totals, which is eval-sized on both sides. The
     * per-shingle df cap of the capped-Jaccard query applies here too
     * if a hot shingle ever dominates (not needed at fixture scale).
     */
@@ -72,11 +77,15 @@ object CurationQueries {
     val docs = Engine.table(spark, dir, "documents")
     val isTrain = substring(md5(concat(lit("split1|"), col("text"))), 1, 1) < "d"
     val trainSh = DedupQueries.shingles(docs.filter(isTrain))
-      .select(col("s")).distinct().withColumn("hit", lit(1))
+      .select(col("s")).distinct()
     val evalSh = DedupQueries.shingles(docs.filter(!isTrain))
-    evalSh.join(trainSh, Seq("s"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+    val totals = evalSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val shared = evalSh.join(trainSh, "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared_n"))
+    totals.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("shared_n"), lit(0L)).as("n_shared"))
       .withColumn("contam_pct",
         floor(lit(100.0) * col("n_shared") / col("n_shingles")).cast("long"))
       .orderBy("doc_id")

@@ -137,6 +137,17 @@ object DedupQueries {
     * returns with NO caches resident and only the checkpointed
     * true-pair partitions alive. No reliance on the session owner's
     * `clearCache`, and repeated construction never stacks caches.
+    *
+    * Fault-tolerance tradeoff, stated explicitly: `localCheckpoint`
+    * truncates lineage and keeps blocks in executor-local storage, so
+    * on a multi-node cluster losing an executor after a cut makes
+    * those partitions unrecoverable (the job fails and is resubmitted
+    * from the source — acceptable for an idempotent batch dedup pass,
+    * and exactly why the stage results are small true-pair sets, not
+    * corpus-sized frames). A deployment that needs within-job
+    * recovery swaps the cut lambda for reliable `checkpoint()` to
+    * DFS, paying a replicated write per stage; the pipeline shape is
+    * unchanged.
     */
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     lshPairs(spark, dir, (df, label, consumed) => {

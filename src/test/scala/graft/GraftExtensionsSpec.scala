@@ -33,11 +33,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT fnv64('chars') AS h,
           |       size(fnv_grams('abcdefgh', 3)) AS ng,
           |       sliding_min(fnv_grams('abcdefgh', 3), 2) AS mins,
-          |       topk_agg(cast(id AS double), id, 2) AS tk
+          |       topk_agg(cast(id AS double), id, 2) AS tk,
+          |       sorted_inter_count(array('a','b','d'), array('b','c','d')) AS ic
           |FROM range(10)""".stripMargin).collect()(0)
       assert(r2.getInt(1) == 6) // 8 chars -> 6 3-grams
       assert(r2.getSeq[Long](2).length == 5) // 6 grams -> 5 windows of 2
       assert(r2.getSeq[AnyRef](3).length == 2)
+      assert(r2.getLong(4) == 2L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
