@@ -160,10 +160,10 @@ object DedupQueries {
 
   /** Identical pipeline, no checkpoints/unpersists: the executed plan
     * of the FULL query (joins, broadcasts, exchanges) stays
-    * inspectable end to end — the plan-shape specs assert on this
-    * form. Runs the three guard counts but no other jobs.
+    * inspectable end to end — the plan-shape specs and PlanDump use
+    * this form. Runs the three guard counts but no other jobs.
     */
-  private[operators] def qMinhashLshPlan(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def qMinhashLshPlan(spark: SparkSession, dir: String): DataFrame =
     lshPairs(spark, dir, (df, _, _) => df)
 
   /** Per-stage wall-clock to stderr when GRAFT_STAGE_LOG is set — the
