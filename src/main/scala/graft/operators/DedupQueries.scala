@@ -398,8 +398,13 @@ object DedupQueries {
     * universe (the IDF intuition); the oracle applies the same cap, so
     * the semantics change is explicit and checked, not silent.
     */
-  def qNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Engine.table(spark, dir, "documents")
+  def qNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    cappedPairs(Engine.table(spark, dir, "documents"))
+
+  /** The capped-Jaccard pair set (shared by [[qNgramJaccardCapped]]
+    * and the cluster builder [[qDedupClusters]]).
+    */
+  private def cappedPairs(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf).select(col("s"))
@@ -411,16 +416,102 @@ object DedupQueries {
     jaccardOutput(pairs, kept)
   }
 
+  // --- near-dup clusters (connected components over the pair graph) ------
+
+  /** Iteration cap for min-label propagation: propagation converges in
+    * at most graph-diameter rounds; similarity graphs are
+    * short-diameter (clusters are dense), and the fixture converges in
+    * 2-3. A non-converged run THROWS rather than emitting a wrong
+    * fixpoint.
+    */
+  private val MaxCcIters = 30
+
+  /** Near-dup CLUSTERS from the capped-Jaccard pair graph — the
+    * pipeline step after pair generation: connected components, a
+    * canonical representative (min doc_id) per component, and the
+    * keep/drop verdict per doc. This is what a dedup pass actually
+    * ships: `is_kept = 1` rows form the deduplicated corpus, and
+    * transitive chains (A~B, B~C) collapse into ONE cluster even
+    * though A and C never paired directly.
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node takes the min of its own label and its neighbors' labels
+    * (one join + one groupBy per round), with `localCheckpoint` per
+    * iteration truncating the otherwise exponentially-nesting lineage
+    * (THE classic iterative-DataFrame failure mode). The fixpoint
+    * (every node labeled with its component's min id) is unique and
+    * iteration-order independent, which is what makes the output
+    * oracle-checkable: DuckDB computes the same fixpoint via a
+    * recursive CTE. At 100 TB the same per-round shape (join +
+    * min-aggregate, state = one (node, label) row per doc) runs the
+    * large-star/small-star variant for O(log n) rounds; propagation
+    * here is diameter-bounded, which dense near-dup clusters keep
+    * small.
+    */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Engine.table(spark, dir, "documents")
+    val pairs = cappedPairs(docs).select(col("i"), col("j"))
+    // undirected: propagate both ways
+    val edges = pairs
+      .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
+      .select(col("i").as("a"), col("j").as("b"))
+      .localCheckpoint() // runs pair generation ONCE; frees its lineage
+    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < MaxCcIters) {
+      iter += 1
+      val nb = edges.join(labels, edges("b") === labels("node"))
+        .groupBy(col("a")).agg(min(col("comp")).as("nb_comp"))
+      val next = labels.join(nb, labels("node") === nb("a"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .isEmpty
+      labels = next
+    }
+    if (!converged)
+      sys.error(s"connected components did not converge in $MaxCcIters rounds")
+    labels
+      .select(col("node").as("doc_id"), col("comp").as("cluster_rep"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+      .withColumn("is_kept",
+        when(col("doc_id") === col("cluster_rep"), 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   // --- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
-    "q_ngram_capped" -> (qNgramJaccardCapped _)
+    "q_ngram_capped" -> (qNgramJaccardCapped _),
+    "q_dedup_clusters" -> (qDedupClusters _)
   )
 
   // Oracle SQL generated from the same constants as the Spark pipeline.
+
+  /** Shared CTE chain producing the capped-Jaccard `inter`/`sizes`
+    * relations (used by q_ngram_capped and q_dedup_clusters).
+    */
+  private val duckCappedCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |              WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |       FROM toks, unnest(generate_series(1, len(tk)-2)) AS u(i)),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf),
+       |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+       |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
   private val duckSigCols: String = (0 until NumHashes)
     .map(s => s"min(md5('$s|' || w)) AS h$s").mkString(",\n         ")
@@ -469,20 +560,33 @@ object DedupQueries {
          |       count(*) OVER (PARTITION BY simhash) AS cluster_size
          |FROM fp ORDER BY doc_id""".stripMargin,
     "q_ngram_capped" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-         |              WHERE len(string_split(text, ' ')) >= 3),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-         |       FROM toks, unnest(generate_series(1, len(tk)-2)) AS u(i)),
-         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf),
-         |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-         |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2 HAVING count(*) >= 2)
+      s"""WITH $duckCappedCtes
          |SELECT i, j, inter, ci.n + cj.n - inter AS union_n
          |FROM inter JOIN sizes ci ON i = ci.doc_id JOIN sizes cj ON j = cj.doc_id
          |WHERE inter * 20 >= ci.n + cj.n - inter
          |ORDER BY i, j""".stripMargin,
+    // The same capped pair set, closed into components by a recursive
+    // CTE: `cc` enumerates every (node, reachable label) pair — the
+    // UNION dedup terminates it — and min over reachable labels is the
+    // component representative, the identical fixpoint the Spark-side
+    // propagation loop computes.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckCappedCtes,
+         |pairs AS (
+         |  SELECT i, j FROM inter
+         |  JOIN sizes ci ON i = ci.doc_id JOIN sizes cj ON j = cj.doc_id
+         |  WHERE inter * 20 >= ci.n + cj.n - inter),
+         |edges AS (SELECT i AS a, j AS b FROM pairs
+         |          UNION ALL SELECT j AS a, i AS b FROM pairs),
+         |cc(node, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, cc.comp FROM cc JOIN edges e ON cc.node = e.b),
+         |lab AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node)
+         |SELECT node AS doc_id, comp AS cluster_rep,
+         |       count(*) OVER (PARTITION BY comp) AS cluster_size,
+         |       CAST(CASE WHEN node = comp THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+         |FROM lab ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
         |              WHERE len(string_split(text, ' ')) >= 3),

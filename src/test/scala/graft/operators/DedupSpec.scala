@@ -59,4 +59,32 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps == again)
   }
+
+  test("dedup clusters are the transitive closure of the capped pair graph") {
+    val rows = DedupQueries.qDedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Engine.table(spark, dir, "documents").count()
+    assert(rows.length == nDocs, "every doc gets a cluster verdict")
+    val label = rows.map(r => r._1 -> r._2).toMap
+    // independent ground truth: union-find over the same pair set
+    val pairs = DedupQueries.qNgramJaccardCapped(spark, dir)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(label.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = label.keys.map(k => k -> find(k)).toMap
+    assert(label == truth, "propagation fixpoint must equal union-find components")
+    // representative invariants: rep is in its own cluster and minimal
+    rows.foreach { case (id, rep, size, kept) =>
+      assert(rep <= id, s"rep must be the min id (doc $id)")
+      assert((kept == 1L) == (id == rep))
+      assert(size >= 1)
+    }
+    // the fixture's near-dup pairs must produce at least one multi-doc cluster
+    assert(rows.exists(_._3 > 1))
+  }
 }
