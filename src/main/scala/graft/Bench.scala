@@ -16,6 +16,15 @@ import org.apache.spark.sql.SparkSession
   * field, so a reader can always reconstruct the raw series; healthy
   * queries (the normal case: all under ~11s at sf0.1) run exactly
   * once, keeping total harness time flat.
+  *
+  * Known asymmetry, disclosed rather than hidden: only SLOW first
+  * passes are re-measured — a fast-but-lucky first run is never
+  * re-run — so reported totals carry a small downward bias. The
+  * bias is bounded by the rerun threshold (only times above it are
+  * ever replaced) and the raw series is always in the JSON; the
+  * cross-round comparison stays fair because every round uses the
+  * identical policy. BASELINE.md "Variance" records the same caveat
+  * next to the 5-run spreads.
   */
 object Bench {
   /** Above this, a first-pass time is treated as a suspected
@@ -95,7 +104,7 @@ object Bench {
       s"\"" + k + "\":" + attempts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$reruns,"policy":"min-of-reruns above ${RerunThresholdSecs}s; see BASELINE.md variance","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$reruns,"policy":"min-of-reruns above ${RerunThresholdSecs}s (slow-side only: small disclosed downward bias); see BASELINE.md variance","sf":"$sfDir"}""")
     spark.stop()
   }
 }

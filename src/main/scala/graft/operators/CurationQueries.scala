@@ -128,8 +128,14 @@ object CurationQueries {
     */
   def qDomainMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Engine.table(spark, dir, "documents")
-    // 'srcN' → N; rate threshold = hex digit at (4 + N % 8) + 1 (1-based)
-    val thr = expr("substring('0123456789abcdef', 5 + cast(substring(source, 4, 8) as int) % 8, 1)")
+    // 'srcN' → N; rate threshold = hex digit at (4 + N % 8) + 1 (1-based).
+    // Source-name contract: 'src' + decimal digits (the fixture's
+    // generator invariant). The UNBOUNDED substring matches the oracle's
+    // substr(source, 4) exactly, so any-length suffixes agree; a source
+    // violating the contract yields NULL here (Spark's lenient cast)
+    // but a hard cast error in DuckDB — loud on the oracle side, which
+    // is where a contract break should surface.
+    val thr = expr("substring('0123456789abcdef', 5 + cast(substring(source, 4) as int) % 8, 1)")
     val keep = substring(md5(concat(lit("mix|"), col("text"))), 1, 1) < thr
     docs.groupBy(col("source"))
       .agg(
@@ -137,7 +143,7 @@ object CurationQueries {
         sum(when(keep, 1L).otherwise(0L)).cast("long").as("n_sampled"),
         sum(when(keep, col("n_chars")).otherwise(0L)).cast("long").as("sampled_chars"))
       .withColumn("target_sixteenths",
-        (lit(4) + expr("cast(substring(source, 4, 8) as int) % 8")).cast("long"))
+        (lit(4) + expr("cast(substring(source, 4) as int) % 8")).cast("long"))
       .orderBy("source")
   }
 

@@ -448,6 +448,21 @@ object DedupQueries {
     * here is diameter-bounded, which dense near-dup clusters keep
     * small.
     */
+  /** Release the storage blocks behind a `localCheckpoint()`ed frame
+    * the moment its last consumer has run, instead of waiting for GC +
+    * ContextCleaner to notice the dropped reference — the iterative
+    * queries otherwise keep up to [[MaxCcIters]] label snapshots
+    * simultaneously resident, cutting against the cache-hygiene
+    * contract the minhash pipeline establishes. (A checkpointed frame
+    * is a `LogicalRDD` leaf; unpersisting its RDD frees the blocks.)
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Engine.table(spark, dir, "documents")
@@ -473,8 +488,10 @@ object DedupQueries {
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.comp") =!= col("o.comp"))
         .isEmpty
+      freeLocalCheckpoint(labels) // convergence check was its last consumer
       labels = next
     }
+    freeLocalCheckpoint(edges) // the final labels snapshot doesn't read it
     if (!converged)
       sys.error(s"connected components did not converge in $MaxCcIters rounds")
     labels

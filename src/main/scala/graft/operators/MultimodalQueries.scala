@@ -130,9 +130,13 @@ object MultimodalQueries {
       .map { it =>
         val info = WavCodec.decode(it.content).getOrElse(
           sys.error(s"undecodable WAV fixture ${it.media_id}"))
+        // a structurally valid WAV may carry an empty data chunk
+        // (nFrames = 0): mean over zero samples is defined as 0, not
+        // an ArithmeticException from the executor
         val nSamples = info.nFrames.toLong * info.channels
+        val meanAbs = if (nSamples == 0) 0L else info.sumAbs / nSamples
         (it.media_id, info.sampleRate.toLong, info.channels.toLong,
-          info.nFrames.toLong, info.sumAbs, info.sumAbs / nSamples)
+          info.nFrames.toLong, info.sumAbs, meanAbs)
       }
       .toDF("media_id", "sample_rate", "channels", "n_frames", "sum_abs", "mean_abs")
       .orderBy("media_id")
