@@ -81,11 +81,12 @@ object DedupQueries {
     * unbounded vocab still must not be force-broadcast, hence
     * measured, not assumed.
     */
-  private def repSignatures(reps: DataFrame, vocab: DataFrame, nVocab: Long): DataFrame = {
+  private def repSignatures(
+      reps: DataFrame, vocab: DataFrame, nVocab: Long, ceiling: Long): DataFrame = {
     val hashed0 = vocab.select(col("w") +:
       (0 until NumHashes).map(s => md5(concat(lit(s"$s|"), col("w"))).as(s"h$s")): _*)
     val hashed =
-      if (nVocab <= BroadcastVocabMaxWords) broadcast(hashed0) else hashed0
+      if (nVocab <= ceiling) broadcast(hashed0) else hashed0
     val aggs = (0 until NumHashes).map(s => min(col(s"h$s")).as(s"h$s"))
     reps.select(col("fp"), explode(col("ws")).as("w"))
       .join(hashed, "w")
@@ -195,11 +196,19 @@ object DedupQueries {
     val nDocs = staged("docs.count")(docs.count()) // cheap: docs is cached by the count above
     val vocab = reps.select(explode(col("ws")).as("w")).distinct().cache()
     val nVocab = staged("vocab.count")(vocab.count()) // materializes the cache; guards the hint
+    // Ceilings are session-conf-overridable so the shuffle-fallback
+    // path is TESTABLE on real data without a >2^20-row fixture
+    // (LshFallbackSpec forces both to 0 and asserts the no-hint plan
+    // shape plus identical output). Production leaves the defaults.
+    val vocabCeiling = spark.conf.getOption("graft.lsh.broadcastVocabMaxWords")
+      .map(_.toLong).getOrElse(BroadcastVocabMaxWords)
+    val sideCeiling = spark.conf.getOption("graft.lsh.broadcastSideMaxRows")
+      .map(_.toLong).getOrElse(BroadcastSideMaxRows)
     def guard(df: DataFrame, rows: Long): DataFrame =
-      if (rows <= BroadcastSideMaxRows) broadcast(df) else df
+      if (rows <= sideCeiling) broadcast(df) else df
 
     // LSH over unique sets only
-    val sigs = repSignatures(reps, vocab, nVocab)
+    val sigs = repSignatures(reps, vocab, nVocab, vocabCeiling)
     val bandCols = (0 until NumBands).map { b =>
       val parts = (0 until BandSize).map(r => col(s"h${b * BandSize + r}"))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("bh"))
@@ -373,9 +382,17 @@ object DedupQueries {
 
   /** All-pairs shingle Jaccard — the exact baseline LSH approximates.
     * O(pairs-sharing-a-shingle); the shared-shingle join IS the
-    * blocking. Deliberately uncapped (the documented df² skew risk its
-    * capped sibling guards against — at runtime, residual skew falls
-    * to AQE's skew-join split, exercised in AqeSkewSpec).
+    * blocking. Deliberately uncapped, and therefore SPEC-ONLY since
+    * round 6: the uncapped shared-shingle self-join expands df² on a
+    * hot shingle — the documented scale-killer its capped sibling
+    * [[qNgramJaccardCapped]] guards against — so it serves as the
+    * exact ground-truth baseline in DedupSpec (checked against an
+    * independent in-memory computation) rather than sitting in the
+    * gated bench/correctness surface, where it was the series' last
+    * >3× flapper (3.6–36s on identical code; the fixture's 31-word
+    * vocabulary makes every shingle hot). Residual runtime skew in
+    * the capped production path falls to AQE's skew-join split,
+    * exercised in AqeSkewSpec.
     */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Engine.table(spark, dir, "documents")
@@ -463,20 +480,24 @@ object DedupQueries {
       case _ => ()
     }
 
-  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Engine.table(spark, dir, "documents")
-    val pairs = cappedPairs(docs).select(col("i"), col("j"))
-    // undirected: propagate both ways
+  /** Min-label propagation over an arbitrary edge list. `nodes` is one
+    * `node` column (singletons must label themselves); `pairs` carries
+    * undirected edges as (i, j). Returns (labels`(node, comp)`,
+    * rounds). THROWS after `maxIters` non-converged rounds rather than
+    * emitting a wrong fixpoint. Exposed for the spec's chain-graph
+    * contrast with [[starComponents]].
+    */
+  private[operators] def propagationComponents(
+      nodes: DataFrame, pairs: DataFrame, maxIters: Int): (DataFrame, Int) = {
     val edges = pairs
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
       .select(col("i").as("a"), col("j").as("b"))
       .localCheckpoint() // runs pair generation ONCE; frees its lineage
-    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("comp"))
+    var labels = nodes.select(col("node"), col("node").as("comp"))
       .localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < MaxCcIters) {
+    while (!converged && iter < maxIters) {
       iter += 1
       val nb = edges.join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("comp")).as("nb_comp"))
@@ -493,7 +514,87 @@ object DedupQueries {
     }
     freeLocalCheckpoint(edges) // the final labels snapshot doesn't read it
     if (!converged)
-      sys.error(s"connected components did not converge in $MaxCcIters rounds")
+      sys.error(s"connected components did not converge in $maxIters rounds")
+    (labels, iter)
+  }
+
+  /** Round cap for star contraction: alternating large-star/small-star
+    * needs O(log² n) rounds worst-case (typically far fewer — the
+    * 1000-node chain in DedupSpec converges in ~10), independent of
+    * graph DIAMETER, which is what bounds propagation. THROW rather
+    * than emit a wrong fixpoint, as with [[MaxCcIters]].
+    */
+  private val MaxStarIters = 40
+
+  /** Alternating large-star/small-star connected components (the
+    * MapReduce CC construction of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the 100 TB
+    * variant [[qDedupClusters]]'s doc promises: each round is one
+    * groupBy + one join over the EDGE list (same shuffle shape as a
+    * propagation round), but the round count is O(log² n) worst-case
+    * instead of O(diameter), so chain-shaped adversarial graphs
+    * converge in ~10 rounds where propagation needs one round per hop
+    * (DedupSpec measures exactly that contrast).
+    *
+    * Edges are kept canonical as (hi, lo), hi > lo:
+    *  - large-star(u): m = min(Γ(u) ∪ u); every neighbor v > u
+    *    re-attaches to m — emitted over the symmetrized edge list.
+    *  - small-star(u): over canonical edges grouped by hi: m =
+    *    min(lo); hi and each lo ≠ m re-attach to m.
+    * Both preserve connectivity; their fixpoints are exactly star
+    * graphs (every node linked directly to its component's min), so
+    * convergence = "small-star round returned the identical edge
+    * set", checked distributively (equal counts + one-sided
+    * exceptAll, which for distinct sets of equal size is equality).
+    * Labels then read straight off the final stars; `nodes` supplies
+    * the singletons. Per-round `localCheckpoint` + immediate
+    * [[freeLocalCheckpoint]] keep lineage flat and at most one
+    * snapshot resident, as in the propagation loop.
+    */
+  private[operators] def starComponents(
+      nodes: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
+    var edges = pairs
+      .select(greatest(col("i"), col("j")).as("hi"),
+        least(col("i"), col("j")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint() // runs pair generation ONCE; frees its lineage
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < MaxStarIters) {
+      rounds += 1
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // v > u >= m and m != v: emitted edges stay canonical (hi > lo)
+      val large = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")).distinct()
+      val sm = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val withM = large.join(sm, "hi")
+      val small = withM.select(col("hi"), col("m").as("lo"))
+        .unionByName(withM.filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint()
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
+      freeLocalCheckpoint(edges) // the equality check was its last read
+      edges = small
+    }
+    if (!converged)
+      sys.error(s"star contraction did not converge in $MaxStarIters rounds")
+    // at the fixpoint each non-center node carries exactly one edge
+    // (node → component min); the groupBy is an identity safety net
+    val star = edges.groupBy(col("hi")).agg(min(col("lo")).as("comp"))
+    val labels = nodes
+      .join(star, nodes("node") === star("hi"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+    (labels, rounds)
+  }
+
+  /** Cluster verdict shape shared by both CC variants. */
+  private def clusterVerdict(labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     labels
       .select(col("node").as("doc_id"), col("comp").as("cluster_rep"))
       .withColumn("cluster_size",
@@ -503,14 +604,35 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    val pairs = cappedPairs(docs).select(col("i"), col("j"))
+    val (labels, _) = propagationComponents(
+      docs.select(col("doc_id").as("node")), pairs, MaxCcIters)
+    clusterVerdict(labels)
+  }
+
+  /** The star-contraction form of [[qDedupClusters]]: identical output
+    * contract (same fixpoint, same recursive-CTE oracle), O(log² n)
+    * rounds instead of O(diameter) — the variant a 100 TB pair graph
+    * with long chains runs.
+    */
+  def qDedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    val pairs = cappedPairs(docs).select(col("i"), col("j"))
+    val (labels, _) = starComponents(
+      docs.select(col("doc_id").as("node")), pairs)
+    clusterVerdict(labels)
+  }
+
   // --- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
-    "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_capped" -> (qNgramJaccardCapped _),
-    "q_dedup_clusters" -> (qDedupClusters _)
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_star" -> (qDedupClustersStar _)
   )
 
   // Oracle SQL generated from the same constants as the Spark pipeline.
@@ -585,9 +707,14 @@ object DedupQueries {
     // The same capped pair set, closed into components by a recursive
     // CTE: `cc` enumerates every (node, reachable label) pair — the
     // UNION dedup terminates it — and min over reachable labels is the
-    // component representative, the identical fixpoint the Spark-side
-    // propagation loop computes.
-    "q_dedup_clusters" ->
+    // component representative, the identical fixpoint BOTH Spark-side
+    // variants (propagation and star contraction) compute — one oracle
+    // text, two independent distributed algorithms checked against it.
+    "q_dedup_clusters" -> duckClustersSql,
+    "q_dedup_star" -> duckClustersSql
+  )
+
+  private lazy val duckClustersSql: String =
       s"""WITH RECURSIVE $duckCappedCtes,
          |pairs AS (
          |  SELECT i, j FROM inter
@@ -603,19 +730,5 @@ object DedupQueries {
          |SELECT node AS doc_id, comp AS cluster_rep,
          |       count(*) OVER (PARTITION BY comp) AS cluster_size,
          |       CAST(CASE WHEN node = comp THEN 1 ELSE 0 END AS BIGINT) AS is_kept
-         |FROM lab ORDER BY doc_id""".stripMargin,
-    "q_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-        |              WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-        |       FROM toks, unnest(generate_series(1, len(tk)-2)) AS u(i)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT i, j, inter, ci.n + cj.n - inter AS union_n
-        |FROM inter JOIN sizes ci ON i = ci.doc_id JOIN sizes cj ON j = cj.doc_id
-        |WHERE inter * 20 >= ci.n + cj.n - inter
-        |ORDER BY i, j""".stripMargin
-  )
+         |FROM lab ORDER BY doc_id""".stripMargin
 }

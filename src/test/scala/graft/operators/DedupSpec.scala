@@ -60,6 +60,62 @@ class DedupSpec extends SparkSpec {
     assert(fps == again)
   }
 
+  test("star contraction computes the same clusters as propagation on the fixture") {
+    val prop = DedupQueries.qDedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val star = DedupQueries.qDedupClustersStar(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(star == prop)
+  }
+
+  test("star contraction converges in O(log n) rounds on a 1000-node chain where propagation cannot") {
+    import org.apache.spark.sql.functions._
+    // worst case for propagation: a chain 0-1-2-...-999 has diameter
+    // 999, and min-label propagation moves the 0 label ONE hop per
+    // round; star contraction re-attaches nodes to their neighborhood
+    // min, halving distances roughly every round pair
+    val n = 1000
+    val nodes = spark.range(n).select(col("id").as("node"))
+    val chain = spark.range(n - 1)
+      .select(col("id").as("i"), (col("id") + 1).as("j"))
+    val (labels, rounds) = DedupQueries.starComponents(nodes, chain)
+    val comps = labels.select("comp").distinct().collect().map(_.getLong(0))
+    assert(comps.toSeq == Seq(0L), "one component labeled by the min node")
+    assert(labels.count() == n)
+    info(s"star contraction rounds for the $n-chain: $rounds")
+    assert(rounds <= 15, s"expected O(log n) rounds, got $rounds")
+    // the propagation variant is diameter-bounded: at a 30-round cap it
+    // must refuse (throw) rather than emit a wrong fixpoint
+    val e = intercept[RuntimeException] {
+      DedupQueries.propagationComponents(nodes, chain, 30)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("uncapped n-gram Jaccard baseline matches an independent in-memory computation") {
+    // q_ngram_jaccard left the gated surface in round 6 (its uncapped
+    // shared-shingle self-join is the documented df² scale-killer and
+    // was the bench's residual flapper); this spec keeps it honest in
+    // its baseline role against a from-scratch Scala computation.
+    val docs = Engine.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shingleSets = docs.flatMap { case (id, text) =>
+      val tk = text.split(" ")
+      if (tk.length < 3) None
+      else Some(id -> tk.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val expected = (for {
+      (i, si) <- shingleSets; (j, sj) <- shingleSets if i < j
+      inter = (si & sj).size if inter >= 2
+      union = si.size + sj.size - inter if inter * 20 >= union
+    } yield (i, j, inter.toLong, union.toLong)).toSet
+    val got = DedupQueries.qNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture should contain shingle-level near-dups")
+  }
+
   test("dedup clusters are the transitive closure of the capped pair graph") {
     val rows = DedupQueries.qDedupClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
