@@ -111,38 +111,53 @@ object SimilarityQueries {
 
   // --- IVF-style clustered ANN ------------------------------------------
 
-  /** Corpus rows tagged with their nearest centroid (argmax cosine,
-    * ties to the lower centroid id).
+  /** Probe count for [[qIvfMultiprobe]]: each query searches its
+    * `NProbe` nearest cells instead of one — the standard recall/cost
+    * knob of a production IVF index (recall rises because a query near
+    * a cell boundary also sees the cell just across it; cost rises by
+    * the extra cells' occupancy). Single-probe ([[qIvfKnn]]) is
+    * `nprobe = 1` of the same pipeline.
     */
-  private def assigned(spark: SparkSession, dir: String): DataFrame = {
+  private val NProbe = 3
+
+  def qIvfKnn(spark: SparkSession, dir: String): DataFrame =
+    ivfProbe(spark, dir, nprobe = 1)
+
+  /** Multi-probe IVF ANN: identical index (one cell per corpus vector)
+    * and identical per-cell search; only the QUERY side fans out, to
+    * its `NProbe` nearest centroids. A corpus vector lives in exactly
+    * one cell and the probed cells are distinct, so no (query,
+    * neighbor) pair is scored twice — the candidate union needs no
+    * dedup, just the final per-query rank. The join stays a cell-keyed
+    * equi-join; at scale the cost is `nprobe` × single-probe scan
+    * volume, the knob SimilaritySpec measures against its recall gain.
+    */
+  def qIvfMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    ivfProbe(spark, dir, nprobe = NProbe)
+
+  private def ivfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(spark, dir)
     val centroids = e.filter(col("vec_id") < NList)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    val w = Window.partitionBy(col("vec_id"))
+    val cw = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("centroid_id"))
-    e.crossJoin(centroids)
+    // every vector's ranked cell list, ONE crossJoin feeding both roles:
+    // rank 1 is the corpus assignment, ranks <= nprobe are the probes
+    val ranked = e.crossJoin(centroids)
       .withColumn("c_cos",
         dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .withColumn("c_rk", row_number().over(w))
-      .filter(col("c_rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
-        col("centroid_id"))
-  }
-
-  def qIvfKnn(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val a = assigned(spark, dir)
-    val queries = a.filter(col("vec_id") < NQueries)
+      .withColumn("c_rk", row_number().over(cw))
+    val corpus = ranked.filter(col("c_rk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("centroid_id").as("n_cent"))
+    val probes = ranked.filter(col("vec_id") < NQueries && col("c_rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("centroid_id").as("q_cent"))
-    val corpus = a.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("n_emb"), col("nrm").as("n_nrm"),
-      col("centroid_id").as("n_cent"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    queries
+    probes
       .join(corpus, col("q_cent") === col("n_cent") &&
         col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
@@ -352,6 +367,7 @@ object SimilarityQueries {
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_topk_agg" -> (qKnnTopkAgg _),
     "q_ivf_knn" -> (qIvfKnn _),
+    "q_ivf_multiprobe" -> (qIvfMultiprobe _),
     "q_ivf_kmeans" -> (qIvfKmeans _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_neardup" -> (qEmbedNearDup _)
@@ -423,6 +439,31 @@ object SimilarityQueries {
          |         ${duckCos.format("q_emb", "a.embedding")} AS cos
          |  FROM q JOIN assigned a ON q.q_cent = a.centroid_id
          |                        AND q.query_id <> a.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM scored)
+         |SELECT query_id, rk, neighbor_id FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "q_ivf_multiprobe" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+         |              WHERE vec_id < $NList),
+         |scored_c AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckCos.format("e.embedding", "c.c_emb")} DESC,
+         |                      c.centroid_id) AS c_rk
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id, embedding, centroid_id
+         |             FROM scored_c WHERE c_rk = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS q_emb,
+         |                  centroid_id AS q_cent
+         |           FROM scored_c WHERE vec_id < $NQueries AND c_rk <= $NProbe),
+         |scored AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id,
+         |         ${duckCos.format("q_emb", "a.embedding")} AS cos
+         |  FROM probes q JOIN assigned a ON q.q_cent = a.centroid_id
+         |                             AND q.query_id <> a.vec_id),
          |ranked AS (SELECT query_id, neighbor_id,
          |                  row_number() OVER (PARTITION BY query_id
          |                                     ORDER BY cos DESC, neighbor_id) AS rk
