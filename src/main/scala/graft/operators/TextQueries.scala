@@ -280,6 +280,62 @@ object TextQueries {
       .orderBy("lang", "pack_id")
   }
 
+  // --- BPE-style subword token counting ---------------------------------
+
+  /** Fixed merge table for the deterministic mini-BPE tokenizer: rank-
+    * ordered pair merges (the core BPE mechanism) learned offline from
+    * common English bigrams, with single-char placeholders outside the
+    * fixture's `[a-z ]` alphabet. The last two rules merge a
+    * PLACEHOLDER with a letter — second-level merges ("th"+"e" → one
+    * "the" unit, "an"+"d" → "and"), exactly how real BPE vocabularies
+    * grow. Applying the chain with `replace` is deterministic and
+    * bit-identical in Spark and DuckDB (both replace non-overlapping
+    * occurrences left to right), which is what makes a TOKENIZER
+    * oracle-checkable where a learned 50k-merge vocabulary would not
+    * be.
+    */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "th" -> "0", "he" -> "1", "in" -> "2", "er" -> "3",
+    "an" -> "4", "re" -> "5", "on" -> "6", "at" -> "7",
+    "0e" -> "8", "4d" -> "9")
+
+  /** The shared replace-chain SQL — ONE text, evaluated by both
+    * engines, per oracle-discipline.
+    */
+  private def bpeSql(inner: String): String =
+    BpeMerges.foldLeft(inner) { case (e, (a, b)) => s"replace($e, '$a', '$b')" }
+
+  /** Tokens-per-context-window budget for [[qBpeTokens]]'s packing
+    * unit (how many windows a doc fills in SUBWORD units — the measure
+    * `q_pack` approximates with chars).
+    */
+  private val CtxTokens = 256L
+
+  /** Deterministic BPE subword counts per document: each unmerged
+    * character is one unit, each merged pair (or second-level merge)
+    * one unit, so `n_bpe_tokens` = length of the merged text minus
+    * spaces — real token units for budget/packing arithmetic, where
+    * `q_text_stats`/`q_pack` count words and chars. Narrow codegen'd
+    * map (a replace chain + lengths) with the final sort as the only
+    * exchange; compression_pct is the corpus-quality signal (how much
+    * the merge table compresses ≈ how English-like the text is).
+    */
+  def qBpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    docs
+      .withColumn("merged", expr(bpeSql("text")))
+      .select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars_nospace"),
+        length(regexp_replace(col("merged"), " ", "")).cast("long").as("n_bpe_tokens"))
+      .withColumn("compression_pct",
+        floor(lit(100.0) * col("n_bpe_tokens") / col("n_chars_nospace")).cast("long"))
+      .withColumn("n_ctx_windows",
+        expr(s"(n_bpe_tokens + ${CtxTokens - 1}) div $CtxTokens"))
+      .orderBy("doc_id")
+  }
+
   // --- registry ---------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -292,7 +348,8 @@ object TextQueries {
     "q_langid" -> (qLangId _),
     "q_tfidf" -> (qTfidf _),
     "q_train_split" -> (qTrainSplit _),
-    "q_pack" -> (qPack _)
+    "q_pack" -> (qPack _),
+    "q_bpe_tokens" -> (qBpeTokens _)
   )
 
   private val duckStop = "('the','and','of','a','to')"
@@ -436,6 +493,19 @@ object TextQueries {
         |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM packed GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
+        |FROM packed GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
+    // the merge chain below is the SAME generated text the Spark plan
+    // evaluates (bpeSql) — one tokenizer definition, two engines
+    "q_bpe_tokens" ->
+      s"""WITH m AS (SELECT doc_id, lang, text, ${bpeSql("text")} AS merged FROM documents)
+         |SELECT doc_id, lang,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+         |       CAST(length(replace(merged, ' ', '')) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(floor(100.0 * length(replace(merged, ' ', ''))
+         |                  / length(replace(text, ' ', ''))) AS BIGINT) AS compression_pct,
+         |       CAST((length(replace(merged, ' ', '')) + ${CtxTokens - 1}) // $CtxTokens AS BIGINT)
+         |         AS n_ctx_windows
+         |FROM m ORDER BY doc_id""".stripMargin
   )
 }
