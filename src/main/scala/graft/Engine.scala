@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession, functions => F}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast, Expression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.StringType
 
 import graft.functions.{ExactCountDistinct, Fnv1a64, FnvGrams, HashSetCountDistinct, SlidingMin, SortedInterCount, TopKAgg, VectorDot}
@@ -48,6 +49,20 @@ object Engine {
     // Zero-allocation exact intersection count over sorted word sets
     // (the MinHash verification hot path).
     temp("sorted_inter_count")(exprs => SortedInterCount(exprs(0), exprs(1)))
+    // Spark's own runtime-filter machinery, surfaced as SQL functions:
+    // bloom_agg(key[, n_items, n_bits]) builds the fixed-size sketch,
+    // bloom_contains(sketch, key) probes it. Keys go through XxHash64 on
+    // both sides — the same wrap InjectRuntimeFilter applies — so callers
+    // pass raw key columns of any hashable type.
+    temp("bloom_agg") {
+      case Seq(k) => new BloomFilterAggregate(new XxHash64(Seq(k)))
+      case Seq(k, n, b) =>
+        new BloomFilterAggregate(new XxHash64(Seq(k)), n, b)
+      case exprs => throw new IllegalArgumentException(
+        s"bloom_agg(key[, n_items, n_bits]) — got ${exprs.length} args")
+    }
+    temp("bloom_contains")(exprs =>
+      BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1)))))
     // Session-construction conf: set at register() or as session-build
     // config (Bench/Verify/BenchOne/PlanDump builders), never by read
     // helpers — `events.ts` is parquet TIMESTAMP(NANOS), which the

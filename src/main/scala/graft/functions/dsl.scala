@@ -36,4 +36,17 @@ object dsl {
     */
   def sorted_inter_count(a: Column, b: Column): Column =
     F.call_function("sorted_inter_count", a, b)
+
+  /** Fixed-size Bloom sketch over a key column (Spark's own
+    * BloomFilterAggregate behind XxHash64 — the runtime-filter build
+    * side, made explicit). Returns BINARY.
+    */
+  def bloom_agg(key: Column, nItems: Long, nBits: Long): Column =
+    F.call_function("bloom_agg", key, F.lit(nItems), F.lit(nBits))
+
+  /** Probe a [[bloom_agg]] sketch (false positives possible, no false
+    * negatives) — pair with an exact semi-join to verify.
+    */
+  def bloom_contains(sketch: Column, key: Column): Column =
+    F.call_function("bloom_contains", sketch, key)
 }

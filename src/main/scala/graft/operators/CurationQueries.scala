@@ -147,11 +147,58 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** Temperature-weighted mixture sampling — the standard LLM data-mix
+    * recipe (alpha-sampling over domains): a source's target share is
+    * proportional to n_docs^alpha with alpha = 1/2, upweighting small
+    * domains relative to proportional sampling. Exact-integer
+    * discipline throughout: weight = floor(sqrt(n_docs)) is an exact
+    * integer sqrt for BIGINT counts (IEEE correctly-rounded sqrt can't
+    * cross an integer boundary below 2^52), the corpus budget is
+    * `n_total div 4` docs, and each source's quota is
+    * `(budget * weight) div sum(weight)`. Selection is a deterministic
+    * hash-rank: docs rank by (salted md5, doc_id) within source and
+    * the first `quota` win — re-ingestion reproduces the same sample
+    * bit-for-bit. The rank is the honest cost of an EXACT quota (a
+    * per-stratum sort); `q_domain_mix`'s rate-coin is the
+    * constant-memory approximation when quota exactness isn't needed.
+    * The per-source quota table is tiny at any corpus size →
+    * broadcast; the only big exchange is the per-source rank shuffle.
+    */
+  def qMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Engine.table(spark, dir, "documents")
+    val perSrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt(col("n_docs"))).cast("long"))
+    val budgets = perSrc
+      .crossJoin(broadcast(perSrc.agg(
+        sum(col("weight")).as("sum_w"), sum(col("n_docs")).as("n_total"))))
+      .withColumn("quota", expr("((n_total div 4) * weight) div sum_w"))
+      .select(col("source").as("b_source"),
+        col("n_docs"), col("weight"), col("quota"))
+    val rk = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("temp|"), col("text"))), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(rk))
+      .join(broadcast(budgets), col("source") === col("b_source"))
+      .groupBy(col("source"))
+      .agg(
+        min(col("n_docs")).as("n_docs"),
+        min(col("weight")).as("weight"),
+        min(col("quota")).as("quota"),
+        sum(when(col("rk") <= col("quota"), 1L).otherwise(0L))
+          .cast("long").as("n_sampled"),
+        sum(when(col("rk") <= col("quota"), col("n_chars")).otherwise(0L))
+          .cast("long").as("sampled_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_scrub" -> (qPiiScrub _),
     "q_contamination" -> (qContamination _),
     "q_repetition" -> (qRepetition _),
-    "q_domain_mix" -> (qDomainMix _)
+    "q_domain_mix" -> (qDomainMix _),
+    "q_mix_temperature" -> (qMixTemperature _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,6 +254,28 @@ object CurationQueries {
         |                          substr('0123456789abcdef', 5 + CAST(substr(source, 4) AS INT) % 8, 1)
         |                     THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars,
         |       CAST(4 + CAST(substr(source, 4) AS INT) % 8 AS BIGINT) AS target_sixteenths
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // alpha = 1/2 temperature weights, integer quota arithmetic, and
+    // the same (salted md5, doc_id) rank — one sampling definition,
+    // two engines
+    "q_mix_temperature" ->
+      """WITH ps AS (SELECT source, count(*) AS n_docs,
+        |                   CAST(floor(sqrt(count(*))) AS BIGINT) AS weight
+        |            FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS sum_w,
+        |             CAST(sum(n_docs) AS BIGINT) AS n_total FROM ps),
+        |b AS (SELECT source, n_docs, weight,
+        |             ((n_total // 4) * weight) // sum_w AS quota
+        |      FROM ps CROSS JOIN t),
+        |r AS (SELECT source, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY md5('temp|' || text), doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.source, CAST(min(b.n_docs) AS BIGINT) AS n_docs,
+        |       min(b.weight) AS weight, CAST(min(b.quota) AS BIGINT) AS quota,
+        |       CAST(sum(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |       CAST(sum(CASE WHEN rk <= quota THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+        |FROM r JOIN b ON r.source = b.source
+        |GROUP BY r.source ORDER BY r.source""".stripMargin
   )
 }

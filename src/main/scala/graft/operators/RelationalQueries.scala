@@ -583,9 +583,49 @@ object RelationalQueries {
       .orderBy("doc_id")
   }
 
+  // --- runtime-filter join pruning -------------------------------------
+
+  /** Bloom-filter join pruning — the 100 TB pattern for a selective
+    * fact↔dim join: build a fixed-size Bloom sketch over the URGENT
+    * orders' keys (~20% of orders), apply it to the lineitem scan as a
+    * map-side prefilter, then remove the sketch's false positives with
+    * the exact broadcast semi-join. At scale the probe drops most fact
+    * rows BEFORE any exchange — what Spark's InjectRuntimeFilter does
+    * opportunistically, here declared explicitly with the same
+    * machinery (BloomFilterAggregate / BloomFilterMightContain,
+    * surfaced as graft's `bloom_agg` / `bloom_contains`) so pruning is
+    * part of the plan, not an optimizer bet. The sketch round-trips
+    * through the driver as BOUNDED state — 64 KiB at ANY fact size, the
+    * same shape as a broadcast-join build — and lands in the scan as a
+    * binary literal. 2^19 bits for ≲2^16 build keys keeps the false-
+    * positive rate ≈0.9% (k=7 optimal), so the semi-join's shuffle-free
+    * verify touches ~1% extra rows. Result is EXACT (the semi-join
+    * removes FPs), hence fully oracle-checked.
+    */
+  def qBloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    val urgent = Engine.table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val sketch = urgent
+      .agg(call_function("bloom_agg", col("o_orderkey"),
+        lit(65536L), lit(524288L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val li = Engine.table(spark, dir, "lineitem")
+    li.filter(call_function("bloom_contains", lit(sketch), col("l_orderkey")))
+      .join(urgent.hint("broadcast"), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_cents"))
+      .orderBy("l_returnflag")
+  }
+
   // --- registry ---------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_prune" -> (qBloomPrune _),
     "q_sessionize" -> (qSessionize _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_asof_join" -> (qAsofJoin _),
@@ -674,6 +714,16 @@ object RelationalQueries {
         |       vlo_p50 + (vhi_p50 - vlo_p50) * (pos_p50 - floor(pos_p50)) AS p50,
         |       vlo_p75 + (vhi_p75 - vlo_p75) * (pos_p75 - floor(pos_p75)) AS p75
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    // the bloom prefilter is exact after the semi-join verify, so the
+    // oracle is the plain semi-join aggregate
+    "q_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

@@ -220,6 +220,42 @@ object StreamingQueries {
     }
   }
 
+  /** Stream-static enrichment join — the third streaming join shape
+    * after stream-stream (`q_stream_join`) and batch: each micro-batch
+    * of the watermarked events stream joins map-side against the
+    * STATIC customer dimension, broadcast once and reused across
+    * batches. No state store is involved at all (the static side is
+    * immutable), which is what makes this the default 100 TB pattern
+    * for dimension enrichment: per-batch cost is a broadcast-hash
+    * probe, independent of how long the stream has been running.
+    * Incremental execution is real (file source → AvailableNow → file
+    * sink → distributed read-back); oracle: the identical batch join.
+    */
+  def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val outDir = Files.createTempDirectory("graft_ssj_out").toString
+    val ckpt = Files.createTempDirectory("graft_ssj_ckpt").toString
+    try {
+      val cust = ss.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"),
+          col("c_nationkey").cast("long").as("nation_key"),
+          col("c_mktsegment").as("segment"))
+      val enriched = StreamingDistinct.readEventsStream(ss, dir)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("nation_key"), col("segment"))
+      runPass(enriched, outDir, ckpt)
+      lease("q_stream_static_join", Seq(outDir, ckpt))
+      ss.read.schema(enriched.schema).parquet(outDir)
+        .orderBy("event_id")
+    } catch {
+      case e: Throwable =>
+        Seq(outDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
   /** Streaming dedup as exactly-once under SOURCE REPLAY: the events
     * fixture enters the stream twice (two copies of the file,
     * maxFilesPerTrigger=1, so the second micro-batch replays every
@@ -271,7 +307,8 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_join" -> (qStreamJoin _),
-    "q_stream_dedup" -> (qStreamDedup _)
+    "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_static_join" -> (qStreamStaticJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -306,6 +343,12 @@ object StreamingQueries {
     // each event exactly once despite the stream seeing it twice
     "q_stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_stream_static_join" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |       CAST(c_nationkey AS BIGINT) AS nation_key,
+        |       c_mktsegment AS segment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin
   )
 }

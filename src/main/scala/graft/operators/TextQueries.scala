@@ -336,6 +336,31 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Greedy context packing in SUBWORD units: the `q_pack` layout
+    * recomputed over [[qBpeTokens]]'s merged-unit counts, so a pack
+    * boundary falls every [[CtxTokens]] real tokenizer units instead of
+    * the char proxy — the number an actual training loader packs by.
+    * Same scale shape as `q_pack`: the tokenizer pass is a narrow
+    * codegen'd map, the running sum partitions by lang so strata pack
+    * in parallel, and the census aggregate is the only other exchange.
+    */
+  def qPackTokens(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Engine.table(spark, dir, "documents")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tok",
+        length(regexp_replace(expr(bpeSql("text")), " ", "")).cast("long"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", expr(s"(cum_tok - n_tok) div $CtxTokens"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "pack_id")
+  }
+
   // --- registry ---------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -349,7 +374,8 @@ object TextQueries {
     "q_tfidf" -> (qTfidf _),
     "q_train_split" -> (qTrainSplit _),
     "q_pack" -> (qPack _),
-    "q_bpe_tokens" -> (qBpeTokens _)
+    "q_bpe_tokens" -> (qBpeTokens _),
+    "q_pack_tokens" -> (qPackTokens _)
   )
 
   private val duckStop = "('the','and','of','a','to')"
@@ -506,6 +532,22 @@ object TextQueries {
          |                  / length(replace(text, ' ', ''))) AS BIGINT) AS compression_pct,
          |       CAST((length(replace(merged, ' ', '')) + ${CtxTokens - 1}) // $CtxTokens AS BIGINT)
          |         AS n_ctx_windows
-         |FROM m ORDER BY doc_id""".stripMargin
+         |FROM m ORDER BY doc_id""".stripMargin,
+    // same merge chain, same per-lang running-sum layout as q_pack —
+    // pack boundaries in subword units
+    "q_pack_tokens" ->
+      s"""WITH m AS (
+         |  SELECT lang, doc_id,
+         |         length(replace(${bpeSql("text")}, ' ', '')) AS n_tok
+         |  FROM documents),
+         |cum AS (
+         |  SELECT lang, doc_id, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+         |  FROM m)
+         |SELECT lang, CAST((cum_tok - n_tok) // $CtxTokens AS BIGINT) AS pack_id,
+         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM cum GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
   )
 }

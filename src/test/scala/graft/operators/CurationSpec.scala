@@ -43,6 +43,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mix temperature: quotas respect the budget, sampling is exact-to-quota") {
+    val rows = CurationQueries.qMixTemperature(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nTotal = rows.map(_.getLong(1)).sum
+    val budget = nTotal / 4
+    // per-source: weight = isqrt(n_docs); n_sampled = min(quota, n_docs)
+    rows.foreach { r =>
+      val (n, w, q, s) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(w == math.sqrt(n.toDouble).toLong, s"weight isqrt ${r.getString(0)}")
+      assert(s == math.min(q, n), s"sampled!=min(quota,n) ${r.getString(0)}")
+    }
+    // integer-floor quotas never overshoot the corpus budget
+    assert(rows.map(_.getLong(3)).sum <= budget)
+    // alpha=1/2 upweights small domains: the smallest source's sampled
+    // FRACTION is >= the largest source's (equal only if sizes tie)
+    val bySize = rows.sortBy(_.getLong(1))
+    val (small, large) = (bySize.head, bySize.last)
+    assert(small.getLong(4) * large.getLong(1) >=
+      large.getLong(4) * small.getLong(1))
+  }
+
   test("repetition: max_rep <= n_grams, distinct <= total, pct in range") {
     val rows = CurationQueries.qRepetition(spark, dir).collect()
     assert(rows.nonEmpty)

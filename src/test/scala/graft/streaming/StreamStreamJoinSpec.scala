@@ -47,6 +47,22 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment equals the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed =
+      graft.operators.StreamingQueries.qStreamStaticJoin(spark, dir).collect()
+    val batch = graft.Engine.table(spark, dir, "events")
+      .join(graft.Engine.table(spark, dir, "customer"),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("c_nationkey").cast("long").as("nation_key"),
+        col("c_mktsegment").as("segment"))
+      .orderBy("event_id")
+      .collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming result equals the batch range-join on the same data") {
     import spark.implicits._
     val batch = StreamJoins.clickAttribution(
