@@ -44,6 +44,64 @@ object ImageCodec {
   def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] =
     decodeImage(bytes).map(img => (img.getWidth, img.getHeight))
 
+  /** 64-bit average perceptual hash (aHash): the image is divided into
+    * an 8x8 block grid, each block's summed gray value is compared to
+    * the whole-image mean, and bit (by*8+bx) is set when the block is
+    * strictly brighter. All-integer arithmetic — the comparison is
+    * cross-multiplied (blockSum * totalPixels > totalSum * blockPixels)
+    * so no division ever rounds — which makes the hash a pure function
+    * of the decoded pixels: byte-identical images ALWAYS collide, and
+    * mild global transforms (resize, brightness shift) move few bits.
+    * Images narrower/shorter than 8px reuse pixels across blocks
+    * (block edges still cover the full image) so the hash is total.
+    */
+  def averageHash(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val blockSum = new Array[Long](64)
+    val blockN = new Array[Long](64)
+    var totalSum = 0L
+    var by = 0
+    while (by < 8) {
+      val y0 = by * h / 8
+      val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * w / 8
+        val x1 = math.max(x0 + 1, (bx + 1) * w / 8)
+        var s = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val b = by * 8 + bx
+        blockSum(b) = s
+        blockN(b) = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+        totalSum += s
+        bx += 1
+      }
+      by += 1
+    }
+    val totalN = blockN.sum
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      if (blockSum(b) * totalN > totalSum * blockN(b)) bits |= 1L << b
+      b += 1
+    }
+    bits
+  }
+
+  /** Hamming distance between two [[averageHash]] values. */
+  def hammingDistance(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
   /** Pixel-space resize: decode, scale-draw onto a target-size canvas,
     * re-encode as PNG. None when the input isn't a decodable image.
     */

@@ -142,6 +142,54 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** Items in the perceptual-hash corpus: 24 distinct images, each
+    * present TWICE (byte-identical duplicate pairs i and i+24).
+    */
+  private val NPhash = 48
+
+  /** Perceptual-hash image dedup through the real codec: encode 24
+    * distinct PNGs twice each (byte-identical pairs), decode on
+    * executors, compute a 64-bit integer average-hash
+    * ([[ImageCodec.averageHash]] — all-integer, so it's a pure
+    * function of decoded pixels), and cluster on
+    * (width, height, phash) — dims in the blocking key the way a real
+    * image-dedup pipeline buckets by size/aspect before comparing
+    * hashes, and what keeps the ORACLE closed-form: byte-identical
+    * pairs always share a hash, distinct-seed groups can never merge
+    * across different dims even if their 64-bit hashes collided. The
+    * oracle predicts the full cluster structure arithmetically
+    * (canonical s, member s+24, size 2 for s < 24). Scale shape:
+    * decode+hash is a narrow map (bytes never cross a shuffle), the
+    * cluster groupBy carries 16 bytes per image. The hash itself (not
+    * oracle-predictable — it depends on PNG codec output) is checked
+    * in MultimodalSpec: resize-robustness by hamming distance, and
+    * exact equality on byte-identical pairs.
+    */
+  def qImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(NPhash)
+      .map { i =>
+        val s = (i % 24).toInt
+        Multimodal.MediaItem(i, "image/png", "synthetic", 0L,
+          ImageCodec.encodePng(16 + s, 8 + s, s))
+      }
+      .map { it =>
+        val img = ImageCodec.decodeImage(it.content).getOrElse(
+          sys.error(s"undecodable PNG fixture ${it.media_id}"))
+        (it.media_id, img.getWidth.toLong, img.getHeight.toLong,
+          ImageCodec.averageHash(img))
+      }
+      .toDF("media_id", "width", "height", "phash")
+      .groupBy(col("width"), col("height"), col("phash"))
+      .agg(
+        min(col("media_id")).as("canonical_id"),
+        max(col("media_id")).as("max_id"),
+        count(lit(1)).as("n_members"))
+      .select(col("width"), col("height"), col("canonical_id"),
+        col("max_id"), col("n_members"))
+      .orderBy("canonical_id")
+  }
+
   /** REAL image decode + resize through the full distributed pipeline:
     * encode deterministic PNGs of known size (JDK `javax.imageio`),
     * run them through the Dataset decode stage, pixel-space resize to
@@ -186,7 +234,8 @@ object MultimodalQueries {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_profile" -> (qMediaProfile _),
     "q_image_decode" -> (qImageDecode _),
-    "q_audio_decode" -> (qAudioDecode _)
+    "q_audio_decode" -> (qAudioDecode _),
+    "q_image_phash" -> (qImagePhash _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -251,6 +300,17 @@ object MultimodalQueries {
          |       CAST(greatest(1, (16 + i % 32) // 2) AS BIGINT) AS half_w,
          |       CAST(greatest(1, (8 + i % 16) // 2) AS BIGINT) AS half_h
          |FROM generate_series(0, ${NImages - 1}) AS t(i)
-         |ORDER BY media_id""".stripMargin
+         |ORDER BY media_id""".stripMargin,
+    // the cluster structure is closed-form: seed s < 24 appears as
+    // items s and s+24 (byte-identical), dims (16+s, 8+s) make the
+    // blocking key unique per seed
+    "q_image_phash" ->
+      """SELECT CAST(16 + s AS BIGINT) AS width,
+        |       CAST(8 + s AS BIGINT) AS height,
+        |       CAST(s AS BIGINT) AS canonical_id,
+        |       CAST(s + 24 AS BIGINT) AS max_id,
+        |       CAST(2 AS BIGINT) AS n_members
+        |FROM generate_series(0, 23) AS t(s)
+        |ORDER BY canonical_id""".stripMargin
   )
 }

@@ -611,8 +611,14 @@ object RelationalQueries {
       .agg(call_function("bloom_agg", col("o_orderkey"),
         lit(65536L), lit(524288L)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // zero build rows → NULL sketch; a NULL-typed literal would fail
+    // BloomFilterMightContain's type check, and the semantics are "no
+    // keys can match" — prune everything before the scan even starts
+    val probe =
+      if (sketch == null) lit(false)
+      else call_function("bloom_contains", lit(sketch), col("l_orderkey"))
     val li = Engine.table(spark, dir, "lineitem")
-    li.filter(call_function("bloom_contains", lit(sketch), col("l_orderkey")))
+    li.filter(probe)
       .join(urgent.hint("broadcast"), col("l_orderkey") === col("o_orderkey"),
         "left_semi")
       .groupBy(col("l_returnflag"))

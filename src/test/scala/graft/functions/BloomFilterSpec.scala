@@ -30,6 +30,15 @@ class BloomFilterSpec extends SparkSpec {
     assert(fp < 500L, s"false-positive rate too high: $fp/10000")
   }
 
+  test("bloom_agg over zero rows yields NULL (the pruned-to-empty contract)") {
+    Engine.register(spark)
+    import spark.implicits._
+    val bf = Seq.empty[Long].toDF("k")
+      .agg(dsl.bloom_agg(col("k"), 16L, 128L).as("bf")).head()
+    // qBloomPrune maps this to a constant-false prefilter
+    assert(bf.isNullAt(0))
+  }
+
   test("q_bloom_prune equals the plain semi-join aggregate") {
     val withBloom = RelationalQueries.qBloomPrune(spark, dir).collect()
     val urgent = Engine.table(spark, dir, "orders")

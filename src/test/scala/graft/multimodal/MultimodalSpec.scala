@@ -57,6 +57,44 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.decodeDims(small.content).contains((20, 12)))
   }
 
+  test("average hash: identical pixels collide, resize moves few bits") {
+    def hashOf(bytes: Array[Byte]): Long =
+      ImageCodec.averageHash(ImageCodec.decodeImage(bytes).get)
+    // byte-identical encodes → identical hash (determinism)
+    val a = hashOf(ImageCodec.encodePng(32, 24, seed = 3L))
+    val b = hashOf(ImageCodec.encodePng(32, 24, seed = 3L))
+    assert(a == b)
+    // scale robustness on SMOOTH content (the property aHash is for;
+    // the synthetic fixture gradient wraps mod 2^24 — high-frequency
+    // noise — so it is deliberately not used here): the same smooth
+    // function rendered at two resolutions must hash nearly equal,
+    // because 8x8 block means approximate the same integral
+    def smooth(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (255.0 * (math.sin(3.0 * x / w) + math.cos(2.0 * y / h) + 2) / 4).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val big = ImageCodec.averageHash(smooth(64, 48))
+    val small = ImageCodec.averageHash(smooth(32, 24))
+    val d = ImageCodec.hammingDistance(big, small)
+    assert(d <= 8, s"rescale moved $d/64 bits")
+    assert(big != 0L && big != -1L, "degenerate hash")
+  }
+
+  test("image phash clusters exactly the byte-identical pairs") {
+    val rows =
+      graft.operators.MultimodalQueries.qImagePhash(spark, dir).collect()
+    assert(rows.length == 24)
+    rows.foreach { r =>
+      val (canon, maxId, n) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(maxId == canon + 24 && n == 2, s"cluster $canon")
+    }
+  }
+
   test("undecodable image bytes fall back to the stub codec") {
     val junk = Array.fill(32)(0x42.toByte)
     val item = Multimodal.MediaItem(7L, "image/png", "s", 32L, junk)
