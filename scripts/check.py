@@ -35,6 +35,11 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    unknown = only - set(oracle)
+    if unknown:
+        # a typo'd filter must not read as a clean pass
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        sys.exit(1)
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -49,9 +54,14 @@ def main():
             print(f"FAIL {name}: no spark output")
             n_bad += 1
             continue
-        s = con.execute(
-            f"SELECT * FROM '{spark_dir}/*.parquet'")
-        s_rows, s_cols = s.fetchall(), [d[0] for d in s.description]
+        try:
+            s = con.execute(
+                f"SELECT * FROM '{spark_dir}/*.parquet'")
+            s_rows, s_cols = s.fetchall(), [d[0] for d in s.description]
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable {e}")
+            n_bad += 1
+            continue
         try:
             o = con.execute(oracle[name])
             o_rows, o_cols = o.fetchall(), [d[0] for d in o.description]
@@ -69,8 +79,11 @@ def main():
             print(f"FAIL {name}: rows {len(s_rows)}/{len(o_rows)} "
                   f"cols_match={ok_cols} hash_match={ok_hash}")
             if ok_cols and not ok_hash and len(s_rows) < 50:
-                print("  spark:", sorted(s_rows)[:5])
-                print("  oracle:", sorted(o_rows)[:5])
+                # canon handles NULLs and aligns both sides on the same
+                # (name-sorted) column order; raw tuples would neither
+                # sort (None < int raises) nor line up positionally
+                print("  spark:", canon(s_rows, s_cols).split("\x1e")[:5])
+                print("  oracle:", canon(o_rows, o_cols).split("\x1e")[:5])
     sys.exit(1 if n_bad else 0)
 
 

@@ -51,18 +51,22 @@ object Engine {
     temp("sorted_inter_count")(exprs => SortedInterCount(exprs(0), exprs(1)))
     // Spark's own runtime-filter machinery, surfaced as SQL functions:
     // bloom_agg(key[, n_items, n_bits]) builds the fixed-size sketch,
-    // bloom_contains(sketch, key) probes it. Keys go through XxHash64 on
-    // both sides — the same wrap InjectRuntimeFilter applies — so callers
-    // pass raw key columns of any hashable type.
+    // bloom_contains(sketch, key) probes it. Keys are canonicalized to
+    // STRING before XxHash64 (the count300k coercion) so a build over an
+    // INT dim key and a probe with a BIGINT fact key hash identically —
+    // raw XxHash64 hashes IntegerType and LongType differently, which
+    // would be a SILENT no-false-negatives violation. (InjectRuntimeFilter
+    // avoids this by hashing post-coercion join keys; a SQL surface has
+    // no analyzer to lean on, so it canonicalizes instead.)
+    def hashKey(k: Expression) = new XxHash64(Seq(Cast(k, StringType)))
     temp("bloom_agg") {
-      case Seq(k) => new BloomFilterAggregate(new XxHash64(Seq(k)))
-      case Seq(k, n, b) =>
-        new BloomFilterAggregate(new XxHash64(Seq(k)), n, b)
+      case Seq(k) => new BloomFilterAggregate(hashKey(k))
+      case Seq(k, n, b) => new BloomFilterAggregate(hashKey(k), n, b)
       case exprs => throw new IllegalArgumentException(
         s"bloom_agg(key[, n_items, n_bits]) — got ${exprs.length} args")
     }
     temp("bloom_contains")(exprs =>
-      BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1)))))
+      BloomFilterMightContain(exprs(0), hashKey(exprs(1))))
     // Session-construction conf: set at register() or as session-build
     // config (Bench/Verify/BenchOne/PlanDump builders), never by read
     // helpers — `events.ts` is parquet TIMESTAMP(NANOS), which the

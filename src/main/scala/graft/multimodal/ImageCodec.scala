@@ -92,10 +92,25 @@ object ImageCodec {
     var bits = 0L
     var b = 0
     while (b < 64) {
-      if (blockSum(b) * totalN > totalSum * blockN(b)) bits |= 1L << b
+      // 128-bit compare: blockSum*totalN vs totalSum*blockN would
+      // overflow Long around a gigapixel (sums reach ~765*N, N = total
+      // pixels), silently flipping bits on exactly the large imagery
+      // this is pitched at
+      if (cmpProd(blockSum(b), totalN, totalSum, blockN(b)) > 0)
+        bits |= 1L << b
       b += 1
     }
     bits
+  }
+
+  /** Compare a*b vs c*d exactly for non-negative longs (sign of
+    * a*b - c*d) via 128-bit products — no overflow at any input.
+    */
+  private def cmpProd(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(lo1, lo2)
   }
 
   /** Hamming distance between two [[averageHash]] values. */

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine
+import graft.functions.dsl
 
 /** Capability sweep over the host-engine-provided operator categories
   * (SURVEY.md §2.2): the reference shipped one aggregate and relied on
@@ -597,26 +598,37 @@ object RelationalQueries {
     * part of the plan, not an optimizer bet. The sketch round-trips
     * through the driver as BOUNDED state — 64 KiB at ANY fact size, the
     * same shape as a broadcast-join build — and lands in the scan as a
-    * binary literal. 2^19 bits for ≲2^16 build keys keeps the false-
-    * positive rate ≈0.9% (k=7 optimal), so the semi-join's shuffle-free
-    * verify touches ~1% extra rows. Result is EXACT (the semi-join
-    * removes FPs), hence fully oracle-checked.
+    * binary literal. The sketch is sized from the measured build
+    * cardinality (8 bits/key → FP ~2% regardless of scale), so the
+    * semi-join's verify touches only a few percent extra rows. Result
+    * is EXACT (the semi-join removes FPs), hence fully oracle-checked.
     */
   def qBloomPrune(spark: SparkSession, dir: String): DataFrame = {
     Engine.register(spark)
     val urgent = Engine.table(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
+    // Size the sketch from the MEASURED build cardinality (8 bits/key,
+    // k=5-6 optimal → FP ~2% at any scale): a hardcoded capacity would
+    // saturate once the build side outgrew it — at sf1.0 a 65536-item
+    // sketch over ~300k URGENT keys would sit at ~97% fill and pass
+    // ~80% of non-matching fact rows, silently defeating the pruning.
+    // The count is one cheap metadata-backed scan; the ceilings keep
+    // the sketch within Spark's own runtime-filter bounds (8 MiB) —
+    // beyond ~8M build keys the FP rate degrades gracefully instead of
+    // the sketch growing unbounded.
+    val nUrgent = math.max(1L, urgent.count())
+    val nItems = math.min(nUrgent, 4000000L)
+    val nBits = math.min(math.max(1L << 16, 8L * nUrgent), 1L << 26)
     val sketch = urgent
-      .agg(call_function("bloom_agg", col("o_orderkey"),
-        lit(65536L), lit(524288L)).as("bf"))
+      .agg(dsl.bloom_agg(col("o_orderkey"), nItems, nBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     // zero build rows → NULL sketch; a NULL-typed literal would fail
     // BloomFilterMightContain's type check, and the semantics are "no
     // keys can match" — prune everything before the scan even starts
     val probe =
       if (sketch == null) lit(false)
-      else call_function("bloom_contains", lit(sketch), col("l_orderkey"))
+      else dsl.bloom_contains(lit(sketch), col("l_orderkey"))
     val li = Engine.table(spark, dir, "lineitem")
     li.filter(probe)
       .join(urgent.hint("broadcast"), col("l_orderkey") === col("o_orderkey"),

@@ -222,10 +222,11 @@ object StreamingQueries {
 
   /** Stream-static enrichment join — the third streaming join shape
     * after stream-stream (`q_stream_join`) and batch: each micro-batch
-    * of the watermarked events stream joins map-side against the
-    * STATIC customer dimension, broadcast once and reused across
-    * batches. No state store is involved at all (the static side is
-    * immutable), which is what makes this the default 100 TB pattern
+    * of the events stream joins map-side against the STATIC customer
+    * dimension, broadcast once and reused across batches. No watermark
+    * and no state store are involved at all (the join is stateless and
+    * the static side immutable), which is what makes this the default
+    * 100 TB pattern
     * for dimension enrichment: per-batch cost is a broadcast-hash
     * probe, independent of how long the stream has been running.
     * Incremental execution is real (file source → AvailableNow → file
@@ -236,7 +237,7 @@ object StreamingQueries {
     val outDir = Files.createTempDirectory("graft_ssj_out").toString
     val ckpt = Files.createTempDirectory("graft_ssj_ckpt").toString
     try {
-      val cust = ss.read.parquet(s"$dir/customer.parquet")
+      val cust = Engine.table(ss, dir, "customer")
         .select(col("c_custkey"),
           col("c_nationkey").cast("long").as("nation_key"),
           col("c_mktsegment").as("segment"))

@@ -30,6 +30,17 @@ class BloomFilterSpec extends SparkSpec {
     assert(fp < 500L, s"false-positive rate too high: $fp/10000")
   }
 
+  test("mixed integer key types hash identically (no silent false negatives)") {
+    Engine.register(spark)
+    import spark.implicits._
+    val sketch = (0 until 512).toDF("k") // IntegerType build side
+      .agg(dsl.bloom_agg(col("k"), 512L, 8192L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val probed = (0L until 512L).toDF("k") // LongType probe side
+      .filter(dsl.bloom_contains(lit(sketch), col("k"))).count()
+    assert(probed == 512L, "int-built sketch must accept long probes")
+  }
+
   test("bloom_agg over zero rows yields NULL (the pruned-to-empty contract)") {
     Engine.register(spark)
     import spark.implicits._
