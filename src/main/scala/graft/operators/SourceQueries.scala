@@ -123,9 +123,74 @@ object SourceQueries {
     finally cleanup()
   }
 
+  // --- z-order (Morton) layout -----------------------------------------
+
+  /** Bits per dimension in the z-order code. */
+  private val ZBits = 8
+
+  /** Render the 2-D Morton interleave of `x` and `y` (each using the
+    * low [[ZBits]] bits) in a SQL dialect given its shift renderers —
+    * ONE definition of the bit structure, two renderings (Spark SQL
+    * has shiftleft/shiftright functions, DuckDB the << >> operators;
+    * disjoint bits make + equal to bitwise-or in both).
+    */
+  private def mortonSql(
+      x: String, y: String,
+      shl: (String, Int) => String,
+      shr: (String, Int) => String): String =
+    (0 until ZBits).flatMap { b =>
+      Seq(shl(s"(${shr(x, b)}) & 1", 2 * b),
+        shl(s"(${shr(y, b)}) & 1", 2 * b + 1))
+    }.mkString("(", " + ", ")")
+
+  private[operators] def sparkMorton(x: String, y: String): String =
+    mortonSql(x, y,
+      (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
+
+  private def duckMorton(x: String, y: String): String =
+    mortonSql(x, y, (e, n) => s"(($e) << $n)", (e, n) => s"(($e) >> $n)")
+
+  /** Events with the z-order layout key over (user bucket, hour of
+    * day) — the two dimensions an entity+time workload filters by.
+    */
+  private[operators] def zcodedEvents(
+      spark: SparkSession, dir: String): DataFrame =
+    Engine.table(spark, dir, "events")
+      .withColumn("ubucket", expr("user_id & 255"))
+      .withColumn("hr", expr("hour(ts)"))
+      .withColumn("zcode",
+        expr(sparkMorton("user_id & 255", "hour(ts)")).cast("long"))
+
+  /** Z-order (Morton) layout key — the lakehouse data-layout primitive
+    * for multi-dimensional file skipping: interleaving the bits of
+    * (user bucket, hour of day) makes rows close in BOTH dimensions
+    * close in the one sort order, so range-partitioned files carry
+    * tight min/max on both columns at once and a conjunctive predicate
+    * prunes most files (a time-ordered ingest prunes on time only —
+    * an entity predicate touches every file). The code itself is exact
+    * integer bit arithmetic — this query emits the per-z-range census
+    * (counts + both dims' min/max, the file-statistics shape) with the
+    * interleave structure rendered once for each engine; the actual
+    * file-skipping win is measured in ZorderSpec by counting files
+    * that contain matches under each layout. Narrow map + one tiny-key
+    * aggregate; at 100 TB the z-sort is the same repartitionByRange
+    * write every layout job already does.
+    */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    zcodedEvents(spark, dir)
+      .groupBy(expr("shiftright(zcode, 6)").as("z_range"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ubucket")).cast("long").as("min_u"),
+        max(col("ubucket")).cast("long").as("max_u"),
+        min(col("hr")).cast("long").as("min_hr"),
+        max(col("hr")).cast("long").as("max_hr"))
+      .orderBy("z_range")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
-    "q_bucketed_join" -> (qBucketedJoin _)
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "q_zorder" -> (qZorder _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -138,6 +203,18 @@ object SourceQueries {
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the same interleave structure rendered in DuckDB's operators
+    "q_zorder" ->
+      s"""WITH z AS (
+         |  SELECT user_id & 255 AS ubucket, hour(ts) AS hr,
+         |         ${duckMorton("user_id & 255", "hour(ts)")} AS zcode
+         |  FROM events)
+         |SELECT CAST(zcode >> 6 AS BIGINT) AS z_range, count(*) AS n_events,
+         |       CAST(min(ubucket) AS BIGINT) AS min_u,
+         |       CAST(max(ubucket) AS BIGINT) AS max_u,
+         |       CAST(min(hr) AS BIGINT) AS min_hr,
+         |       CAST(max(hr) AS BIGINT) AS max_hr
+         |FROM z GROUP BY 1 ORDER BY z_range""".stripMargin
   )
 }
