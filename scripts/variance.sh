@@ -25,7 +25,10 @@ SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
       for (i = 1; i <= NF; i++) if ($i == "wall") { runs[++n] = $(i + 1) }
       next
     }
-    $1 ~ /^q_/ && n > 0 {
+    # sbt prefixes every line with "[info] ", so the query name is $2
+    # there and $1 when BenchOne runs bare — accept both
+    ($1 ~ /^q_/ || $2 ~ /^q_/) && n > 0 {
+      name = ($1 ~ /^q_/) ? $1 : $2
       wmax = 0; wmin = 1e18
       series = runs[1] " (first=cold)"
       for (i = 2; i <= n; i++) {
@@ -33,7 +36,7 @@ SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
         if (runs[i] + 0 > wmax) wmax = runs[i] + 0
         if (runs[i] + 0 < wmin) wmin = runs[i] + 0
       }
-      printf "| %s | %s | %.2f |\n", $1, series, wmax / wmin
+      printf "| %s | %s | %.2f |\n", name, series, wmax / wmin
       n = 0
     }
   '
