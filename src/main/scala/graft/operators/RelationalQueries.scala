@@ -596,8 +596,9 @@ object RelationalQueries {
     * machinery (BloomFilterAggregate / BloomFilterMightContain,
     * surfaced as graft's `bloom_agg` / `bloom_contains`) so pruning is
     * part of the plan, not an optimizer bet. The sketch round-trips
-    * through the driver as BOUNDED state — 64 KiB at ANY fact size, the
-    * same shape as a broadcast-join build — and lands in the scan as a
+    * through the driver as BOUNDED state — 8 bits per BUILD key,
+    * independent of fact size and capped at 8 MiB, the same shape as a
+    * broadcast-join build — and lands in the scan as a
     * binary literal. The sketch is sized from the measured build
     * cardinality (8 bits/key → FP ~2% regardless of scale), so the
     * semi-join's verify touches only a few percent extra rows. Result

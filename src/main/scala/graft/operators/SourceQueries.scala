@@ -158,8 +158,10 @@ object SourceQueries {
     Engine.table(spark, dir, "events")
       .withColumn("ubucket", expr("user_id & 255"))
       .withColumn("hr", expr("hour(ts)"))
-      .withColumn("zcode",
-        expr(sparkMorton("user_id & 255", "hour(ts)")).cast("long"))
+      // reference the derived columns: the interleave repeats each
+      // dimension 16 times, so inlining the raw expressions would both
+      // balloon the tree and leave two definitions to keep in sync
+      .withColumn("zcode", expr(sparkMorton("ubucket", "hr")).cast("long"))
 
   /** Z-order (Morton) layout key — the lakehouse data-layout primitive
     * for multi-dimensional file skipping: interleaving the bits of
