@@ -627,12 +627,48 @@ object DedupQueries {
 
   // --- registry ----------------------------------------------------------
 
+  /** Incremental (cross-corpus) dedup — the shape a pipeline runs on
+    * every ingest batch: incoming documents (odd doc_ids here) check
+    * their content hash against the EXISTING corpus (even doc_ids) and
+    * only unseen content survives. The fixture has no natural exact
+    * duplicates, so incoming docs with doc_id % 10 == 1 deterministically
+    * carry the text of their (existing) predecessor — a join-produced
+    * duplicate both engines construct identically. Scale shape: the
+    * membership check is a semi-join on the content hash — broadcast
+    * when the daily batch is small, shuffle otherwise — and NOTHING
+    * rescans the existing corpus's text, only its hash column (at
+    * production scale a stored fingerprint table). Output: per-source
+    * ingest census (incoming / duplicate / new).
+    */
+  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("h_existing")).distinct()
+    val donors = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .join(donors,
+        col("b_id") === col("doc_id") -
+          when(col("doc_id") % 10 === 1, 1).otherwise(0))
+      .select(col("doc_id"), col("source"), md5(col("b_text")).as("h"))
+    incoming
+      .join(existing, col("h") === col("h_existing"), "left_outer")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(col("h_existing").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_dup"),
+        sum(when(col("h_existing").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_new"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_ngram_capped" -> (qNgramJaccardCapped _),
     "q_dedup_clusters" -> (qDedupClusters _),
-    "q_dedup_star" -> (qDedupClustersStar _)
+    "q_dedup_star" -> (qDedupClustersStar _),
+    "q_incremental_dedup" -> (qIncrementalDedup _)
   )
 
   // Oracle SQL generated from the same constants as the Spark pipeline.
@@ -711,7 +747,24 @@ object DedupQueries {
     // variants (propagation and star contraction) compute — one oracle
     // text, two independent distributed algorithms checked against it.
     "q_dedup_clusters" -> duckClustersSql,
-    "q_dedup_star" -> duckClustersSql
+    "q_dedup_star" -> duckClustersSql,
+    // the duplicate INJECTION (doc_id % 10 == 1 borrows the
+    // predecessor's text) is the same join in both engines
+    "q_incremental_dedup" ->
+      """WITH existing AS (
+        |  SELECT DISTINCT md5(text) AS h_existing FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |incoming AS (
+        |  SELECT i.doc_id, i.source, md5(b.text) AS h
+        |  FROM documents i JOIN documents b
+        |    ON b.doc_id = i.doc_id - (CASE WHEN i.doc_id % 10 = 1
+        |                                   THEN 1 ELSE 0 END)
+        |  WHERE i.doc_id % 2 = 1)
+        |SELECT source, count(*) AS n_incoming,
+        |       CAST(sum(CASE WHEN h_existing IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(sum(CASE WHEN h_existing IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |FROM incoming LEFT JOIN existing ON h = h_existing
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 
   private lazy val duckClustersSql: String =

@@ -361,6 +361,39 @@ object TextQueries {
       .orderBy("lang", "pack_id")
   }
 
+  /** Merge candidates to emit from [[qBpeLearn]]. */
+  private val BpeLearnTopK = 10
+
+  /** The LEARNING side of BPE, one training iteration at corpus scale:
+    * count every adjacent character pair inside every word, rank by
+    * frequency — the top pair is exactly the merge a BPE trainer would
+    * add to its vocabulary next ([[BpeMerges]] is the APPLICATION side
+    * of the same mechanism). Scale shape: the pair count is a
+    * map-side-combinable aggregate that collapses the whole corpus to
+    * at most |alphabet|² rows before any exchange, so the global
+    * ranking window runs over ≤676 rows no matter how many documents
+    * feed it — this is how distributed tokenizer training actually
+    * iterates. Deterministic ties: (count desc, pair asc).
+    */
+  def qBpeLearn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Engine.table(spark, dir, "documents")
+    val pairs = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+    val counts = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    // global window over <= |alphabet|^2 rows — bounded at any corpus size
+    counts
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("pair"))))
+      .filter(col("rk") <= BpeLearnTopK)
+      .select(col("pair"), col("n"), col("rk").cast("long").as("rk"))
+      .orderBy("rk")
+  }
+
   // --- registry ---------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -375,7 +408,8 @@ object TextQueries {
     "q_train_split" -> (qTrainSplit _),
     "q_pack" -> (qPack _),
     "q_bpe_tokens" -> (qBpeTokens _),
-    "q_pack_tokens" -> (qPackTokens _)
+    "q_pack_tokens" -> (qPackTokens _),
+    "q_bpe_learn" -> (qBpeLearn _)
   )
 
   private val duckStop = "('the','and','of','a','to')"
@@ -548,6 +582,17 @@ object TextQueries {
          |SELECT lang, CAST((cum_tok - n_tok) // $CtxTokens AS BIGINT) AS pack_id,
          |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM cum GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
+         |FROM cum GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
+    "q_bpe_learn" ->
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |p AS (SELECT substr(w, i, 2) AS pair
+         |      FROM (SELECT w FROM w WHERE length(w) >= 2) t,
+         |           unnest(generate_series(1, length(w) - 1)) AS u(i)),
+         |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair),
+         |r AS (SELECT pair, n,
+         |             row_number() OVER (ORDER BY n DESC, pair) AS rk
+         |      FROM c)
+         |SELECT pair, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= $BpeLearnTopK ORDER BY rk""".stripMargin
   )
 }

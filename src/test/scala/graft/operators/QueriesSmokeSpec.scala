@@ -45,4 +45,32 @@ class QueriesSmokeSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0)
     assert(total == graft.Engine.table(spark, dir, "documents").count())
   }
+
+  test("q_bpe_learn emits a strictly rank-ordered top-10 of pair counts") {
+    val rows = TextQueries.qBpeLearn(spark, dir).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(2)).toSeq == (1L to 10L))
+    // counts non-increasing in rank order; ties broken by pair asc
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val ok = a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0))
+      assert(ok, s"rank order violated at ${b.getString(0)}")
+    }
+  }
+
+  test("q_incremental_dedup finds exactly the injected duplicates") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Engine.table(spark, dir, "documents")
+    // injected dups: incoming (odd) docs with doc_id % 10 == 1; the
+    // fixture has no natural exact duplicates (q_dedup_exact invariant)
+    val expected = docs.filter(col("doc_id") % 10 === 1)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = DedupQueries.qIncrementalDedup(spark, dir).collect()
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(2) == expected.getOrElse(src, 0L), s"n_dup for $src")
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), s"census sums $src")
+    }
+  }
 }
