@@ -21,11 +21,13 @@ object SparkEntry {
     CoreQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ SourceQueries.queries ++
-      StreamingQueries.queries ++ CurationQueries.queries
+      StreamingQueries.queries ++ CurationQueries.queries ++
+      ProfileQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ SourceQueries.oracles ++
-      StreamingQueries.oracles ++ CurationQueries.oracles
+      StreamingQueries.oracles ++ CurationQueries.oracles ++
+      ProfileQueries.oracles
 }

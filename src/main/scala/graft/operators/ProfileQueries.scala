@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Data-profiling operators — the statistics pass every pipeline runs
+  * before trusting a new corpus drop: per-column completeness and
+  * cardinality, and an exact equi-depth histogram. Both follow the
+  * engine's oracle discipline (integer-only outputs, total ORDER BY).
+  */
+object ProfileQueries {
+
+  /** Columns profiled by [[qProfile]]. A fixed, declared list — the
+    * profile IS the schema contract being checked.
+    */
+  private val ProfileCols =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_returnflag", "l_shipdate")
+
+  /** Per-column profile census (the Deequ-style data-quality pass):
+    * row count, null count, exact distinct count per declared column,
+    * in long format. One aggregate per column over a SINGLE-column
+    * projection — parquet column pruning makes each pass read one
+    * column's pages only, the columnar-storage profiling shape (a
+    * single wide aggregate with N exact distincts would instead
+    * Expand-multiply the whole scan N times). The per-column passes
+    * are independent jobs a scheduler can run concurrently; each is
+    * map-side combinable.
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Engine.table(spark, dir, "lineitem")
+    ProfileCols.map { c =>
+      li.select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_filled"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_rows"),
+          (col("n_rows") - col("n_filled")).cast("long").as("n_null"),
+          col("n_distinct"))
+    }.reduce(_ unionByName _).orderBy("column_name")
+  }
+
+  /** Number of equi-depth buckets for [[qHistogram]]. */
+  private val NBuckets = 10L
+
+  /** Exact equi-depth histogram of lineitem price WITHOUT a global row
+    * sort: prices quantize to ten-dollar CELLS (a domain bounded by
+    * the price range, NOT the corpus size), rows collapse to
+    * (cell, count) in a map-side-combined aggregate, and a window over
+    * the bounded cell domain assigns each cell its cumulative position
+    * range [lo, hi]; a cell's rows land in bucket b where row position
+    * p maps to `(p-1) * NBuckets div n`, with boundary-spanning cells
+    * contributing their overlap to each side in closed form. Third
+    * application of the counting idiom behind the exact median and
+    * quantiles — and the quantization step is what makes it hold at
+    * ANY corpus size: raw cents are nearly all-distinct (the "distinct
+    * walk" would degenerate to a single-task sort of the corpus), a
+    * fixed cell domain keeps the window input bounded the way the
+    * alphabet² bound does for `q_bpe_learn`. The oracle computes the
+    * identical bucket function per ROW (row_number over cells),
+    * proving the walk's arithmetic: bucket populations agree
+    * row-for-row, min/max cell per bucket included.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Engine.table(spark, dir, "lineitem")
+    val counts = li
+      .select(floor(col("l_extendedprice") / 10).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val ranged = counts
+      .withColumn("hi", sum(col("c")).over(cum))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(whole))
+    // explode each value into the buckets its [lo, hi] range touches;
+    // rows contributed to bucket b = |[lo, hi] ∩ [b*n/k+1, (b+1)*n/k]|
+    ranged
+      .withColumn("b",
+        explode(expr(
+          s"sequence((lo - 1) * $NBuckets div n, (hi - 1) * $NBuckets div n)")))
+      .withColumn("b_start", expr(s"b * n div $NBuckets + 1"))
+      .withColumn("b_end", expr(s"(b + 1) * n div $NBuckets"))
+      .withColumn("rows_here",
+        expr("least(hi, b_end) - greatest(lo, b_start) + 1"))
+      .groupBy(col("b").as("bucket"))
+      .agg(sum(col("rows_here")).cast("long").as("n_rows"),
+        min(col("v")).as("min_cell"), max(col("v")).as("max_cell"))
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> (qProfile _),
+    "q_histogram" -> (qHistogram _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_profile" -> ProfileCols.map(c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |       CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    // the row-level bucket function the distinct-walk must reproduce
+    "q_histogram" ->
+      s"""WITH r AS (
+         |  SELECT CAST(floor(l_extendedprice / 10) AS BIGINT) AS v,
+         |         row_number() OVER (ORDER BY floor(l_extendedprice / 10)) AS p,
+         |         count(*) OVER () AS n
+         |  FROM lineitem)
+         |SELECT CAST((p - 1) * $NBuckets // n AS BIGINT) AS bucket,
+         |       count(*) AS n_rows,
+         |       min(v) AS min_cell, max(v) AS max_cell
+         |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+  )
+}

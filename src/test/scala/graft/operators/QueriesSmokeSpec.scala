@@ -58,6 +58,22 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q_histogram buckets are equi-depth up to cell granularity") {
+    val rows = ProfileQueries.qHistogram(spark, dir).collect()
+    assert(rows.length == 10)
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == graft.Engine.table(spark, dir, "lineitem").count())
+    rows.foreach { r =>
+      // the bucket function gives each bucket n/k rows +-1 exactly;
+      // boundary cells are SPLIT across buckets, so depth is exact
+      assert(math.abs(r.getLong(1) - n / 10) <= 1, s"bucket ${r.getLong(0)}")
+    }
+    // value ranges are non-decreasing across buckets
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2) + 1 && a.getLong(2) <= b.getLong(2))
+    }
+  }
+
   test("q_incremental_dedup finds exactly the injected duplicates") {
     import org.apache.spark.sql.functions._
     val docs = graft.Engine.table(spark, dir, "documents")
