@@ -644,12 +644,18 @@ object DedupQueries {
     val docs = Engine.table(spark, dir, "documents")
     val existing = docs.filter(col("doc_id") % 2 === 0)
       .select(md5(col("text")).as("h_existing")).distinct()
-    val donors = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    // hash BEFORE the join: only 32-char digests cross the exchange,
+    // never document text — the shape the scaladoc promises
+    val donors = docs.select(col("doc_id").as("b_id"), md5(col("text")).as("b_h"))
     val incoming = docs.filter(col("doc_id") % 2 === 1)
-      .join(donors,
-        col("b_id") === col("doc_id") -
-          when(col("doc_id") % 10 === 1, 1).otherwise(0))
-      .select(col("doc_id"), col("source"), md5(col("b_text")).as("h"))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("own_h"),
+        when(col("doc_id") % 10 === 1, col("doc_id") - 1).as("donor_id"))
+      // LEFT join + fallback to the doc's own hash: a corpus whose
+      // donor id is absent (doc_ids not starting at 0, filtered shard)
+      // must not silently drop the doc from the census
+      .join(donors, col("donor_id") === col("b_id"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("b_h"), col("own_h")).as("h"))
     incoming
       .join(existing, col("h") === col("h_existing"), "left_outer")
       .groupBy(col("source"))
@@ -755,10 +761,10 @@ object DedupQueries {
         |  SELECT DISTINCT md5(text) AS h_existing FROM documents
         |  WHERE doc_id % 2 = 0),
         |incoming AS (
-        |  SELECT i.doc_id, i.source, md5(b.text) AS h
-        |  FROM documents i JOIN documents b
-        |    ON b.doc_id = i.doc_id - (CASE WHEN i.doc_id % 10 = 1
-        |                                   THEN 1 ELSE 0 END)
+        |  SELECT i.doc_id, i.source,
+        |         coalesce(md5(b.text), md5(i.text)) AS h
+        |  FROM documents i LEFT JOIN documents b
+        |    ON i.doc_id % 10 = 1 AND b.doc_id = i.doc_id - 1
         |  WHERE i.doc_id % 2 = 1)
         |SELECT source, count(*) AS n_incoming,
         |       CAST(sum(CASE WHEN h_existing IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,

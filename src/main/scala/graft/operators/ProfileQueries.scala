@@ -64,12 +64,18 @@ object ProfileQueries {
     * proving the walk's arithmetic: bucket populations agree
     * row-for-row, min/max cell per bucket included.
     */
-  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    equiDepth(Engine.table(spark, dir, "lineitem")
+      .select(floor(col("l_extendedprice") / 10).cast("long").as("v")))
+
+  /** The walk itself over a single column `v` — separated so the spec
+    * can drive it with a row count that is NOT a multiple of
+    * [[NBuckets]] (every fixture's lineitem count is, which would mask
+    * a floor/ceiling error in the interval inversion).
+    */
+  private[operators] def equiDepth(values: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val li = Engine.table(spark, dir, "lineitem")
-    val counts = li
-      .select(floor(col("l_extendedprice") / 10).cast("long").as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val counts = values.groupBy(col("v")).agg(count(lit(1)).as("c"))
     val cum = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy()
@@ -78,13 +84,18 @@ object ProfileQueries {
       .withColumn("lo", col("hi") - col("c") + 1)
       .withColumn("n", sum(col("c")).over(whole))
     // explode each value into the buckets its [lo, hi] range touches;
-    // rows contributed to bucket b = |[lo, hi] ∩ [b*n/k+1, (b+1)*n/k]|
+    // inverting bucket(p) = (p-1)*K div n needs CEILING division:
+    // bucket b holds rows [ceil(b*n/K)+1, ceil((b+1)*n/K)] — a floor
+    // here silently drops rows whenever n % K != 0 (all fixtures have
+    // n % 10 == 0, which is exactly why a spec covers the ragged case)
     ranged
       .withColumn("b",
         explode(expr(
           s"sequence((lo - 1) * $NBuckets div n, (hi - 1) * $NBuckets div n)")))
-      .withColumn("b_start", expr(s"b * n div $NBuckets + 1"))
-      .withColumn("b_end", expr(s"(b + 1) * n div $NBuckets"))
+      .withColumn("b_start",
+        expr(s"(b * n + ${NBuckets - 1}) div $NBuckets + 1"))
+      .withColumn("b_end",
+        expr(s"((b + 1) * n + ${NBuckets - 1}) div $NBuckets"))
       .withColumn("rows_here",
         expr("least(hi, b_end) - greatest(lo, b_start) + 1"))
       .groupBy(col("b").as("bucket"))

@@ -68,10 +68,32 @@ class QueriesSmokeSpec extends SparkSpec {
       // boundary cells are SPLIT across buckets, so depth is exact
       assert(math.abs(r.getLong(1) - n / 10) <= 1, s"bucket ${r.getLong(0)}")
     }
-    // value ranges are non-decreasing across buckets
+    // value ranges are non-decreasing across buckets; a boundary cell
+    // split across buckets gives equality, never inversion
     rows.sliding(2).foreach { case Array(a, b) =>
-      assert(a.getLong(3) <= b.getLong(2) + 1 && a.getLong(2) <= b.getLong(2))
+      assert(a.getLong(3) <= b.getLong(2) && a.getLong(2) <= b.getLong(2))
     }
+  }
+
+  test("equi-depth walk is exact when the row count is NOT a bucket multiple") {
+    import org.apache.spark.sql.functions._
+    // ragged input: every fixture lineitem count is a multiple of 10,
+    // which would mask a floor/ceiling error in the interval inversion
+    val vals = graft.Engine.table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(floor(col("l_extendedprice") / 10).cast("long").as("v"))
+    val n = vals.count()
+    assert(n % 10 != 0, s"filter must yield a ragged count, got $n")
+    val walk = ProfileQueries.equiDepth(vals).collect()
+    // row-level reference: bucket(p) = (p-1)*10 div n over sorted values
+    val sorted = vals.collect().map(_.getLong(0)).sorted
+    val ref = sorted.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / n }
+      .toSeq.sortBy(_._1)
+      .map { case (b, vs) =>
+        (b, vs.length.toLong, vs.map(_._1).min, vs.map(_._1).max) }
+    assert(walk.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == ref)
   }
 
   test("q_incremental_dedup finds exactly the injected duplicates") {
