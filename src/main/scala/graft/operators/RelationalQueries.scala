@@ -641,9 +641,46 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  // --- ordered event funnel --------------------------------------------
+
+  /** Ordered conversion funnel (view → click-after-view →
+    * purchase-after-click), the event-analytics staple: each stage is
+    * a keyed conditional-min aggregate over events that happened
+    * STRICTLY AFTER the user's previous stage time — order matters,
+    * not just presence (a click before the first view doesn't
+    * convert). Three chained aggregates, each shuffling on user_id
+    * (the same key each time — co-partitioned under AQE), joined
+    * against the previous stage's tiny per-user time table. Output is
+    * the per-stage census with an integer conversion rate against all
+    * active users.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    val ev = Engine.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id").filter(col("us") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id").filter(col("us") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+    val total = ev.select(countDistinct(col("user_id")).as("n")).head().getLong(0)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("cnt")).select(
+        lit(name).as("stage"), col("cnt").cast("long").as("n_users"),
+        expr(s"(100 * cnt) div $total").as("conv_pct"))
+    stage("1_view", views)
+      .unionByName(stage("2_click", clicks))
+      .unionByName(stage("3_purchase", purchases))
+      .orderBy("stage")
+  }
+
   // --- registry ---------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (qFunnel _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_sessionize" -> (qSessionize _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -733,6 +770,24 @@ object RelationalQueries {
         |       vlo_p50 + (vhi_p50 - vlo_p50) * (pos_p50 - floor(pos_p50)) AS p50,
         |       vlo_p75 + (vhi_p75 - vlo_p75) * (pos_p75 - floor(pos_p75)) AS p75
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > t_click GROUP BY 1),
+        |t AS (SELECT count(DISTINCT user_id) AS n FROM e)
+        |SELECT '1_view' AS stage, count(*) AS n_users,
+        |       CAST((100 * count(*)) // (SELECT n FROM t) AS BIGINT) AS conv_pct FROM v
+        |UNION ALL
+        |SELECT '2_click', count(*),
+        |       CAST((100 * count(*)) // (SELECT n FROM t) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT '3_purchase', count(*),
+        |       CAST((100 * count(*)) // (SELECT n FROM t) AS BIGINT) FROM p
+        |ORDER BY stage""".stripMargin,
     // the bloom prefilter is exact after the semi-join verify, so the
     // oracle is the plain semi-join aggregate
     "q_bloom_prune" ->

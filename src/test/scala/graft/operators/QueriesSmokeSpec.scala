@@ -96,6 +96,29 @@ class QueriesSmokeSpec extends SparkSpec {
       r.getLong(3))).toSeq == ref)
   }
 
+  test("q_funnel stages are monotone and match an independent replay") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.qFunnel(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val Array(nv, nc, np) = rows.map(_.getLong(1))
+    assert(nv >= nc && nc >= np && np >= 0)
+    // independent driver-side replay of the ordered-funnel definition
+    val byUser = graft.Engine.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = byUser.values.foldLeft((0L, 0L, 0L)) { case ((v, c, p), evs) =>
+      val tv = evs.filter(_._2 == "view").map(_._3).minOption
+      val tc = tv.flatMap(t => evs.filter(e => e._2 == "click" && e._3 > t)
+        .map(_._3).minOption)
+      val tp = tc.flatMap(t => evs.filter(e => e._2 == "purchase" && e._3 > t)
+        .map(_._3).minOption)
+      (v + tv.size, c + tc.size, p + tp.size)
+    }
+    assert((nv, nc, np) == expected)
+  }
+
   test("q_incremental_dedup finds exactly the injected duplicates") {
     import org.apache.spark.sql.functions._
     val docs = graft.Engine.table(spark, dir, "documents")
