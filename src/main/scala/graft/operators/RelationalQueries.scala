@@ -677,9 +677,42 @@ object RelationalQueries {
       .orderBy("stage")
   }
 
+  // --- cohort retention -------------------------------------------------
+
+  /** Weekly cohort retention — the other event-analytics staple next
+    * to the funnel: users cohort by the week of their FIRST signup
+    * event, and the matrix cell (cohort_week, week_offset) counts
+    * cohort members with ANY activity in that later week. Two keyed
+    * aggregates (first-signup per user; distinct user-week activity)
+    * joined on user — both shuffle on user_id — then one matrix
+    * aggregate over (cohort, offset), whose cardinality is bounded by
+    * weeks², not by events. Offsets are exact integer arithmetic on
+    * microsecond epochs of week-truncated timestamps (date_trunc
+    * 'week' is ISO-Monday in both engines).
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    val ev = Engine.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(date_trunc("week", col("ts"))).as("wk_us"))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("wk_us")).as("cohort_us"))
+    val activity = ev.select(col("user_id"), col("wk_us")).distinct()
+    activity.join(cohorts, "user_id")
+      .filter(col("wk_us") >= col("cohort_us"))
+      .withColumn("week_offset",
+        expr(s"(wk_us - cohort_us) div ${7L * 86400 * 1000000}"))
+      .groupBy(
+        expr("cohort_us div 1000000").as("cohort_week_s"),
+        col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week_s", "week_offset")
+  }
+
   // --- registry ---------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_sessionize" -> (qSessionize _),
@@ -770,6 +803,21 @@ object RelationalQueries {
         |       vlo_p50 + (vhi_p50 - vlo_p50) * (pos_p50 - floor(pos_p50)) AS p50,
         |       vlo_p75 + (vhi_p75 - vlo_p75) * (pos_p75 - floor(pos_p75)) AS p75
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q_retention" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |         epoch_us(date_trunc('week', ts)) AS wk_us
+         |  FROM events),
+         |cohorts AS (
+         |  SELECT user_id, min(wk_us) AS cohort_us FROM e
+         |  WHERE event_type = 'signup' GROUP BY user_id),
+         |activity AS (SELECT DISTINCT user_id, wk_us FROM e)
+         |SELECT CAST(cohort_us // 1000000 AS BIGINT) AS cohort_week_s,
+         |       CAST((wk_us - cohort_us) // ${7L * 86400 * 1000000} AS BIGINT) AS week_offset,
+         |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+         |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+         |WHERE wk_us >= cohort_us
+         |GROUP BY 1, 2 ORDER BY cohort_week_s, week_offset""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |v AS (SELECT user_id, min(us) AS t_view FROM e

@@ -119,6 +119,26 @@ class QueriesSmokeSpec extends SparkSpec {
     assert((nv, nc, np) == expected)
   }
 
+  test("q_retention: offset-0 cells equal cohort sizes and bound later offsets") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.qRetention(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val at0 = rows.filter(_.getLong(1) == 0L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // signup week counts itself as activity, so offset 0 is the whole
+    // cohort and no later week can exceed it
+    rows.foreach { r =>
+      assert(r.getLong(2) <= at0(r.getLong(0)), s"cohort ${r.getLong(0)}")
+    }
+    val expected = graft.Engine.table(spark, dir, "events")
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(date_trunc("week", col("ts")))).as("c"))
+      .groupBy(expr("c div 1000000").as("w")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at0 == expected)
+  }
+
   test("q_incremental_dedup finds exactly the injected duplicates") {
     import org.apache.spark.sql.functions._
     val docs = graft.Engine.table(spark, dir, "documents")
