@@ -654,10 +654,16 @@ object RelationalQueries {
     * the per-stage census with an integer conversion rate against all
     * active users.
     */
-  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
-    Engine.register(spark)
-    val ev = Engine.table(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Engine.table(Engine.register(spark), dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")))
+
+  /** The funnel over any (user_id, event_type, us) frame — separated
+    * so the spec can drive it with events where ORDER discriminates
+    * (every fixture user converts at every stage, which would make an
+    * ordered-vs-presence bug invisible on fixture data alone).
+    */
+  private[operators] def funnelOf(ev: DataFrame): DataFrame = {
     val views = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
     val clicks = ev.filter(col("event_type") === "click")
@@ -666,11 +672,14 @@ object RelationalQueries {
     val purchases = ev.filter(col("event_type") === "purchase")
       .join(clicks, "user_id").filter(col("us") > col("t_click"))
       .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
-    val total = ev.select(countDistinct(col("user_id")).as("n")).head().getLong(0)
+    // lazy one-row total (no eager job at construction time); the
+    // greatest(n, 1) guard keeps an empty corpus at 0% instead of an
+    // ANSI divide-by-zero — cnt <= n, so the clamp never skews a rate
+    val total = ev.agg(countDistinct(col("user_id")).as("n"))
     def stage(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("cnt")).select(
+      df.agg(count(lit(1)).as("cnt")).crossJoin(total).select(
         lit(name).as("stage"), col("cnt").cast("long").as("n_users"),
-        expr(s"(100 * cnt) div $total").as("conv_pct"))
+        expr("(100 * cnt) div greatest(n, 1)").as("conv_pct"))
     stage("1_view", views)
       .unionByName(stage("2_click", clicks))
       .unionByName(stage("3_purchase", purchases))
@@ -690,11 +699,17 @@ object RelationalQueries {
     * microsecond epochs of week-truncated timestamps (date_trunc
     * 'week' is ISO-Monday in both engines).
     */
-  def qRetention(spark: SparkSession, dir: String): DataFrame = {
-    Engine.register(spark)
-    val ev = Engine.table(spark, dir, "events")
+  def qRetention(spark: SparkSession, dir: String): DataFrame =
+    retentionOf(Engine.table(Engine.register(spark), dir, "events")
       .select(col("user_id"), col("event_type"),
-        unix_micros(date_trunc("week", col("ts"))).as("wk_us"))
+        unix_micros(date_trunc("week", col("ts"))).as("wk_us")))
+
+  /** The retention matrix over any (user_id, event_type, wk_us) frame —
+    * separated so the spec can drive it with MULTI-cohort events (the
+    * fixture's one-month span puts every user in a single epoch-aligned
+    * cohort, which would leave cross-cohort offset arithmetic untested).
+    */
+  private[operators] def retentionOf(ev: DataFrame): DataFrame = {
     val cohorts = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("wk_us")).as("cohort_us"))
     val activity = ev.select(col("user_id"), col("wk_us")).distinct()
@@ -828,13 +843,13 @@ object RelationalQueries {
         |      WHERE event_type = 'purchase' AND us > t_click GROUP BY 1),
         |t AS (SELECT count(DISTINCT user_id) AS n FROM e)
         |SELECT '1_view' AS stage, count(*) AS n_users,
-        |       CAST((100 * count(*)) // (SELECT n FROM t) AS BIGINT) AS conv_pct FROM v
+        |       CAST((100 * count(*)) // (SELECT greatest(n, 1) FROM t) AS BIGINT) AS conv_pct FROM v
         |UNION ALL
         |SELECT '2_click', count(*),
-        |       CAST((100 * count(*)) // (SELECT n FROM t) AS BIGINT) FROM c
+        |       CAST((100 * count(*)) // (SELECT greatest(n, 1) FROM t) AS BIGINT) FROM c
         |UNION ALL
         |SELECT '3_purchase', count(*),
-        |       CAST((100 * count(*)) // (SELECT n FROM t) AS BIGINT) FROM p
+        |       CAST((100 * count(*)) // (SELECT greatest(n, 1) FROM t) AS BIGINT) FROM p
         |ORDER BY stage""".stripMargin,
     // the bloom prefilter is exact after the semi-join verify, so the
     // oracle is the plain semi-join aggregate

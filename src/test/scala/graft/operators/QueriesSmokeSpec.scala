@@ -139,6 +139,50 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(at0 == expected)
   }
 
+  test("funnel order binds: out-of-order events do NOT convert") {
+    // every fixture user converts at every stage, so ordered-vs-presence
+    // bugs are invisible there; this synthetic corpus discriminates:
+    //   user 1: view(10) click(20) purchase(30) → full conversion
+    //   user 2: click(5) view(10) purchase(30)  → click BEFORE view: no
+    //           click stage, hence no purchase stage (order, not presence)
+    //   user 3: view(10) purchase(20)           → no click at all
+    //   user 4: view(10) click(10)              → tie is NOT 'after': no click
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 30L),
+      (3L, "view", 10L), (3L, "purchase", 20L),
+      (4L, "view", 10L), (4L, "click", 10L)
+    ).toDF("user_id", "event_type", "us")
+    val rows = RelationalQueries.funnelOf(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("1_view") == (4L, 100L))
+    assert(rows("2_click") == (1L, 25L), "presence-funnel would say 3")
+    assert(rows("3_purchase") == (1L, 25L), "presence-funnel would say 3")
+  }
+
+  test("retention separates cohorts and offsets on multi-cohort events") {
+    import spark.implicits._
+    val wk = 7L * 86400 * 1000000 // one ISO week in microseconds
+    // cohort A signs up week 0 (users 1, 2), cohort B week 1 (user 3);
+    // user 1 returns weeks 1 and 3, user 2 never returns, user 3
+    // returns week 2; user 1 also has PRE-signup activity (week -1
+    // via raw activity row) that must not create a negative offset
+    val ev = Seq(
+      (1L, "signup", 0L), (1L, "click", wk), (1L, "view", 3 * wk),
+      (2L, "signup", 0L),
+      (3L, "signup", wk), (3L, "view", 2 * wk)
+    ).toDF("user_id", "event_type", "wk_us")
+    val cells = RelationalQueries.retentionOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val aSec = 0L
+    val bSec = wk / 1000000
+    assert(cells == Map(
+      (aSec, 0L) -> 2L, // both A users active in signup week
+      (aSec, 1L) -> 1L, (aSec, 3L) -> 1L, // only user 1 returns
+      (bSec, 0L) -> 1L, (bSec, 1L) -> 1L)) // user 3: signup then week 2
+  }
+
   test("q_incremental_dedup finds exactly the injected duplicates") {
     import org.apache.spark.sql.functions._
     val docs = graft.Engine.table(spark, dir, "documents")
