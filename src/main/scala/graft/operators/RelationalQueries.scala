@@ -93,6 +93,46 @@ object RelationalQueries {
       .orderBy("kind", "c_mktsegment")
   }
 
+  // --- joins: outer family ---------------------------------------------
+
+  /** Full-outer join census — the NULL-extension semantics the
+    * semi/anti pair doesn't exercise: unmatched rows on EITHER side
+    * keep their row with the other side NULL, and the aggregate
+    * classifies each row by which sides were present. Every fixture
+    * custkey places orders (the raw outer join would degenerate to
+    * inner), so both unmatched populations are carved out
+    * DETERMINISTICALLY: the order side drops custkeys ≡ 0 mod 20
+    * (those customers become customer_only) and the customer side
+    * drops custkeys ≡ 3 mod 17 (their order groups become
+    * order_only) — identical arithmetic in both engines, all three
+    * classes provably non-empty. Plain shuffle join on the key; the
+    * classification is a codegen'd projection.
+    */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Engine.table(spark, dir, "customer")
+      .filter(col("c_custkey") % 17 =!= 3)
+    val orders = Engine.table(spark, dir, "orders")
+      .filter(col("o_custkey") % 20 =!= 0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("cents"))
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull,
+          "matched")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("order_only").as("side"),
+        col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .groupBy(col("side"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_orders")).cast("long").as("total_orders"),
+        sum(col("cents")).cast("long").as("total_cents"))
+      .orderBy("side", "c_mktsegment")
+  }
+
   // --- grouping sets: rollup -------------------------------------------
 
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
@@ -729,6 +769,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
+    "q_outer_join" -> (qOuterJoin _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_sessionize" -> (qSessionize _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -818,6 +859,20 @@ object RelationalQueries {
         |       vlo_p50 + (vhi_p50 - vlo_p50) * (pos_p50 - floor(pos_p50)) AS p50,
         |       vlo_p75 + (vhi_p75 - vlo_p75) * (pos_p75 - floor(pos_p75)) AS p75
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q_outer_join" ->
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 17 <> 3),
+        |o AS (SELECT o_custkey, count(*) AS n_orders,
+        |             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        |      FROM orders WHERE o_custkey % 20 <> 0 GROUP BY o_custkey)
+        |SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+        |              THEN 'matched'
+        |            WHEN o_custkey IS NULL THEN 'customer_only'
+        |            ELSE 'order_only' END AS side,
+        |       c_mktsegment, count(*) AS n_rows,
+        |       CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS total_orders,
+        |       CAST(sum(coalesce(cents, 0)) AS BIGINT) AS total_cents
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |GROUP BY 1, 2 ORDER BY side, c_mktsegment""".stripMargin,
     "q_retention" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type,
