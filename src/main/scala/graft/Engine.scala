@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast,
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{ExactCountDistinct, Fnv1a64, FnvGrams, HashSetCountDistinct, SlidingMin, SortedInterCount, TopKAgg, VectorDot}
+import graft.functions.{ExactCountDistinct, Fnv1a64, FnvGrams, HashSetCountDistinct, SketchAgg, SketchCount, SketchMergeAgg, SlidingMin, SortedInterCount, TopKAgg, VectorDot}
 
 /** Session-level wiring for the graft engine: function registration and
   * fixture-table access. Registration is the Spark analogue of the
@@ -49,6 +49,12 @@ object Engine {
     // Zero-allocation exact intersection count over sorted word sets
     // (the MinHash verification hot path).
     temp("sorted_inter_count")(exprs => SortedInterCount(exprs(0), exprs(1)))
+    // count300k's state as a persistable column: build / roll up /
+    // finalize exact distinct-set sketches (SketchWire format — the
+    // same bytes the count300k shuffle carries).
+    temp("sketch_agg")(exprs => SketchAgg(Cast(exprs.head, StringType)))
+    temp("sketch_merge")(exprs => SketchMergeAgg(exprs.head))
+    temp("sketch_count")(exprs => SketchCount(exprs.head))
     // Spark's own runtime-filter machinery, surfaced as SQL functions:
     // bloom_agg(key[, n_items, n_bits]) builds the fixed-size sketch,
     // bloom_contains(sketch, key) probes it. Keys are canonicalized to

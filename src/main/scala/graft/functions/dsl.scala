@@ -37,6 +37,23 @@ object dsl {
   def sorted_inter_count(a: Column, b: Column): Column =
     F.call_function("sorted_inter_count", a, b)
 
+  /** Exact distinct-set sketch over a string column (BINARY,
+    * [[SketchWire]] format) — count300k's mergeable state as a
+    * persistable column. Size ∝ distinct values in the group.
+    */
+  def sketch_agg(c: Column): Column =
+    F.call_function("sketch_agg", c)
+
+  /** Union stored [[sketch_agg]] sketches (the day → month rollup). */
+  def sketch_merge(c: Column): Column =
+    F.call_function("sketch_merge", c)
+
+  /** Finalize a sketch: exact distinct count as STRING, NULL for the
+    * empty sketch — `count300k`'s finalize contract over stored state.
+    */
+  def sketch_count(c: Column): Column =
+    F.call_function("sketch_count", c)
+
   /** Fixed-size Bloom sketch over a key column (Spark's own
     * BloomFilterAggregate behind XxHash64 — the runtime-filter build
     * side, made explicit). Returns BINARY.

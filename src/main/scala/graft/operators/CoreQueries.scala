@@ -92,6 +92,50 @@ object CoreQueries {
     }
   }
 
+  /** count300k's state as STORED partial aggregates — the mergeable-
+    * sketch rollup the reference's serialize/merge machinery exists
+    * for (`/root/reference/hashset-count.cc:195-461`), lifted to
+    * warehouse shape: stage 1 writes one exact distinct-set sketch
+    * per (day, event_type) to parquet (`sketch_agg` — a BINARY column
+    * in the SketchWire format count300k's own shuffle uses); stage 2
+    * reads ONLY the sketch rows and rolls day → month with
+    * `sketch_merge` + `sketch_count`. The oracle is the direct
+    * distinct count over the raw events — sketches are exact sets, so
+    * rollup-of-partials must equal the one-pass answer bit-for-bit,
+    * which is precisely the partition-invariance the reference's
+    * Serialize/Merge contract promises.
+    *
+    * Scale shape: stage 1 is the usual keyed aggregate (map-side
+    * combine; only deduplicated sets cross the exchange); stage 2's
+    * input is one row per (day, type) — the raw fact table is never
+    * rescanned, which is the entire point of materialized partial
+    * state at 100 TB (daily ingest aggregates once; any later window
+    * rolls up from sketches). Sketch size ∝ per-group distinct count
+    * (the reference's own law); unbounded-cardinality groups take the
+    * bounded HLL siblings (`hll_sketch_agg`/`hll_union_agg`), spec'd
+    * in SketchSpec. Result stays lazy over the sketch store
+    * ([[graft.Lease]] owns the dir lifetime).
+    */
+  def qSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    try {
+      Engine.table(spark, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(expr("sketch_agg(cast(user_id as string))").as("sk"))
+        .write.mode("overwrite").parquet(base)
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_sketch_rollup", Seq(base))
+    spark.read.parquet(base)
+      .groupBy(trunc(col("day"), "month").as("month"), col("event_type"))
+      .agg(expr("sketch_count(sketch_merge(sk))").as("distinct_users"),
+        count(lit(1)).cast("long").as("n_days"))
+      .orderBy("month", "event_type")
+  }
+
   /** Reference hash parity in the hard signal: every part name hashed
     * with the codegen'd `fnv64` (bit-parity port of the reference's
     * FnvHash, `/root/reference/hashset-count.cc:49-59`) and bucketed
@@ -117,6 +161,7 @@ object CoreQueries {
     "q_multi_distinct" -> (qMultiDistinct _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_stream_hourly" -> (qStreamHourly _),
+    "q_sketch_rollup" -> (qSketchRollup _),
     "q_fnv_bucket" -> (qFnvBucket _)
   )
 
@@ -143,6 +188,14 @@ object CoreQueries {
         |       ELSE CAST(COUNT(DISTINCT user_id) AS VARCHAR) END AS distinct_users,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // the rollup-of-stored-sketches must equal the direct one-pass
+    // distinct count (sketches are exact sets, not estimators)
+    "q_sketch_rollup" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+        |  CASE WHEN COUNT(user_id) = 0 THEN NULL
+        |       ELSE CAST(COUNT(DISTINCT user_id) AS VARCHAR) END AS distinct_users,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin,
     "q_fnv_bucket" ->
       """WITH hh AS (
         |  SELECT p_partkey,

@@ -78,42 +78,19 @@ object StreamingQueries {
     finally if (q.isActive) Try(q.stop())
   }
 
-  /** Temp dirs backing the PREVIOUS invocation's returned frame, per
-    * query name. The returned DataFrame reads the parquet sink
-    * DIRECTLY — fully distributed, no `Local.pin`: the deduped event
-    * table and the session list grow linearly with the input, and a
-    * driver-side collect of either was the one driver-memory bound in
-    * this module (round-5 verdict residual #2). The sink is read back
-    * WITH the sink's statically-known schema (a zero-match run commits
-    * no data files, and schema inference on a metadata-only directory
-    * throws — the query must return an empty frame there, like its
-    * batch oracle).
-    *
-    * Because the result stays lazy, the sink/source/checkpoint dirs
-    * must outlive the call: each invocation releases its
-    * PREDECESSOR's dirs (same query name) and a JVM shutdown hook
-    * sweeps whatever remains, so at most one dir set per query is ever
-    * leased. Contract: a returned frame is fully consumed before the
-    * same query runs again — true of the bench / verify / test
-    * harnesses, and of any sane caller (each dir set is a few MB of
-    * fixture-derived parquet).
+  /** The returned DataFrame reads the parquet sink DIRECTLY — fully
+    * distributed, no `Local.pin`: the deduped event table and the
+    * session list grow linearly with the input, and a driver-side
+    * collect of either was the one driver-memory bound in this module
+    * (round-5 verdict residual #2). The sink is read back WITH the
+    * sink's statically-known schema (a zero-match run commits no data
+    * files, and schema inference on a metadata-only directory throws —
+    * the query must return an empty frame there, like its batch
+    * oracle). Dir lifetime is owned by [[graft.Lease]] (the mechanism
+    * started here and is now shared with the sketch store).
     */
-  private val leased =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
-
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      leased.values.forEach(_.foreach(d => Try(graft.Fs.deleteRecursively(d))))))
-  }
-
-  /** Register `dirs` as backing `name`'s live result; reclaim the ones
-    * backing the previous result, whose last consumer has run by the
-    * documented contract.
-    */
-  private def lease(name: String, dirs: Seq[String]): Unit = {
-    val prev = leased.put(name, dirs)
-    if (prev != null) prev.foreach(d => Try(graft.Fs.deleteRecursively(d)))
-  }
+  private def lease(name: String, dirs: Seq[String]): Unit =
+    graft.Lease.lease(name, dirs)
 
   /** Sessionization as an actual incremental execution, including a
     * CHECKPOINT RESTART. Pass 1 streams the events fixture through

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persistable sketch-column surface: sketch_agg/merge/count must
+  * reproduce count300k through a store-and-rollup cycle — the
+  * Serialize/Merge partition-invariance contract of the reference
+  * (`/root/reference/hashset-count.cc:195-461`) held across an actual
+  * parquet round trip, not just across a shuffle.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", "u1"), ("a", "u2"), ("a", "u1"), ("a", "u3"),
+    ("b", "u1"), ("b", "u1"),
+    ("c", "x"), ("c", "y"), ("c", "z"), ("c", "x")
+  ).toDF("g", "v")
+
+  test("sketch_count(sketch_agg) equals count300k per group") {
+    val got = df.groupBy("g")
+      .agg(expr("sketch_count(sketch_agg(v))").as("sk"),
+        expr("count300k(v)").as("direct"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getString(1) == r.getString(2), r.getString(0)))
+  }
+
+  test("merge of per-part sketches equals the direct count, any partitioning") {
+    for (parts <- Seq(1, 3, 7)) {
+      val partial = df.repartition(parts, col("v"))
+        .withColumn("part", spark_partition_id())
+        .groupBy("g", "part")
+        .agg(expr("sketch_agg(v)").as("sk"))
+      val rolled = partial.groupBy("g")
+        .agg(expr("sketch_count(sketch_merge(sk))").as("n"))
+        .orderBy("g").as[(String, String)].collect()
+      assert(rolled.toSeq == Seq(("a", "3"), ("b", "1"), ("c", "3")), s"parts=$parts")
+    }
+  }
+
+  test("sketches survive a parquet round trip") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sk_spec").toString
+    try {
+      df.groupBy("g").agg(expr("sketch_agg(v)").as("sk"))
+        .write.mode("overwrite").parquet(base)
+      val back = spark.read.parquet(base)
+        .agg(expr("sketch_count(sketch_merge(sk))").as("n"))
+        .as[String].head()
+      assert(back == "6") // {u1,u2,u3} U {u1} U {x,y,z}
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("NULL skip, empty sketch finalizes to NULL, '\\0' safe") {
+    val withNulls = Seq(
+      ("g1", Option("v1")), ("g1", None), ("g1", Option("v2")),
+      ("g2", Option.empty[String]),
+      ("g3", Option("a\u0000b")), ("g3", Option("a")), ("g3", Option("b")),
+      ("g4", Option("x y")), ("g4", Option("x")), ("g4", Option("y"))
+    ).toDF("g", "v")
+    // build sketches first, then merge-of-one — exercises both aggs
+    val staged = withNulls.groupBy("g").agg(expr("sketch_agg(v)").as("sk"))
+      .groupBy("g").agg(expr("sketch_count(sketch_merge(sk))").as("n"))
+      .orderBy("g").as[(String, String)].collect()
+    assert(staged.toSeq ==
+      Seq(("g1", "2"), ("g2", null), ("g3", "3"), ("g4", "3")))
+  }
+
+  test("sketch_count rejects malformed bytes loudly") {
+    val e = intercept[Exception] {
+      Seq(Array[Byte](1, 2)).toDF("sk")
+        .select(expr("sketch_count(sk)")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("bounded HLL siblings: rollup estimate tracks the exact count") {
+    // the documented escape hatch for unbounded-cardinality groups:
+    // Spark's own hll_sketch_agg/hll_union_agg have the same
+    // agg/merge/finalize shape with fixed-size state
+    val n = 10000
+    val wide = spark.range(n).selectExpr("id % 10 AS day", "cast(id as string) AS v")
+    val est = wide.groupBy("day").agg(expr("hll_sketch_agg(v)").as("hs"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(hs))").as("est"))
+      .as[Long].head()
+    assert(math.abs(est - n) < n * 0.05, s"estimate $est vs exact $n")
+  }
+}
