@@ -398,19 +398,70 @@ object RelationalQueries {
 
   // --- statistical aggregates -------------------------------------------
 
+  /** Cell width for [[rankedOverCells]]: domain units (cents / qty
+    * units) per cell. 1000 keeps BOTH window levels small for any
+    * corpus — ≤ ~10⁴ cells over a 10⁷-cent price domain, ≤ 10³
+    * distinct values inside one cell — and a domain narrower than one
+    * cell (qty ∈ 1..50) degenerates to a single cell whose within-cell
+    * walk is the value domain itself, still corpus-independent.
+    */
+  private val QuantileCellWidth = 1000L
+
+  /** Global rank ranges for DISTINCT values via bounded two-level
+    * windows — the scale fix (round-6 verdict #3) for the counting
+    * median/quantile walk: a single `partitionBy(group).orderBy(v)`
+    * window walks every distinct value of a group through ONE task
+    * (up to ~10⁷ distinct cents — a multi-GB single-task sort at the
+    * top of the domain). Instead, `q_histogram`'s quantization idiom
+    * (ProfileQueries.equiDepth): values quantize to CELLS (`v div
+    * width` — order-preserving for any sign), one window walks the
+    * bounded cell domain to place each cell's cumulative range, and a
+    * second window ranks values WITHIN each cell — partitioned by
+    * (group, cell), so no task ever sees more than max(#cells,
+    * values-per-cell) rows, both bounded by the value DOMAIN, never
+    * the corpus. Output is bit-identical to the one-window form: the
+    * same exact [lo, hi] global rank range and group total `n` per
+    * distinct value.
+    *
+    * Input contract: `counts` carries `parts` columns + (`v` bigint,
+    * `c` count ≥ 1); (parts, v) rows are unique.
+    */
+  private[operators] def rankedOverCells(
+      counts: DataFrame, parts: Seq[String], width: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pcols = parts.map(col)
+    val cells = counts.withColumn("cell", expr(s"v div $width"))
+    val perCell = cells.groupBy(pcols :+ col("cell"): _*)
+      .agg(sum(col("c")).as("cc"))
+    val cellCum = Window.partitionBy(pcols: _*).orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(pcols: _*)
+    val cellRanges = perCell
+      .withColumn("cell_hi", sum(col("cc")).over(cellCum))
+      .withColumn("cell_lo", col("cell_hi") - col("cc") + 1)
+      .withColumn("n", sum(col("cc")).over(whole))
+      .select(pcols ++ Seq(col("cell"), col("cell_lo"), col("n")): _*)
+    val within = Window.partitionBy(pcols :+ col("cell"): _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(cellRanges, parts :+ "cell")
+      .withColumn("hi", col("cell_lo") - 1 + sum(col("c")).over(within))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .drop("cell", "cell_lo")
+  }
+
   /** Exact median as a counting median: collapse the input to
     * (group, metric, value) counts first — a hash aggregate with
     * map-side combine — then walk the cumulative counts over DISTINCT
     * values to pick the middle element(s). Spark's `percentile` builds
     * a per-group value→count map inside an ObjectHashAggregate whose
     * merge funnels through one reducer per group; here every stage is
-    * distributed and the window only ever sees distinct values, not
-    * rows. Median of n ints is an int or the average of two ints — one
-    * IEEE division, identical in both engines (general-p interpolation
-    * formulas differ; median doesn't).
+    * distributed and the rank walk ([[rankedOverCells]]) is bounded by
+    * the value DOMAIN — no task sees more than max(#cells,
+    * values-per-cell) rows. Median of n ints is an int or the average
+    * of two ints — one IEEE division, identical in both engines
+    * (general-p interpolation formulas differ; median doesn't).
     */
   def qMedian(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val li = Engine.table(spark, dir, "lineitem")
     val vals = li.selectExpr(
       "l_returnflag",
@@ -423,18 +474,13 @@ object RelationalQueries {
       .filter(col("v").isNotNull)
       .groupBy(col("l_returnflag"), col("metric"), col("v"))
       .agg(count(lit(1)).as("c"))
-    val cum = Window.partitionBy(col("l_returnflag"), col("metric"))
-      .orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy(col("l_returnflag"), col("metric"))
-    // each distinct value covers cumulative positions [lo, hi]; the
-    // median positions are (n+1) div 2 and (n+2) div 2 (equal when odd)
-    val ranked = counts
-      .withColumn("hi", sum(col("c")).over(cum))
-      .withColumn("lo", col("hi") - col("c") + 1)
-      .withColumn("n", sum(col("c")).over(whole))
-      .withColumn("p1", expr("(n + 1) div 2"))
-      .withColumn("p2", expr("(n + 2) div 2"))
+    // each distinct value covers cumulative positions [lo, hi] (ranked
+    // via the bounded two-level cell walk); the median positions are
+    // (n+1) div 2 and (n+2) div 2 (equal when odd)
+    val ranked =
+      rankedOverCells(counts, Seq("l_returnflag", "metric"), QuantileCellWidth)
+        .withColumn("p1", expr("(n + 1) div 2"))
+        .withColumn("p2", expr("(n + 2) div 2"))
     val med = ranked
       .groupBy(col("l_returnflag"), col("metric"))
       .agg(
@@ -458,23 +504,17 @@ object RelationalQueries {
     * doubles are bit-identical cross-engine — no accumulation, no
     * rounding ambiguity. Distributed shape identical to the counting
     * median: one hash aggregate collapses rows to distinct values,
-    * windows walk only distinct values.
+    * then the two-level cell walk ([[rankedOverCells]]) ranks them
+    * under domain-bounded windows.
     */
   def qQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val li = Engine.table(spark, dir, "lineitem")
     val counts = li
       .select(col("l_returnflag"),
         expr("cast(floor(l_extendedprice*100) AS bigint)").as("v"))
       .filter(col("v").isNotNull) // quantile_cont ignores NULLs
       .groupBy(col("l_returnflag"), col("v")).agg(count(lit(1)).as("c"))
-    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy(col("l_returnflag"))
-    var df = counts
-      .withColumn("hi", sum(col("c")).over(cum))
-      .withColumn("lo", col("hi") - col("c") + 1)
-      .withColumn("n", sum(col("c")).over(whole))
+    var df = rankedOverCells(counts, Seq("l_returnflag"), QuantileCellWidth)
     val ps = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
     ps.foreach { case (nm, p) =>
       df = df.withColumn(s"pos_$nm",
