@@ -40,55 +40,65 @@ object CoreQueries {
 
   /** The SAME aggregation executed as an actual Structured Streaming
     * query: file source over the events fixture → watermarked windowed
-    * count300k → memory sink, Trigger.AvailableNow, complete mode. The
+    * count300k → APPEND-mode parquet sink → distributed read-back. The
     * result a true incremental execution produces is oracle-compared
     * against the identical batch SQL — streaming correctness in the
-    * hard signal, not just in specs. (The fixture is one parquet file,
-    * so AvailableNow runs it as one micro-batch and the watermark
-    * drops nothing — the batch and streaming answers must agree
-    * exactly.)
+    * hard signal, not just in specs.
     *
-    * Sink contract: memory sink + complete mode holds every (window,
-    * event_type) group on the driver — memory scales with GROUP
-    * cardinality (bounded: windows x types; 3,385 rows at sf0.01),
-    * never with input rows. For unbounded-output streaming shapes the
-    * engine's 100x path is the append-mode parquet file sink, which
-    * `q_stream_sessionize` / `q_stream_join` (StreamingQueries) use.
+    * Append mode only emits a window once the watermark passes its
+    * end, so (like `q_stream_sessionize`'s timeout flush) two
+    * far-future sentinel files follow the fixture through the source
+    * (`maxFilesPerTrigger=1`): the first's batch ends with the
+    * watermark at the fixture's tail, the second's batch runs the
+    * state flush against it — every REAL window is below the
+    * watermark and emits; the sentinels' own far-future windows stay
+    * in state and are cut by the window_start filter on the sink
+    * side of the aggregation. Sentinel rows carry user_id -1 and
+    * never share a window with fixture events, so no real group is
+    * touched.
+    *
+    * Scale contract: output rides the file sink (capacity-bound, not
+    * driver-bound) and the read-back is lazy over the sink files —
+    * the memory-sink + driver-collect form this replaced (round-6
+    * verdict #1) held every group on the driver and grew linearly
+    * with the stream's time span. Dir lifetime: [[graft.Lease]].
     */
   def qStreamHourly(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    // dedicated low-partition streaming session, like the other
-    // stateful streaming queries (state stores are per partition per
-    // micro-batch; the parent's core-count partitioning is batch-sized)
-    val ss = StreamingQueries.streamSession(spark)
-    val agg = graft.streaming.StreamingDistinct
-      .hourlyDistinctUsers(
-        graft.streaming.StreamingDistinct.readEventsStream(ss, dir))
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.util.Try
-    val name = "g_stream_hourly_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    // materialize into a local relation so the memory-sink view and the
-    // checkpoint directory can be released NOW — repeated bench/verify
-    // invocations must not accumulate driver-held tables or tmp dirs.
-    // start() is INSIDE the try (a failed start must not leak the ckpt
-    // dir), and each cleanup step is individually guarded so one
-    // failing step (e.g. a stop timeout) neither masks the primary
-    // error nor skips the steps after it.
-    var q: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    import org.apache.spark.sql.Row
+    val ss = StreamingQueries.streamSession(spark)
+    val inDir = Files.createTempDirectory("graft_sh_in").toString
+    val outDir = Files.createTempDirectory("graft_sh_out").toString
+    val ckpt = Files.createTempDirectory("graft_sh_ckpt").toString
     try {
-      q = Some(agg.writeStream
-        .format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start())
-      q.get.awaitTermination()
-      graft.Local.pin(ss.table(name).orderBy("window_start", "event_type"))
-    } finally {
-      q.filter(_.isActive).foreach(x => Try(x.stop()))
-      Try(ss.catalog.dropTempView(name))
-      Try(graft.Fs.deleteRecursively(ckpt))
+      Files.copy(
+        Paths.get(s"$dir/events.parquet"),
+        Paths.get(s"$inDir/events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val sentinelSchema = graft.streaming.StreamingDistinct.eventsSchema
+      Seq("2100-01-01T00:00:00Z", "2100-02-01T00:00:00Z").foreach { iso =>
+        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+        ss.createDataFrame(
+          java.util.Arrays.asList(
+            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val src = ss.readStream
+        .schema(sentinelSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val out = graft.streaming.StreamingDistinct.hourlyDistinctUsers(src)
+        .filter(col("window_start") < lit("2099-01-01")) // cut sentinel windows
+      StreamingQueries.runPass(out, outDir, ckpt)
+      graft.Lease.lease("q_stream_hourly", Seq(inDir, outDir, ckpt))
+      ss.read.schema(out.schema).parquet(outDir)
+        .orderBy("window_start", "event_type")
+    } catch {
+      case e: Throwable =>
+        Seq(inDir, outDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
     }
   }
 

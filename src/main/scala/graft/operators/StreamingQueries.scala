@@ -66,7 +66,7 @@ object StreamingQueries {
     }
 
   /** Run one AvailableNow pass of `df` into a parquet sink. */
-  private def runPass(df: DataFrame, outDir: String, ckpt: String): Unit = {
+  private[operators] def runPass(df: DataFrame, outDir: String, ckpt: String): Unit = {
     val q = df.writeStream
       .format("parquet")
       .option("path", outDir)
