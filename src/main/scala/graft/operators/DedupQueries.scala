@@ -117,13 +117,14 @@ object DedupQueries {
     * `localCheckpoint`s (see `cut` below).
     *
     * Shuffle inventory after the guards (the 100 TB shape): signature
-    * groupBy, ONE distinct over verified survivors (≤ NumBands × true
-    * pairs — candidate dedup happens after the cheap array_intersect
-    * filter, so the 37%-of-all-pairs candidate blow-up this fixture's
-    * 31-word vocabulary produces is never shuffled), and the final
-    * range-partitioned sort. Candidate generation, verification and
-    * member expansion are map-side broadcast joins while the
-    * rep/member frames fit [[BroadcastSideMaxRows]].
+    * groupBy and the final range-partitioned sort — nothing else. The
+    * candidate blow-up (37% of all pairs on this fixture's 31-word
+    * vocabulary) is never shuffled: the first-shared-band filter keeps
+    * one collision row per candidate pair map-side, so each pair is
+    * verified exactly once and no post-verification distinct exists.
+    * Candidate generation, verification and member expansion are
+    * map-side broadcast joins while the rep/member frames fit
+    * [[BroadcastSideMaxRows]].
     *
     * Cache lifecycle — SELF-CONTAINED in the materializing form: the
     * driver bench hit 222.8s (r2) and 253.4s (r4) on runs the same
@@ -209,10 +210,14 @@ object DedupQueries {
 
     // LSH over unique sets only
     val sigs = repSignatures(reps, vocab, nVocab, vocabCeiling)
-    val bandCols = (0 until NumBands).map { b =>
+    val bandHashes = (0 until NumBands).map { b =>
       val parts = (0 until BandSize).map(r => col(s"h${b * BandSize + r}"))
-      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bh"))
+      md5(concat(parts: _*))
     }
+    // Each bucket row carries the rep's FULL band-hash array `bhs`
+    // (NumBands 32-hex strings, ~130 B — also what makes the
+    // first-shared-band filter below a map-side computation) alongside
+    // its own (band, bh) bucket key.
     // stage boundary: the band-bucket frame feeds BOTH sides of the
     // collision self-join — the streaming side and the broadcast-build
     // future would otherwise race to materialize the same signature
@@ -222,21 +227,29 @@ object DedupQueries {
     // aggregate inside this stage.
     val buckets = cut(
       sigs
-        .select(col("fp"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("fp"), col("bb.band").as("band"), col("bb.bh").as("bh")),
+        .select(col("fp"), array(bandHashes: _*).as("bhs"))
+        .select(col("fp"), col("bhs"),
+          posexplode(col("bhs")).as(Seq("band", "bh"))),
       "buckets", Seq(vocab))
-    // Candidate collisions, NOT deduped here: one (l,r) row per shared
-    // band. Dedup is deferred until after verification so the shuffle
-    // dedups ≤ NumBands copies of the TRUE pairs instead of the full
-    // candidate set (2.9M candidate pairs vs 29k true pairs on this
-    // fixture — the distinct was the single biggest shuffle in the
-    // plan). Verification work grows ≤ NumBands×, but it is narrow
-    // map-side array_intersect over broadcast reps — cheap where the
-    // shuffle was not.
+    // Candidate collisions: one (l,r) join row per shared band, then
+    // the FIRST-SHARED-BAND filter keeps exactly one row per candidate
+    // pair — the first index where the two band-hash arrays agree is
+    // computable per row from the carried `bhs` arrays (a NumBands-
+    // element zip, no shuffle), and the joined band b always has a
+    // collision row at that index too. This replaces BOTH of the old
+    // costs: the ≤ NumBands× duplicated verification work (round-6
+    // verdict #4) AND the post-verification `.distinct()` shuffle
+    // (rows are already unique per pair). The candidate-set distinct
+    // that round 2 measured as the plan's biggest shuffle stays gone —
+    // nothing here shuffles the candidate blow-up.
     val collisions = buckets.as("l")
       .join(guard(buckets, nReps * NumBands).as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.fp") < col("r.fp"))
+      .filter(
+        array_position(
+          zip_with(col("l.bhs"), col("r.bhs"), (x, y) => x === y),
+          true) === col("l.band") + 1)
       .select(col("l.fp").as("fp_a"), col("r.fp").as("fp_b"))
 
     // exact verification per collision row: the distinct word sets ride
@@ -262,11 +275,10 @@ object DedupQueries {
         graft.functions.dsl.sorted_inter_count(col("ra.ws"), col("rb.ws")))
       .withColumn("union_n", col("ra.n") + col("rb.n") - col("inter"))
       .filter(col("inter") * 10 >= col("union_n") * 9)
-      // drop the set arrays before the dedup + expansion — only the
-      // counts flow on; inter/union_n are functions of the pair, so
-      // distinct-over-4-columns == distinct-over-pairs
+      // drop the set arrays before the expansion — only the counts flow
+      // on; rows are already one-per-pair (first-shared-band filter),
+      // so no distinct is needed
       .select(col("fp_a"), col("fp_b"), col("inter"), col("union_n"))
-      .distinct()
 
     // stage boundary: the verification join + distinct is the garbage
     // churn center (millions of candidate rows each carrying two word
