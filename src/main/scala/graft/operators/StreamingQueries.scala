@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Engine
-import graft.streaming.{StreamJoins, StreamingDistinct, StreamingSessionize}
+import graft.streaming.{StreamJoins, StreamingDistinct, StreamingFunnel, StreamingSessionize}
 
 /** Stateful Structured-Streaming operators run as TRUE incremental
   * executions in the hard signal (file sources → watermarked state →
@@ -162,6 +162,70 @@ object StreamingQueries {
     }
   }
 
+  /** The ordered funnel as INCREMENTAL maintenance, including a
+    * CHECKPOINT RESTART — the event-analytics batch staple
+    * (`q_funnel`) kept current for O(delta) per micro-batch instead
+    * of a corpus re-aggregation per refresh. Pass 1 streams the
+    * events fixture through `flatMapGroupsWithState` (per-user
+    * set-once stage stamps; nothing emits, because a funnel record is
+    * final only when no more events can arrive). Then two far-future
+    * sentinel files land in the source directory and pass 2 resumes
+    * from the same checkpoint with maxFilesPerTrigger=1: the first
+    * sentinel batch advances the watermark, the second fires the
+    * event-time timeouts, flushing every user's finalized record
+    * through the append sink. The sentinel user (-1) never records a
+    * view, so it holds no state and emits nothing. Oracle: the batch
+    * per-user stage-time table (earliest view; earliest click strictly
+    * after it; earliest purchase strictly after that).
+    */
+  def qStreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val inDir = Files.createTempDirectory("graft_fn_in").toString
+    val outDir = Files.createTempDirectory("graft_fn_out").toString
+    val ckpt = Files.createTempDirectory("graft_fn_ckpt").toString
+    try {
+      Files.copy(
+        Paths.get(s"$dir/events.parquet"),
+        Paths.get(s"$inDir/events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+
+      def pipeline(): DataFrame = {
+        val src = ss.readStream
+          .schema(StreamingDistinct.eventsSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        StreamingFunnel.funnel(
+          src.select(col("user_id"), col("event_type"), col("ts"))
+            .withWatermark("ts", "1 hour")
+            .as[StreamingFunnel.FunnelEvent])
+          .toDF()
+          .filter(col("user_id") >= 0) // drop the watermark sentinels
+      }
+
+      runPass(pipeline(), outDir, ckpt)
+      val sentinelSchema = StreamingDistinct.eventsSchema
+      Seq("2100-01-01T00:00:00Z", "2100-02-01T00:00:00Z").foreach { iso =>
+        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+        ss.createDataFrame(
+          java.util.Arrays.asList(
+            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val resumed = pipeline()
+      runPass(resumed, outDir, ckpt) // resumes from the checkpoint
+
+      lease("q_stream_funnel", Seq(inDir, outDir, ckpt))
+      ss.read.schema(resumed.schema).parquet(outDir)
+        .orderBy("user_id")
+    } catch {
+      case e: Throwable =>
+        Seq(inDir, outDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
   /** Stream-stream interval join (click attribution) as a true
     * incremental execution: the view and click streams are two
     * filtered branches of the watermarked events file source, joined
@@ -283,6 +347,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_dedup" -> (qStreamDedup _),
@@ -290,6 +355,27 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the batch ordered-funnel stage times the incremental state must
+    // finalize to: earliest view, earliest click strictly after it,
+    // earliest purchase strictly after that (users with >=1 view)
+    "q_stream_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t_view_us
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click_us
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view_us
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase_us
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click_us
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view_us, c.t_click_us, p.t_purchase_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     // Batch gaps-and-islands, microsecond arithmetic, exclusive-> gap —
     // exactly the semantics the streaming transition implements.
     "q_stream_sessionize" ->
