@@ -189,10 +189,54 @@ object SourceQueries {
       .orderBy("z_range")
   }
 
+  /** File count for the [[qZorderWrite]] layout job. Fixed like
+    * [[NumBuckets]]: a layout decision made once at write time (at
+    * cluster scale: total size / target file size).
+    */
+  private val ZWriteFiles = 16
+
+  /** The z-order WRITE path in the hard signal — [[qZorder]] computes
+    * the layout key, this query actually lays data out with it:
+    * `repartitionByRange(zcode)` writes [[ZWriteFiles]] z-sorted
+    * parquet files (each file a contiguous z-range ⇒ tight min/max on
+    * BOTH interleaved dimensions), then the result is computed from a
+    * READ-BACK of those files under the conjunctive (user-range AND
+    * hour-range) predicate the layout exists for. The oracle runs the
+    * same filter + aggregate on the raw events table — identical
+    * results prove the rewrite changed the layout, not the data; the
+    * file-skipping win itself (z layout touches fewer files than the
+    * time-ordered ingest layout) is measured in ZorderSpec, and the
+    * read-back plan's scan-level pushdown is asserted there too. The
+    * written files outlive the call under a [[graft.Lease]] (the
+    * read-back is lazy and distributed).
+    */
+  def qZorderWrite(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_zw").toString
+    try {
+      zcodedEvents(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ubucket"), col("hr"), col("zcode"))
+        .repartitionByRange(ZWriteFiles, col("zcode"))
+        .write.mode("overwrite").parquet(base)
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_zorder_write", Seq(base))
+    spark.read.parquet(base)
+      .filter(col("ubucket").between(64, 127) && col("hr").between(6, 11))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("zcode")).as("min_z"), max(col("zcode")).as("max_z"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
     "q_bucketed_join" -> (qBucketedJoin _),
-    "q_zorder" -> (qZorder _)
+    "q_zorder" -> (qZorder _),
+    "q_zorder_write" -> (qZorderWrite _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,6 +250,21 @@ object SourceQueries {
         |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // same filter + aggregate straight off the raw table: the z-sorted
+    // rewrite must change layout only, never content
+    "q_zorder_write" ->
+      s"""WITH z AS (
+         |  SELECT user_id, event_type, user_id & 255 AS ubucket,
+         |         hour(ts) AS hr,
+         |         ${duckMorton("user_id & 255", "hour(ts)")} AS zcode
+         |  FROM events)
+         |SELECT event_type, count(*) AS n_events,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |       CAST(min(zcode) AS BIGINT) AS min_z,
+         |       CAST(max(zcode) AS BIGINT) AS max_z
+         |FROM z
+         |WHERE ubucket BETWEEN 64 AND 127 AND hr BETWEEN 6 AND 11
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the same interleave structure rendered in DuckDB's operators
     "q_zorder" ->
       s"""WITH z AS (

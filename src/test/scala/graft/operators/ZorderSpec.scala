@@ -61,4 +61,15 @@ class ZorderSpec extends SparkSpec {
       assert(zFiles < timeFiles, s"z-order did not localize: $zFiles")
     } finally graft.Fs.deleteRecursively(base)
   }
+
+  test("q_zorder_write read-back pushes the conjunctive box into the scan") {
+    val s = SourceQueries.qZorderWrite(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(s.contains("PushedFilters: ["), s)
+    // both dimensions' bounds reach the parquet reader — file/row-group
+    // min-max skipping (the z layout's payoff) happens below Spark
+    Seq("GreaterThanOrEqual(ubucket,64)", "LessThanOrEqual(ubucket,127)",
+      "GreaterThanOrEqual(hr,6)", "LessThanOrEqual(hr,11)").foreach(f =>
+      assert(s.contains(f), s"missing pushed filter $f\n$s"))
+  }
 }
