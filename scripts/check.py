@@ -23,6 +23,14 @@ def canon(rows, cols):
         vals = []
         for i in order:
             v = r[i]
+            # Known limitation (accepted): string-rounding floats can
+            # split values within 1e-9 of a rounding boundary, and an
+            # int on one engine vs float on the other ('5' vs '5.0')
+            # hash-mismatches even when numerically equal. The oracle
+            # discipline (integer/string/decimal outputs only; the few
+            # float columns are exact IEEE arithmetic, e.g. median of
+            # ints) is what keeps this a non-issue — keep it that way
+            # when adding oracles rather than loosening the compare.
             if isinstance(v, float):
                 v = repr(round(v, 9))
             vals.append(str(v))

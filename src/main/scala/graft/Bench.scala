@@ -104,7 +104,9 @@ object Bench {
       s"\"" + k + "\":" + attempts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$reruns,"policy":"min-of-reruns above ${RerunThresholdSecs}s (slow-side only: small disclosed downward bias); see BASELINE.md variance","sf":"$sfDir"}""")
+    // headline fields FIRST: a tail-truncated capture of this line (the
+    // round-6 BENCH artifact lost its tail) must still carry the total
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$qs,"errors":$errs,"reruns":$reruns,"policy":"min-of-reruns above ${RerunThresholdSecs}s (slow-side only: small disclosed downward bias); see BASELINE.md variance"}""")
     spark.stop()
   }
 }

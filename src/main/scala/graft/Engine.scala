@@ -57,14 +57,29 @@ object Engine {
     temp("sketch_count")(exprs => SketchCount(exprs.head))
     // Spark's own runtime-filter machinery, surfaced as SQL functions:
     // bloom_agg(key[, n_items, n_bits]) builds the fixed-size sketch,
-    // bloom_contains(sketch, key) probes it. Keys are canonicalized to
-    // STRING before XxHash64 (the count300k coercion) so a build over an
-    // INT dim key and a probe with a BIGINT fact key hash identically —
-    // raw XxHash64 hashes IntegerType and LongType differently, which
-    // would be a SILENT no-false-negatives violation. (InjectRuntimeFilter
-    // avoids this by hashing post-coercion join keys; a SQL surface has
-    // no analyzer to lean on, so it canonicalizes instead.)
-    def hashKey(k: Expression) = new XxHash64(Seq(Cast(k, StringType)))
+    // bloom_contains(sketch, key) probes it. Keys are canonicalized
+    // before XxHash64: every NUMERIC type goes through DOUBLE, then
+    // everything through STRING (the count300k coercion) — so an INT
+    // dim build vs a BIGINT fact probe, or a DECIMAL(10,2) build
+    // ('5.00') vs an integer probe ('5'), hash identically. Raw
+    // XxHash64 hashes IntegerType and LongType differently, and the
+    // bare string cast renders decimals with their scale — either
+    // would be a SILENT no-false-negatives violation. The double hop
+    // can merge distinct >2^53 integers (same direction as the
+    // sketch's own collisions: extra false POSITIVES, never false
+    // negatives — build and probe of one value render identically).
+    // (InjectRuntimeFilter avoids all this by hashing post-coercion
+    // join keys; a SQL surface has no analyzer to lean on, so it
+    // canonicalizes instead.) The `resolved` guard is belt-and-braces:
+    // builders run on resolved children, but an unresolved key must
+    // fall back rather than throw on `.dataType`.
+    def hashKey(k: Expression) = {
+      val canon =
+        if (k.resolved && k.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          Cast(k, org.apache.spark.sql.types.DoubleType)
+        else k
+      new XxHash64(Seq(Cast(canon, StringType)))
+    }
     temp("bloom_agg") {
       case Seq(k) => new BloomFilterAggregate(hashKey(k))
       case Seq(k, n, b) => new BloomFilterAggregate(hashKey(k), n, b)

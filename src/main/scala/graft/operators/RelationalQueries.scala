@@ -683,6 +683,14 @@ object RelationalQueries {
     * cardinality (8 bits/key → FP ~2% regardless of scale), so the
     * semi-join's verify touches only a few percent extra rows. Result
     * is EXACT (the semi-join removes FPs), hence fully oracle-checked.
+    *
+    * CONSTRUCTION IS EAGER, unlike every other query's lazy contract:
+    * building this frame runs two driver jobs (the build-side count
+    * that sizes the sketch, then the sketch aggregate itself — the
+    * same work a broadcast-join build does, just explicit). Plan-only
+    * consumers (explain/PlanDump) pay them too, and re-construction
+    * re-runs them; the bench charges them to the query, which is the
+    * honest accounting for a runtime-filter build.
     */
   def qBloomPrune(spark: SparkSession, dir: String): DataFrame = {
     Engine.register(spark)

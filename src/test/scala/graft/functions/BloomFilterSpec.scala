@@ -41,6 +41,21 @@ class BloomFilterSpec extends SparkSpec {
     assert(probed == 512L, "int-built sketch must accept long probes")
   }
 
+  test("decimal build keys accept integer probes (numeric canonicalization)") {
+    // DECIMAL renders '5.00' where BIGINT renders '5' — without the
+    // through-DOUBLE canonicalization the string-cast hash would
+    // silently violate no-false-negatives across numeric types
+    Engine.register(spark)
+    import spark.implicits._
+    val sketch = (0 until 512).toDF("k")
+      .select(col("k").cast("decimal(10,2)").as("k")) // '0.00'..'511.00'
+      .agg(dsl.bloom_agg(col("k"), 512L, 8192L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val probed = (0L until 512L).toDF("k") // LongType probe side
+      .filter(dsl.bloom_contains(lit(sketch), col("k"))).count()
+    assert(probed == 512L, "decimal-built sketch must accept integer probes")
+  }
+
   test("bloom_agg over zero rows yields NULL (the pruned-to-empty contract)") {
     Engine.register(spark)
     import spark.implicits._
