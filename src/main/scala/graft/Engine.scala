@@ -70,19 +70,16 @@ object Engine {
     // negatives — build and probe of one value render identically).
     // (InjectRuntimeFilter avoids all this by hashing post-coercion
     // join keys; a SQL surface has no analyzer to lean on, so it
-    // canonicalizes instead.) The `resolved` guard is belt-and-braces:
-    // builders run on resolved children, but an unresolved key must
-    // fall back rather than throw on `.dataType`.
-    def hashKey(k: Expression) = {
-      val canon =
-        if (k.resolved && k.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-          Cast(k, org.apache.spark.sql.types.DoubleType)
-        else k
-      new XxHash64(Seq(Cast(canon, StringType)))
-    }
+    // canonicalizes instead.)
+    // n_items/n_bits coerce to BIGINT: BloomFilterAggregate type-checks
+    // them as BIGINT literals, and the natural SQL spelling
+    // `bloom_agg(k, 100, 4096)` parses them as INT
     temp("bloom_agg") {
       case Seq(k) => new BloomFilterAggregate(hashKey(k))
-      case Seq(k, n, b) => new BloomFilterAggregate(hashKey(k), n, b)
+      case Seq(k, n, b) => new BloomFilterAggregate(
+        hashKey(k),
+        Cast(n, org.apache.spark.sql.types.LongType),
+        Cast(b, org.apache.spark.sql.types.LongType))
       case exprs => throw new IllegalArgumentException(
         s"bloom_agg(key[, n_items, n_bits]) — got ${exprs.length} args")
     }
@@ -96,6 +93,20 @@ object Engine {
     // must never see a conf flip mid-read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
+  }
+
+  /** Bloom-key canonicalization shared by [[register]] and
+    * [[GraftExtensions]] (see the `bloom_agg` registration comment for
+    * the full rationale). The `resolved` guard is belt-and-braces:
+    * builders run on resolved children, but an unresolved key must
+    * fall back rather than throw on `.dataType`.
+    */
+  private[graft] def hashKey(k: Expression): XxHash64 = {
+    val canon =
+      if (k.resolved && k.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        Cast(k, org.apache.spark.sql.types.DoubleType)
+      else k
+    new XxHash64(Seq(Cast(canon, StringType)))
   }
 
   /** All fixture tables (TESTDATA.md). */

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{Fnv1a64, FnvGrams, HashSetCountDistinct, SlidingMin, SortedInterCount, TopKAgg, VectorDot}
+import graft.functions.{Fnv1a64, FnvGrams, HashSetCountDistinct, SketchAgg, SketchCount, SketchMergeAgg, SlidingMin, SortedInterCount, TopKAgg, VectorDot}
 
 /** Cluster-wide injection point: set
   * `spark.sql.extensions=graft.GraftExtensions` and every session —
@@ -48,5 +48,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_inter_count"),
       new ExpressionInfo(classOf[SortedInterCount].getCanonicalName, "sorted_inter_count"),
       (exprs: Seq[Expression]) => SortedInterCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sketch_agg"),
+      new ExpressionInfo(classOf[SketchAgg].getCanonicalName, "sketch_agg"),
+      (exprs: Seq[Expression]) => SketchAgg(Cast(exprs.head, StringType))))
+    ext.injectFunction((
+      FunctionIdentifier("sketch_merge"),
+      new ExpressionInfo(classOf[SketchMergeAgg].getCanonicalName, "sketch_merge"),
+      (exprs: Seq[Expression]) => SketchMergeAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sketch_count"),
+      new ExpressionInfo(classOf[SketchCount].getCanonicalName, "sketch_count"),
+      (exprs: Seq[Expression]) => SketchCount(exprs.head)))
+    // Spark's own runtime-filter machinery behind Engine.hashKey's
+    // cross-type canonicalization — same builders Engine.register uses
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
+          .getCanonicalName, "bloom_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(k) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            Engine.hashKey(k))
+        case Seq(k, n, b) => // INT literals coerce to the required BIGINT
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            Engine.hashKey(k),
+            Cast(n, org.apache.spark.sql.types.LongType),
+            Cast(b, org.apache.spark.sql.types.LongType))
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg(key[, n_items, n_bits]) — got ${other.length} args")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+          .getCanonicalName, "bloom_contains"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), Engine.hashKey(exprs(1)))))
   }
 }

@@ -40,6 +40,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r2.getSeq[Long](2).length == 5) // 6 grams -> 5 windows of 2
       assert(r2.getSeq[AnyRef](3).length == 2)
       assert(r2.getLong(4) == 2L)
+      // sketch-column + runtime-filter surfaces injected too: both
+      // halves carry all 7 residues, and every inserted key probes true
+      val flat = s.sql(
+        """SELECT sketch_count(sketch_merge(sk)) AS n
+          |FROM (SELECT sketch_agg(cast(id % 7 AS string)) AS sk
+          |      FROM range(100) GROUP BY id % 2)""".stripMargin).collect()(0)
+      assert(flat.getString(0) == "7")
+      val bloomHit = s.sql(
+        """SELECT count(*) FROM range(100)
+          |WHERE bloom_contains(
+          |  (SELECT bloom_agg(id, 100, 4096) FROM range(100)), id)""".stripMargin)
+        .collect()(0)
+      assert(bloomHit.getLong(0) == 100L) // no false negatives
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
