@@ -146,6 +146,92 @@ object CoreQueries {
       .orderBy("month", "event_type")
   }
 
+  /** The bounded-state sibling of [[qSketchRollup]] in the hard signal:
+    * the SAME day→month rollup over Spark's DataSketches HLL surface
+    * (`hll_sketch_agg` build / `hll_union_agg` merge /
+    * `hll_sketch_estimate` finalize) — the escape hatch the engine
+    * documents for groups whose exact set state (∝ distinct count, the
+    * reference's own law) is too large, at a FIXED ~2^lgK-register
+    * cost per group instead.
+    *
+    * The estimate itself is engine-specific (no DuckDB analogue), so
+    * the gate is split honestly: `distinct_users` and `n_days` are
+    * exact and oracle-computed; `hll_ok` asserts Spark-side the two
+    * properties that make a sketch column trustworthy — (a) MERGE
+    * INVARIANCE, rollup-of-stored-day-sketches estimates IDENTICALLY
+    * to the direct one-pass sketch (register maxima are associative/
+    * commutative/idempotent, so partitioning must not change the
+    * state), and (b) the estimate lands within 5% of the exact count
+    * (lgK=12 ⇒ ~1.6% RSE). The oracle pins `hll_ok` to true: any
+    * drift in either property breaks the row hash.
+    *
+    * Scale shape: identical to [[qSketchRollup]] (keyed aggregate,
+    * sketch store, month rollup never rescans raw events) — but state
+    * per group is bounded, which is what a 10^9-distinct-users group
+    * needs; the exact-set sibling stays the choice when later EXACT
+    * rollups matter.
+    */
+  def qHllRollup(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    try {
+      Engine.table(spark, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(expr("hll_sketch_agg(cast(user_id as string))").as("hs"))
+        .write.mode("overwrite").parquet(base)
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_hll_rollup", Seq(base))
+    val merged = spark.read.parquet(base)
+      .groupBy(trunc(col("day"), "month").as("month"), col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(hs))").as("est_merged"),
+        count(lit(1)).cast("long").as("n_days"))
+    val direct = Engine.table(spark, dir, "events")
+      .groupBy(trunc(to_date(col("ts")), "month").as("month"), col("event_type"))
+      .agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(cast(user_id as string)))")
+          .as("est_direct"),
+        countDistinct(col("user_id")).as("distinct_users"))
+    merged.join(direct, Seq("month", "event_type"))
+      .select(col("month"), col("event_type"), col("distinct_users"),
+        col("n_days"),
+        (col("est_merged") === col("est_direct") &&
+          abs(col("est_merged") - col("distinct_users")) <=
+            col("distinct_users") * 0.05).as("hll_ok"))
+      .orderBy("month", "event_type")
+  }
+
+  /** The SQL switch-over surface in the hard signal: the reference's
+    * users queried it through plain SQL over installed functions and
+    * warehouse tables (`/root/reference/README.md:26-37` — CREATE
+    * AGGREGATE FUNCTION, then SELECT ... GROUP BY). This query is one
+    * `spark.sql` TEXT over [[Engine.registerTables]]' views — star
+    * join, WHERE, GROUP BY, HAVING, scalar functions, and `count300k`
+    * itself resolved by name through the session registry — proving a
+    * reference user's SQL workload runs verbatim-shaped against the
+    * DuckDB oracle, not just the DataFrame DSL the other queries
+    * exercise. (EngineSurfaceSpec covers this surface in specs; here
+    * it is in the driver's hash-compared signal.)
+    */
+  def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerTables(spark, dir)
+    spark.sql(
+      """SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+        |       count(*) AS n_orders,
+        |       count300k(cast(o.o_custkey AS string)) AS distinct_customers,
+        |       sum(cast(floor(o.o_totalprice * 100) AS BIGINT)) AS cents,
+        |       min(upper(substring(c.c_name, 1, 10))) AS first_cust
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_totalprice > 1000
+        |GROUP BY n.n_name, c.c_mktsegment
+        |HAVING count(*) > 2
+        |ORDER BY nation, segment""".stripMargin)
+  }
+
   /** Reference hash parity in the hard signal: every part name hashed
     * with the codegen'd `fnv64` (bit-parity port of the reference's
     * FnvHash, `/root/reference/hashset-count.cc:49-59`) and bucketed
@@ -172,6 +258,8 @@ object CoreQueries {
     "q_events_hourly" -> (qEventsHourly _),
     "q_stream_hourly" -> (qStreamHourly _),
     "q_sketch_rollup" -> (qSketchRollup _),
+    "q_hll_rollup" -> (qHllRollup _),
+    "q_sql_surface" -> (qSqlSurface _),
     "q_fnv_bucket" -> (qFnvBucket _)
   )
 
@@ -206,6 +294,31 @@ object CoreQueries {
         |       ELSE CAST(COUNT(DISTINCT user_id) AS VARCHAR) END AS distinct_users,
         |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
         |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin,
+    // exact columns oracle-computed; hll_ok pinned to true — the
+    // Spark side computes it as merge-invariance AND a 5% error bound,
+    // so any estimator drift breaks the row hash (the estimate itself
+    // has no DuckDB analogue; see the qHllRollup scaladoc)
+    "q_hll_rollup" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  true AS hll_ok
+        |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin,
+    "q_sql_surface" ->
+      """SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+        |       count(*) AS n_orders,
+        |       CASE WHEN count(o.o_custkey) = 0 THEN NULL
+        |            ELSE CAST(count(DISTINCT o.o_custkey) AS VARCHAR)
+        |       END AS distinct_customers,
+        |       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       min(upper(substring(c.c_name, 1, 10))) AS first_cust
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_totalprice > 1000
+        |GROUP BY n.n_name, c.c_mktsegment
+        |HAVING count(*) > 2
+        |ORDER BY nation, segment""".stripMargin,
     "q_fnv_bucket" ->
       """WITH hh AS (
         |  SELECT p_partkey,
