@@ -232,11 +232,115 @@ object SourceQueries {
       .orderBy("event_type")
   }
 
+  /** The deterministic CDC change batch for [[qMergeUpsert]]: updates
+    * re-segment every 20th customer, inserts add a shifted-key copy of
+    * every 40th — both derived from the fixture itself so Spark and the
+    * oracle construct bit-identical batches.
+    */
+  private def changeBatch(base: DataFrame): DataFrame = {
+    val updates = base.filter(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        upper(col("c_mktsegment")).as("c_mktsegment"))
+    val inserts = base.filter(col("c_custkey") % 40 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), lit("NEWSEG").as("c_mktsegment"))
+    updates.unionByName(inserts)
+  }
+
+  /** Upsert / MERGE INTO — the lakehouse mutation primitive: apply a
+    * CDC change batch (whole-row updates + inserts) to a base table
+    * and WRITE the merged snapshot, then compute the census from a
+    * read-back of the written files.
+    *
+    * The plan is the scale-right one for the typical CDC shape (change
+    * batch ≪ base): `base LEFT ANTI broadcast(changes) UNION changes` —
+    * the 100 TB base is scanned once and NEVER SHUFFLED (the anti join
+    * probes a broadcast hash of just the change keys), where the
+    * textbook full-outer-join MERGE would exchange the whole base on
+    * the key. The oracle deliberately uses that full-outer-coalesce
+    * formulation: two independent MERGE algebras must agree row-for-row.
+    * (Falling back to the shuffled full-outer path when the batch is
+    * too large to broadcast is the same measured-size guard
+    * `q_minhash_lsh` spec-forces; batch sizes here are CDC-small by
+    * construction.)
+    */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Engine.table(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val changes = changeBatch(base)
+    val merged = base.join(broadcast(changes.select("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .unionByName(changes)
+    val out = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    try merged.write.mode("overwrite").parquet(out)
+    catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(out)); throw e
+    }
+    graft.Lease.lease("q_merge_upsert", Seq(out))
+    spark.read.parquet(out)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).cast("long").as("key_sum"))
+      .orderBy("segment")
+  }
+
+  /** Compaction target for [[qCompact]] — a layout decision like
+    * [[NumBuckets]]/[[ZWriteFiles]] (total size / target file size).
+    */
+  private val CompactFiles = 4
+
+  /** Small-file compaction — the table-maintenance primitive every
+    * streaming/CDC ingest needs: a fragmented table (64 writer-task
+    * files here, the micro-batch pattern that at 100 TB becomes
+    * millions of KB-sized files whose open/footer cost dominates
+    * scans) is rewritten into [[CompactFiles]] range-partitioned files
+    * sorted by `event_id`, the ORIGINAL fragmented files are retired,
+    * and the result is computed from a read-back of the compacted
+    * layout only. Range partitioning (vs `coalesce`) makes the output
+    * files balanced AND gives each a disjoint min/max id range — the
+    * compaction pays for itself in later pruning. The oracle aggregates
+    * the raw events table: compaction must change layout, never
+    * content. File-count mechanics (64 → 4) are asserted in
+    * SourceSinkSpec.
+    */
+  def qCompact(spark: SparkSession, dir: String): DataFrame = {
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val compacted = java.nio.file.Files.createTempDirectory("graft_cpct").toString
+    try {
+      Engine.table(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      spark.read.parquet(frag)
+        .repartitionByRange(CompactFiles, col("event_id"))
+        .write.mode("overwrite").parquet(compacted)
+    } catch {
+      case e: Throwable =>
+        Seq(frag, compacted).foreach(d =>
+          scala.util.Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+    // the compacted write is materialized: the fragmented layout can be
+    // retired immediately (the returned frame reads only `compacted`)
+    graft.Fs.deleteRecursively(frag)
+    graft.Lease.lease("q_compact", Seq(compacted))
+    spark.read.parquet(compacted)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).cast("long").as("id_sum"),
+        min(col("event_id")).cast("long").as("min_id"),
+        max(col("event_id")).cast("long").as("max_id"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_zorder" -> (qZorder _),
-    "q_zorder_write" -> (qZorderWrite _)
+    "q_zorder_write" -> (qZorderWrite _),
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_compact" -> (qCompact _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -265,6 +369,30 @@ object SourceQueries {
          |FROM z
          |WHERE ubucket BETWEEN 64 AND 127 AND hr BETWEEN 6 AND 11
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the textbook full-outer-coalesce MERGE: a deliberately DIFFERENT
+    // algebra from the Spark side's broadcast-anti+union — both must
+    // produce the same merged snapshot
+    "q_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT c_custkey, upper(c_mktsegment) AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 20 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'NEWSEG'
+        |  FROM customer WHERE c_custkey % 40 = 0),
+        |merged AS (
+        |  SELECT coalesce(ch.c_custkey, b.c_custkey) AS k,
+        |         coalesce(ch.c_mktsegment, b.c_mktsegment) AS seg
+        |  FROM customer b FULL OUTER JOIN changes ch
+        |    ON b.c_custkey = ch.c_custkey)
+        |SELECT seg AS segment, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY 1 ORDER BY segment""".stripMargin,
+    // compaction must change layout, never content: aggregate the raw table
+    "q_compact" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       CAST(min(event_id) AS BIGINT) AS min_id,
+        |       CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the same interleave structure rendered in DuckDB's operators
     "q_zorder" ->
       s"""WITH z AS (

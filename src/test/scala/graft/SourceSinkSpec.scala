@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   */
 class SourceSinkSpec extends SparkSpec {
 
+  private val dir = "/root/testdata/sf0.001"
   private lazy val tmp = Files.createTempDirectory("graft_io_").toString
   private lazy val sample = Engine
-    .table(spark, "/root/testdata/sf0.001", "lineitem")
+    .table(spark, dir, "lineitem")
     .limit(200)
     .cache()
 
@@ -47,5 +48,67 @@ class SourceSinkSpec extends SparkSpec {
     // partition filter must reach the scan, not a post-scan Filter
     assert(s.contains("PartitionFilters") && s.contains("l_returnflag"), s)
     assert(one.count() == sample.filter(col("l_returnflag") === "R").count())
+  }
+
+  private def parquetFiles(p: String): Seq[java.io.File] =
+    new java.io.File(p).listFiles().toSeq
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+
+  test("compaction rewrites many small files into few balanced, range-disjoint ones") {
+    val ev = Engine.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"))
+    val frag = s"$tmp/frag"
+    val cpct = s"$tmp/cpct"
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    assert(parquetFiles(frag).size == 64)
+    spark.read.parquet(frag)
+      .repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(cpct)
+    val files = parquetFiles(cpct)
+    assert(files.size == 4, s"expected 4 compacted files, got ${files.size}")
+    // content identical
+    val back = spark.read.parquet(cpct)
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+    // per-file id ranges are disjoint (range partitioning, not round-robin):
+    // each file's [min,max] must not overlap any other's
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("event_id"), max("event_id")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping compacted ranges: $ranges")
+      case _ =>
+    }
+  }
+
+  test("merge upsert: updates replace, inserts append, untouched rows survive") {
+    val out = graft.operators.SourceQueries.qMergeUpsert(spark, dir).collect()
+    val segs = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = Engine.table(spark, dir, "customer")
+    val nBase = base.count()
+    val nInserts = base.filter(col("c_custkey") % 40 === 0).count()
+    // cardinality: base + pure inserts (updates replace in place)
+    assert(out.map(_.getLong(1)).sum == nBase + nInserts)
+    // every 20th customer moved to an UPPER segment; fixture segments are
+    // already upper-case, so the update is observable through NEWSEG +
+    // preserved totals — verify against an independent row-level check
+    val merged = base.select(col("c_custkey"), col("c_mktsegment"))
+      .filter(col("c_custkey") % 20 =!= 0)
+    val updated = base.filter(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey"), upper(col("c_mktsegment")).as("c_mktsegment"))
+    val inserted = base.filter(col("c_custkey") % 40 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        lit("NEWSEG").as("c_mktsegment"))
+    val expect = merged.unionByName(updated).unionByName(inserted)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), sum("c_custkey").cast("long").as("key_sum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.foreach { r =>
+      assert(expect(r.getString(0)) == ((r.getLong(1), r.getLong(2))),
+        s"segment ${r.getString(0)} census diverges")
+    }
+    assert(segs.contains("NEWSEG") && segs("NEWSEG") == nInserts)
   }
 }
