@@ -685,30 +685,36 @@ object RelationalQueries {
     * is EXACT (the semi-join removes FPs), hence fully oracle-checked.
     *
     * CONSTRUCTION IS EAGER, unlike every other query's lazy contract:
-    * building this frame runs two driver jobs (the build-side count
-    * that sizes the sketch, then the sketch aggregate itself — the
-    * same work a broadcast-join build does, just explicit). Plan-only
-    * consumers (explain/PlanDump) pay them too, and re-construction
-    * re-runs them; the bench charges them to the query, which is the
-    * honest accounting for a runtime-filter build.
+    * building this frame runs one real driver job (the sketch
+    * aggregate — the same work a broadcast-join build does, just
+    * explicit) plus a parquet-footer row count that never touches
+    * column data. Plan-only consumers (explain/PlanDump) pay them
+    * too, and re-construction re-runs them; the bench charges them to
+    * the query, which is the honest accounting for a runtime-filter
+    * build.
     */
   def qBloomPrune(spark: SparkSession, dir: String): DataFrame = {
     Engine.register(spark)
     val urgent = Engine.table(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    // Size the sketch from the MEASURED build cardinality (8 bits/key,
-    // k=5-6 optimal → FP ~2% at any scale): a hardcoded capacity would
+    // Size the sketch from the MEASURED table cardinality (8 bits per
+    // possible build key, k=5-6 optimal): a hardcoded capacity would
     // saturate once the build side outgrew it — at sf1.0 a 65536-item
     // sketch over ~300k URGENT keys would sit at ~97% fill and pass
     // ~80% of non-matching fact rows, silently defeating the pruning.
-    // The count is one cheap metadata-backed scan; the ceilings keep
-    // the sketch within Spark's own runtime-filter bounds (8 MiB) —
-    // beyond ~8M build keys the FP rate degrades gracefully instead of
-    // the sketch growing unbounded.
-    val nUrgent = math.max(1L, urgent.count())
-    val nItems = math.min(nUrgent, 4000000L)
-    val nBits = math.min(math.max(1L << 16, 8L * nUrgent), 1L << 26)
+    // The bound is the UNFILTERED orders row count — a parquet-footer
+    // metadata read, no column IO — which upper-bounds the build side,
+    // so bits-per-actual-key ≥ 8 and FP stays ≤ ~2% at any scale (the
+    // round-6 version counted the filtered build side exactly: one
+    // fewer column scan now, at most 1/selectivity× more sketch bits,
+    // still under the same ceilings). The ceilings keep the sketch
+    // within Spark's own runtime-filter bounds (8 MiB) — beyond ~8M
+    // build keys the FP rate degrades gracefully instead of the
+    // sketch growing unbounded.
+    val bound = math.max(1L, spark.read.parquet(s"$dir/orders.parquet").count())
+    val nItems = math.min(bound, 4000000L)
+    val nBits = math.min(math.max(1L << 16, 8L * bound), 1L << 26)
     val sketch = urgent
       .agg(dsl.bloom_agg(col("o_orderkey"), nItems, nBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
