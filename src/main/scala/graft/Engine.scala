@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast,
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{ExactCountDistinct, Fnv1a64, FnvGrams, HashSetCountDistinct, SketchAgg, SketchCount, SketchMergeAgg, SlidingMin, SortedInterCount, TopKAgg, VectorDot}
+import graft.functions.{ExactCountDistinct, Fnv1a64, FnvGrams, HashSetCountDistinct, MisraGriesTopK, SketchAgg, SketchCount, SketchMergeAgg, SlidingMin, SortedInterCount, TopKAgg, VectorDot}
 
 /** Session-level wiring for the graft engine: function registration and
   * fixture-table access. Registration is the Spark analogue of the
@@ -41,6 +41,9 @@ object Engine {
     temp("fnv64")(exprs => Fnv1a64(exprs.head))
     // Bounded exact top-k with map-side cut (shuffle ≤ k per group/task).
     temp("topk_agg")(exprs => TopKAgg(exprs(0), exprs(1), exprs(2)))
+    // Misra–Gries heavy hitters: O(k) mergeable frequency summary
+    // (exact when per-group distinct ≤ k). Items coerce like count300k.
+    temp("mg_topk")(exprs => MisraGriesTopK(Cast(exprs(0), StringType), exprs(1)))
     // One-pass text fingerprinting primitives (winnowing path): per-gram
     // FNV and O(n) sliding-window min — tight loops where HOF lambdas
     // would run interpreted per element.

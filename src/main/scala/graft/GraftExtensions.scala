@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{Fnv1a64, FnvGrams, HashSetCountDistinct, SketchAgg, SketchCount, SketchMergeAgg, SlidingMin, SortedInterCount, TopKAgg, VectorDot}
+import graft.functions.{Fnv1a64, FnvGrams, HashSetCountDistinct, MisraGriesTopK, SketchAgg, SketchCount, SketchMergeAgg, SlidingMin, SortedInterCount, TopKAgg, VectorDot}
 
 /** Cluster-wide injection point: set
   * `spark.sql.extensions=graft.GraftExtensions` and every session —
@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sketch_count"),
       new ExpressionInfo(classOf[SketchCount].getCanonicalName, "sketch_count"),
       (exprs: Seq[Expression]) => SketchCount(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGriesTopK].getCanonicalName, "mg_topk"),
+      (exprs: Seq[Expression]) =>
+        MisraGriesTopK(Cast(exprs(0), StringType), exprs(1))))
     // Spark's own runtime-filter machinery behind Engine.hashKey's
     // cross-type canonicalization — same builders Engine.register uses
     ext.injectFunction((

@@ -104,9 +104,41 @@ object ProfileQueries {
       .orderBy("bucket")
   }
 
+  /** Summary capacity for [[qHeavyHitters]]: comfortably above the
+    * event-type domain (5), so the gate runs mg_topk in its EXACT
+    * regime (no decrement ever fires → estimates are true counts,
+    * err = 0, output partition-invariant — see the MisraGriesTopK
+    * scaladoc). The error regime, whose summary content legitimately
+    * depends on merge order, is covered by MgTopKSpec's guarantees.
+    */
+  private val HhK = 8
+
+  /** Heavy hitters per day via the native `mg_topk` Misra–Gries
+    * aggregate: which event types dominate each day, computed in O(k)
+    * state per group instead of the O(distinct) a count-then-rank
+    * takes. The summary is MERGEABLE (PODS'12 combine), so partials
+    * map-side-combine exactly like count300k's sets; only k entries
+    * per (day) group ever cross the exchange. At 100 TB with an
+    * unbounded item domain (URLs, user agents), this is the only
+    * frequency-ranking shape whose state doesn't grow with the data —
+    * here it is gated in its exact regime and spec-bounded in its
+    * approximate one.
+    */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    Engine.table(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr(s"mg_topk(event_type, $HhK)").as("hh"))
+      .select(col("day"), explode(col("hh")).as("h"))
+      .select(col("day"), col("h.item").as("event_type"),
+        col("h.est").as("n_events"), col("h.err").as("err"))
+      .orderBy("day", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> (qProfile _),
-    "q_histogram" -> (qHistogram _)
+    "q_histogram" -> (qHistogram _),
+    "q_heavy_hitters" -> (qHeavyHitters _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -116,6 +148,13 @@ object ProfileQueries {
          |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
          |FROM lineitem""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    // k=8 > 5 distinct event types ⇒ the MG summary is in its exact
+    // regime: estimates are plain counts and err is 0 — any decrement
+    // firing (or estimate drift) breaks the hash
+    "q_heavy_hitters" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       count(*) AS n_events, CAST(0 AS BIGINT) AS err
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // the row-level bucket function the distinct-walk must reproduce
     "q_histogram" ->
       s"""WITH r AS (

@@ -47,6 +47,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |FROM (SELECT sketch_agg(cast(id % 7 AS string)) AS sk
           |      FROM range(100) GROUP BY id % 2)""".stripMargin).collect()(0)
       assert(flat.getString(0) == "7")
+      val hh = s.sql(
+        """SELECT mg_topk(cast(id % 3 AS string), 8) AS hh
+          |FROM range(90)""".stripMargin).collect()(0)
+      assert(hh.getSeq[AnyRef](0).length == 3) // exact regime: 3 items
       val bloomHit = s.sql(
         """SELECT count(*) FROM range(100)
           |WHERE bloom_contains(
