@@ -48,7 +48,15 @@ object PlanDump {
     "q_sketch_rollup" ->
       "round 7: the rollup stage reads ONLY the stored sketch rows (one per day x type) — an ObjectHashAggregate over the sketch parquet, no events scan anywhere in the plan; sketch_count is a codegen'd header read.",
     "q_zorder_write" ->
-      "round 7: the read-back scan carries BOTH dimension bounds as PushedFilters over the z-sorted files — file/row-group min-max skipping below Spark is what the Morton layout buys.")
+      "round 7: the read-back scan carries BOTH dimension bounds as PushedFilters over the z-sorted files — file/row-group min-max skipping below Spark is what the Morton layout buys.",
+    "q_heavy_hitters" ->
+      "round 7: two-phase ObjectHashAggregate around one exchange — the partial Misra-Gries summary keeps <= k counters per group per task, so the exchange volume is k entries per group regardless of corpus size (same law as q_topk_agg, applied to frequency).",
+    "q_merge_upsert" ->
+      "round 7: this is the READ-BACK census over the merged snapshot (the MERGE itself runs in the write job: BroadcastHashJoin LeftAnti over the base scan, base never exchanged — plan-asserted in PlanQualitySpec on SourceQueries.mergedSnapshot).",
+    "q_rolling" ->
+      "round 7: the corpus collapses in a two-phase HashAggregate to one row per (hour, type) BEFORE the Window node — the RANGE frame sorts the domain-bounded series, never raw events.",
+    "q_outliers" ->
+      "round 7: two linear passes joined by a BroadcastHashJoin of the 3-row group-stats aggregate — the all-integer z-score predicate is a codegen'd map-side filter; no window, no fact-sized exchange beyond the group keys.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"

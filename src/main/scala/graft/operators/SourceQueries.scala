@@ -264,13 +264,23 @@ object SourceQueries {
     * `q_minhash_lsh` spec-forces; batch sizes here are CDC-small by
     * construction.)
     */
-  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+  /** The merged snapshot [[qMergeUpsert]] writes — factored out so
+    * PlanQualitySpec can assert the merge plan's shape (broadcast anti
+    * join, zero base-side exchange) on the frame itself; the gated
+    * query's returned plan only shows the read-back census.
+    */
+  private[operators] def mergedSnapshot(
+      spark: SparkSession, dir: String): DataFrame = {
     val base = Engine.table(spark, dir, "customer")
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
     val changes = changeBatch(base)
-    val merged = base.join(broadcast(changes.select("c_custkey")),
+    base.join(broadcast(changes.select("c_custkey")),
         Seq("c_custkey"), "left_anti")
       .unionByName(changes)
+  }
+
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val merged = mergedSnapshot(spark, dir)
     val out = java.nio.file.Files.createTempDirectory("graft_merge").toString
     try merged.write.mode("overwrite").parquet(out)
     catch {

@@ -115,4 +115,14 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
         s"bucket-aligned join must not re-shuffle either side:\n$p")
     } finally cleanup()
   }
+
+  test("merge upsert plans a broadcast anti join: the base table is never exchanged") {
+    val p = plan(SourceQueries.mergedSnapshot(spark, dir))
+    val anti = collectAll(p).find(n =>
+      n.nodeName.contains("BroadcastHashJoin") && n.toString.contains("LeftAnti"))
+    assert(anti.isDefined, s"expected BroadcastHashJoin LeftAnti:\n$p")
+    // no shuffle anywhere under the anti join — the base side streams
+    val shuffles = collectAll(anti.get).collect { case x: ShuffleExchangeExec => x }
+    assert(shuffles.isEmpty, s"base side must not shuffle:\n$p")
+  }
 }
