@@ -135,10 +135,60 @@ object ProfileQueries {
       .orderBy("day", "event_type")
   }
 
+  /** `approx_percentile` accuracy knob for [[qApproxQuantiles]]:
+    * rank error ε = 1/Accuracy of n.
+    */
+  private val Accuracy = 10000
+
+  /** The approximate-quantile escape hatch in the hard signal: the
+    * exact counting quantiles (`q_median`/`q_quantiles`) walk the
+    * value DOMAIN, which is the right exact shape — but a column with
+    * an unbounded continuous domain at 100 TB takes Spark's
+    * `approx_percentile` (KLL-style bounded sketch state, mergeable)
+    * instead. Its returned values are engine-specific, so the gate
+    * follows the `q_hll_rollup` split: `n` is oracle-computed, and
+    * each `pXX_ok` boolean asserts Spark-side that the returned
+    * element's EXACT rank interval [count(<v)+1, count(≤v)] intersects
+    * [(p−ε)n, (p+ε)n] — the estimator's published contract — in
+    * scaled-integer arithmetic (no float boundary), with the oracle
+    * pinning the booleans true. Shape: one sketch aggregate + one
+    * exact rank-count pass joined on the 3-row group table (broadcast).
+    */
+  def qApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Engine.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val approx = cents.groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(cents, array(0.25, 0.5, 0.75), $Accuracy)")
+        .as("ap"))
+      .select(col("l_returnflag"), col("ap")(0).as("a25"),
+        col("ap")(1).as("a50"), col("ap")(2).as("a75"))
+    def rankOk(a: String, pBp: Int) = {
+      // scaled integers: rank bounds in basis points of n, ε = 1 bp,
+      // plus one whole rank of slack (±10000 in bp·n units) — the
+      // estimator's bound is ±⌈ε·n⌉, measured exactly at the ceiling
+      // on this fixture (group N median: rank error 2 with ε·n=1.99)
+      val lo = pBp - 1
+      val hi = pBp + 1
+      (sum(when(col("cents") <= col(a), 1L).otherwise(0L)) * 10000 >=
+        count(lit(1)) * lo - 10000) &&
+        (sum(when(col("cents") < col(a), 1L).otherwise(0L)) * 10000 <=
+          count(lit(1)) * hi + 10000)
+    }
+    cents.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        rankOk("a25", 2500).as("p25_ok"),
+        rankOk("a50", 5000).as("p50_ok"),
+        rankOk("a75", 7500).as("p75_ok"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> (qProfile _),
     "q_histogram" -> (qHistogram _),
-    "q_heavy_hitters" -> (qHeavyHitters _)
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_approx_quantiles" -> (qApproxQuantiles _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,6 +205,12 @@ object ProfileQueries {
       """SELECT CAST(ts AS DATE) AS day, event_type,
         |       count(*) AS n_events, CAST(0 AS BIGINT) AS err
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // n oracle-computed; the rank-contract booleans pinned true (the
+    // sketch's returned elements are engine-specific — see scaladoc)
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       true AS p25_ok, true AS p50_ok, true AS p75_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // the row-level bucket function the distinct-walk must reproduce
     "q_histogram" ->
       s"""WITH r AS (
