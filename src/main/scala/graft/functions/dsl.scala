@@ -66,4 +66,12 @@ object dsl {
     */
   def bloom_contains(sketch: Column, key: Column): Column =
     F.call_function("bloom_contains", sketch, key)
+
+  /** Misra–Gries heavy hitters: bounded mergeable frequency summary,
+    * `array<struct<item,est,err>>` best-first with
+    * `est ≤ true ≤ est + err`; exact (err 0) while per-group distinct
+    * ≤ k. Non-string items are cast like the SQL surface does.
+    */
+  def mg_topk(item: Column, k: Int): Column =
+    F.call_function("mg_topk", item, F.lit(k))
 }

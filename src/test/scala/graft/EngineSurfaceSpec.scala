@@ -27,6 +27,10 @@ class EngineSurfaceSpec extends SparkSpec {
         dsl.cosine(col("embedding"), col("n"), col("embedding"), col("n")))
       .collect()
     assert(e.forall(r => math.abs(r.getAs[Double]("self_cos") - 1.0) < 1e-9))
+
+    val hh = li.agg(dsl.mg_topk(col("l_returnflag"), 8).as("hh"))
+      .selectExpr("size(hh)", "hh[0].err").collect()(0)
+    assert(hh.getInt(0) == 3 && hh.getLong(1) == 0L) // exact regime
   }
 
   test("SQL over registered views: the reference's query style end-to-end") {
