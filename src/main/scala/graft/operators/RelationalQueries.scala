@@ -396,6 +396,49 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Salt-bucket fan-out for [[qSaltedJoin]]: the hot key's rows
+    * spread over this many shuffle keys.
+    */
+  private val JoinSalts = 8
+
+  /** Salted skew JOIN — the join-side sibling of [[qSaltedAgg]] and
+    * the portable mitigation when BOTH sides are too big to broadcast
+    * (a broadcastable dim dissolves skew trivially; AQE's runtime
+    * skew split — spec-forced in AqeSkewSpec — is the automatic
+    * variant, and salting is what you reach for when the engine's
+    * heuristics don't fire or the skew is in a key AQE can't split,
+    * e.g. under a required distribution). A DETERMINISTIC skewed fact
+    * is constructed from lineitem (key 0 absorbs three quarters of
+    * all rows — the web-scale null-ish/default-key hot spot), the
+    * dim side replicates each key × [[JoinSalts]] salt values via
+    * explode, the fact side computes a deterministic salt, and the
+    * merge-hinted join shuffles on (key, salt) — the hot key's rows
+    * land on [[JoinSalts]] tasks instead of one. The oracle runs the
+    * UNSALTED join: salting must redistribute work, never change the
+    * answer.
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Engine.table(spark, dir, "lineitem")
+    val fact = li.select(
+      when(col("l_orderkey") % 4 =!= 0, lit(0L))
+        .otherwise(col("l_orderkey") % 100).as("k"),
+      col("l_quantity"), col("l_extendedprice"),
+      pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(JoinSalts))
+        .as("salt"))
+    // dim: one row per key 0..99 with a derived segment label
+    val dim = spark.range(100).select(col("id").as("k"),
+      concat(lit("seg_"), col("id") % 7).as("segment"))
+    val dimSalted = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(JoinSalts - 1))))
+      .withColumn("salt", col("salt").cast("long"))
+    fact.join(dimSalted.hint("merge"), Seq("k", "salt"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_cents"))
+      .orderBy("segment")
+  }
+
   // --- statistical aggregates -------------------------------------------
 
   /** Cell width for [[rankedOverCells]]: domain units (cents / qty
@@ -829,6 +872,7 @@ object RelationalQueries {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_asof_join" -> (qAsofJoin _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_distinct_rewrite" -> (qDistinctRewrite _),
@@ -1031,6 +1075,21 @@ object RelationalQueries {
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |       CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the UNSALTED join: salting must redistribute work, never results
+    "q_salted_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+        |              ELSE l_orderkey % 100 END AS k,
+        |         l_quantity, l_extendedprice
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT k, concat('seg_', CAST(k % 7 AS VARCHAR)) AS segment
+        |  FROM (SELECT unnest(range(0, 100)) AS k))
+        |SELECT segment, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM fact JOIN dim USING (k)
+        |GROUP BY segment ORDER BY segment""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,

@@ -116,6 +116,15 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     } finally cleanup()
   }
 
+  test("salted join shuffles on (key, salt): the hot key spreads over salt buckets") {
+    val p = plan(RelationalQueries.qSaltedJoin(spark, dir))
+    val smj = collectAll(p).find(_.nodeName.contains("SortMergeJoin"))
+    assert(smj.isDefined, s"expected the merge-hinted SMJ:\n$p")
+    val s = smj.get.toString
+    assert(s.contains("k#") && s.contains("salt#"),
+      s"join keys must include BOTH k and salt:\n$s")
+  }
+
   test("merge upsert plans a broadcast anti join: the base table is never exchanged") {
     val p = plan(SourceQueries.mergedSnapshot(spark, dir))
     val anti = collectAll(p).find(n =>
