@@ -396,7 +396,44 @@ object TextQueries {
 
   // --- registry ---------------------------------------------------------
 
+  /** Chunk window / stride (words): 48-word windows every 32 words ⇒
+    * 16 words of overlap — the embedding-pipeline chunking shape
+    * (overlap preserves context across boundaries). Layout constants
+    * like [[SourceQueries.NumBuckets]].
+    */
+  private val ChunkWindow = 48
+  private val ChunkStride = 32
+
+  /** Document chunking into overlapping word windows — the
+    * retrieval/embedding preprocessing step between cleaning and
+    * `embeddings`: each doc explodes into ceil(n/stride) chunk rows
+    * (span arithmetic only; the text itself is never copied per
+    * chunk here — `first_word`/`last_word` pin each span's boundaries
+    * against the oracle, and a downstream embedder would slice
+    * lazily). Narrow explode + per-row arithmetic, no shuffle before
+    * the presentation sort; chunk counts are corpus-linear with a
+    * constant ~n/stride fan-out, the same law at any scale.
+    */
+  def qChunk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("n", size(col("words")))
+      .select(col("doc_id"), col("words"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / ChunkStride).cast("long").as("chunk_id"),
+        least(col("n") - col("start"), lit(ChunkWindow)).cast("long")
+          .as("n_words"),
+        element_at(col("words"), col("start") + 1).as("first_word"),
+        element_at(col("words"),
+          least(col("start") + ChunkWindow, col("n"))).as("last_word"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk" -> (qChunk _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_profile" -> (qLangProfile _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -433,6 +470,22 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // range(0, n, stride) = exactly the starts < n Spark's inclusive
+    // sequence(0, n-1, stride) generates
+    "q_chunk" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words,
+         |         len(string_split(text, ' ')) AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, unnest(range(0, n, $ChunkStride)) AS start
+         |  FROM w)
+         |SELECT c.doc_id, CAST(c.start // $ChunkStride AS BIGINT) AS chunk_id,
+         |       CAST(least(w.n - c.start, $ChunkWindow) AS BIGINT) AS n_words,
+         |       w.words[c.start + 1] AS first_word,
+         |       w.words[least(c.start + $ChunkWindow, w.n)] AS last_word
+         |FROM c JOIN w USING (doc_id)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id, lang, n_chars,
          |       CAST(length(text) AS BIGINT) AS len_chars,
