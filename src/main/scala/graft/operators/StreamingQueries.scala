@@ -261,6 +261,104 @@ object StreamingQueries {
     }
   }
 
+  /** Stream-stream LEFT OUTER interval join — the null-emission
+    * semantics [[qStreamJoin]]'s inner form can't show: an impression
+    * with no click inside `[imp_ts, imp_ts + 1 hour]` must STILL
+    * emit, with NULL click columns, and may only do so once the
+    * watermark proves no matching click can arrive (Spark holds the
+    * unmatched row in state until `imp_ts + interval + delay` passes
+    * the watermark). The fixture's tail impressions would sit in
+    * state forever at end-of-file, so the sessionize/funnel sentinel
+    * pattern applies: pass 1 streams the fixture (matches emit
+    * immediately, unmatched rows accumulate), two far-future sentinel
+    * files then advance the watermark and pass 2 resumes from the
+    * checkpoint to flush every held row through the same append sink.
+    *
+    * Sentinel subtlety this query measured the hard way, twice: (1) a
+    * `sentinel`-typed row never advances the join's watermark,
+    * because Catalyst pushes each branch's `event_type` filter BELOW
+    * the EventTimeWatermark node to the scan — and with the default
+    * min policy across the two branch watermarks, one starved branch
+    * pins the global watermark at the fixture's tail (the first cut
+    * silently held the last 2 h of unmatched impressions in state
+    * forever); (2) the sessionize-style in-plan sentinel filter has
+    * the SAME failure through a join — a predicate on left-side
+    * columns pushes through the outer join and below the left
+    * branch's watermark to the scan, starving it identically
+    * (flatMapGroupsWithState is a pushdown barrier, a join is not).
+    * So each sentinel file carries a view row AND a click row
+    * (distinct negative users, so they match nothing and not each
+    * other), the streaming plan carries NO sentinel filter at all,
+    * and the sentinels' own (null-extended) rows are dropped in the
+    * BATCH read-back of the sink, where pushdown is harmless.
+    * Oracle: the batch LEFT JOIN with the identical interval
+    * condition.
+    *
+    * State bound (the 100 TB contract): both sides retain rows only
+    * inside the watermark-delay + interval horizon — outer-join state
+    * is evicted exactly when the null verdict becomes provable, so
+    * state size tracks the stream's rate × horizon, never its
+    * lifetime.
+    */
+  def qStreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val inDir = Files.createTempDirectory("graft_soj_in").toString
+    val outDir = Files.createTempDirectory("graft_soj_out").toString
+    val ckpt = Files.createTempDirectory("graft_soj_ckpt").toString
+    try {
+      Files.copy(
+        Paths.get(s"$dir/events.parquet"),
+        Paths.get(s"$inDir/events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      def pipeline(): DataFrame = {
+        val src = ss.readStream
+          .schema(StreamingDistinct.eventsSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ts", "1 hour") // BEFORE the branch filters
+        val imps = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("ad_id"), col("ts").as("imp_ts"),
+            col("event_id").as("imp_id"))
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id").as("click_ad"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        imps.join(clicks, expr(
+            """ad_id = click_ad AND
+              |click_ts >= imp_ts AND
+              |click_ts <= imp_ts + interval 1 hour""".stripMargin),
+            "left_outer")
+          .select(col("ad_id"), col("imp_id"), col("click_id"),
+            unix_micros(col("imp_ts")).as("imp_us"),
+            unix_micros(col("click_ts")).as("click_us"))
+      }
+      runPass(pipeline(), outDir, ckpt)
+      // each sentinel file: one view + one click row with DISTINCT
+      // negative users (they match no fixture row and not each other),
+      // so BOTH branch watermarks advance; two files = two batches,
+      // eviction runs with the jumped watermark in the second
+      val sentinelSchema = StreamingDistinct.eventsSchema
+      Seq("2100-01-01T00:00:00Z", "2100-02-01T00:00:00Z").foreach { iso =>
+        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+        ss.createDataFrame(
+          java.util.Arrays.asList(
+            Row(-1L, nanos, -1L, "view", 0.0, "{}"),
+            Row(-2L, nanos, -2L, "click", 0.0, "{}")), sentinelSchema)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val resumed = pipeline()
+      runPass(resumed, outDir, ckpt) // resumes; eviction flushes the unmatched
+      lease("q_stream_outer_join", Seq(inDir, outDir, ckpt))
+      ss.read.schema(resumed.schema).parquet(outDir)
+        .filter(col("ad_id") >= 0) // batch-side sentinel drop (see scaladoc)
+        .orderBy("imp_id", "click_id")
+    } catch {
+      case e: Throwable =>
+        Seq(inDir, outDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
   /** Stream-static enrichment join — the third streaming join shape
     * after stream-stream (`q_stream_join`) and batch: each micro-batch
     * of the events stream joins map-side against the STATIC customer
@@ -350,6 +448,7 @@ object StreamingQueries {
     "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_outer_join" -> (qStreamOuterJoin _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_static_join" -> (qStreamStaticJoin _)
   )
@@ -403,6 +502,22 @@ object StreamingQueries {
         | AND i.event_type = 'view' AND c.event_type = 'click'
         | AND epoch_us(c.ts) >= epoch_us(i.ts)
         | AND epoch_us(c.ts) <= epoch_us(i.ts) + 3600000000
+        |ORDER BY imp_id, click_id""".stripMargin,
+    // unmatched impressions must appear with NULL click columns — the
+    // batch LEFT JOIN with the identical interval condition
+    "q_stream_outer_join" ->
+      """WITH i AS (
+        |  SELECT user_id AS ad_id, ts AS imp_ts, event_id AS imp_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id AS click_ad, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT ad_id, imp_id, click_id,
+        |       epoch_us(imp_ts) AS imp_us, epoch_us(click_ts) AS click_us
+        |FROM i LEFT JOIN c
+        |  ON ad_id = click_ad
+        | AND epoch_us(click_ts) >= epoch_us(imp_ts)
+        | AND epoch_us(click_ts) <= epoch_us(imp_ts) + 3600000000
         |ORDER BY imp_id, click_id""".stripMargin,
     // each event exactly once despite the stream seeing it twice
     "q_stream_dedup" ->

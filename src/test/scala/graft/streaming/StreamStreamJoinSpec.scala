@@ -71,4 +71,33 @@ class StreamStreamJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getTimestamp(2))).toSet
     assert(batch == Set((1L, ts(5)), (2L, ts(8))))
   }
+
+  test("streaming LEFT OUTER interval join equals the batch left join incl. null rows") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.operators.StreamingQueries
+      .qStreamOuterJoin(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    val ev = graft.Engine.table(spark, dir, "events")
+    val i = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("ad_id"), col("ts").as("imp_ts"),
+        col("event_id").as("imp_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_ad"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val batch = i.join(c, expr(
+        "ad_id = click_ad AND click_ts >= imp_ts AND click_ts <= imp_ts + interval 1 hour"),
+        "left_outer")
+      .select(col("ad_id"), col("imp_id"), col("click_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(streamed == batch)
+    // the null-emission path is actually exercised: unmatched rows exist
+    assert(streamed.exists(_._3 == -1L),
+      "fixture must contain unmatched impressions (null click rows)")
+  }
 }
