@@ -158,12 +158,18 @@ object CoreQueries {
     * the gate is split honestly: `distinct_users` and `n_days` are
     * exact and oracle-computed; `hll_ok` asserts Spark-side the two
     * properties that make a sketch column trustworthy — (a) MERGE
-    * INVARIANCE, rollup-of-stored-day-sketches estimates IDENTICALLY
-    * to the direct one-pass sketch (register maxima are associative/
-    * commutative/idempotent, so partitioning must not change the
-    * state), and (b) the estimate lands within 5% of the exact count
-    * (lgK=12 ⇒ ~1.6% RSE). The oracle pins `hll_ok` to true: any
-    * drift in either property breaks the row hash.
+    * INVARIANCE, rollup-of-stored-day-sketches estimates within 1%
+    * relative of the direct one-pass sketch. (Register maxima are
+    * associative/commutative/idempotent, so the underlying STATE is
+    * partition-invariant — but DataSketches finalizes a stream-built
+    * sketch with the HIP estimator and a post-union sketch with the
+    * composite estimator, so the two ESTIMATES are only bit-identical
+    * while groups stay in exact coupon mode; in dense HLL mode they
+    * legitimately differ by well under the sketch's own RSE, hence a
+    * tolerance rather than exact equality.) And (b) the merged
+    * estimate lands within 5% of the exact count (lgK=12 ⇒ ~1.6%
+    * RSE). The oracle pins `hll_ok` to true: real drift in either
+    * property breaks the row hash.
     *
     * Scale shape: identical to [[qSketchRollup]] (keyed aggregate,
     * sketch store, month rollup never rescans raw events) — but state
@@ -197,7 +203,8 @@ object CoreQueries {
     merged.join(direct, Seq("month", "event_type"))
       .select(col("month"), col("event_type"), col("distinct_users"),
         col("n_days"),
-        (col("est_merged") === col("est_direct") &&
+        (abs(col("est_merged") - col("est_direct")) <=
+          greatest(lit(1.0), col("est_direct") * 0.01) &&
           abs(col("est_merged") - col("distinct_users")) <=
             col("distinct_users") * 0.05).as("hll_ok"))
       .orderBy("month", "event_type")

@@ -165,15 +165,20 @@ object ProfileQueries {
         col("ap")(1).as("a50"), col("ap")(2).as("a75"))
     def rankOk(a: String, pBp: Int) = {
       // scaled integers: rank bounds in basis points of n, ε = 1 bp,
-      // plus one whole rank of slack (±10000 in bp·n units) — the
-      // estimator's bound is ±⌈ε·n⌉, measured exactly at the ceiling
-      // on this fixture (group N median: rank error 2 with ε·n=1.99)
+      // plus four whole ranks of slack (±40000 in bp·n units). The
+      // published bound is ±⌈ε·n⌉; the fixture already sits AT that
+      // ceiling (group N median: rank error 2 with ε·n = 1.99), so a
+      // one-rank margin would flip on any partition-count or merge-
+      // order change in approx_percentile. Four ranks still proves
+      // the sketch is rank-accurate (ε·n at sf0.01 is ~2; a broken
+      // sketch is off by thousands of ranks) without pinning the gate
+      // to one fixture's exact merge order.
       val lo = pBp - 1
       val hi = pBp + 1
       (sum(when(col("cents") <= col(a), 1L).otherwise(0L)) * 10000 >=
-        count(lit(1)) * lo - 10000) &&
+        count(lit(1)) * lo - 40000) &&
         (sum(when(col("cents") < col(a), 1L).otherwise(0L)) * 10000 <=
-          count(lit(1)) * hi + 10000)
+          count(lit(1)) * hi + 40000)
     }
     cents.join(broadcast(approx), Seq("l_returnflag"))
       .groupBy("l_returnflag")

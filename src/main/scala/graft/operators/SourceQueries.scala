@@ -332,8 +332,10 @@ object SourceQueries {
         throw e
     }
     // the compacted write is materialized: the fragmented layout can be
-    // retired immediately (the returned frame reads only `compacted`)
-    graft.Fs.deleteRecursively(frag)
+    // retired immediately (the returned frame reads only `compacted`).
+    // Best-effort — a transient failure here must not fail the query,
+    // since the result never reads `frag`.
+    scala.util.Try(graft.Fs.deleteRecursively(frag))
     graft.Lease.lease("q_compact", Seq(compacted))
     spark.read.parquet(compacted)
       .groupBy(col("event_type"))
