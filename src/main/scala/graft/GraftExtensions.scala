@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{Fnv1a64, FnvGrams, HashSetCountDistinct, MisraGriesTopK, SketchAgg, SketchCount, SketchMergeAgg, SlidingMin, SortedInterCount, TopKAgg, VectorDot}
+import graft.functions.{Fnv1a64, FnvGrams, HashSetCountDistinct, MisraGriesTopK, SketchAgg, SketchCount, SketchMergeAgg, SlidingMin, SortedInterAtLeast, SortedInterCount, TopKAgg, VectorDot}
 
 /** Cluster-wide injection point: set
   * `spark.sql.extensions=graft.GraftExtensions` and every session —
@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_inter_count"),
       new ExpressionInfo(classOf[SortedInterCount].getCanonicalName, "sorted_inter_count"),
       (exprs: Seq[Expression]) => SortedInterCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_inter_atleast"),
+      new ExpressionInfo(classOf[SortedInterAtLeast].getCanonicalName, "sorted_inter_atleast"),
+      (exprs: Seq[Expression]) => SortedInterAtLeast.fromExprs(exprs)))
     ext.injectFunction((
       FunctionIdentifier("sketch_agg"),
       new ExpressionInfo(classOf[SketchAgg].getCanonicalName, "sketch_agg"),

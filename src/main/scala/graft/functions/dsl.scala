@@ -37,6 +37,15 @@ object dsl {
   def sorted_inter_count(a: Column, b: Column): Column =
     F.call_function("sorted_inter_count", a, b)
 
+  /** Threshold-gated [[sorted_inter_count]] with early exit: the exact
+    * intersection size when the pair's Jaccard reaches `tn/td`, else
+    * -1 after touching only an array prefix (see
+    * [[graft.functions.SortedInterAtLeast]]). The verification
+    * primitive for high-threshold near-dup pipelines.
+    */
+  def sorted_inter_atleast(a: Column, b: Column, tn: Int, td: Int): Column =
+    F.call_function("sorted_inter_atleast", a, b, F.lit(tn), F.lit(td))
+
   /** Exact distinct-set sketch over a string column (BINARY,
     * [[SketchWire]] format) — count300k's mergeable state as a
     * persistable column. Size ∝ distinct values in the group.

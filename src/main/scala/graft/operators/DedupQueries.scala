@@ -94,13 +94,17 @@ object DedupQueries {
   }
 
   /** Row-count ceiling below which a small fingerprint-keyed frame
-    * (unique-set reps with their word arrays, or the doc_id→fp member
-    * map) is broadcast into the verification / expansion joins. A rep
-    * row is a 32-hex fp plus a short sorted word array (~200 B); a
-    * member row is fp + doc_id (~50 B) — 2^20 rows is ≤ ~200 MB of
-    * executor heap either way. A web-scale corpus (millions of unique
-    * sets / billions of docs) falls back to shuffle joins instead of
-    * OOMing, exactly like [[BroadcastVocabMaxWords]].
+    * (unique-set reps with their word arrays, the band-bucket frame,
+    * or the doc_id→fp member map) is broadcast into the verification /
+    * expansion joins. The fattest case is a bucket row — fp, the short
+    * sorted word set, NumBands band hashes plus its own key (~400 B),
+    * and NumBands rows per rep — so the self-join build side at the
+    * 2^20-row ceiling is ≤ ~400 MB of executor heap: inside a
+    * big-executor budget, and the honest price of verifying collisions
+    * inline instead of re-probing a rep table per collision row. A
+    * web-scale corpus (millions of unique sets / billions of docs)
+    * falls back to shuffle joins instead of OOMing, exactly like
+    * [[BroadcastVocabMaxWords]].
     */
   private val BroadcastSideMaxRows = 1L << 20
 
@@ -119,11 +123,17 @@ object DedupQueries {
     * Shuffle inventory after the guards (the 100 TB shape): signature
     * groupBy and the final range-partitioned sort — nothing else. The
     * candidate blow-up (37% of all pairs on this fixture's 31-word
-    * vocabulary) is never shuffled: the first-shared-band filter keeps
-    * one collision row per candidate pair map-side, so each pair is
+    * vocabulary) is never shuffled AND never leaves the collision
+    * self-join's codegen loop: bucket rows carry (ws, n, all band
+    * hashes), so the first-shared-band dedup, the length-ratio cut
+    * and the early-exit `sorted_inter_atleast` verification all run
+    * inline per probed row — a rejected candidate allocates nothing
+    * and no rep table is re-probed per collision (round 7 paid two
+    * broadcast probes per candidate; at 10× fixture scale that was
+    * ~62M probes and the verify stage's dominant cost). Each pair is
     * verified exactly once and no post-verification distinct exists.
-    * Candidate generation, verification and member expansion are
-    * map-side broadcast joins while the rep/member frames fit
+    * Candidate generation/verification and member expansion are
+    * map-side broadcast joins while the bucket/member frames fit
     * [[BroadcastSideMaxRows]].
     *
     * Cache lifecycle — SELF-CONTAINED in the materializing form: the
@@ -210,14 +220,22 @@ object DedupQueries {
 
     // LSH over unique sets only
     val sigs = repSignatures(reps, vocab, nVocab, vocabCeiling)
-    val bandHashes = (0 until NumBands).map { b =>
+    // Each bucket row carries the rep's word set `ws`, its size `n`,
+    // and all NumBands band hashes as SCALAR columns bh0..bh{N-1}
+    // alongside its own (band, bh) bucket key. Fattening the bucket
+    // rows (~400 B with a short word set) is what lets the collision
+    // self-join below verify ENTIRELY inline: no per-collision
+    // broadcast probes to re-attach the arrays, no per-row array
+    // allocation for the first-shared-band test. The (ws, n) attach
+    // is one rep-frame-sized broadcast join here — once per REP, not
+    // once per collision row; round 7 paid that probe twice per
+    // collision (31M pairs at 10× fixture scale) and it dominated the
+    // verify stage's measured cost.
+    val bandCols = (0 until NumBands).map { b =>
       val parts = (0 until BandSize).map(r => col(s"h${b * BandSize + r}"))
-      md5(concat(parts: _*))
+      md5(concat(parts: _*)).as(s"bh$b")
     }
-    // Each bucket row carries the rep's FULL band-hash array `bhs`
-    // (NumBands 32-hex strings, ~130 B — also what makes the
-    // first-shared-band filter below a map-side computation) alongside
-    // its own (band, bh) bucket key.
+    val bandNames = (0 until NumBands).map(b => col(s"bh$b"))
     // stage boundary: the band-bucket frame feeds BOTH sides of the
     // collision self-join — the streaming side and the broadcast-build
     // future would otherwise race to materialize the same signature
@@ -227,64 +245,61 @@ object DedupQueries {
     // aggregate inside this stage.
     val buckets = cut(
       sigs
-        .select(col("fp"), array(bandHashes: _*).as("bhs"))
-        .select(col("fp"), col("bhs"),
-          posexplode(col("bhs")).as(Seq("band", "bh"))),
+        .join(guard(reps.select(col("fp"), col("ws"), col("n")), nReps), "fp")
+        .select(col("fp") +: col("ws") +: col("n") +: bandCols: _*)
+        .select(col("fp") +: col("ws") +: col("n") +: bandNames :+
+          posexplode(array(bandNames: _*)).as(Seq("band", "bh")): _*),
       "buckets", Seq(vocab))
-    // Candidate collisions: one (l,r) join row per shared band, then
-    // the FIRST-SHARED-BAND filter keeps exactly one row per candidate
-    // pair — the first index where the two band-hash arrays agree is
-    // computable per row from the carried `bhs` arrays (a NumBands-
-    // element zip, no shuffle), and the joined band b always has a
-    // collision row at that index too. This replaces BOTH of the old
-    // costs: the ≤ NumBands× duplicated verification work (round-6
-    // verdict #4) AND the post-verification `.distinct()` shuffle
-    // (rows are already unique per pair). The candidate-set distinct
-    // that round 2 measured as the plan's biggest shuffle stays gone —
-    // nothing here shuffles the candidate blow-up.
-    val collisions = buckets.as("l")
-      .join(guard(buckets, nReps * NumBands).as("r"),
+    // One (l,r) join row per shared band; three inline kills keep the
+    // pipeline allocation-free and exactly-once per pair, all inside
+    // the join's codegen loop:
+    //  1. FIRST-SHARED-BAND: a when-chain over the scalar bh columns
+    //     finds the first index where the two rows' band hashes agree
+    //     (no zip_with/array_position allocation); keeping only the
+    //     row whose own `band` is that index dedups the ≤ NumBands
+    //     rows per pair to exactly one, with no post-verification
+    //     distinct — the candidate-set distinct that round 2 measured
+    //     as the plan's biggest shuffle stays gone.
+    //  2. LENGTH-RATIO CUT: Jaccard <= min(n)/max(n), so J >= 0.9
+    //     needs 10*min(na,nb) >= 9*max(na,nb) — integer math on the
+    //     carried sizes, killing the (measured) majority of colliding
+    //     pairs before any array is touched.
+    //  3. EARLY-EXIT MERGE-COUNT: `sorted_inter_atleast(a, b, 9, 10)`
+    //     returns the exact intersection size iff the pair reaches
+    //     J >= 0.9, else -1 the moment `n + min(remaining)` can no
+    //     longer reach ceil(9*(na+nb)/19) — a failing like-sized pair
+    //     aborts after ~5% of the smaller array. `inter >= 0` is
+    //     exactly the old `inter*10 >= union_n*9` filter.
+    // The oracle computes the same count via the join formulation.
+    val firstSharedBand = (1 until NumBands).foldLeft(
+      when(col("l.bh0") === col("r.bh0"), 0)) {
+      (acc, b) => acc.when(col(s"l.bh$b") === col(s"r.bh$b"), b)
+    }
+    val bucketsB = guard(buckets, nReps * NumBands)
+    val verified = buckets.as("l")
+      .join(bucketsB.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col("l.fp") < col("r.fp"))
-      .filter(
-        array_position(
-          zip_with(col("l.bhs"), col("r.bhs"), (x, y) => x === y),
-          true) === col("l.band") + 1)
-      .select(col("l.fp").as("fp_a"), col("r.fp").as("fp_b"))
-
-    // exact verification per collision row: the distinct word sets ride
-    // along as (small) sorted arrays from the broadcast rep frame, so
-    // the intersection is a per-row merge-count instead of an
-    // explode → equi-join → re-group cycle — `sorted_inter_count`, a
-    // zero-allocation codegen'd walk over the already-sorted arrays
-    // (array_intersect built a hash set + output array per candidate
-    // row; across millions of candidates that garbage made this stage
-    // the bench's measured variance center). The oracle computes the
-    // same count via the join formulation. Both sides join the SAME
-    // broadcast frame under different aliases: identical exchange
-    // subtrees, so ReuseExchange builds the broadcast ONCE — broadcast
-    // builds are driver-side and serialized, and this query runs in a
-    // bench/session alongside dozens of other broadcast-holding
-    // queries; every build it doesn't do is stall surface it doesn't
-    // expose.
-    val repB = guard(reps.select(col("fp"), col("ws"), col("n")), nReps)
-    val verified = collisions
-      .join(repB.as("ra"), col("fp_a") === col("ra.fp"))
-      .join(repB.as("rb"), col("fp_b") === col("rb.fp"))
+          col("l.fp") < col("r.fp") &&
+          col("l.n") * 10 >= col("r.n") * 9 &&
+          col("r.n") * 10 >= col("l.n") * 9 &&
+          firstSharedBand === col("l.band"))
       .withColumn("inter",
-        graft.functions.dsl.sorted_inter_count(col("ra.ws"), col("rb.ws")))
-      .withColumn("union_n", col("ra.n") + col("rb.n") - col("inter"))
-      .filter(col("inter") * 10 >= col("union_n") * 9)
+        graft.functions.dsl.sorted_inter_atleast(
+          col("l.ws"), col("r.ws"), 9, 10))
+      .filter(col("inter") >= 0)
+      .withColumn("union_n", col("l.n") + col("r.n") - col("inter"))
       // drop the set arrays before the expansion — only the counts flow
       // on; rows are already one-per-pair (first-shared-band filter),
       // so no distinct is needed
-      .select(col("fp_a"), col("fp_b"), col("inter"), col("union_n"))
+      .select(col("l.fp").as("fp_a"), col("r.fp").as("fp_b"),
+        col("inter"), col("union_n"))
 
-    // stage boundary: the verification join + distinct is the garbage
-    // churn center (millions of candidate rows each carrying two word
-    // arrays) — cut here so the expansion stage starts from the small
-    // true-pair set. The buckets checkpoint is dereferenced after this
-    // (its blocks fall to the ContextCleaner); no cache()s to release.
+    // stage boundary: the collision self-join is the engine's single
+    // heaviest loop (tens of millions of candidate rows at 10×
+    // fixture scale, all killed or verified inline above) — cut here
+    // so the expansion stage starts from the small true-pair set. The
+    // buckets checkpoint is dereferenced after this (its blocks fall
+    // to the ContextCleaner); no cache()s to release.
     val verifiedM = cut(verified, "verify", Seq.empty)
 
     // expand cross-clique doc pairs (normalize to i < j); the member
