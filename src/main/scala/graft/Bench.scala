@@ -70,6 +70,13 @@ object Bench {
     // query is added, which changes each query's JVM/GC neighborhood
     // and makes rounds incomparable.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Untimed throwaway of the alphabetically-first query: the range()
+    // warm-up above doesn't touch the parquet read stack (footer
+    // decode, FileSourceStrategy, vectorized reader codegen), so the
+    // first TIMED query was absorbing that one-time charge — r7's
+    // q_agg_group read 3.8-4.2s for a sub-second group-by purely by
+    // sorting first. Its timed run below now measures the plan alone.
+    ordered.headOption.foreach { case (_, fn) => runOnce(fn) }
     val firstPass = ordered.map { case (name, fn) => (name, fn, runOnce(fn)) }
 
     // Re-measure suspected starvation artifacts AFTER the full pass
@@ -107,6 +114,11 @@ object Bench {
     // headline fields FIRST: a tail-truncated capture of this line (the
     // round-6 BENCH artifact lost its tail) must still carry the total
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$qs,"errors":$errs,"reruns":$reruns,"policy":"min-of-reruns above ${RerunThresholdSecs}s (slow-side only: small disclosed downward bias); see BASELINE.md variance"}""")
+    // The driver captures only the LAST 2KB of output, which truncates
+    // the big line from the FRONT — so the headline numbers also go on
+    // a short trailing line that always survives the tail capture.
+    val rerunsN = results.count { case (_, _, _, a) => a.nonEmpty }
+    println(s"""{"total":$total,"n_queries":${results.size},"reruns_n":$rerunsN}""")
     spark.stop()
   }
 }

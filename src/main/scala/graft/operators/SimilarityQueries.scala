@@ -266,6 +266,88 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- persisted IVF index (write-once, probe-many) ----------------------
+
+  /** Build the IVF index STORE under `base` — the warehouse posture a
+    * 100 TB corpus demands: k-means runs ONCE at ingest and thousands
+    * of later queries amortize it, exactly how [[CoreQueries
+    * .qSketchRollup]] stores distinct-count state instead of
+    * rescanning facts. Layout:
+    *   - `centroids/`: the NList learned centroids (tiny, one file);
+    *   - `corpus/`: every vector with its precomputed L2 norm,
+    *     PARTITIONED BY its cell (`centroid_id=<c>/` directories) —
+    *     a cell-restricted probe becomes a partition-PRUNED read
+    *     (only that cell's files are listed/scanned), and the
+    *     cell-keyed equi-join never rescans unrelated cells' bytes.
+    * Centroids/assignment reuse [[kmeansCentroids]]/
+    * [[assignToCentroids]] verbatim, so the stored index is
+    * bit-identical to what [[qIvfKmeans]] computes inline.
+    */
+  private[operators] def buildIvfIndex(
+      spark: SparkSession, dir: String, base: String): Unit = {
+    val e = embeddings(spark, dir)
+    // tiny (NList-row) table; cached because assignment joins it and
+    // the write below would otherwise re-plan the Lloyd lineage
+    val cent = kmeansCentroids(e, KmIters).cache()
+    try {
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+      assignToCentroids(e, cent)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$base/corpus")
+    } finally cent.unpersist()
+  }
+
+  /** Probe the STORED index only: queries and corpus both read the
+    * cell-partitioned store — no k-means job, no assignment crossJoin,
+    * no touch of the raw `embeddings` table (the spec asserts the
+    * probe plan's scans all point into the index). Same cell-keyed
+    * equi-join + bounded rank as [[probeIvfKmeans]], so the output is
+    * row-identical to [[qIvfKmeans]] and shares its oracle.
+    */
+  private[operators] def probeIvfIndex(
+      spark: SparkSession, base: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.register(spark) // vec_dot on the scoring path
+    val corpus = spark.read.parquet(s"$base/corpus")
+    val queries = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("centroid_id").as("q_cent"))
+    val neighbors = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"),
+      col("centroid_id").as("n_cent"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    queries
+      .join(neighbors, col("q_cent") === col("n_cent") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** [[qIvfKmeans]] through the stored index: build the index store
+    * once, then answer from it alone. In the gated signal the build
+    * runs per invocation (the harness gives each query a fresh temp
+    * dir); the point the spec pins is that the PROBE half never
+    * recomputes — a production deployment calls [[buildIvfIndex]] at
+    * ingest and [[probeIvfIndex]] per query batch. Result stays lazy
+    * over the store ([[graft.Lease]] owns the dir lifetime).
+    */
+  def qIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try buildIvfIndex(spark, dir, base)
+    catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_ivf_persisted", Seq(base))
+    probeIvfIndex(spark, base)
+  }
+
   // --- LSH-bucketed ANN (random-hyperplane signs) -----------------------
 
   /** Sign-LSH: bucket vectors by the sign pattern of dot products
@@ -369,6 +451,7 @@ object SimilarityQueries {
     "q_ivf_knn" -> (qIvfKnn _),
     "q_ivf_multiprobe" -> (qIvfMultiprobe _),
     "q_ivf_kmeans" -> (qIvfKmeans _),
+    "q_ivf_persisted" -> (qIvfPersisted _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
@@ -393,6 +476,30 @@ object SimilarityQueries {
        |s$i AS (SELECT centroid_id, p, CAST(sum(fx) AS DOUBLE) / (count(*) * 1000000.0) AS cx
        |       FROM u$i GROUP BY 1, 2),
        |c$i AS (SELECT centroid_id, list(cx ORDER BY p) AS c FROM s$i GROUP BY 1)""".stripMargin
+
+  private lazy val duckIvfKmeansSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |en AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) AS nrm FROM e),
+       |c0 AS (SELECT vec_id AS centroid_id, emb AS c FROM e WHERE vec_id < $NList),
+       |${(1 to KmIters).map(i => duckKmIter(i, s"c${i - 1}")).mkString(",\n")},
+       |cnf AS (SELECT centroid_id, c, sqrt(list_inner_product(c, c)) AS cn FROM c$KmIters),
+       |af AS (SELECT vec_id, emb, nrm, centroid_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY
+       |           list_inner_product(emb, c) / (nrm * cn) DESC, centroid_id) AS rk
+       |       FROM en CROSS JOIN cnf),
+       |asg AS (SELECT vec_id, emb, nrm, centroid_id FROM af WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn, centroid_id AS qc
+       |      FROM asg WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |         list_inner_product(qe, a.emb) / (qn * a.nrm) AS cos
+       |  FROM q JOIN asg a ON q.qc = a.centroid_id AND q.query_id <> a.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY cos DESC, neighbor_id) AS rk
+       |           FROM scored)
+       |SELECT query_id, rk, neighbor_id FROM ranked
+       |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_knn_brute" ->
@@ -470,29 +577,11 @@ object SimilarityQueries {
          |           FROM scored)
          |SELECT query_id, rk, neighbor_id FROM ranked
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
-    "q_ivf_kmeans" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |en AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) AS nrm FROM e),
-         |c0 AS (SELECT vec_id AS centroid_id, emb AS c FROM e WHERE vec_id < $NList),
-         |${(1 to KmIters).map(i => duckKmIter(i, s"c${i - 1}")).mkString(",\n")},
-         |cnf AS (SELECT centroid_id, c, sqrt(list_inner_product(c, c)) AS cn FROM c$KmIters),
-         |af AS (SELECT vec_id, emb, nrm, centroid_id,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY
-         |           list_inner_product(emb, c) / (nrm * cn) DESC, centroid_id) AS rk
-         |       FROM en CROSS JOIN cnf),
-         |asg AS (SELECT vec_id, emb, nrm, centroid_id FROM af WHERE rk = 1),
-         |q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn, centroid_id AS qc
-         |      FROM asg WHERE vec_id < $NQueries),
-         |scored AS (
-         |  SELECT query_id, a.vec_id AS neighbor_id,
-         |         list_inner_product(qe, a.emb) / (qn * a.nrm) AS cos
-         |  FROM q JOIN asg a ON q.qc = a.centroid_id AND q.query_id <> a.vec_id),
-         |ranked AS (SELECT query_id, neighbor_id,
-         |                  row_number() OVER (PARTITION BY query_id
-         |                                     ORDER BY cos DESC, neighbor_id) AS rk
-         |           FROM scored)
-         |SELECT query_id, rk, neighbor_id FROM ranked
-         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "q_ivf_kmeans" -> duckIvfKmeansSql,
+    // the stored-index probe is row-identical to the inline pipeline
+    // (same centroids, same assignment, same rank) — one oracle text,
+    // two execution postures (recompute-inline vs write-once/probe-many)
+    "q_ivf_persisted" -> duckIvfKmeansSql,
     "q_embed_lsh" ->
       s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
          |                WHERE vec_id < $NPlanes),

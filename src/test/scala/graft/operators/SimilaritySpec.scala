@@ -116,4 +116,46 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("persisted IVF: probe answers from the stored index alone, row-identical to inline") {
+    val base = java.nio.file.Files.createTempDirectory("ivf_spec").toString
+    try {
+      SimilarityQueries.buildIvfIndex(spark, dir, base)
+      val probe = SimilarityQueries.probeIvfIndex(spark, base)
+      // 1. every scan in the probe plan reads the INDEX store — the
+      //    raw embeddings table is never touched and no k-means /
+      //    assignment crossJoin job re-runs at probe time. (String
+      //    inspection: AQE wraps the plan in a leaf
+      //    AdaptiveSparkPlanExec, so node collection can't descend.)
+      val s = probe.queryExecution.executedPlan.toString
+      val locs = s.linesIterator.filter(_.contains("Location:")).toSeq
+      assert(locs.nonEmpty, s"no file scans in probe plan:\n${s.take(2000)}")
+      locs.foreach(l =>
+        assert(l.contains(base), s"probe scans outside the index: $l"))
+      assert(!s.contains("testdata"), "probe must not read the raw fixture")
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"),
+        s"probe plan must be the cell equi-join only:\n${s.take(2000)}")
+      // 2. row-identical to the inline (recompute-per-run) pipeline —
+      //    inherits q_ivf_kmeans' recall contract and oracle
+      val inline = SimilarityQueries.qIvfKmeans(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val stored = probe.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(stored == inline)
+      // 3. the store is cell-partitioned and a one-cell read
+      //    partition-PRUNES (the filter lands in PartitionFilters,
+      //    so only that cell's directory is listed/scanned)
+      val corpusDir = new java.io.File(s"$base/corpus")
+      val cellDirs = corpusDir.listFiles().filter(_.getName.startsWith("centroid_id="))
+      assert(cellDirs.nonEmpty, s"corpus not cell-partitioned: ${corpusDir.list().toSeq}")
+      val cellId = cellDirs.head.getName.stripPrefix("centroid_id=").toInt
+      val cellPlan = spark.read.parquet(s"$base/corpus")
+        .filter(org.apache.spark.sql.functions.col("centroid_id") === cellId)
+        .queryExecution.executedPlan.toString
+      val pf = cellPlan.linesIterator.find(_.contains("PartitionFilters:"))
+      assert(pf.exists(_.contains(s"= $cellId")),
+        s"cell filter not pushed to partition pruning: $pf")
+    } finally graft.Fs.deleteRecursively(base)
+  }
 }
