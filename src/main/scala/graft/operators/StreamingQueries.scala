@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Engine
-import graft.streaming.{StreamJoins, StreamingDistinct, StreamingFunnel, StreamingSessionize}
+import graft.streaming.{StreamJoins, StreamingDistinct, StreamingFunnel, StreamingRetention, StreamingSessionize}
 
 /** Stateful Structured-Streaming operators run as TRUE incremental
   * executions in the hard signal (file sources → watermarked state →
@@ -219,6 +219,80 @@ object StreamingQueries {
       lease("q_stream_funnel", Seq(inDir, outDir, ckpt))
       ss.read.schema(resumed.schema).parquet(outDir)
         .orderBy("user_id")
+    } catch {
+      case e: Throwable =>
+        Seq(inDir, outDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
+  /** Weekly cohort retention as INCREMENTAL maintenance, including a
+    * CHECKPOINT RESTART — the streaming twin of the batch matrix
+    * (`q_retention`), and the third `flatMapGroupsWithState` operator
+    * after sessionize and the funnel. The stream maintains the
+    * per-user half (first-signup cohort week + distinct active weeks
+    * — the part whose batch form re-shuffles the corpus per refresh)
+    * and flushes finalized per-user week rows on event-time timeout;
+    * the (cohort_week, week_offset) matrix is then one bounded-output
+    * aggregate over the sink (cardinality weeks², never events),
+    * computed distributed at read time. Sentinel choreography and
+    * restart are identical to [[qStreamFunnel]]: pass 1 streams the
+    * fixture (everything stays in state — a retention row is final
+    * only when no more events can arrive), two far-future sentinel
+    * files advance the watermark, and pass 2 resumes from the same
+    * checkpoint to fire the timeouts through the append sink. The
+    * sentinel user (-1) never signs up, so it holds no cohort and
+    * emits nothing. Week truncation runs through the SAME
+    * `date_trunc("week", ts)` the batch query uses, inside the
+    * streaming plan. Oracle: the batch cohort matrix.
+    */
+  def qStreamRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val inDir = Files.createTempDirectory("graft_ret_in").toString
+    val outDir = Files.createTempDirectory("graft_ret_out").toString
+    val ckpt = Files.createTempDirectory("graft_ret_ckpt").toString
+    try {
+      Files.copy(
+        Paths.get(s"$dir/events.parquet"),
+        Paths.get(s"$inDir/events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+
+      def pipeline(): DataFrame = {
+        val src = ss.readStream
+          .schema(StreamingDistinct.eventsSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        StreamingRetention.retention(
+          src.select(col("user_id"), col("event_type"), col("ts"),
+              unix_micros(date_trunc("week", col("ts"))).as("wk_us"))
+            .withWatermark("ts", "1 hour")
+            .as[StreamingRetention.RetentionEvent])
+          .toDF()
+          .filter(col("user_id") >= 0) // drop the watermark sentinels
+      }
+
+      runPass(pipeline(), outDir, ckpt)
+      val sentinelSchema = StreamingDistinct.eventsSchema
+      Seq("2100-01-01T00:00:00Z", "2100-02-01T00:00:00Z").foreach { iso =>
+        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+        ss.createDataFrame(
+          java.util.Arrays.asList(
+            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val resumed = pipeline()
+      runPass(resumed, outDir, ckpt) // resumes from the checkpoint
+
+      lease("q_stream_retention", Seq(inDir, outDir, ckpt))
+      ss.read.schema(resumed.schema).parquet(outDir)
+        .groupBy(
+          expr("cohort_us div 1000000").as("cohort_week_s"),
+          expr(s"(wk_us - cohort_us) div ${7L * 86400 * 1000000}")
+            .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week_s", "week_offset")
     } catch {
       case e: Throwable =>
         Seq(inDir, outDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
@@ -446,6 +520,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_funnel" -> (qStreamFunnel _),
+    "q_stream_retention" -> (qStreamRetention _),
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_outer_join" -> (qStreamOuterJoin _),
@@ -454,6 +529,10 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the incremental cohort matrix must finalize to exactly the batch
+    // one — same oracle text as q_retention (order-free folds on both
+    // sides, so the two formulations coincide on any arrival order)
+    "q_stream_retention" -> RelationalQueries.oracles("q_retention"),
     // the batch ordered-funnel stage times the incremental state must
     // finalize to: earliest view, earliest click strictly after it,
     // earliest purchase strictly after that (users with >=1 view)
