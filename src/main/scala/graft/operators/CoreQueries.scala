@@ -210,6 +210,75 @@ object CoreQueries {
       .orderBy("month", "event_type")
   }
 
+  /** [[qSketchRollup]]'s stage 1 as an actual STREAMING ingest — the
+    * two marquee surfaces joined: `sketch_agg` maintained as windowed
+    * streaming-aggregation state (the state store round-trips the
+    * [[graft.functions.SketchWire]] buffer across micro-batches —
+    * `maxFilesPerTrigger=1` forces three, so cross-batch
+    * restore/merge genuinely runs) and flushed to the parquet sketch
+    * STORE when the watermark closes each day window. The read-back
+    * is stage 2 verbatim: day sketches roll up to month with
+    * `sketch_merge` + `sketch_count`, and because sketches are exact
+    * sets the result must equal the direct one-pass distinct count
+    * bit-for-bit — the same oracle as the batch rollup. Sentinel
+    * choreography follows [[qStreamHourly]] (two far-future files
+    * close every real window; the sentinels' own windows are cut by
+    * the day filter on the aggregation's output side).
+    *
+    * Scale shape: this is the 100 TB ingest posture for the sketch
+    * store — the day's events aggregate ONCE, incrementally, as they
+    * arrive (state per group ∝ its distinct count, the reference's
+    * law; bounded-state sibling: `hll_sketch_agg` under the same
+    * plan), and any later window rolls up from stored partials
+    * without ever rescanning the raw stream.
+    */
+  def qStreamSketch(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.util.Try
+    import org.apache.spark.sql.Row
+    val ss = StreamingQueries.streamSession(spark)
+    val inDir = Files.createTempDirectory("graft_sk_in").toString
+    val storeDir = Files.createTempDirectory("graft_sk_store").toString
+    val ckpt = Files.createTempDirectory("graft_sk_ckpt").toString
+    try {
+      Files.copy(
+        Paths.get(s"$dir/events.parquet"),
+        Paths.get(s"$inDir/events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val sentinelSchema = graft.streaming.StreamingDistinct.eventsSchema
+      Seq("2100-01-01T00:00:00Z", "2100-02-01T00:00:00Z").foreach { iso =>
+        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+        ss.createDataFrame(
+          java.util.Arrays.asList(
+            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val src = ss.readStream
+        .schema(sentinelSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val daily = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(expr("sketch_agg(cast(user_id as string))").as("sk"))
+        .select(to_date(col("w.start")).as("day"), col("event_type"),
+          col("sk"))
+        .filter(col("day") < lit("2099-01-01")) // cut sentinel windows
+      StreamingQueries.runPass(daily, storeDir, ckpt)
+      graft.Lease.lease("q_stream_sketch", Seq(inDir, storeDir, ckpt))
+      ss.read.schema(daily.schema).parquet(storeDir)
+        .groupBy(trunc(col("day"), "month").as("month"), col("event_type"))
+        .agg(expr("sketch_count(sketch_merge(sk))").as("distinct_users"),
+          count(lit(1)).cast("long").as("n_days"))
+        .orderBy("month", "event_type")
+    } catch {
+      case e: Throwable =>
+        Seq(inDir, storeDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
   /** The SQL switch-over surface in the hard signal: the reference's
     * users queried it through plain SQL over installed functions and
     * warehouse tables (`/root/reference/README.md:26-37` — CREATE
@@ -265,10 +334,18 @@ object CoreQueries {
     "q_events_hourly" -> (qEventsHourly _),
     "q_stream_hourly" -> (qStreamHourly _),
     "q_sketch_rollup" -> (qSketchRollup _),
+    "q_stream_sketch" -> (qStreamSketch _),
     "q_hll_rollup" -> (qHllRollup _),
     "q_sql_surface" -> (qSqlSurface _),
     "q_fnv_bucket" -> (qFnvBucket _)
   )
+
+  private val sketchRollupOracle: String =
+    """SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+      |  CASE WHEN COUNT(user_id) = 0 THEN NULL
+      |       ELSE CAST(COUNT(DISTINCT user_id) AS VARCHAR) END AS distinct_users,
+      |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+      |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
 
   /** NULL-for-empty-group + STRING return encoded per SURVEY.md §5.2. */
   val oracles: Map[String, String] = Map(
@@ -295,12 +372,10 @@ object CoreQueries {
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // the rollup-of-stored-sketches must equal the direct one-pass
     // distinct count (sketches are exact sets, not estimators)
-    "q_sketch_rollup" ->
-      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
-        |  CASE WHEN COUNT(user_id) = 0 THEN NULL
-        |       ELSE CAST(COUNT(DISTINCT user_id) AS VARCHAR) END AS distinct_users,
-        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
-        |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin,
+    "q_sketch_rollup" -> sketchRollupOracle,
+    // the streaming-ingested store must roll up to the identical
+    // matrix — one oracle text, batch and incremental ingest postures
+    "q_stream_sketch" -> sketchRollupOracle,
     // exact columns oracle-computed; hll_ok pinned to true — the
     // Spark side computes it as merge-invariance AND a 5% error bound,
     // so any estimator drift breaks the row hash (the estimate itself

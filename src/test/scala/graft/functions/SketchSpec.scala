@@ -76,6 +76,33 @@ class SketchSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("sketch_agg state survives the streaming state store across micro-batches") {
+    // the q_stream_sketch contract in miniature: the SketchWire buffer
+    // must round-trip through streaming-aggregation state between
+    // micro-batches (restore → merge → save), deduping across them
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "v")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("sketch_agg(v)").as("sk"))
+      .select(col("w.start").as("ws"), expr("sketch_count(sk)").as("n"))
+    val q = agg.writeStream.format("memory").queryName("stream_sketch")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts(10, 0), "u1"), (ts(10, 10), "u2"))
+      q.processAllAvailable()
+      input.addData((ts(10, 20), "u1"), (ts(10, 30), "u3"), (ts(11, 5), "x"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_sketch").orderBy("ws").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)))
+      assert(rows.toSeq == Seq(
+        (ts(10, 0), "3"), // u1 deduped across the two batches
+        (ts(11, 0), "1")))
+    } finally q.stop()
+  }
+
   test("bounded HLL siblings: rollup estimate tracks the exact count") {
     // the documented escape hatch for unbounded-cardinality groups:
     // Spark's own hll_sketch_agg/hll_union_agg have the same
