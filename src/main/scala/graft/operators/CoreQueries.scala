@@ -46,16 +46,16 @@ object CoreQueries {
     * hard signal, not just in specs.
     *
     * Append mode only emits a window once the watermark passes its
-    * end, so (like `q_stream_sessionize`'s timeout flush) two
-    * far-future sentinel files follow the fixture through the source
-    * (`maxFilesPerTrigger=1`): the first's batch ends with the
-    * watermark at the fixture's tail, the second's batch runs the
-    * state flush against it — every REAL window is below the
-    * watermark and emits; the sentinels' own far-future windows stay
-    * in state and are cut by the window_start filter on the sink
-    * side of the aggregation. Sentinel rows carry user_id -1 and
-    * never share a window with fixture events, so no real group is
-    * touched.
+    * end, so (like `q_stream_sessionize`'s timeout flush) one
+    * far-future sentinel file follows the fixture through the source
+    * (`maxFilesPerTrigger=1`): the fixture batch ends with the
+    * watermark at the fixture's tail, the sentinel batch jumps it,
+    * and the engine's no-data micro-batch runs the state flush —
+    * every REAL window is below the watermark and emits; the
+    * sentinel's own far-future window stays in state and is cut by
+    * the window_start filter on the sink side of the aggregation.
+    * Sentinel rows carry user_id -1 and never share a window with
+    * fixture events, so no real group is touched.
     *
     * Scale contract: output rides the file sink (capacity-bound, not
     * driver-bound) and the read-back is lazy over the sink files —
@@ -77,7 +77,7 @@ object CoreQueries {
         Paths.get(s"$inDir/events.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       val sentinelSchema = graft.streaming.StreamingDistinct.eventsSchema
-      Seq("2100-01-01T00:00:00Z", "2100-02-01T00:00:00Z").foreach { iso =>
+      Seq("2100-01-01T00:00:00Z").foreach { iso =>
         val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
         ss.createDataFrame(
           java.util.Arrays.asList(
@@ -214,16 +214,17 @@ object CoreQueries {
     * two marquee surfaces joined: `sketch_agg` maintained as windowed
     * streaming-aggregation state (the state store round-trips the
     * [[graft.functions.SketchWire]] buffer across micro-batches —
-    * `maxFilesPerTrigger=1` forces three, so cross-batch
+    * `maxFilesPerTrigger=1` forces multiple, so cross-batch
     * restore/merge genuinely runs) and flushed to the parquet sketch
     * STORE when the watermark closes each day window. The read-back
     * is stage 2 verbatim: day sketches roll up to month with
     * `sketch_merge` + `sketch_count`, and because sketches are exact
     * sets the result must equal the direct one-pass distinct count
     * bit-for-bit — the same oracle as the batch rollup. Sentinel
-    * choreography follows [[qStreamHourly]] (two far-future files
-    * close every real window; the sentinels' own windows are cut by
-    * the day filter on the aggregation's output side).
+    * choreography follows [[qStreamHourly]] (one far-future file +
+    * the no-data micro-batch close every real window; the sentinel's
+    * own window is cut by the day filter on the aggregation's output
+    * side).
     *
     * Scale shape: this is the 100 TB ingest posture for the sketch
     * store — the day's events aggregate ONCE, incrementally, as they
@@ -246,7 +247,7 @@ object CoreQueries {
         Paths.get(s"$inDir/events.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       val sentinelSchema = graft.streaming.StreamingDistinct.eventsSchema
-      Seq("2100-01-01T00:00:00Z", "2100-02-01T00:00:00Z").foreach { iso =>
+      Seq("2100-01-01T00:00:00Z").foreach { iso =>
         val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
         ss.createDataFrame(
           java.util.Arrays.asList(
