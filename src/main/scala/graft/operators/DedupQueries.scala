@@ -652,6 +652,152 @@ object DedupQueries {
     clusterVerdict(labels)
   }
 
+  // --- persisted LSH bucket store (incremental near-dup ingest) ----------
+
+  /** Build the corpus's MinHash-LSH band-bucket STORE under `base` —
+    * the near-dup analogue of [[SimilarityQueries.buildIvfIndex]]'s
+    * write-once/probe-many posture: at 100 TB the corpus's shingle →
+    * signature → band work runs ONCE at ingest, and every later batch
+    * probes the stored buckets instead of re-hashing the corpus.
+    * Stored rows are exactly the fattened bucket rows the inline
+    * pipeline self-joins ([[lshPairs]]): fp, the sorted word set `ws`,
+    * its size `n`, all band hashes as scalar columns (for the
+    * first-shared-band dedup) and the exploded (band, bh) bucket key —
+    * so a probe needs NO side lookups, the same
+    * verify-inline-no-reprobe property the round-7 rework bought.
+    * Unique-set dedup applies (one row set per distinct fp): a batch
+    * doc matching a rep matches every member, and existence is all an
+    * ingest verdict needs. The hash family is stateless
+    * (`md5("<seed>|" || w)`), so index and probe agree with no shared
+    * vocabulary table.
+    */
+  private[operators] def buildLshStore(
+      spark: SparkSession, dir: String, base: String): Unit = {
+    val corpus = Engine.table(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+    val sets = corpus.select(col("doc_id"),
+      sort_array(array_distinct(split(col("text"), " "))).as("ws"))
+      .withColumn("fp", md5(concat_ws(" ", col("ws"))))
+    val reps = sets.groupBy(col("fp")).agg(
+      first(col("ws")).as("ws"), size(first(col("ws"))).as("n")).cache()
+    val vocab = reps.select(explode(col("ws")).as("w")).distinct()
+    val nVocab = vocab.count() // measured broadcast guard, as in lshPairs
+    val sigs = repSignatures(reps, vocab, nVocab, BroadcastVocabMaxWords)
+    val bandCols = (0 until NumBands).map { b =>
+      val parts = (0 until BandSize).map(r => col(s"h${b * BandSize + r}"))
+      md5(concat(parts: _*)).as(s"bh$b")
+    }
+    val bandNames = (0 until NumBands).map(b => col(s"bh$b"))
+    try
+      sigs.join(reps, "fp")
+        .select(col("fp") +: col("ws") +: col("n") +: bandCols: _*)
+        .select(col("fp") +: col("ws") +: col("n") +: bandNames :+
+          posexplode(array(bandNames: _*)).as(Seq("band", "bh")): _*)
+        .write.mode("overwrite").parquet(s"$base/buckets")
+    finally reps.unpersist()
+  }
+
+  /** Probe the STORED buckets with an ingest batch (odd doc_ids): the
+    * batch computes its own signatures directly (it is the small side
+    * — per-word seed hashes, no vocabulary join needed), joins its
+    * (band, bh) keys against the store, and verifies inline with the
+    * inline pipeline's exact kill chain — first-shared-band dedup
+    * (both sides carry their band hashes as scalars), the integer
+    * length-ratio cut, and the early-exit `sorted_inter_atleast`
+    * merge walk at Jaccard >= 0.9. Output: per-source ingest census
+    * (incoming / near-dup-of-corpus / new). The corpus's text is
+    * never touched at probe time — only stored bucket rows — and the
+    * only shuffles are the batch's own signature groupBy, the
+    * (band, bh) equi-join, and the census aggregate.
+    */
+  private[operators] def probeLshStore(
+      spark: SparkSession, dir: String, base: String): DataFrame = {
+    Engine.register(spark) // sorted_inter_atleast on the verify path
+    val store = spark.read.schema(lshStoreSchema).parquet(s"$base/buckets")
+    val incoming = Engine.table(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"),
+        sort_array(array_distinct(split(col("text"), " "))).as("qws"))
+    val words = incoming.select(col("doc_id"), explode(col("qws")).as("w"))
+    val sigAggs = (0 until NumHashes).map(s =>
+      min(md5(concat(lit(s"$s|"), col("w")))).as(s"h$s"))
+    val sigs = words.groupBy(col("doc_id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until NumBands).map { b =>
+      val parts = (0 until BandSize).map(r => col(s"h${b * BandSize + r}"))
+      md5(concat(parts: _*)).as(s"qbh$b")
+    }
+    val bandNames = (0 until NumBands).map(b => col(s"qbh$b"))
+    val qb = sigs.join(incoming, "doc_id")
+      .select(col("doc_id") +: col("qws") +: size(col("qws")).as("qn") +:
+        bandCols: _*)
+      .select(col("doc_id") +: col("qws") +: col("qn") +: bandNames :+
+        posexplode(array(bandNames: _*)).as(Seq("band", "bh")): _*)
+    val firstSharedBand = (1 until NumBands).foldLeft(
+      when(col("qbh0") === col("bh0"), 0)) {
+      (acc, b) => acc.when(col(s"qbh$b") === col(s"bh$b"), b)
+    }
+    val hits = qb.join(store,
+        qb("band") === store("band") && qb("bh") === store("bh") &&
+          col("qn") * 10 >= col("n") * 9 &&
+          col("n") * 10 >= col("qn") * 9 &&
+          firstSharedBand === qb("band"))
+      // array_compact re-asserts the writer-guaranteed null-free
+      // element type that file-source schema recovery drops (a read
+      // schema is forced nullable for file sources, so declaring it
+      // there cannot help); it runs only on rows that survived the
+      // band + ratio cuts, one element-copy per verified candidate
+      .withColumn("inter",
+        graft.functions.dsl.sorted_inter_atleast(
+          col("qws"), array_compact(col("ws")), 9, 10))
+      .filter(col("inter") >= 0)
+      .select(col("doc_id")).distinct()
+    incoming.select(col("doc_id"), col("source"))
+      .join(hits.withColumn("hit", lit(1L)), Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_neardup"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_new"))
+      .orderBy("source")
+  }
+
+  /** The bucket store's declared read schema (stable column types
+    * without an inference pass; file sources force it nullable, so
+    * the null-free element contract is re-asserted at the verify
+    * expression instead — see [[probeLshStore]]).
+    */
+  private val lshStoreSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      Seq(
+        StructField("fp", StringType),
+        StructField("ws", ArrayType(StringType, containsNull = false)),
+        StructField("n", IntegerType)) ++
+      (0 until NumBands).map(b => StructField(s"bh$b", StringType)) ++
+      Seq(StructField("band", IntegerType), StructField("bh", StringType)))
+  }
+
+  /** The gated ingest query: build the store once, answer the census
+    * from it alone (the harness gives each invocation a fresh temp
+    * dir; production builds at ingest and probes per batch —
+    * [[graft.Lease]] owns the dir lifetime). Oracle: the identical
+    * banded candidate + exact-verify pipeline in SQL, restricted to
+    * (incoming odd) x (corpus even) pairs.
+    */
+  def qNeardupIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_lshstore").toString
+    try buildLshStore(spark, dir, base)
+    catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_neardup_ingest", Seq(base))
+    probeLshStore(spark, dir, base)
+  }
+
   // --- registry ----------------------------------------------------------
 
   /** Incremental (cross-corpus) dedup — the shape a pipeline runs on
@@ -701,7 +847,8 @@ object DedupQueries {
     "q_ngram_capped" -> (qNgramJaccardCapped _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_star" -> (qDedupClustersStar _),
-    "q_incremental_dedup" -> (qIncrementalDedup _)
+    "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_neardup_ingest" -> (qNeardupIngest _)
   )
 
   // Oracle SQL generated from the same constants as the Spark pipeline.
@@ -781,6 +928,35 @@ object DedupQueries {
     // text, two independent distributed algorithms checked against it.
     "q_dedup_clusters" -> duckClustersSql,
     "q_dedup_star" -> duckClustersSql,
+    // the same banded-candidate + exact-verify pipeline, restricted to
+    // (incoming odd) x (corpus even) pairs; rep-level verification on
+    // the Spark side is census-equivalent because identical word sets
+    // have identical signatures, buckets, and verdicts
+    "q_neardup_ingest" ->
+      s"""WITH ws AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sigs AS (SELECT doc_id,
+         |         $duckSigCols
+         |         FROM ws GROUP BY doc_id),
+         |buckets AS (
+         |  $duckBandRows
+         |),
+         |cand AS (SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+         |         FROM buckets l JOIN buckets r
+         |           ON l.band = r.band AND l.bh = r.bh
+         |          AND l.doc_id % 2 = 1 AND r.doc_id % 2 = 0),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id),
+         |inter AS (SELECT i, j, count(*) AS inter FROM cand
+         |          JOIN ws a ON a.doc_id = i JOIN ws b ON b.doc_id = j AND a.w = b.w
+         |          GROUP BY i, j),
+         |hits AS (SELECT DISTINCT i AS doc_id FROM inter
+         |         JOIN sizes ci ON i = ci.doc_id JOIN sizes cj ON j = cj.doc_id
+         |         WHERE inter * 10 >= (ci.n + cj.n - inter) * 9)
+         |SELECT source, count(*) AS n_incoming,
+         |       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+         |       CAST(sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |FROM (SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1) i
+         |LEFT JOIN hits h ON i.doc_id = h.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
     // the duplicate INJECTION (doc_id % 10 == 1 borrows the
     // predecessor's text) is the same join in both engines
     "q_incremental_dedup" ->

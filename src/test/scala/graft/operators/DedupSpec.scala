@@ -143,4 +143,39 @@ class DedupSpec extends SparkSpec {
     // the fixture's near-dup pairs must produce at least one multi-doc cluster
     assert(rows.exists(_._3 > 1))
   }
+
+  test("persisted LSH store: probe census matches the inline pipeline's cross-split hits") {
+    val base = java.nio.file.Files.createTempDirectory("lsh_store_spec").toString
+    try {
+      DedupQueries.buildLshStore(spark, dir, base)
+      val probe = DedupQueries.probeLshStore(spark, dir, base)
+      // the corpus side of the probe reads ONLY stored bucket rows —
+      // every scan is either the store or the documents fixture (the
+      // incoming batch itself), and the bucket join is an equi-join
+      val s = probe.queryExecution.executedPlan.toString
+      assert(s.contains(base), "probe plan must scan the bucket store")
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"),
+        s"bucket probe must stay an equi-join:\n${s.take(2000)}")
+      // independent truth: the inline pipeline's verified pairs,
+      // restricted to (odd incoming) x (even corpus) — LSH-identical
+      // hash family on both paths, so hit sets must agree exactly
+      val crossHits = lshPairs.collect {
+        case (i, j) if i % 2 == 1 && j % 2 == 0 => i
+        case (i, j) if j % 2 == 1 && i % 2 == 0 => j
+      }
+      val perSource = Engine.table(spark, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val expected = perSource.groupBy(_._2).map { case (src, docs) =>
+        val hit = docs.count(d => crossHits.contains(d._1))
+        (src, docs.length.toLong, hit.toLong, (docs.length - hit).toLong)
+      }.toSet
+      val got = probe.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected)
+      assert(got.exists(_._3 > 0), "fixture should have cross-split near-dups")
+    } finally graft.Fs.deleteRecursively(base)
+  }
 }
