@@ -82,15 +82,16 @@ object DedupQueries {
     * measured, not assumed.
     */
   private def repSignatures(
-      reps: DataFrame, vocab: DataFrame, nVocab: Long, ceiling: Long): DataFrame = {
+      reps: DataFrame, vocab: DataFrame, nVocab: Long, ceiling: Long,
+      key: String = "fp"): DataFrame = {
     val hashed0 = vocab.select(col("w") +:
       (0 until NumHashes).map(s => md5(concat(lit(s"$s|"), col("w"))).as(s"h$s")): _*)
     val hashed =
       if (nVocab <= ceiling) broadcast(hashed0) else hashed0
     val aggs = (0 until NumHashes).map(s => min(col(s"h$s")).as(s"h$s"))
-    reps.select(col("fp"), explode(col("ws")).as("w"))
+    reps.select(col(key), explode(col("ws")).as("w"))
       .join(hashed, "w")
-      .groupBy(col("fp")).agg(aggs.head, aggs.tail: _*)
+      .groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Row-count ceiling below which a small fingerprint-keyed frame
@@ -717,26 +718,40 @@ object DedupQueries {
     val incoming = Engine.table(spark, dir, "documents")
       .filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"), col("source"),
-        sort_array(array_distinct(split(col("text"), " "))).as("qws"))
-    val words = incoming.select(col("doc_id"), explode(col("qws")).as("w"))
-    val sigAggs = (0 until NumHashes).map(s =>
-      min(md5(concat(lit(s"$s|"), col("w")))).as(s"h$s"))
-    val sigs = words.groupBy(col("doc_id"))
-      .agg(sigAggs.head, sigAggs.tail: _*)
+        sort_array(array_distinct(split(col("text"), " "))).as("dws"))
+      .withColumn("qfp", md5(concat_ws(" ", col("dws"))))
+    // Unique-set dedup on the batch side too — the inline pipeline's
+    // founding trick ([[lshPairs]]): docs with identical word sets
+    // have identical signatures and verdicts, so candidates and
+    // verification run once per distinct set and the census joins
+    // the verdict back by fingerprint. Without it the probe's
+    // candidate volume multiplies by the batch's duplication factor
+    // (measured 5x the whole query's wall at sf0.1). The seed-hash
+    // work is also vocab-joined (hash once per distinct word), same
+    // as the corpus build.
+    val qreps = incoming.groupBy(col("qfp")).agg(
+      first(col("dws")).as("ws"), size(first(col("dws"))).as("qn"))
+    val bVocab = qreps.select(explode(col("ws")).as("w")).distinct()
+    val nBVocab = bVocab.count()
+    val sigs = repSignatures(
+      qreps, bVocab, nBVocab, BroadcastVocabMaxWords, key = "qfp")
     val bandCols = (0 until NumBands).map { b =>
       val parts = (0 until BandSize).map(r => col(s"h${b * BandSize + r}"))
       md5(concat(parts: _*)).as(s"qbh$b")
     }
     val bandNames = (0 until NumBands).map(b => col(s"qbh$b"))
-    val qb = sigs.join(incoming, "doc_id")
-      .select(col("doc_id") +: col("qws") +: size(col("qws")).as("qn") +:
-        bandCols: _*)
-      .select(col("doc_id") +: col("qws") +: col("qn") +: bandNames :+
+    val qb = sigs.join(qreps, "qfp")
+      .select(col("qfp") +: col("ws").as("qws") +: col("qn") +: bandCols: _*)
+      .select(col("qfp") +: col("qws") +: col("qn") +: bandNames :+
         posexplode(array(bandNames: _*)).as(Seq("band", "bh")): _*)
     val firstSharedBand = (1 until NumBands).foldLeft(
       when(col("qbh0") === col("bh0"), 0)) {
       (acc, b) => acc.when(col(s"qbh$b") === col(s"bh$b"), b)
     }
+    // No broadcast hint on the bucket join: measured at sf0.1, the
+    // shuffle equi-join beats broadcasting the fat store rows (ws
+    // arrays replicated to every task cost ~30% more CPU), and both
+    // sides partition cleanly on (band, bh)
     val hits = qb.join(store,
         qb("band") === store("band") && qb("bh") === store("bh") &&
           col("qn") * 10 >= col("n") * 9 &&
@@ -751,9 +766,9 @@ object DedupQueries {
         graft.functions.dsl.sorted_inter_atleast(
           col("qws"), array_compact(col("ws")), 9, 10))
       .filter(col("inter") >= 0)
-      .select(col("doc_id")).distinct()
-    incoming.select(col("doc_id"), col("source"))
-      .join(hits.withColumn("hit", lit(1L)), Seq("doc_id"), "left_outer")
+      .select(col("qfp")).distinct()
+    incoming.select(col("doc_id"), col("source"), col("qfp"))
+      .join(hits.withColumn("hit", lit(1L)), Seq("qfp"), "left_outer")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_incoming"),
@@ -789,7 +804,7 @@ object DedupQueries {
     */
   def qNeardupIngest(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_lshstore").toString
-    try buildLshStore(spark, dir, base)
+    try staged("store.build")(buildLshStore(spark, dir, base))
     catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
