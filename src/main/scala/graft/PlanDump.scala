@@ -56,7 +56,11 @@ object PlanDump {
     "q_rolling" ->
       "round 7: the corpus collapses in a two-phase HashAggregate to one row per (hour, type) BEFORE the Window node — the RANGE frame sorts the domain-bounded series, never raw events.",
     "q_outliers" ->
-      "round 7: two linear passes joined by a BroadcastHashJoin of the 3-row group-stats aggregate — the all-integer z-score predicate is a codegen'd map-side filter; no window, no fact-sized exchange beyond the group keys.")
+      "round 7: two linear passes joined by a BroadcastHashJoin of the 3-row group-stats aggregate — the all-integer z-score predicate is a codegen'd map-side filter; no window, no fact-sized exchange beyond the group keys.",
+    "q_ivf_persisted" ->
+      "round 8: the probe plan scans ONLY the stored index (both scan Locations point into the temp store, none at the raw fixture) — no k-means job, no assignment crossJoin; the kNN is the cell-keyed equi-join over the cell-PARTITIONED corpus store, so a cell-restricted read partition-prunes.",
+    "q_neardup_ingest" ->
+      "round 8: the corpus side is one scan of the stored bucket rows (fattened with ws/n/band hashes — no side lookups at probe time); the batch's unique-set signatures join them on (band, bh) with the first-shared-band dedup, integer length-ratio cut and early-exit merge-count all inline in the join's codegen loop; the census is the only other exchange.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"
@@ -93,13 +97,15 @@ object PlanDump {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       out ++= s"\n## q_minhash_lsh (lazy pipeline form)\n\n" +
-        "round 5: candidate generation, verification and member expansion " +
-        "are all BroadcastHashJoins (size-guarded, one reused build per " +
-        "frame); verification is a per-row sorted_inter_count merge-walk " +
-        "(no per-candidate hash set), candidate dedup stays deferred past " +
-        "it (ONE distinct over verified pairs), and the materializing form " +
-        "cuts this same plan at three localCheckpoint boundaries so no " +
-        "cache outlives its last consumer.\n\n" + s"```\n$plan```\n"
+        "round 7: the collision self-join verifies INLINE — bucket rows " +
+        "carry (ws, n, all band hashes), so the first-shared-band dedup " +
+        "(each pair exactly once, no post-verification distinct), the " +
+        "integer length-ratio cut and the early-exit sorted_inter_atleast " +
+        "merge-walk all run in the join's codegen loop; broadcasts are " +
+        "size-guarded with one reused build per frame, and the " +
+        "materializing form cuts this same plan at staged localCheckpoint " +
+        "boundaries so no cache outlives its last consumer.\n\n" +
+        s"```\n$plan```\n"
     }
     // q_bucketed_join materializes and drops its tables inside the query
     // fn (the returned frame is a local relation) — dump the lazy join
