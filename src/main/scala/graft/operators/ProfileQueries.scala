@@ -135,6 +135,69 @@ object ProfileQueries {
       .orderBy("day", "event_type")
   }
 
+  /** [[qHeavyHitters]] as a streaming ingest — the third custom
+    * `TypedImperativeAggregate` family proven as streaming-aggregation
+    * state after count300k (`q_stream_hourly`) and `sketch_agg`
+    * (`q_stream_sketch`): the Misra–Gries summary round-trips the
+    * state store across micro-batches and each day window flushes its
+    * top-k when the watermark closes it. Gated in the same EXACT
+    * regime as the batch query (k ≥ the day's distinct item count, so
+    * no eviction ever fires and the counts are exact REGARDLESS of
+    * merge order — which also makes the result batch/stream
+    * coincident); the error regime's order-dependence is spec-bounded
+    * in MgTopKSpec. Sentinel choreography follows `q_stream_sketch`.
+    *
+    * Scale shape: O(k) state per open window regardless of item
+    * domain — the only frequency-ranking shape whose STREAMING state
+    * doesn't grow with the data, which is what an unbounded-domain
+    * column (URLs, user agents) needs at 100 TB ingest rates.
+    */
+  def qStreamHitters(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.util.Try
+    import org.apache.spark.sql.Row
+    val ss = StreamingQueries.streamSession(spark)
+    val inDir = Files.createTempDirectory("graft_hh_in").toString
+    val storeDir = Files.createTempDirectory("graft_hh_store").toString
+    val ckpt = Files.createTempDirectory("graft_hh_ckpt").toString
+    try {
+      Files.copy(
+        Paths.get(s"$dir/events.parquet"),
+        Paths.get(s"$inDir/events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val sentinelSchema = graft.streaming.StreamingDistinct.eventsSchema
+      Seq("2100-01-01T00:00:00Z").foreach { iso =>
+        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+        ss.createDataFrame(
+          java.util.Arrays.asList(
+            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val src = ss.readStream
+        .schema(sentinelSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val daily = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(expr(s"mg_topk(event_type, $HhK)").as("hh"))
+        .select(to_date(col("w.start")).as("day"), col("hh"))
+        .filter(col("day") < lit("2099-01-01")) // cut the sentinel window
+      StreamingQueries.runPass(daily, storeDir, ckpt)
+      graft.Lease.lease("q_stream_hitters", Seq(inDir, storeDir, ckpt))
+      ss.read.schema(daily.schema).parquet(storeDir)
+        .select(col("day"), explode(col("hh")).as("h"))
+        .select(col("day"), col("h.item").as("event_type"),
+          col("h.est").as("n_events"), col("h.err").as("err"))
+        .orderBy("day", "event_type")
+    } catch {
+      case e: Throwable =>
+        Seq(inDir, storeDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
   /** `approx_percentile` accuracy knob for [[qApproxQuantiles]]:
     * rank error ε = 1/Accuracy of n.
     */
@@ -193,8 +256,14 @@ object ProfileQueries {
     "q_profile" -> (qProfile _),
     "q_histogram" -> (qHistogram _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_stream_hitters" -> (qStreamHitters _),
     "q_approx_quantiles" -> (qApproxQuantiles _)
   )
+
+  private val heavyHittersOracle: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |       count(*) AS n_events, CAST(0 AS BIGINT) AS err
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> ProfileCols.map(c =>
@@ -206,10 +275,10 @@ object ProfileQueries {
     // k=8 > 5 distinct event types ⇒ the MG summary is in its exact
     // regime: estimates are plain counts and err is 0 — any decrement
     // firing (or estimate drift) breaks the hash
-    "q_heavy_hitters" ->
-      """SELECT CAST(ts AS DATE) AS day, event_type,
-        |       count(*) AS n_events, CAST(0 AS BIGINT) AS err
-        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_heavy_hitters" -> heavyHittersOracle,
+    // the streaming ingest must flush the identical exact summaries —
+    // one oracle text, batch and incremental postures
+    "q_stream_hitters" -> heavyHittersOracle,
     // n oracle-computed; the rank-contract booleans pinned true (the
     // sketch's returned elements are engine-specific — see scaladoc)
     "q_approx_quantiles" ->

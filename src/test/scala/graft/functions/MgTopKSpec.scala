@@ -105,6 +105,36 @@ class MgTopKSpec extends SparkSpec {
     fails("mg_topk(s, id)")      // non-foldable
   }
 
+  test("mg_topk state survives the streaming state store across micro-batches") {
+    // the q_stream_hitters contract in miniature: the MG summary must
+    // round-trip streaming-aggregation state between micro-batches
+    // (restore → merge → save); k=4 > 2 distinct items keeps the
+    // exact regime, so cross-batch counts must be plain exact counts
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "v")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("mg_topk(v, 4)").as("hh"))
+      .select(col("w.start").as("ws"), explode(col("hh")).as("h"))
+      .select(col("ws"), col("h.item").as("item"),
+        col("h.est").as("est"), col("h.err").as("err"))
+    val q = agg.writeStream.format("memory").queryName("stream_hitters")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts(10, 0), "a"), (ts(10, 10), "b"), (ts(10, 15), "a"))
+      q.processAllAvailable()
+      input.addData((ts(10, 20), "a"), (ts(10, 30), "b"), (ts(10, 40), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_hitters").orderBy("ws", "item").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        (ts(10, 0), "a", 4L, 0L), // counts accumulate across the batches
+        (ts(10, 0), "b", 2L, 0L)))
+    } finally q.stop()
+  }
+
   test("summary add/merge unit semantics: batch decrement matches classic MG") {
     val s = new MisraGriesTopK.Summary
     def u(it: String, c: Long = 1L) =
