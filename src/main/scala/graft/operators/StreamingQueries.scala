@@ -43,10 +43,10 @@ object StreamingQueries {
   private val StreamShufflePartitions = "4"
 
   /** Derived session wired for streaming runs (session-local conf),
-    * memoized per parent: the four streaming queries (incl.
-    * qStreamHourly) in one bench/verify invocation share ONE derived
-    * session instead of building session state + function registry
-    * four times. Safe to share because every run uses fresh temp
+    * memoized per parent: all streaming queries (incl. qStreamHourly /
+    * qStreamSketch / qStreamHitters) in one bench/verify invocation
+    * share ONE derived session instead of building session state + the
+    * function registry once each. Safe to share because every run uses fresh temp
     * checkpoint/sink dirs — no cross-query streaming state lives in
     * the session itself. Weak keys: a discarded parent session must
     * not be pinned by this cache.
