@@ -389,6 +389,89 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- persisted sign-LSH store (embedding batch ingest) ----------------
+
+  /** Build the sign-LSH bucket STORE over the even-id half of the
+    * corpus (the same split [[qEmbedNearDup]] uses) — the embedding
+    * sibling of [[graft.operators.DedupQueries]]'s text bucket store:
+    * hyperplanes are the corpus's own first [[NPlanes]] vectors
+    * (stored with the index, so probes and the oracle reproduce them),
+    * and the corpus lands partitioned BY BUCKET — a probe restricted
+    * to one sign pattern is a partition-pruned read of that bucket's
+    * files alone. At 100 TB the bucketing runs once at ingest and
+    * every later batch probes the layout.
+    */
+  private[operators] def buildEmbedStore(
+      spark: SparkSession, dir: String, base: String): Unit = {
+    val e = embeddings(spark, dir).filter(pmod(col("vec_id"), lit(2)) === 0)
+    val planes = e.filter(col("vec_id") < 2 * NPlanes)
+      .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
+    planes.coalesce(1).write.mode("overwrite").parquet(s"$base/planes")
+    e.crossJoin(planes) // NPlanes rows — bounded small side
+      .withColumn("bit",
+        when(dot(col("embedding"), col("p_emb")) >= 0,
+          expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(sum(col("bit")).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$base/corpus")
+  }
+
+  /** Probe the stored buckets with an ingest batch (the first
+    * [[NQueries]] odd-id vectors): the batch computes its sign
+    * pattern against the STORED planes, equi-joins the bucket-
+    * partitioned corpus on its pattern, and ranks within-bucket by
+    * exact cosine — the corpus side of the plan touches only the
+    * index store (spec-asserted), and the only corpus-sized work ran
+    * once at build time.
+    */
+  private[operators] def probeEmbedStore(
+      spark: SparkSession, dir: String, base: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.register(spark) // vec_dot on the scoring path
+    val planes = spark.read.parquet(s"$base/planes")
+    val corpus = spark.read.parquet(s"$base/corpus")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("bucket").as("n_bucket"))
+    val q = embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(2)) === 1 &&
+        col("vec_id") < 2 * NQueries)
+      .crossJoin(planes)
+      .withColumn("bit",
+        when(dot(col("embedding"), col("p_emb")) >= 0,
+          expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(sum(col("bit")).as("q_bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("q_bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(corpus, col("q_bucket") === col("n_bucket"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** The gated ingest query: build the bucket store once, answer the
+    * batch lookup from it alone ([[graft.Lease]] owns the dir
+    * lifetime; production builds at ingest, probes per batch).
+    * Oracle: the identical plane/bucket/rank pipeline in SQL
+    * restricted to (odd batch) x (even corpus).
+    */
+  def qEmbedIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_embstore").toString
+    try buildEmbedStore(spark, dir, base)
+    catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_embed_ingest", Seq(base))
+    probeEmbedStore(spark, dir, base)
+  }
+
   // --- embedding-cosine near-duplicate pairs ----------------------------
 
   /** Block count for the balanced block-pair (triangle) self-join. At a
@@ -453,6 +536,7 @@ object SimilarityQueries {
     "q_ivf_kmeans" -> (qIvfKmeans _),
     "q_ivf_persisted" -> (qIvfPersisted _),
     "q_embed_lsh" -> (qEmbedLsh _),
+    "q_embed_ingest" -> (qEmbedIngest _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
 
@@ -599,6 +683,32 @@ object SimilarityQueries {
          |         ${duckCos.format("q_emb", "b.embedding")} AS cos
          |  FROM q JOIN bucketed b ON q.q_bucket = b.bucket
          |                        AND q.query_id <> b.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM scored)
+         |SELECT query_id, rk, neighbor_id FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    // same plane/bucket/rank pipeline, planes = the corpus's first
+    // NPlanes even vectors (stored with the index), candidates
+    // restricted to (odd batch) x (even corpus)
+    "q_embed_ingest" ->
+      s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
+         |                WHERE vec_id % 2 = 0 AND vec_id < ${2 * NPlanes}),
+         |bucketed AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
+         |                  THEN power(2, p.plane_id // 2) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, e.embedding),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+         |      FROM bucketed WHERE vec_id % 2 = 1 AND vec_id < ${2 * NQueries}),
+         |c AS (SELECT vec_id, embedding, bucket FROM bucketed WHERE vec_id % 2 = 0),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |         ${duckCos.format("q_emb", "c.embedding")} AS cos
+         |  FROM q JOIN c ON q.q_bucket = c.bucket),
          |ranked AS (SELECT query_id, neighbor_id,
          |                  row_number() OVER (PARTITION BY query_id
          |                                     ORDER BY cos DESC, neighbor_id) AS rk

@@ -117,6 +117,50 @@ class SimilaritySpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("persisted sign-LSH store: probe matches an independent in-memory recomputation") {
+    val base = java.nio.file.Files.createTempDirectory("emb_store_spec").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base)
+      val probe = SimilarityQueries.probeEmbedStore(spark, dir, base)
+      // corpus side reads ONLY the store: the fixture appears in the
+      // plan solely for the incoming batch (vec_id % 2 = 1 filter)
+      val s = probe.queryExecution.executedPlan.toString
+      assert(s.contains(base), "probe plan must scan the bucket store")
+      // independent truth: collect the raw vectors and redo the
+      // plane/bucket/rank pipeline in plain Scala
+      val vecs = graft.Engine.table(spark, dir, "embeddings")
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      def dot(a: Array[Float], b: Array[Float]): Double =
+        a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+      val planes = vecs.filter(v => v._1 % 2 == 0 && v._1 < 8).map(_._2)
+      def bucket(v: Array[Float]): Long =
+        planes.zipWithIndex.map { case (p, i) =>
+          if (dot(v, p) >= 0) 1L << i else 0L }.sum
+      val corpus = vecs.filter(_._1 % 2 == 0)
+      val expected = vecs
+        .filter(v => v._1 % 2 == 1 && v._1 < 40)
+        .flatMap { case (qid, q) =>
+          val qb = bucket(q)
+          corpus.filter(c => bucket(c._2) == qb)
+            .map(c => (c._1, dot(q, c._2) / (nrm(q) * nrm(c._2))))
+            .sortBy { case (nid, cos) => (-cos, nid) }
+            .take(5).zipWithIndex
+            .map { case ((nid, _), i) => (qid, (i + 1).toLong, nid) }
+        }.toSeq
+      val got = probe.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected)
+      assert(got.nonEmpty, "some incoming vector should share a bucket")
+      // the store is bucket-partitioned: one-pattern probes prune
+      val bDirs = new java.io.File(s"$base/corpus").listFiles()
+        .filter(_.getName.startsWith("bucket="))
+      assert(bDirs.nonEmpty, "corpus store must be partitioned by bucket")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("persisted IVF: probe answers from the stored index alone, row-identical to inline") {
     val base = java.nio.file.Files.createTempDirectory("ivf_spec").toString
     try {
