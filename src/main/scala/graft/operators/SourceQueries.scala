@@ -295,6 +295,79 @@ object SourceQueries {
       .orderBy("segment")
   }
 
+  /** Write the two-version snapshot store for [[qTimeTravel]]:
+    * `data/v1` = the base customer snapshot; `data/v2` = the SAME
+    * broadcast-anti MERGE [[qMergeUpsert]] applies, written to NEW
+    * files — v1's files are never touched, which is the whole
+    * mechanism — plus one manifest per version listing its data
+    * files (the reader's source of truth, so a half-written data
+    * directory is invisible until its manifest commits: manifests
+    * are written AFTER their data, and writing a manifest is one
+    * atomic file move on a real DFS).
+    */
+  private[graft] def writeVersioned(
+      spark: SparkSession, dir: String, base: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    def commit(v: Int, df: DataFrame): Unit = {
+      val dataDir = s"$base/data/v$v"
+      df.write.mode("overwrite").parquet(dataDir)
+      val files = new java.io.File(dataDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        .sorted
+      Files.createDirectories(Paths.get(s"$base/manifests"))
+      Files.writeString(Paths.get(s"$base/manifests/v$v.txt"),
+        files.mkString("\n"))
+    }
+    commit(1, Engine.table(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    commit(2, mergedSnapshot(spark, dir))
+  }
+
+  /** Time-travel read: resolve version `v`'s manifest (driver-side,
+    * a few KB of file names — bounded like any catalog lookup) and
+    * scan exactly those files. Reads of OLD versions keep working
+    * after later commits because commits only add files.
+    */
+  private[graft] def readVersion(
+      spark: SparkSession, base: String, v: Int): DataFrame = {
+    val files = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$base/manifests/v$v.txt"))
+      .split("\n").toSeq
+    spark.read.parquet(files: _*)
+  }
+
+  /** Snapshot versioning + time travel — the isolation half of the
+    * lakehouse story that [[qMergeUpsert]] (mutation) and
+    * [[qCompact]] (maintenance) began: a MERGE commits version 2 as
+    * NEW files plus a manifest, and BOTH versions stay readable —
+    * the gated result is the per-version census, v1 computed AFTER
+    * v2 committed, so any in-place damage to v1's files would break
+    * the oracle row. At 100 TB the refinement is file-granular
+    * copy-on-write (rewrite only files containing changed keys —
+    * this fixture's update keys touch every range, so snapshot-level
+    * CoW is what a real table would do here too); the manifest
+    * indirection is identical either way, and it is exactly how
+    * production table formats expose time travel. Oracle: v1 from
+    * the raw table, v2 from the independent full-outer MERGE algebra.
+    */
+  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    try writeVersioned(spark, dir, base)
+    catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_time_travel", Seq(base))
+    def census(v: Int): DataFrame =
+      readVersion(spark, base, v).agg(
+        count(lit(1)).as("n"),
+        sum(col("c_custkey")).cast("long").as("key_sum"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+        .select(lit(v.toLong).as("version"), col("n"), col("key_sum"),
+          col("n_segments"))
+    census(1).unionByName(census(2)).orderBy("version")
+  }
+
   /** Compaction target for [[qCompact]] — a layout decision like
     * [[NumBuckets]]/[[ZWriteFiles]] (total size / target file size).
     */
@@ -352,6 +425,7 @@ object SourceQueries {
     "q_zorder" -> (qZorder _),
     "q_zorder_write" -> (qZorderWrite _),
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_time_travel" -> (qTimeTravel _),
     "q_compact" -> (qCompact _)
   )
 
@@ -398,6 +472,30 @@ object SourceQueries {
         |    ON b.c_custkey = ch.c_custkey)
         |SELECT seg AS segment, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
         |FROM merged GROUP BY 1 ORDER BY segment""".stripMargin,
+    // v1 = the raw table; v2 = the independent full-outer MERGE
+    // algebra — the Spark side must read both censuses back through
+    // version manifests, v1 AFTER v2 committed
+    "q_time_travel" ->
+      """WITH changes AS (
+        |  SELECT c_custkey, upper(c_mktsegment) AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 20 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'NEWSEG'
+        |  FROM customer WHERE c_custkey % 40 = 0),
+        |merged AS (
+        |  SELECT coalesce(ch.c_custkey, b.c_custkey) AS k,
+        |         coalesce(ch.c_mktsegment, b.c_mktsegment) AS seg
+        |  FROM customer b FULL OUTER JOIN changes ch
+        |    ON b.c_custkey = ch.c_custkey)
+        |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+        |       CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(k) AS BIGINT),
+        |       CAST(count(DISTINCT seg) AS BIGINT)
+        |FROM merged
+        |ORDER BY version""".stripMargin,
     // compaction must change layout, never content: aggregate the raw table
     "q_compact" ->
       """SELECT event_type, count(*) AS n_events,

@@ -111,4 +111,31 @@ class SourceSinkSpec extends SparkSpec {
     }
     assert(segs.contains("NEWSEG") && segs("NEWSEG") == nInserts)
   }
+
+  test("time travel: old versions stay readable and bit-identical after later commits") {
+    val base = Files.createTempDirectory("graft_tt_spec").toString
+    try {
+      // commit v1, snapshot its census, then commit v2 (the MERGE)
+      // through the same writer — and prove v1's read is unchanged
+      graft.operators.SourceQueries.writeVersioned(spark, dir, base)
+      val v1 = graft.operators.SourceQueries.readVersion(spark, base, 1)
+      val v2 = graft.operators.SourceQueries.readVersion(spark, base, 2)
+      // v1 equals the raw table exactly (row-level, not just census)
+      val raw = Engine.table(spark, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      assert(v1.exceptAll(raw).isEmpty && raw.exceptAll(v1).isEmpty)
+      // the manifests list DISJOINT file sets: v2 wrote new files,
+      // never touched v1's
+      def manifest(v: Int) = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(s"$base/manifests/v$v.txt"))
+        .split("\n").toSet
+      assert(manifest(1).intersect(manifest(2)).isEmpty)
+      // each version's scan reads only its manifest's directory
+      val p1 = v1.queryExecution.executedPlan.toString
+      assert(p1.contains(s"$base/data/v1") && !p1.contains(s"$base/data/v2"))
+      // v2 actually differs (the merge landed): insert keys appear
+      assert(v2.filter(col("c_custkey") > 10000000L).count() > 0)
+      assert(v1.filter(col("c_custkey") > 10000000L).count() == 0)
+    } finally graft.Fs.deleteRecursively(base)
+  }
 }
