@@ -368,6 +368,47 @@ object SourceQueries {
     census(1).unionByName(census(2)).orderBy("version")
   }
 
+  /** Schema evolution at the source — the ingest reality every
+    * long-lived 100 TB table hits: early batches were written BEFORE a
+    * column existed, and a single read must span both generations with
+    * the missing column NULL-filled, no rewrite of the old files. Batch
+    * 1 (even event_ids) lands without `event_type`; batch 2 (odd) with
+    * it; the `mergeSchema` read reconciles the footers and the census
+    * proves the fill: batch 1 rows are all-missing with zero distinct
+    * types, batch 2 fully populated. (Schema merge is a FOOTER
+    * operation — at scale the cost is file-listing + footer reads, not
+    * data; a production deployment caches the merged schema in its
+    * catalog, which is the manifest idea of [[qTimeTravel]] applied to
+    * schemas.) Oracle: the same two censuses computed straight from
+    * the raw events table.
+    */
+  def qSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_evo").toString
+    val ev = Engine.table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    try {
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), lit(1L).as("batch"))
+        .write.mode("overwrite").parquet(s"$base/b1")
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          lit(2L).as("batch"))
+        .write.mode("overwrite").parquet(s"$base/b2")
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_schema_evolution", Seq(base))
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/b1", s"$base/b2")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_missing"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("batch")
+  }
+
   /** Compaction target for [[qCompact]] — a layout decision like
     * [[NumBuckets]]/[[ZWriteFiles]] (total size / target file size).
     */
@@ -426,6 +467,7 @@ object SourceQueries {
     "q_zorder_write" -> (qZorderWrite _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_time_travel" -> (qTimeTravel _),
+    "q_schema_evolution" -> (qSchemaEvolution _),
     "q_compact" -> (qCompact _)
   )
 
@@ -496,6 +538,18 @@ object SourceQueries {
         |       CAST(count(DISTINCT seg) AS BIGINT)
         |FROM merged
         |ORDER BY version""".stripMargin,
+    // batch 1 predates the event_type column (all-missing, zero
+    // distinct); batch 2 carries it — the Spark side must NULL-fill
+    // through an actual mergeSchema read over both file generations
+    "q_schema_evolution" ->
+      """SELECT CAST(1 AS BIGINT) AS batch, count(*) AS n,
+        |       count(*) AS n_missing, CAST(0 AS BIGINT) AS n_types
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), CAST(0 AS BIGINT),
+        |       CAST(count(DISTINCT event_type) AS BIGINT)
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY batch""".stripMargin,
     // compaction must change layout, never content: aggregate the raw table
     "q_compact" ->
       """SELECT event_type, count(*) AS n_events,
