@@ -317,6 +317,68 @@ object StreamingQueries {
     }
   }
 
+  /** NATIVE session windows in a streaming aggregation — the engine
+    * path Spark builds for session state (merging-session stores),
+    * distinct from [[qStreamSessionize]]'s hand-rolled
+    * `flatMapGroupsWithState` transition: `session_window(ts, 6h)`
+    * grouped with the user key, watermark-closed sessions flushed
+    * through the append parquet sink. Two real deltas vs the custom
+    * form, both exercised here: (a) sessions MERGE in state (a late
+    * in-gap event can fuse two open sessions — the fMGWS form instead
+    * processes each batch in event-time order), and (b) the session's
+    * distinct-type census rides `collect_set` (streaming aggregations
+    * reject COUNT(DISTINCT); the set is bounded by the event-type
+    * domain). Single pass, sentinel up front ([[qStreamHourly]]'s
+    * shape); the sentinel's own far-future session is cut on the
+    * AGGREGATED s_start column — a user_id filter would push below
+    * the watermark node and starve it (the outer join's measured
+    * lesson). Oracle: the batch `q_session_window` gaps-and-islands
+    * text, verbatim.
+    */
+  def qStreamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val inDir = Files.createTempDirectory("graft_ssw_in").toString
+    val outDir = Files.createTempDirectory("graft_ssw_out").toString
+    val ckpt = Files.createTempDirectory("graft_ssw_ckpt").toString
+    try {
+      Files.copy(
+        Paths.get(s"$dir/events.parquet"),
+        Paths.get(s"$inDir/events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val sentinelSchema = StreamingDistinct.eventsSchema
+      Seq("2100-01-01T00:00:00Z").foreach { iso =>
+        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+        ss.createDataFrame(
+          java.util.Arrays.asList(
+            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val src = ss.readStream
+        .schema(sentinelSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val out = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          size(collect_set(col("event_type"))).cast("long").as("n_types"))
+        .select(col("user_id"),
+          col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("n_events"), col("n_types"))
+        .filter(col("s_start") < lit("2099-01-01")) // cut the sentinel session
+      runPass(out, outDir, ckpt)
+      lease("q_stream_session_window", Seq(inDir, outDir, ckpt))
+      ss.read.schema(out.schema).parquet(outDir)
+        .orderBy("user_id", "s_start")
+    } catch {
+      case e: Throwable =>
+        Seq(inDir, outDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
   /** Stream-stream interval join (click attribution) as a true
     * incremental execution: the view and click streams are two
     * filtered branches of the watermarked events file source, joined
@@ -542,6 +604,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_retention" -> (qStreamRetention _),
+    "q_stream_session_window" -> (qStreamSessionWindow _),
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_outer_join" -> (qStreamOuterJoin _),
@@ -554,6 +617,9 @@ object StreamingQueries {
     // one — same oracle text as q_retention (order-free folds on both
     // sides, so the two formulations coincide on any arrival order)
     "q_stream_retention" -> RelationalQueries.oracles("q_retention"),
+    // native streaming session windows must flush exactly the batch
+    // session list — the batch q_session_window oracle, verbatim
+    "q_stream_session_window" -> RelationalQueries.oracles("q_session_window"),
     // the batch ordered-funnel stage times the incremental state must
     // finalize to: earliest view, earliest click strictly after it,
     // earliest purchase strictly after that (users with >=1 view)
