@@ -280,6 +280,83 @@ object CoreQueries {
     }
   }
 
+  /** [[qHllRollup]]'s stage 1 as a STREAMING ingest — the bounded-
+    * state sibling of [[qStreamSketch]], completing the symmetry:
+    * batch exact / batch HLL / streaming exact / streaming HLL all
+    * share one store-and-rollup shape. Spark's DataSketches
+    * `hll_sketch_agg` maintains fixed-size register state per open
+    * (day, type) window in the streaming aggregation, flushes the
+    * serialized sketch to the parquet store on window close, and the
+    * read-back runs [[qHllRollup]]'s exact gate verbatim (merged
+    * estimate within 1% of the direct estimate AND 5% of truth,
+    * pinned true by the oracle). Sentinel choreography as in
+    * [[qStreamSketch]].
+    *
+    * Scale shape: per-window streaming state is CONSTANT (~2^lgK
+    * registers) regardless of per-window cardinality — the ingest
+    * posture for groups whose exact set state (∝ distinct, the
+    * reference's law) would blow the state store.
+    */
+  def qStreamHll(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.util.Try
+    import org.apache.spark.sql.Row
+    val ss = StreamingQueries.streamSession(spark)
+    val inDir = Files.createTempDirectory("graft_shll_in").toString
+    val storeDir = Files.createTempDirectory("graft_shll_store").toString
+    val ckpt = Files.createTempDirectory("graft_shll_ckpt").toString
+    try {
+      Files.copy(
+        Paths.get(s"$dir/events.parquet"),
+        Paths.get(s"$inDir/events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val sentinelSchema = graft.streaming.StreamingDistinct.eventsSchema
+      Seq("2100-01-01T00:00:00Z").foreach { iso =>
+        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+        ss.createDataFrame(
+          java.util.Arrays.asList(
+            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val src = ss.readStream
+        .schema(sentinelSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val daily = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(expr("hll_sketch_agg(cast(user_id as string))").as("hs"))
+        .select(to_date(col("w.start")).as("day"), col("event_type"),
+          col("hs"))
+        .filter(col("day") < lit("2099-01-01")) // cut sentinel windows
+      StreamingQueries.runPass(daily, storeDir, ckpt)
+      graft.Lease.lease("q_stream_hll", Seq(inDir, storeDir, ckpt))
+      val merged = ss.read.schema(daily.schema).parquet(storeDir)
+        .groupBy(trunc(col("day"), "month").as("month"), col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(hs))").as("est_merged"),
+          count(lit(1)).cast("long").as("n_days"))
+      val direct = Engine.table(ss, dir, "events")
+        .groupBy(trunc(to_date(col("ts")), "month").as("month"), col("event_type"))
+        .agg(
+          expr("hll_sketch_estimate(hll_sketch_agg(cast(user_id as string)))")
+            .as("est_direct"),
+          countDistinct(col("user_id")).as("distinct_users"))
+      merged.join(direct, Seq("month", "event_type"))
+        .select(col("month"), col("event_type"), col("distinct_users"),
+          col("n_days"),
+          (abs(col("est_merged") - col("est_direct")) <=
+            greatest(lit(1.0), col("est_direct") * 0.01) &&
+            abs(col("est_merged") - col("distinct_users")) <=
+              col("distinct_users") * 0.05).as("hll_ok"))
+        .orderBy("month", "event_type")
+    } catch {
+      case e: Throwable =>
+        Seq(inDir, storeDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
   /** The SQL switch-over surface in the hard signal: the reference's
     * users queried it through plain SQL over installed functions and
     * warehouse tables (`/root/reference/README.md:26-37` — CREATE
@@ -337,9 +414,17 @@ object CoreQueries {
     "q_sketch_rollup" -> (qSketchRollup _),
     "q_stream_sketch" -> (qStreamSketch _),
     "q_hll_rollup" -> (qHllRollup _),
+    "q_stream_hll" -> (qStreamHll _),
     "q_sql_surface" -> (qSqlSurface _),
     "q_fnv_bucket" -> (qFnvBucket _)
   )
+
+  private val hllRollupOracle: String =
+    """SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+      |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |  true AS hll_ok
+      |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
 
   private val sketchRollupOracle: String =
     """SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
@@ -381,12 +466,9 @@ object CoreQueries {
     // Spark side computes it as merge-invariance AND a 5% error bound,
     // so any estimator drift breaks the row hash (the estimate itself
     // has no DuckDB analogue; see the qHllRollup scaladoc)
-    "q_hll_rollup" ->
-      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
-        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
-        |  true AS hll_ok
-        |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin,
+    "q_hll_rollup" -> hllRollupOracle,
+    // the streaming-ingested HLL store must pass the identical gate
+    "q_stream_hll" -> hllRollupOracle,
     "q_sql_surface" ->
       """SELECT n.n_name AS nation, c.c_mktsegment AS segment,
         |       count(*) AS n_orders,
