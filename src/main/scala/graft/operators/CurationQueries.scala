@@ -193,7 +193,49 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** Quality gate against a GLOBAL data-derived threshold — the
+    * curation pattern none of the fixed-rule filters above cover:
+    * "keep documents at or above the corpus median length" requires a
+    * statistic of the WHOLE corpus before any row can be judged. Two
+    * passes, both scale-shaped: (1) the exact lower median of the
+    * per-doc token count via the counting form — the corpus collapses
+    * map-side to one row per DISTINCT token-count value (bounded by
+    * the document-length domain, never by corpus size), a cumulative
+    * window walks that bounded series, and the threshold is a ONE-ROW
+    * frame; (2) the census joins that row back by broadcast — the
+    * corpus is never re-shuffled, and no driver action materializes
+    * the threshold (it stays a lazy 1-row broadcast, the same shape
+    * as a dimension join). Threshold definition is pinned explicitly
+    * on BOTH sides (smallest v with 2·count(≤v) ≥ n) rather than
+    * trusting two engines' quantile functions to agree on ties.
+    */
+  def qQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Engine.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val counts = toks.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+    // single-task window over DISTINCT length values only — the
+    // document-length DOMAIN, same bounded-walk argument as q_median
+    val cum = counts.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = toks.agg(count(lit(1)).as("n"))
+    val thr = cum.crossJoin(total)
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(min(col("n_tokens")).as("thr"))
+    toks.crossJoin(broadcast(thr))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") >= col("thr"), 1L).otherwise(0L))
+          .cast("long").as("n_kept"),
+        sum(when(col("n_tokens") >= col("thr"), col("n_tokens"))
+          .otherwise(0L)).cast("long").as("kept_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_gate" -> (qQualityGate _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_contamination" -> (qContamination _),
     "q_repetition" -> (qRepetition _),
@@ -202,6 +244,25 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the threshold definition (smallest v with 2*count(<=v) >= n) is
+    // spelled out identically on both sides — no quantile-function
+    // tie-semantics are trusted across engines
+    "q_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT n_tokens, count(*) AS c FROM t GROUP BY 1),
+        |cum AS (SELECT n_tokens,
+        |               sum(c) OVER (ORDER BY n_tokens
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM c),
+        |n AS (SELECT count(*) AS n FROM t),
+        |thr AS (SELECT min(n_tokens) AS thr FROM cum, n WHERE cum * 2 >= n)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN n_tokens >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN n_tokens >= thr THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM t, thr GROUP BY source ORDER BY source""".stripMargin,
     "q_pii_scrub" ->
       s"""WITH inj AS (
          |  SELECT doc_id, text ||
