@@ -62,7 +62,7 @@ object PlanDump {
     "q_neardup_ingest" ->
       "round 8: the corpus side is one scan of the stored bucket rows (fattened with ws/n/band hashes — no side lookups at probe time); the batch's unique-set signatures join them on (band, bh) with the first-shared-band dedup, integer length-ratio cut and early-exit merge-count all inline in the join's codegen loop; the census is the only other exchange.",
     "q_quality_gate" ->
-      "round 8: the corpus collapses map-side to one row per DISTINCT token-count value before the single-task cumulative window (bounded by the document-length DOMAIN, never corpus size); the derived threshold re-enters the census as a 1-row BroadcastExchange — the corpus itself is scanned once and never re-shuffled.")
+      "round 8: the corpus collapses map-side to one row per DISTINCT token-count value before the single-task cumulative window (bounded by the document-length DOMAIN, never corpus size); the derived threshold re-enters the census as a 1-row BroadcastExchange — one corpus scan per pass (two passes is the floor for a global-statistic filter) and the corpus is never shuffled.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"
