@@ -432,7 +432,50 @@ object TextQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The four-stage corpus-preparation PIPELINE as one gated
+    * dataflow — exact dedup → global quality gate → content-hash
+    * train/eval split → per-(lang, split) census. Each stage's
+    * algebra is individually oracle-pinned elsewhere
+    * ([[qDedupExact]], [[CurationQueries.qQualityGate]],
+    * [[qTrainSplit]]); this query gates their COMPOSITION, which is
+    * where real pipelines break: the median threshold is computed
+    * over the DEDUPED corpus (duplicates must not weight the
+    * statistic), and the split coin flips AFTER the gate (a doc's
+    * destiny is content-determined, so gating first must not change
+    * any surviving doc's split). Shuffle inventory is the sum of its
+    * stages: the dedup keyed aggregate, the bounded distinct-value
+    * walk + 1-row threshold broadcast, and the final census — the
+    * corpus text itself is never shuffled at any stage.
+    */
+  def qPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Engine.table(spark, dir, "documents")
+    val keepers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = docs.join(keepers, "doc_id")
+    val t = deduped.select(col("doc_id"), col("lang"), col("text"),
+      size(toks(col("text"))).cast("long").as("n_tokens"))
+    val counts = t.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+    val cum = counts.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val thr = cum.crossJoin(t.agg(count(lit(1)).as("n")))
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(min(col("n_tokens")).as("thr"))
+    t.crossJoin(broadcast(thr))
+      .filter(col("n_tokens") >= col("thr"))
+      .withColumn("split",
+        when(substring(md5(concat(lit("split1|"), col("text"))), 1, 1) < "d",
+          "train").otherwise("eval"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens_total"))
+      .orderBy("lang", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline" -> (qPipeline _),
     "q_chunk" -> (qChunk _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_profile" -> (qLangProfile _),
@@ -470,6 +513,32 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the composed pipeline, stage for stage: dedup keeps min doc_id
+    // per content hash; the median threshold is computed over the
+    // DEDUPED corpus; the split coin flips after the gate
+    "q_pipeline" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |d AS (SELECT doc.* FROM documents doc JOIN keep USING (doc_id)),
+        |t AS (SELECT doc_id, lang, text,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM d),
+        |c AS (SELECT n_tokens, count(*) AS c FROM t GROUP BY 1),
+        |cum AS (SELECT n_tokens,
+        |               sum(c) OVER (ORDER BY n_tokens
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM c),
+        |n AS (SELECT count(*) AS n FROM t),
+        |thr AS (SELECT min(n_tokens) AS thr FROM cum, n WHERE cum * 2 >= n),
+        |k AS (SELECT t.* FROM t, thr WHERE n_tokens >= thr),
+        |s AS (SELECT lang,
+        |             CASE WHEN substr(md5('split1|' || text), 1, 1) < 'd'
+        |                  THEN 'train' ELSE 'eval' END AS split,
+        |             n_tokens
+        |      FROM k)
+        |SELECT lang, split, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+        |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     // range(0, n, stride) = exactly the starts < n Spark's inclusive
     // sequence(0, n-1, stride) generates
     "q_chunk" ->
