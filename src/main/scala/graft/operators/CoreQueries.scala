@@ -72,23 +72,9 @@ object CoreQueries {
     val outDir = Files.createTempDirectory("graft_sh_out").toString
     val ckpt = Files.createTempDirectory("graft_sh_ckpt").toString
     try {
-      Files.copy(
-        Paths.get(s"$dir/events.parquet"),
-        Paths.get(s"$inDir/events.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      val sentinelSchema = graft.streaming.StreamingDistinct.eventsSchema
-      Seq("2100-01-01T00:00:00Z").foreach { iso =>
-        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
-        ss.createDataFrame(
-          java.util.Arrays.asList(
-            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
-      val src = ss.readStream
-        .schema(sentinelSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      StreamingQueries.stageFixture(dir, inDir)
+      StreamingQueries.writeSentinel(ss, inDir)
+      val src = StreamingQueries.eventsSource(ss, inDir)
       val out = graft.streaming.StreamingDistinct.hourlyDistinctUsers(src)
         .filter(col("window_start") < lit("2099-01-01")) // cut sentinel windows
       StreamingQueries.runPass(out, outDir, ckpt)
@@ -190,7 +176,19 @@ object CoreQueries {
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
     }
     graft.Lease.lease("q_hll_rollup", Seq(base))
-    val merged = spark.read.parquet(base)
+    hllGate(spark, dir, spark.read.parquet(base))
+  }
+
+  /** The merged-vs-direct HLL gate, shared by the batch and streaming
+    * rollups so the tolerances live in ONE place (the round-7 gate
+    * hardening had to touch exactly this expression): month rollup of
+    * the stored day sketches, joined against the direct one-pass
+    * estimate + exact count, with `hll_ok` = merge-invariance within
+    * 1% relative AND ≤5% of truth.
+    */
+  private def hllGate(
+      spark: SparkSession, dir: String, store: DataFrame): DataFrame = {
+    val merged = store
       .groupBy(trunc(col("day"), "month").as("month"), col("event_type"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(hs))").as("est_merged"),
         count(lit(1)).cast("long").as("n_days"))
@@ -242,23 +240,9 @@ object CoreQueries {
     val storeDir = Files.createTempDirectory("graft_sk_store").toString
     val ckpt = Files.createTempDirectory("graft_sk_ckpt").toString
     try {
-      Files.copy(
-        Paths.get(s"$dir/events.parquet"),
-        Paths.get(s"$inDir/events.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      val sentinelSchema = graft.streaming.StreamingDistinct.eventsSchema
-      Seq("2100-01-01T00:00:00Z").foreach { iso =>
-        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
-        ss.createDataFrame(
-          java.util.Arrays.asList(
-            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
-      val src = ss.readStream
-        .schema(sentinelSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      StreamingQueries.stageFixture(dir, inDir)
+      StreamingQueries.writeSentinel(ss, inDir)
+      val src = StreamingQueries.eventsSource(ss, inDir)
       val daily = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -306,23 +290,9 @@ object CoreQueries {
     val storeDir = Files.createTempDirectory("graft_shll_store").toString
     val ckpt = Files.createTempDirectory("graft_shll_ckpt").toString
     try {
-      Files.copy(
-        Paths.get(s"$dir/events.parquet"),
-        Paths.get(s"$inDir/events.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      val sentinelSchema = graft.streaming.StreamingDistinct.eventsSchema
-      Seq("2100-01-01T00:00:00Z").foreach { iso =>
-        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
-        ss.createDataFrame(
-          java.util.Arrays.asList(
-            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
-      val src = ss.readStream
-        .schema(sentinelSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      StreamingQueries.stageFixture(dir, inDir)
+      StreamingQueries.writeSentinel(ss, inDir)
+      val src = StreamingQueries.eventsSource(ss, inDir)
       val daily = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -332,24 +302,9 @@ object CoreQueries {
         .filter(col("day") < lit("2099-01-01")) // cut sentinel windows
       StreamingQueries.runPass(daily, storeDir, ckpt)
       graft.Lease.lease("q_stream_hll", Seq(inDir, storeDir, ckpt))
-      val merged = ss.read.schema(daily.schema).parquet(storeDir)
-        .groupBy(trunc(col("day"), "month").as("month"), col("event_type"))
-        .agg(expr("hll_sketch_estimate(hll_union_agg(hs))").as("est_merged"),
-          count(lit(1)).cast("long").as("n_days"))
-      val direct = Engine.table(ss, dir, "events")
-        .groupBy(trunc(to_date(col("ts")), "month").as("month"), col("event_type"))
-        .agg(
-          expr("hll_sketch_estimate(hll_sketch_agg(cast(user_id as string)))")
-            .as("est_direct"),
-          countDistinct(col("user_id")).as("distinct_users"))
-      merged.join(direct, Seq("month", "event_type"))
-        .select(col("month"), col("event_type"), col("distinct_users"),
-          col("n_days"),
-          (abs(col("est_merged") - col("est_direct")) <=
-            greatest(lit(1.0), col("est_direct") * 0.01) &&
-            abs(col("est_merged") - col("distinct_users")) <=
-              col("distinct_users") * 0.05).as("hll_ok"))
-        .orderBy("month", "event_type")
+      // the batch rollup's gate verbatim — ONE definition of the
+      // tolerances for both ingest postures
+      hllGate(ss, dir, ss.read.schema(daily.schema).parquet(storeDir))
     } catch {
       case e: Throwable =>
         Seq(inDir, storeDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))

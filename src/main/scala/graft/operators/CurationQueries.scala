@@ -220,7 +220,9 @@ object CurationQueries {
     val cum = counts.withColumn("cum",
       sum(col("c")).over(Window.orderBy(col("n_tokens"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val total = toks.agg(count(lit(1)).as("n"))
+    // n derives from the already-collapsed counts frame — the
+    // threshold pass costs exactly ONE corpus scan, not two
+    val total = counts.agg(sum(col("c")).as("n"))
     val thr = cum.crossJoin(total)
       .filter(col("cum") * 2 >= col("n"))
       .agg(min(col("n_tokens")).as("thr"))

@@ -161,23 +161,9 @@ object ProfileQueries {
     val storeDir = Files.createTempDirectory("graft_hh_store").toString
     val ckpt = Files.createTempDirectory("graft_hh_ckpt").toString
     try {
-      Files.copy(
-        Paths.get(s"$dir/events.parquet"),
-        Paths.get(s"$inDir/events.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      val sentinelSchema = graft.streaming.StreamingDistinct.eventsSchema
-      Seq("2100-01-01T00:00:00Z").foreach { iso =>
-        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
-        ss.createDataFrame(
-          java.util.Arrays.asList(
-            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
-      val src = ss.readStream
-        .schema(sentinelSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      StreamingQueries.stageFixture(dir, inDir)
+      StreamingQueries.writeSentinel(ss, inDir)
+      val src = StreamingQueries.eventsSource(ss, inDir)
       val daily = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day").as("w"))

@@ -27,9 +27,9 @@ import graft.Engine
   */
 object SimilarityQueries {
 
-  private val K = 5
+  private[operators] val K = 5
   private val NList = 8
-  private val NQueries = 20
+  private[operators] val NQueries = 20
 
   /** Codegen'd sequential-order double dot product (graft `vec_dot`). */
   private def dot(a: Column, b: Column): Column =
@@ -357,7 +357,7 @@ object SimilarityQueries {
     * replaces the all-pairs scan, like IVF but with hash buckets
     * instead of nearest-centroid cells.
     */
-  private val NPlanes = 4
+  private[operators] val NPlanes = 4
 
   def qEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

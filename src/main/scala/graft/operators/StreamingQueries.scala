@@ -95,6 +95,42 @@ object StreamingQueries {
     finally if (q.isActive) Try(q.stop())
   }
 
+  /** Copy the events fixture into a fresh streaming-source dir. */
+  private[operators] def stageFixture(dir: String, inDir: String): Unit =
+    Files.copy(
+      Paths.get(s"$dir/events.parquet"),
+      Paths.get(s"$inDir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+  /** Epoch nanos of the far-future watermark sentinel (2100-01-01):
+    * its batch jumps the watermark past every fixture horizon and the
+    * engine's no-data micro-batch runs the flush against it.
+    */
+  private[operators] val SentinelNanos: Long =
+    java.time.Instant.parse("2100-01-01T00:00:00Z").getEpochSecond * 1000000000L
+
+  /** Write THE sentinel file: one far-future row (user -1, type
+    * `sentinel`) appended to the source dir. Queries needing custom
+    * sentinel rows (the outer join's two-branch case) build their own
+    * from [[SentinelNanos]].
+    */
+  private[operators] def writeSentinel(ss: SparkSession, inDir: String): Unit =
+    ss.createDataFrame(
+      java.util.Arrays.asList(
+        Row(-1L, SentinelNanos, -1L, "sentinel", 0.0, "{}")),
+      StreamingDistinct.eventsSchema)
+      .coalesce(1).write.mode("append").parquet(inDir)
+
+  /** The standard watermarkable events file source over a staged dir:
+    * declared schema, one file per trigger, nanos→timestamp rewrite.
+    */
+  private[operators] def eventsSource(ss: SparkSession, inDir: String): DataFrame =
+    ss.readStream
+      .schema(StreamingDistinct.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
   /** The returned DataFrame reads the parquet sink DIRECTLY — fully
     * distributed, no `Local.pin`: the deduped event table and the
     * session list grow linearly with the input, and a driver-side
@@ -128,17 +164,10 @@ object StreamingQueries {
     val outDir = Files.createTempDirectory("graft_sess_out").toString
     val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
     try {
-      Files.copy(
-        Paths.get(s"$dir/events.parquet"),
-        Paths.get(s"$inDir/events.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      stageFixture(dir, inDir)
 
       def pipeline(): DataFrame = {
-        val src = ss.readStream
-          .schema(StreamingDistinct.eventsSchema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(inDir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val src = eventsSource(ss, inDir)
         val sessions = StreamingSessionize.sessions(
           src.select(col("user_id"), col("ts"))
             .withWatermark("ts", "1 hour")
@@ -158,14 +187,7 @@ object StreamingQueries {
       // watermark delay. Its batch advances the watermark; the
       // engine's no-data micro-batch then runs the timed-out state
       // handlers against it.
-      val sentinelSchema = StreamingDistinct.eventsSchema
-      Seq("2100-01-01T00:00:00Z").foreach { iso =>
-        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
-        ss.createDataFrame(
-          java.util.Arrays.asList(
-            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
+      writeSentinel(ss, inDir)
       val resumed = pipeline()
       runPass(resumed, outDir, ckpt) // resumes from the checkpoint
 
@@ -202,17 +224,10 @@ object StreamingQueries {
     val outDir = Files.createTempDirectory("graft_fn_out").toString
     val ckpt = Files.createTempDirectory("graft_fn_ckpt").toString
     try {
-      Files.copy(
-        Paths.get(s"$dir/events.parquet"),
-        Paths.get(s"$inDir/events.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      stageFixture(dir, inDir)
 
       def pipeline(): DataFrame = {
-        val src = ss.readStream
-          .schema(StreamingDistinct.eventsSchema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(inDir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val src = eventsSource(ss, inDir)
         StreamingFunnel.funnel(
           src.select(col("user_id"), col("event_type"), col("ts"))
             .withWatermark("ts", "1 hour")
@@ -222,14 +237,7 @@ object StreamingQueries {
       }
 
       runPass(pipeline(), outDir, ckpt, noData = false)
-      val sentinelSchema = StreamingDistinct.eventsSchema
-      Seq("2100-01-01T00:00:00Z").foreach { iso =>
-        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
-        ss.createDataFrame(
-          java.util.Arrays.asList(
-            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
+      writeSentinel(ss, inDir)
       val resumed = pipeline()
       runPass(resumed, outDir, ckpt) // resumes from the checkpoint
 
@@ -270,17 +278,10 @@ object StreamingQueries {
     val outDir = Files.createTempDirectory("graft_ret_out").toString
     val ckpt = Files.createTempDirectory("graft_ret_ckpt").toString
     try {
-      Files.copy(
-        Paths.get(s"$dir/events.parquet"),
-        Paths.get(s"$inDir/events.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      stageFixture(dir, inDir)
 
       def pipeline(): DataFrame = {
-        val src = ss.readStream
-          .schema(StreamingDistinct.eventsSchema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(inDir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val src = eventsSource(ss, inDir)
         StreamingRetention.retention(
           src.select(col("user_id"), col("event_type"), col("ts"),
               unix_micros(date_trunc("week", col("ts"))).as("wk_us"))
@@ -291,14 +292,7 @@ object StreamingQueries {
       }
 
       runPass(pipeline(), outDir, ckpt, noData = false)
-      val sentinelSchema = StreamingDistinct.eventsSchema
-      Seq("2100-01-01T00:00:00Z").foreach { iso =>
-        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
-        ss.createDataFrame(
-          java.util.Arrays.asList(
-            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
+      writeSentinel(ss, inDir)
       val resumed = pipeline()
       runPass(resumed, outDir, ckpt) // resumes from the checkpoint
 
@@ -341,24 +335,9 @@ object StreamingQueries {
     val outDir = Files.createTempDirectory("graft_ssw_out").toString
     val ckpt = Files.createTempDirectory("graft_ssw_ckpt").toString
     try {
-      Files.copy(
-        Paths.get(s"$dir/events.parquet"),
-        Paths.get(s"$inDir/events.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      val sentinelSchema = StreamingDistinct.eventsSchema
-      Seq("2100-01-01T00:00:00Z").foreach { iso =>
-        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
-        ss.createDataFrame(
-          java.util.Arrays.asList(
-            Row(-1L, nanos, -1L, "sentinel", 0.0, "{}")), sentinelSchema)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
-      val src = ss.readStream
-        .schema(sentinelSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val out = src
+      stageFixture(dir, inDir)
+      writeSentinel(ss, inDir)
+      val out = eventsSource(ss, inDir)
         .withWatermark("ts", "1 hour")
         .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
         .agg(count(lit(1)).as("n_events"),
@@ -461,10 +440,7 @@ object StreamingQueries {
     val outDir = Files.createTempDirectory("graft_soj_out").toString
     val ckpt = Files.createTempDirectory("graft_soj_ckpt").toString
     try {
-      Files.copy(
-        Paths.get(s"$dir/events.parquet"),
-        Paths.get(s"$inDir/events.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      stageFixture(dir, inDir)
       // The sentinel file (one view + one click row with DISTINCT
       // negative users, so they match no fixture row and not each
       // other — BOTH branch watermarks advance) is written UP FRONT:
@@ -475,20 +451,13 @@ object StreamingQueries {
       // stateful streams is demonstrated by the sessionize / funnel /
       // retention trio; join state rides the same state-store
       // machinery, and a second pass here was pure harness cost.)
-      val sentinelSchema = StreamingDistinct.eventsSchema
-      Seq("2100-01-01T00:00:00Z").foreach { iso =>
-        val nanos = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
-        ss.createDataFrame(
-          java.util.Arrays.asList(
-            Row(-1L, nanos, -1L, "view", 0.0, "{}"),
-            Row(-2L, nanos, -2L, "click", 0.0, "{}")), sentinelSchema)
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
-      val src = ss.readStream
-        .schema(StreamingDistinct.eventsSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      ss.createDataFrame(
+        java.util.Arrays.asList(
+          Row(-1L, SentinelNanos, -1L, "view", 0.0, "{}"),
+          Row(-2L, SentinelNanos, -2L, "click", 0.0, "{}")),
+        StreamingDistinct.eventsSchema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val src = eventsSource(ss, inDir)
         .withWatermark("ts", "1 hour") // BEFORE the branch filters
       val imps = src.filter(col("event_type") === "view")
         .select(col("user_id").as("ad_id"), col("ts").as("imp_ts"),

@@ -460,7 +460,8 @@ object TextQueries {
     val cum = counts.withColumn("cum",
       sum(col("c")).over(Window.orderBy(col("n_tokens"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val thr = cum.crossJoin(t.agg(count(lit(1)).as("n")))
+    // n from the collapsed counts frame, not a re-scan of the corpus
+    val thr = cum.crossJoin(counts.agg(sum(col("c")).as("n")))
       .filter(col("cum") * 2 >= col("n"))
       .agg(min(col("n_tokens")).as("thr"))
     t.crossJoin(broadcast(thr))

@@ -38,10 +38,14 @@ object StreamingFunnel {
   case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp)
 
   /** Set-once stage stamps, epoch micros. Invariant: tClick defined ⇒
-    * tView defined; tPurchase defined ⇒ tClick defined.
+    * tView defined; tPurchase defined ⇒ tClick defined. `lastUs`
+    * (last activity) is carried IN the state so a later batch's
+    * out-of-order event can only EXTEND the flush horizon, never
+    * shrink it below already-absorbed activity.
     */
   case class FunnelState(
-      tView: Option[Long], tClick: Option[Long], tPurchase: Option[Long])
+      tView: Option[Long], tClick: Option[Long], tPurchase: Option[Long],
+      lastUs: Long = 0L)
 
   /** A finalized per-user funnel record (user reached stage 1+). */
   case class FunnelRow(
@@ -50,7 +54,7 @@ object StreamingFunnel {
       t_click_us: Option[Long],
       t_purchase_us: Option[Long])
 
-  private val Empty = FunnelState(None, None, None)
+  private val Empty = FunnelState(None, None, None, 0L)
 
   /** The per-user transition. Exposed for direct unit testing. */
   def onUser(
@@ -70,9 +74,10 @@ object StreamingFunnel {
       .map(e => (StreamingSessionize.micros(e.ts), e.event_type))
       .sortBy(_._1)
     var s = state.getOption.getOrElse(Empty)
-    var lastUs = 0L
     for ((us, tpe) <- sorted) {
-      lastUs = math.max(lastUs, us)
+      // fold over the STORED stamp: an all-earlier batch must not pull
+      // the flush horizon below already-absorbed activity
+      s = s.copy(lastUs = math.max(s.lastUs, us))
       tpe match {
         case "view" if s.tView.isEmpty =>
           s = s.copy(tView = Some(us))
@@ -83,12 +88,12 @@ object StreamingFunnel {
         case _ => ()
       }
     }
-    if (s != Empty) {
+    if (s.tView.isDefined) {
       state.update(s)
       // flush when the watermark passes the user's last activity + 1h
       // (+1 ms: the timeout clock is ms-grained); any later real event
       // re-arms the horizon before the watermark can reach it
-      state.setTimeoutTimestamp(lastUs / 1000L + 3600L * 1000L + 1L)
+      state.setTimeoutTimestamp(s.lastUs / 1000L + 3600L * 1000L + 1L)
     }
     Iterator.empty
   }

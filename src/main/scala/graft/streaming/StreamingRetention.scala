@@ -25,9 +25,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Semantics vs batch, stated: cohort = min signup week and the week
   * set are both order-independent folds, so batch/stream coincide on
   * ANY within-watermark arrival order (unlike the funnel's set-once
-  * stamps there is no documented divergence) — late data past the
-  * watermark is dropped by the source contract, which is the one
-  * difference from a batch re-aggregation. Weeks are ISO-Monday
+  * stamps there is no ordering divergence). Two stated differences
+  * from a batch re-aggregation: late data past the watermark is
+  * dropped by the source contract, and a user returning after MORE
+  * than the finalization horizon ([[HorizonMs]]) of event-time
+  * inactivity re-opens fresh state whose already-flushed history it
+  * cannot amend — size the horizon to the retention window being
+  * analyzed. Weeks are ISO-Monday
   * truncations computed by the SAME Spark `date_trunc("week", ts)`
   * the batch query uses, carried into the state transition as an
   * epoch-microsecond stamp rather than re-derived here.
@@ -50,9 +54,15 @@ object StreamingRetention {
       user_id: Long, event_type: String, ts: Timestamp, wk_us: Long)
 
   /** Per-user state: earliest signup week (None until a signup
-    * arrives) + distinct active-week stamps, order-free folds both.
+    * arrives) + distinct active-week stamps (order-free folds both),
+    * and the user's last-activity stamp — carried IN the state so a
+    * later batch's out-of-order event can only EXTEND the flush
+    * horizon, never shrink it below already-absorbed activity (the
+    * same reason [[StreamingSessionize.SessionState]] stores
+    * `lastUs`).
     */
-  case class RetentionState(cohortUs: Option[Long], weeks: Seq[Long])
+  case class RetentionState(
+      cohortUs: Option[Long], weeks: Seq[Long], lastUs: Long)
 
   /** One finalized (user, active week) pair for a cohorted user —
     * `wk_us >= cohort_us` always holds (pre-cohort activity is
@@ -60,7 +70,20 @@ object StreamingRetention {
     */
   case class RetentionRow(user_id: Long, cohort_us: Long, wk_us: Long)
 
-  private val Empty = RetentionState(None, Nil)
+  private val Empty = RetentionState(None, Nil, 0L)
+
+  /** Finalization horizon: a user's matrix rows flush once the
+    * watermark passes their last activity plus this span. Sized to
+    * the ANALYSIS window, not a session gap: retention counts
+    * returns weeks later, so a user must be event-time-inactive for
+    * the whole horizon before their history is finalized. A return
+    * BEYOND the horizon re-opens fresh state whose earlier (already
+    * emitted) history it cannot amend — the standard
+    * finalize-on-timeout tradeoff, stated here rather than hidden;
+    * size the horizon to the product's retention window (35 days
+    * covers a 5-week matrix).
+    */
+  private val HorizonMs = 35L * 86400 * 1000
 
   /** The per-user transition. Exposed for direct unit testing. */
   def onUser(
@@ -78,9 +101,11 @@ object StreamingRetention {
       return rows.iterator
     }
     var s = state.getOption.getOrElse(Empty)
-    var lastUs = 0L
     for (e <- events) {
-      lastUs = math.max(lastUs, StreamingSessionize.micros(e.ts))
+      // horizon folds OVER the stored stamp: a batch whose events are
+      // all event-time-earlier than prior batches must not pull the
+      // flush forward
+      s = s.copy(lastUs = math.max(s.lastUs, StreamingSessionize.micros(e.ts)))
       if (e.event_type == "signup")
         s = s.copy(cohortUs =
           Some(s.cohortUs.fold(e.wk_us)(math.min(_, e.wk_us))))
@@ -88,10 +113,10 @@ object StreamingRetention {
     }
     if (s != Empty) {
       state.update(s)
-      // flush when the watermark passes the user's last activity + 1 h
+      // flush when the watermark passes last activity + the horizon
       // (+1 ms: the timeout clock is ms-grained); any later real event
-      // re-arms the horizon before the watermark can reach it
-      state.setTimeoutTimestamp(lastUs / 1000L + 3600L * 1000L + 1L)
+      // re-arms before the watermark can reach it
+      state.setTimeoutTimestamp(s.lastUs / 1000L + HorizonMs + 1L)
     }
     Iterator.empty
   }

@@ -135,19 +135,20 @@ class SimilaritySpec extends SparkSpec {
       def dot(a: Array[Float], b: Array[Float]): Double =
         a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
       def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
-      val planes = vecs.filter(v => v._1 % 2 == 0 && v._1 < 8).map(_._2)
+      val planes = vecs.filter(v => v._1 % 2 == 0 &&
+        v._1 < 2 * SimilarityQueries.NPlanes).map(_._2)
       def bucket(v: Array[Float]): Long =
         planes.zipWithIndex.map { case (p, i) =>
           if (dot(v, p) >= 0) 1L << i else 0L }.sum
       val corpus = vecs.filter(_._1 % 2 == 0)
       val expected = vecs
-        .filter(v => v._1 % 2 == 1 && v._1 < 40)
+        .filter(v => v._1 % 2 == 1 && v._1 < 2 * SimilarityQueries.NQueries)
         .flatMap { case (qid, q) =>
           val qb = bucket(q)
           corpus.filter(c => bucket(c._2) == qb)
             .map(c => (c._1, dot(q, c._2) / (nrm(q) * nrm(c._2))))
             .sortBy { case (nid, cos) => (-cos, nid) }
-            .take(5).zipWithIndex
+            .take(SimilarityQueries.K).zipWithIndex
             .map { case ((nid, _), i) => (qid, (i + 1).toLong, nid) }
         }.toSeq
       val got = probe.collect()

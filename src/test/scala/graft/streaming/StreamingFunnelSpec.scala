@@ -48,6 +48,19 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(rows == Seq(FunnelRow(1L, us(1), Some(us(2)), Some(us(3)))))
   }
 
+  test("an out-of-order later batch never shrinks the flush horizon") {
+    // regression: lastUs was reset per invocation, so a batch of
+    // all-earlier events re-armed the timeout BELOW already-absorbed
+    // activity and could flush a converting user early
+    val state = new TestGroupState[FunnelState]
+    StreamingFunnel.onUser(1L, Iterator(ev(1, "view", 50)), state)
+    val armedAfterB1 = state.armedMs
+    StreamingFunnel.onUser(1L, Iterator(ev(1, "click", 10)), state)
+    assert(state.armedMs == armedAfterB1,
+      s"horizon shrank: ${state.armedMs} < $armedAfterB1")
+    assert(state.value.exists(_.lastUs == us(50)))
+  }
+
   test("documented divergence: a late view cannot lower a recorded stage") {
     // batch semantics would re-elect t_view=1 and convert the click@2;
     // set-once streaming state keeps t_view=5 (click@2 is before it)
@@ -103,7 +116,8 @@ class StreamingFunnelSpec extends SparkSpec {
     override def hasTimedOut: Boolean = timedOut
     override def setTimeoutDuration(durationMs: Long): Unit = ()
     override def setTimeoutDuration(duration: String): Unit = ()
-    override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+    var armedMs: Long = -1L
+    override def setTimeoutTimestamp(timestampMs: Long): Unit = armedMs = timestampMs
     override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
     override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
     override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()

@@ -70,6 +70,19 @@ class StreamingRetentionSpec extends SparkSpec {
     assert(rows.isEmpty && st.isEmpty)
   }
 
+  test("an out-of-order later batch never shrinks the flush horizon") {
+    // regression: lastUs was reset per invocation, so a batch of
+    // all-earlier events re-armed the timeout BELOW already-absorbed
+    // activity and could flush a user early, orphaning later weeks
+    val state = new TestGroupState[RetentionState]
+    StreamingRetention.onUser(1L, Iterator(ev(1, "signup", ts(28))), state)
+    val armedAfterB1 = state.armedMs
+    StreamingRetention.onUser(1L, Iterator(ev(1, "view", ts(3))), state)
+    assert(state.armedMs == armedAfterB1,
+      s"horizon shrank: ${state.armedMs} < $armedAfterB1")
+    assert(state.value.exists(_.lastUs == StreamingSessionize.micros(ts(28))))
+  }
+
   test("full pipeline: watermark timeout flushes the finalized rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -87,10 +100,10 @@ class StreamingRetentionSpec extends SparkSpec {
         (2L, "view", ts(2))) // never signs up
       q.processAllAvailable()
       assert(spark.table("retention_rows").isEmpty) // nothing final yet
-      // two watermark-advancing batches fire the 1h-horizon timeouts
-      input.addData((99L, "view", ts(20)))
+      // two watermark-advancing batches fire the 35-day-horizon timeouts
+      input.addData((99L, "view", Timestamp.valueOf("2024-03-01 10:00:00")))
       q.processAllAvailable()
-      input.addData((99L, "view", ts(25)))
+      input.addData((99L, "view", Timestamp.valueOf("2024-04-15 10:00:00")))
       q.processAllAvailable()
       val rows = spark.table("retention_rows").as[RetentionRow].collect()
         .sortBy(r => (r.user_id, r.wk_us))
@@ -113,7 +126,8 @@ class StreamingRetentionSpec extends SparkSpec {
     override def hasTimedOut: Boolean = timedOut
     override def setTimeoutDuration(durationMs: Long): Unit = ()
     override def setTimeoutDuration(duration: String): Unit = ()
-    override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+    var armedMs: Long = -1L
+    override def setTimeoutTimestamp(timestampMs: Long): Unit = armedMs = timestampMs
     override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
     override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
     override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
