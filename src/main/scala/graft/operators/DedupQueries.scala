@@ -744,16 +744,23 @@ object DedupQueries {
       .select(col("qfp") +: col("ws").as("qws") +: col("qn") +: bandCols: _*)
       .select(col("qfp") +: col("qws") +: col("qn") +: bandNames :+
         posexplode(array(bandNames: _*)).as(Seq("band", "bh")): _*)
+    // Measured broadcast guard on the BATCH side (it is the small
+    // side by the ingest contract): broadcasting the batch's band
+    // rows keeps the verify loop on the store scan's full
+    // parallelism — the SMJ form shuffled both sides onto the
+    // (band, bh) key space and AQE-coalesced the verify stage down
+    // to a few tasks (sf1 standalone: ~23s probe wall at ~4 busy
+    // threads vs ~9s at full width). Falls back to the shuffle join
+    // when the batch outgrows the ceiling, like every guard in this
+    // module.
     val firstSharedBand = (1 until NumBands).foldLeft(
       when(col("qbh0") === col("bh0"), 0)) {
       (acc, b) => acc.when(col(s"qbh$b") === col(s"bh$b"), b)
     }
-    // No broadcast hint on the bucket join: measured at sf0.1, the
-    // shuffle equi-join beats broadcasting the fat store rows (ws
-    // arrays replicated to every task cost ~30% more CPU), and both
-    // sides partition cleanly on (band, bh)
-    val hits = qb.join(store,
-        qb("band") === store("band") && qb("bh") === store("bh") &&
+    val nQb = qreps.count() * NumBands
+    val qbB = if (nQb <= BroadcastSideMaxRows) broadcast(qb) else qb
+    val hits = qbB.join(store,
+        qbB("band") === store("band") && qbB("bh") === store("bh") &&
           col("qn") * 10 >= col("n") * 9 &&
           col("n") * 10 >= col("qn") * 9 &&
           firstSharedBand === qb("band"))
