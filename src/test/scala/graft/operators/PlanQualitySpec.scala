@@ -125,6 +125,25 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
       s"join keys must include BOTH k and salt:\n$s")
   }
 
+  test("quality gate: the threshold re-enters as a 1-row broadcast, the corpus never shuffles") {
+    val p = plan(CurationQueries.qQualityGate(spark, dir))
+    // the derived threshold joins back as a keyless 1-row broadcast
+    // (BroadcastNestedLoopJoin is the RIGHT node here: no join key,
+    // build side is the single-row threshold aggregate — the same
+    // bounded shape as a scalar subquery)
+    val bnlj = collectAll(p).find(_.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.isDefined, s"threshold must re-enter as a broadcast:\n$p")
+    assert(bnlj.get.toString.contains("BuildRight"),
+      s"the 1-row threshold must be the build side:\n${bnlj.get}")
+    // the only shuffles are aggregate exchanges over collapsed frames
+    // (distinct token-count values; the per-source census) or the
+    // final presentation sort — never a corpus-row join repartition
+    val shuffles = collectAll(p).collect { case x: ShuffleExchangeExec => x }
+    shuffles.foreach(x =>
+      assert(x.child.toString.contains("HashAggregate"),
+        s"non-aggregate corpus shuffle:\n$x"))
+  }
+
   test("merge upsert plans a broadcast anti join: the base table is never exchanged") {
     val p = plan(SourceQueries.mergedSnapshot(spark, dir))
     val anti = collectAll(p).find(n =>
