@@ -97,7 +97,7 @@ object SortedInterCount {
   def countAtLeast(a: ArrayData, b: ArrayData, tn: Int, td: Int): Long = {
     val na = a.numElements()
     val nb = b.numElements()
-    val r = (tn.toLong * (na + nb) + tn + td - 1) / (tn + td)
+    val r = (tn.toLong * (na.toLong + nb) + tn + td - 1) / (tn + td)
     var i = 0
     var j = 0
     var n = 0L

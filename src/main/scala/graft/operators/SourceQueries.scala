@@ -315,8 +315,10 @@ object SourceQueries {
         .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
         .sorted
       Files.createDirectories(Paths.get(s"$base/manifests"))
-      Files.writeString(Paths.get(s"$base/manifests/v$v.txt"),
-        files.mkString("\n"))
+      val tmp = Paths.get(s"$base/manifests/.v$v.txt.tmp")
+      Files.writeString(tmp, files.mkString("\n"))
+      Files.move(tmp, Paths.get(s"$base/manifests/v$v.txt"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     commit(1, Engine.table(spark, dir, "customer")
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))

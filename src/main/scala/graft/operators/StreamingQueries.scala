@@ -82,17 +82,23 @@ object StreamingQueries {
   private[operators] def runPass(
       df: DataFrame, outDir: String, ckpt: String,
       noData: Boolean = true): Unit = {
-    df.sparkSession.conf
-      .set("spark.sql.streaming.noDataMicroBatches.enabled", noData)
-    val q = df.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally if (q.isActive) Try(q.stop())
+    val confKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prior = df.sparkSession.conf.getOption(confKey)
+    df.sparkSession.conf.set(confKey, noData)
+    try {
+      val q = df.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally if (q.isActive) Try(q.stop())
+    } finally prior match {
+      case Some(v) => df.sparkSession.conf.set(confKey, v)
+      case None    => df.sparkSession.conf.unset(confKey)
+    }
   }
 
   /** Copy the events fixture into a fresh streaming-source dir. */
@@ -114,12 +120,21 @@ object StreamingQueries {
     * sentinel rows (the outer join's two-branch case) build their own
     * from [[SentinelNanos]].
     */
-  private[operators] def writeSentinel(ss: SparkSession, inDir: String): Unit =
+  private[operators] def writeSentinel(ss: SparkSession, inDir: String): Unit = {
+    val before = new java.io.File(inDir).listFiles().toSet
     ss.createDataFrame(
       java.util.Arrays.asList(
         Row(-1L, SentinelNanos, -1L, "sentinel", 0.0, "{}")),
       StreamingDistinct.eventsSchema)
       .coalesce(1).write.mode("append").parquet(inDir)
+    // FileStreamSource orders files by modification time; on a coarse-mtime
+    // filesystem the sentinel could tie with (and sort before) the fixture,
+    // jump the watermark first, and late-drop everything. Force the order.
+    val maxBefore = before.map(_.lastModified).foldLeft(0L)(math.max)
+    new java.io.File(inDir).listFiles()
+      .filterNot(before)
+      .foreach(f => f.setLastModified(math.max(f.lastModified, maxBefore + 1000)))
+  }
 
   /** The standard watermarkable events file source over a staged dir:
     * declared schema, one file per trigger, nanos→timestamp rewrite.
