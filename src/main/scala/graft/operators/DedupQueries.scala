@@ -671,16 +671,54 @@ object DedupQueries {
     * ingest verdict needs. The hash family is stateless
     * (`md5("<seed>|" || w)`), so index and probe agree with no shared
     * vocabulary table.
+    *
+    * The store commits through [[graft.sources.IndexCatalog]]: each
+    * build/append writes a new GENERATION of immutable files and the
+    * manifest rename publishes it — readers of the old version are
+    * undisturbed, a crashed writer is invisible, and append never
+    * touches a committed byte.
     */
   private[operators] def buildLshStore(
-      spark: SparkSession, dir: String, base: String): Unit = {
-    val corpus = Engine.table(spark, dir, "documents")
-      .filter(col("doc_id") % 2 === 0)
-    val sets = corpus.select(col("doc_id"),
+      spark: SparkSession, dir: String, base: String): Unit =
+    writeLshGen(spark,
+      Engine.table(spark, dir, "documents").filter(col("doc_id") % 2 === 0),
+      base, excludeStored = false)
+
+  /** Append an ingest batch's band rows INTO the store as a new
+    * committed generation. Reps whose fingerprint is already stored
+    * are skipped (an anti-join on the 32-char digest column — the only
+    * store scan, no text, no signatures): the store keeps exactly one
+    * row set per distinct word set, so append-then-probe is
+    * rep-for-rep what a from-scratch rebuild over the grown corpus
+    * produces, and repeated appends of overlapping batches cannot
+    * balloon it. The signature/band work is batch-only — the corpus is
+    * never re-hashed, which is the point of maintaining the index.
+    */
+  private[operators] def appendLshStore(
+      spark: SparkSession, docs: DataFrame, base: String): Unit =
+    writeLshGen(spark, docs, base, excludeStored = true)
+
+  /** Shared generation writer for [[buildLshStore]]/[[appendLshStore]]:
+    * distinct word sets of `docs` → rep rows (minus already-stored fps
+    * when `excludeStored`) → signatures → fattened band rows, written
+    * to a fresh generation dir and committed atomically.
+    */
+  private def writeLshGen(
+      spark: SparkSession, docs: DataFrame, base: String,
+      excludeStored: Boolean): Unit = {
+    val sets = docs.select(col("doc_id"),
       sort_array(array_distinct(split(col("text"), " "))).as("ws"))
       .withColumn("fp", md5(concat_ws(" ", col("ws"))))
-    val reps = sets.groupBy(col("fp")).agg(
-      first(col("ws")).as("ws"), size(first(col("ws"))).as("n")).cache()
+    val fresh = sets.groupBy(col("fp")).agg(
+      first(col("ws")).as("ws"), size(first(col("ws"))).as("n"))
+    val storedFiles =
+      if (excludeStored) graft.sources.IndexCatalog.latestFiles(base)
+      else Seq.empty
+    val reps = (if (storedFiles.nonEmpty) {
+      val storedFps = spark.read.schema(lshStoreSchema)
+        .parquet(storedFiles: _*).select(col("fp")).distinct()
+      fresh.join(storedFps, Seq("fp"), "left_anti")
+    } else fresh).cache()
     val vocab = reps.select(explode(col("ws")).as("w")).distinct()
     val nVocab = vocab.count() // measured broadcast guard, as in lshPairs
     val sigs = repSignatures(reps, vocab, nVocab, BroadcastVocabMaxWords)
@@ -689,13 +727,15 @@ object DedupQueries {
       md5(concat(parts: _*)).as(s"bh$b")
     }
     val bandNames = (0 until NumBands).map(b => col(s"bh$b"))
-    try
+    try {
+      val gen = graft.sources.IndexCatalog.newGenDir(base)
       sigs.join(reps, "fp")
         .select(col("fp") +: col("ws") +: col("n") +: bandCols: _*)
         .select(col("fp") +: col("ws") +: col("n") +: bandNames :+
           posexplode(array(bandNames: _*)).as(Seq("band", "bh")): _*)
-        .write.mode("overwrite").parquet(s"$base/buckets")
-    finally reps.unpersist()
+        .write.mode("overwrite").parquet(gen)
+      graft.sources.IndexCatalog.commit(base, gen)
+    } finally reps.unpersist()
   }
 
   /** Probe the STORED buckets with an ingest batch (odd doc_ids): the
@@ -712,11 +752,13 @@ object DedupQueries {
     * (band, bh) equi-join, and the census aggregate.
     */
   private[operators] def probeLshStore(
-      spark: SparkSession, dir: String, base: String): DataFrame = {
+      spark: SparkSession, dir: String, base: String,
+      batchFilter: Column = col("doc_id") % 2 === 1): DataFrame = {
     Engine.register(spark) // sorted_inter_atleast on the verify path
-    val store = spark.read.schema(lshStoreSchema).parquet(s"$base/buckets")
+    val store = spark.read.schema(lshStoreSchema)
+      .parquet(graft.sources.IndexCatalog.latestFiles(base): _*)
     val incoming = Engine.table(spark, dir, "documents")
-      .filter(col("doc_id") % 2 === 1)
+      .filter(batchFilter)
       .select(col("doc_id"), col("source"),
         sort_array(array_distinct(split(col("text"), " "))).as("dws"))
       .withColumn("qfp", md5(concat_ws(" ", col("dws"))))
@@ -820,6 +862,34 @@ object DedupQueries {
     probeLshStore(spark, dir, base)
   }
 
+  /** The append-maintained form of [[qNeardupIngest]] — the full index
+    * LIFECYCLE a 100 TB ingest pipeline runs: build the store from the
+    * base corpus (even doc_ids), APPEND batch A (doc_id % 4 == 1) as a
+    * new committed generation — old files byte-untouched, manifest
+    * rename publishes — then answer batch B's (doc_id % 4 == 3) census
+    * from the grown store alone. B's near-dup verdict is against
+    * corpus ∪ A exactly as if the index had been rebuilt from scratch
+    * (NeardupAppendSpec proves probe-equivalence and old-file
+    * immutability; the oracle recomputes the same pipeline over the
+    * widened corpus predicate). Only batch text is ever re-hashed;
+    * append cost is proportional to the batch, probe cost to the
+    * store scan — nothing is proportional to corpus re-processing.
+    */
+  def qNeardupAppend(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_lshappend").toString
+    try {
+      staged("store.build")(buildLshStore(spark, dir, base))
+      staged("store.append")(appendLshStore(spark,
+        Engine.table(spark, dir, "documents").filter(col("doc_id") % 4 === 1),
+        base))
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_neardup_append", Seq(base))
+    probeLshStore(spark, dir, base, col("doc_id") % 4 === 3)
+  }
+
   // --- registry ----------------------------------------------------------
 
   /** Incremental (cross-corpus) dedup — the shape a pipeline runs on
@@ -870,7 +940,8 @@ object DedupQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_star" -> (qDedupClustersStar _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
-    "q_neardup_ingest" -> (qNeardupIngest _)
+    "q_neardup_ingest" -> (qNeardupIngest _),
+    "q_neardup_append" -> (qNeardupAppend _)
   )
 
   // Oracle SQL generated from the same constants as the Spark pipeline.
@@ -955,30 +1026,14 @@ object DedupQueries {
     // the Spark side is census-equivalent because identical word sets
     // have identical signatures, buckets, and verdicts
     "q_neardup_ingest" ->
-      s"""WITH ws AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |sigs AS (SELECT doc_id,
-         |         $duckSigCols
-         |         FROM ws GROUP BY doc_id),
-         |buckets AS (
-         |  $duckBandRows
-         |),
-         |cand AS (SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
-         |         FROM buckets l JOIN buckets r
-         |           ON l.band = r.band AND l.bh = r.bh
-         |          AND l.doc_id % 2 = 1 AND r.doc_id % 2 = 0),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id),
-         |inter AS (SELECT i, j, count(*) AS inter FROM cand
-         |          JOIN ws a ON a.doc_id = i JOIN ws b ON b.doc_id = j AND a.w = b.w
-         |          GROUP BY i, j),
-         |hits AS (SELECT DISTINCT i AS doc_id FROM inter
-         |         JOIN sizes ci ON i = ci.doc_id JOIN sizes cj ON j = cj.doc_id
-         |         WHERE inter * 10 >= (ci.n + cj.n - inter) * 9)
-         |SELECT source, count(*) AS n_incoming,
-         |       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
-         |       CAST(sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
-         |FROM (SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1) i
-         |LEFT JOIN hits h ON i.doc_id = h.doc_id
-         |GROUP BY source ORDER BY source""".stripMargin,
+      duckIngestSql(batchPred = "doc_id % 2 = 1", corpusPred = "doc_id % 2 = 0"),
+    // the lifecycle variant: after batch A (doc_id % 4 = 1) is appended
+    // into the store, batch B's census runs against corpus ∪ A — the
+    // oracle widens the corpus predicate accordingly
+    "q_neardup_append" ->
+      duckIngestSql(
+        batchPred = "doc_id % 4 = 3",
+        corpusPred = "(doc_id % 2 = 0 OR doc_id % 4 = 1)"),
     // the duplicate INJECTION (doc_id % 10 == 1 borrows the
     // predecessor's text) is the same join in both engines
     "q_incremental_dedup" ->
@@ -997,6 +1052,39 @@ object DedupQueries {
         |FROM incoming LEFT JOIN existing ON h = h_existing
         |GROUP BY source ORDER BY source""".stripMargin
   )
+
+  /** The banded-candidate + exact-verify ingest census in SQL,
+    * parametrized by which doc_ids form the probe batch and which the
+    * indexed corpus (shared by q_neardup_ingest / q_neardup_append).
+    */
+  private def duckIngestSql(batchPred: String, corpusPred: String): String = {
+    val lPred = batchPred.replace("doc_id", "l.doc_id")
+    val rPred = corpusPred.replace("doc_id", "r.doc_id")
+    s"""WITH ws AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sigs AS (SELECT doc_id,
+         |         $duckSigCols
+         |         FROM ws GROUP BY doc_id),
+         |buckets AS (
+         |  $duckBandRows
+         |),
+         |cand AS (SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+         |         FROM buckets l JOIN buckets r
+         |           ON l.band = r.band AND l.bh = r.bh
+         |          AND $lPred AND $rPred),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id),
+         |inter AS (SELECT i, j, count(*) AS inter FROM cand
+         |          JOIN ws a ON a.doc_id = i JOIN ws b ON b.doc_id = j AND a.w = b.w
+         |          GROUP BY i, j),
+         |hits AS (SELECT DISTINCT i AS doc_id FROM inter
+         |         JOIN sizes ci ON i = ci.doc_id JOIN sizes cj ON j = cj.doc_id
+         |         WHERE inter * 10 >= (ci.n + cj.n - inter) * 9)
+         |SELECT source, count(*) AS n_incoming,
+         |       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+         |       CAST(sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |FROM (SELECT doc_id, source FROM documents WHERE $batchPred) i
+         |LEFT JOIN hits h ON i.doc_id = h.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin
+  }
 
   private lazy val duckClustersSql: String =
       s"""WITH RECURSIVE $duckCappedCtes,
