@@ -291,10 +291,17 @@ object SimilarityQueries {
     val cent = kmeansCentroids(e, KmIters).cache()
     try {
       cent.coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+      // the cell-partitioned corpus commits through the catalog: the
+      // manifest rename publishes the generation, so a crashed build
+      // leaves nothing visible and later appends (new vectors assigned
+      // to the FIXED centroids) can add files without touching these
+      val target = s"$base/corpus"
       assignToCentroids(e, cent)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
-        .write.mode("overwrite").partitionBy("centroid_id")
-        .parquet(s"$base/corpus")
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(target)
+      graft.sources.IndexCatalog.commitFiles(
+        base, graft.sources.IndexCatalog.listDataFiles(target))
     } finally cent.unpersist()
   }
 
@@ -309,7 +316,8 @@ object SimilarityQueries {
       spark: SparkSession, base: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Engine.register(spark) // vec_dot on the scoring path
-    val corpus = spark.read.parquet(s"$base/corpus")
+    val corpus = spark.read.option("basePath", s"$base/corpus")
+      .parquet(graft.sources.IndexCatalog.latestFiles(base): _*)
     val queries = corpus.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("centroid_id").as("q_cent"))
@@ -407,14 +415,50 @@ object SimilarityQueries {
     val planes = e.filter(col("vec_id") < 2 * NPlanes)
       .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
     planes.coalesce(1).write.mode("overwrite").parquet(s"$base/planes")
-    e.crossJoin(planes) // NPlanes rows — bounded small side
+    writeEmbedGen(spark, e, base)
+  }
+
+  /** Append an ingest batch's vectors INTO the store as a new committed
+    * generation: sign patterns come from the STORED planes (never
+    * recomputed — the hash family is fixed at build time, which is what
+    * keeps every generation's buckets compatible), new files land
+    * inside the existing `bucket=` directories, and the manifest rename
+    * publishes them. Vectors already stored are skipped via an
+    * anti-join on the store's id column. Append cost is proportional to
+    * the batch; the corpus is never re-bucketed.
+    */
+  private[operators] def appendEmbedStore(
+      spark: SparkSession, vecs: DataFrame, base: String): Unit =
+    writeEmbedGen(spark, vecs, base)
+
+  /** Shared generation writer for [[buildEmbedStore]]/
+    * [[appendEmbedStore]]: bucket `vecs` against the stored planes,
+    * append the rows under the store's bucket partitioning, and commit
+    * exactly the files this write created (listing diff) through
+    * [[graft.sources.IndexCatalog]].
+    */
+  private[operators] def writeEmbedGen(
+      spark: SparkSession, vecs: DataFrame, base: String): Unit = {
+    import graft.sources.IndexCatalog
+    val target = s"$base/corpus"
+    val planes = spark.read.parquet(s"$base/planes")
+    val stored = IndexCatalog.latestFiles(base)
+    val fresh = if (stored.nonEmpty) {
+      val ids = spark.read.option("basePath", target).parquet(stored: _*)
+        .select(col("vec_id")).distinct()
+      vecs.join(ids, Seq("vec_id"), "left_anti")
+    } else vecs
+    val before = IndexCatalog.listDataFiles(target).toSet
+    fresh.crossJoin(planes) // NPlanes rows — bounded small side
       .withColumn("bit",
         when(dot(col("embedding"), col("p_emb")) >= 0,
           expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
       .groupBy(col("vec_id"), col("embedding"), col("nrm"))
       .agg(sum(col("bit")).as("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$base/corpus")
+      .write.mode("append").partitionBy("bucket")
+      .parquet(target)
+    IndexCatalog.commitFiles(base,
+      IndexCatalog.listDataFiles(target).filterNot(before))
   }
 
   /** Probe the stored buckets with an ingest batch (the first
@@ -426,16 +470,21 @@ object SimilarityQueries {
     * once at build time.
     */
   private[operators] def probeEmbedStore(
-      spark: SparkSession, dir: String, base: String): DataFrame = {
+      spark: SparkSession, dir: String, base: String,
+      batchFilter: Column = pmod(col("vec_id"), lit(2)) === 1 &&
+        col("vec_id") < 2 * NQueries): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Engine.register(spark) // vec_dot on the scoring path
     val planes = spark.read.parquet(s"$base/planes")
-    val corpus = spark.read.parquet(s"$base/corpus")
+    // manifest-resolved read: only committed generations' files; the
+    // basePath option keeps the bucket partition column (and pruning)
+    // over the explicit file list
+    val corpus = spark.read.option("basePath", s"$base/corpus")
+      .parquet(graft.sources.IndexCatalog.latestFiles(base): _*)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"), col("bucket").as("n_bucket"))
     val q = embeddings(spark, dir)
-      .filter(pmod(col("vec_id"), lit(2)) === 1 &&
-        col("vec_id") < 2 * NQueries)
+      .filter(batchFilter)
       .crossJoin(planes)
       .withColumn("bit",
         when(dot(col("embedding"), col("p_emb")) >= 0,
@@ -470,6 +519,31 @@ object SimilarityQueries {
     }
     graft.Lease.lease("q_embed_ingest", Seq(base))
     probeEmbedStore(spark, dir, base)
+  }
+
+  /** The append-maintained form of [[qEmbedIngest]] — the embedding
+    * sibling of [[DedupQueries.qNeardupAppend]]'s index lifecycle:
+    * build the bucket store from the even-id corpus, APPEND batch A
+    * (vec_id % 4 == 1) as a new committed generation bucketed by the
+    * STORED planes, then answer batch B's (vec_id % 4 == 3) lookup
+    * from the grown store — B's neighbors draw from corpus ∪ A exactly
+    * as a from-scratch rebuild would (spec-proven), old generations'
+    * files byte-untouched, only batch vectors ever re-hashed.
+    */
+  def qEmbedAppend(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_embappend").toString
+    try {
+      buildEmbedStore(spark, dir, base)
+      appendEmbedStore(spark,
+        embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
+        base)
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_embed_append", Seq(base))
+    probeEmbedStore(spark, dir, base,
+      pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
   }
 
   // --- embedding-cosine near-duplicate pairs ----------------------------
@@ -537,11 +611,42 @@ object SimilarityQueries {
     "q_ivf_persisted" -> (qIvfPersisted _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_ingest" -> (qEmbedIngest _),
+    "q_embed_append" -> (qEmbedAppend _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
 
   private val duckCos =
     "list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+
+  /** The plane/bucket/rank ingest-lookup pipeline in SQL, parametrized
+    * by which vec_ids form the probe batch and which the indexed corpus
+    * (shared by q_embed_ingest / q_embed_append). Planes are always the
+    * build-time ones (first [[NPlanes]] even ids) — append uses the
+    * stored planes, never refits them.
+    */
+  private def duckEmbedIngestSql(batchPred: String, corpusPred: String): String =
+      s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
+         |                WHERE vec_id % 2 = 0 AND vec_id < ${2 * NPlanes}),
+         |bucketed AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
+         |                  THEN power(2, p.plane_id // 2) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, e.embedding),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+         |      FROM bucketed WHERE $batchPred),
+         |c AS (SELECT vec_id, embedding, bucket FROM bucketed WHERE $corpusPred),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |         ${duckCos.format("q_emb", "c.embedding")} AS cos
+         |  FROM q JOIN c ON q.q_bucket = c.bucket),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM scored)
+         |SELECT query_id, rk, neighbor_id FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
 
   /** One unrolled Lloyd step in DuckDB SQL: assign to nearest centroid
     * (explicit dot/(nrm*nrm) — bit-identical to the Spark formula, not
@@ -693,28 +798,15 @@ object SimilarityQueries {
     // NPlanes even vectors (stored with the index), candidates
     // restricted to (odd batch) x (even corpus)
     "q_embed_ingest" ->
-      s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
-         |                WHERE vec_id % 2 = 0 AND vec_id < ${2 * NPlanes}),
-         |bucketed AS (
-         |  SELECT e.vec_id, e.embedding,
-         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
-         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
-         |                  THEN power(2, p.plane_id // 2) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM embeddings e CROSS JOIN planes p
-         |  GROUP BY e.vec_id, e.embedding),
-         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
-         |      FROM bucketed WHERE vec_id % 2 = 1 AND vec_id < ${2 * NQueries}),
-         |c AS (SELECT vec_id, embedding, bucket FROM bucketed WHERE vec_id % 2 = 0),
-         |scored AS (
-         |  SELECT query_id, c.vec_id AS neighbor_id,
-         |         ${duckCos.format("q_emb", "c.embedding")} AS cos
-         |  FROM q JOIN c ON q.q_bucket = c.bucket),
-         |ranked AS (SELECT query_id, neighbor_id,
-         |                  row_number() OVER (PARTITION BY query_id
-         |                                     ORDER BY cos DESC, neighbor_id) AS rk
-         |           FROM scored)
-         |SELECT query_id, rk, neighbor_id FROM ranked
-         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+      duckEmbedIngestSql(
+        batchPred = s"vec_id % 2 = 1 AND vec_id < ${2 * NQueries}",
+        corpusPred = "vec_id % 2 = 0"),
+    // the lifecycle variant: batch A (vec_id % 4 = 1) appended into
+    // the store, batch B ranked against corpus ∪ A
+    "q_embed_append" ->
+      duckEmbedIngestSql(
+        batchPred = s"vec_id % 4 = 3 AND vec_id < ${4 * NQueries}",
+        corpusPred = "(vec_id % 2 = 0 OR vec_id % 4 = 1)"),
     "q_embed_neardup" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -65,20 +65,42 @@ object IndexCatalog {
     p.toString
   }
 
+  /** All parquet data files under `dir`, recursively (covers
+    * Hive-partitioned layouts like `bucket=3/part-....parquet`).
+    * Empty when the directory does not exist yet.
+    */
+  def listDataFiles(dir: String): Seq[String] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.walk(p)
+      try s.iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+
   /** Commit `genDir`'s parquet files as the next version: manifest =
     * previous version's files ++ the generation's, written to a temp
     * path and atomically renamed into place. Returns the new version.
     */
-  def commit(base: String, genDir: String): Int = {
-    val newFiles = new java.io.File(genDir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
-      .sorted.toSeq
-    require(newFiles.nonEmpty, s"no parquet files to commit in $genDir")
+  def commit(base: String, genDir: String): Int =
+    commitFiles(base, listDataFiles(genDir))
+
+  /** Commit an explicit set of NEW data files as the next version —
+    * the path for partitioned stores, where a generation's files land
+    * inside existing `key=value` directories and the writer diffs the
+    * listing rather than using a separate generation dir. Visibility
+    * still flips only at the manifest rename.
+    */
+  def commitFiles(base: String, newFiles: Seq[String]): Int = {
+    require(newFiles.nonEmpty, "no parquet files to commit")
     val prior = latestFiles(base)
     val v = currentVersion(base) + 1
     Files.createDirectories(manifestsDir(base))
     val tmp = manifestsDir(base).resolve(s".v$v.txt.tmp")
-    Files.writeString(tmp, (prior ++ newFiles).mkString("\n"))
+    Files.writeString(tmp, (prior ++ newFiles.sorted).mkString("\n"))
     Files.move(tmp, manifestsDir(base).resolve(s"v$v.txt"),
       StandardCopyOption.ATOMIC_MOVE)
     v

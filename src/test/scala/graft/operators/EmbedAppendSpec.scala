@@ -1,0 +1,116 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, SparkSpec}
+import graft.sources.IndexCatalog
+
+/** Lifecycle contracts of the manifest-committed EMBEDDING stores
+  * (sign-LSH bucket store and IVF cell store) — the same three
+  * properties NeardupAppendSpec pins for the text store: committed
+  * files are immutable under append, probe-after-append equals a
+  * from-scratch rebuild over the grown corpus, and an uncommitted
+  * generation is invisible to readers.
+  */
+class EmbedAppendSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sha256(p: String): String = {
+    val d = MessageDigest.getInstance("SHA-256")
+    d.digest(Files.readAllBytes(Paths.get(p))).map("%02x".format(_)).mkString
+  }
+
+  private def embeddingsOf(pred: org.apache.spark.sql.Column) =
+    Engine.table(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+      .filter(pred)
+
+  test("embed store: append commits a generation, v1 files stay byte-identical") {
+    val base = Files.createTempDirectory("graft_embapp").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base)
+      assert(IndexCatalog.currentVersion(base) == 1)
+      val v1Sums = IndexCatalog.files(base, 1).map(f => f -> sha256(f)).toMap
+      assert(v1Sums.nonEmpty)
+
+      SimilarityQueries.appendEmbedStore(
+        spark, embeddingsOf(pmod(col("vec_id"), lit(4)) === 1), base)
+      assert(IndexCatalog.currentVersion(base) == 2)
+      val v2Files = IndexCatalog.files(base, 2).toSet
+      v1Sums.foreach { case (f, sum) =>
+        assert(v2Files.contains(f), s"v2 manifest dropped $f")
+        assert(sha256(f) == sum, s"append mutated committed file $f")
+      }
+      assert(v2Files.size > v1Sums.size)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("embed store: probe after append == probe of a store rebuilt over the grown corpus") {
+    val grown = Files.createTempDirectory("graft_embapp_g").toString
+    val rebuilt = Files.createTempDirectory("graft_embapp_r").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, grown)
+      SimilarityQueries.appendEmbedStore(
+        spark, embeddingsOf(pmod(col("vec_id"), lit(4)) === 1), grown)
+      // rebuilt: ONE generation holding the whole grown corpus — same
+      // planes (the build-time even ids), a genuinely different file
+      // layout, so equality is a property of the manifest+bucket
+      // semantics, not of running the same steps twice
+      val evens = embeddingsOf(pmod(col("vec_id"), lit(2)) === 0)
+      evens.filter(col("vec_id") < 2 * SimilarityQueries.NPlanes)
+        .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$rebuilt/planes")
+      SimilarityQueries.writeEmbedGen(
+        spark,
+        embeddingsOf(pmod(col("vec_id"), lit(2)) === 0 ||
+          pmod(col("vec_id"), lit(4)) === 1),
+        rebuilt)
+      assert(IndexCatalog.currentVersion(grown) == 2)
+      assert(IndexCatalog.currentVersion(rebuilt) == 1)
+      val probeB = pmod(col("vec_id"), lit(4)) === 3 &&
+        col("vec_id") < 4 * SimilarityQueries.NQueries
+      val a = SimilarityQueries.probeEmbedStore(spark, dir, grown, probeB)
+        .collect().map(_.toString).sorted
+      val b = SimilarityQueries.probeEmbedStore(spark, dir, rebuilt, probeB)
+        .collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+      assert(a.nonEmpty)
+    } finally {
+      graft.Fs.deleteRecursively(grown)
+      graft.Fs.deleteRecursively(rebuilt)
+    }
+  }
+
+  test("embed store: an uncommitted generation is invisible; IVF likewise") {
+    val base = Files.createTempDirectory("graft_embapp_u").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base)
+      val before = IndexCatalog.latestFiles(base)
+      // torn write: data lands inside an existing bucket dir but no
+      // manifest commit happens
+      val bucketDir = Paths.get(before.head).getParent
+      Files.writeString(bucketDir.resolve("part-orphan.parquet"), "torn")
+      assert(IndexCatalog.currentVersion(base) == 1)
+      assert(IndexCatalog.latestFiles(base) == before)
+      val plan = SimilarityQueries.probeEmbedStore(spark, dir, base)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("part-orphan"),
+        "probe plan must not list uncommitted files")
+    } finally graft.Fs.deleteRecursively(base)
+
+    val ivf = Files.createTempDirectory("graft_ivfapp_u").toString
+    try {
+      SimilarityQueries.buildIvfIndex(spark, dir, ivf)
+      val before = IndexCatalog.latestFiles(ivf)
+      val cellDir = Paths.get(before.head).getParent
+      Files.writeString(cellDir.resolve("part-orphan.parquet"), "torn")
+      assert(IndexCatalog.latestFiles(ivf) == before)
+      val rows = SimilarityQueries.probeIvfIndex(spark, ivf).collect()
+      assert(rows.nonEmpty) // the torn file never parses because it is never read
+    } finally graft.Fs.deleteRecursively(ivf)
+  }
+}
