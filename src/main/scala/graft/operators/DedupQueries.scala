@@ -632,6 +632,115 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Result of [[incrementalComponents]]: the merged assignment plus
+    * the two frames the not-recomputed contract is asserted on (the
+    * active merge graph's nodes and the stored components it touched).
+    */
+  private[operators] final case class IncrementalCc(
+      labels: DataFrame, activeNodes: DataFrame, touchedReps: DataFrame)
+
+  /** Merge NEW edges into a STORED cluster assignment, re-solving only
+    * the touched subgraph — the 100 TB shape of cluster maintenance:
+    * a full recluster is O(corpus) every ingest; this is O(batch +
+    * touched components).
+    *
+    * Algebra: every stored endpoint of a new edge CONTRACTS to its
+    * stored component representative (one join against the assignment
+    * — reps are component minima, so contraction preserves the merged
+    * component's min label). The merge graph's nodes are just the new
+    * nodes plus the touched reps; [[starComponents]] solves it, and
+    * the result stitches: untouched components pass through BY
+    * REFERENCE (never scanned by the solver — IncrementalCcSpec
+    * counts), touched stored nodes relabel through their old rep's new
+    * label (join on the rep, not per-node recompute), new nodes take
+    * their merge-graph label. Correct for any new-edge set that
+    * touches at least one new node per edge, including merges of two
+    * stored components through a purely-new path (both contract into
+    * the same merge component).
+    *
+    * `newEdges` must carry every pair not already reflected in
+    * `storedLabels` — pair DISCOVERY incrementality is the persisted
+    * LSH store's job ([[qNeardupAppend]]); this operator owns
+    * assignment maintenance given those pairs.
+    */
+  private[operators] def incrementalComponents(
+      storedLabels: DataFrame, newNodes: DataFrame,
+      newEdges: DataFrame): IncrementalCc = {
+    val li = storedLabels.select(col("node").as("i"), col("comp").as("ci"))
+    val lj = storedLabels.select(col("node").as("j"), col("comp").as("cj"))
+    val e2 = newEdges.join(li, Seq("i"), "left").join(lj, Seq("j"), "left")
+      .localCheckpoint() // two consumers below; pair generation runs once
+    val touchedReps = e2.select(col("ci").as("r"))
+      .unionByName(e2.select(col("cj").as("r")))
+      .filter(col("r").isNotNull).distinct()
+    val contracted = e2.select(
+      coalesce(col("ci"), col("i")).as("i"),
+      coalesce(col("cj"), col("j")).as("j"))
+    val activeNodes = newNodes.select(col("node"))
+      .unionByName(touchedReps.select(col("r").as("node"))).distinct()
+    val (merged, _) = starComponents(activeNodes, contracted)
+    // stitch: untouched stored comps unchanged; touched stored nodes
+    // relabel via their rep; new nodes read their merge-graph label
+    val untouched = storedLabels.join(
+      touchedReps.select(col("r").as("comp")), Seq("comp"), "left_anti")
+      .select(col("node"), col("comp"))
+    val repMap = merged.select(col("node").as("comp"), col("comp").as("mc"))
+    val relabeled = storedLabels
+      .join(touchedReps.select(col("r").as("comp")), Seq("comp"), "left_semi")
+      .join(repMap, Seq("comp"))
+      .select(col("node"), col("mc").as("comp"))
+    val newLabels = merged.join(newNodes, Seq("node"), "left_semi")
+      .select(col("node"), col("comp"))
+    IncrementalCc(
+      untouched.unionByName(relabeled).unionByName(newLabels),
+      activeNodes, touchedReps)
+  }
+
+  /** The gated incremental-clustering query — the cluster-store
+    * LIFECYCLE: the even-id half's assignment is computed, COMMITTED
+    * to a manifest-versioned store ([[graft.sources.IndexCatalog]],
+    * same mechanism as the LSH/IVF stores), read back, and the odd-id
+    * half arrives as an ingest batch whose pairs merge into the stored
+    * assignment via [[incrementalComponents]] — full-corpus verdict,
+    * identical to a from-scratch recluster (same recursive-CTE oracle
+    * as q_dedup_clusters; IncrementalCcSpec additionally proves the
+    * untouched components were never re-solved). The capped pair set
+    * is computed over the full corpus ONCE and split by arrival half:
+    * the df-cap is corpus-global, so at production scale the stored
+    * pair graph reflects each ingest's cap — this query pins the
+    * maintenance ALGEBRA, the cap's drift is a documented property of
+    * df-capped similarity, not of the merge.
+    */
+  def qClusterAppend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    val pairs = cappedPairs(docs).select(col("i"), col("j"))
+      .localCheckpoint() // consumed by both halves below; generated once
+    val basePairs = pairs.filter(col("i") % 2 === 0 && col("j") % 2 === 0)
+    val newEdges = pairs.filter(col("i") % 2 === 1 || col("j") % 2 === 1)
+    val (baseLabels, _) = starComponents(
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
+      basePairs)
+    // commit the base assignment to a versioned cluster store and read
+    // it BACK — the incremental step consumes stored state, never the
+    // in-memory lineage
+    val store = java.nio.file.Files.createTempDirectory("graft_ccstore").toString
+    try {
+      val gen = graft.sources.IndexCatalog.newGenDir(store)
+      baseLabels.write.mode("overwrite").parquet(gen)
+      graft.sources.IndexCatalog.commit(store, gen)
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(store)); throw e
+    }
+    graft.Lease.lease("q_cluster_append", Seq(store))
+    val stored = spark.read
+      .parquet(graft.sources.IndexCatalog.latestFiles(store): _*)
+    val inc = incrementalComponents(stored,
+      docs.filter(col("doc_id") % 2 === 1).select(col("doc_id").as("node")),
+      newEdges)
+    clusterVerdict(inc.labels)
+  }
+
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Engine.table(spark, dir, "documents")
     val pairs = cappedPairs(docs).select(col("i"), col("j"))
@@ -941,7 +1050,8 @@ object DedupQueries {
     "q_dedup_star" -> (qDedupClustersStar _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_neardup_ingest" -> (qNeardupIngest _),
-    "q_neardup_append" -> (qNeardupAppend _)
+    "q_neardup_append" -> (qNeardupAppend _),
+    "q_cluster_append" -> (qClusterAppend _)
   )
 
   // Oracle SQL generated from the same constants as the Spark pipeline.
@@ -1021,6 +1131,10 @@ object DedupQueries {
     // text, two independent distributed algorithms checked against it.
     "q_dedup_clusters" -> duckClustersSql,
     "q_dedup_star" -> duckClustersSql,
+    // incremental merge into the stored assignment — same full-corpus
+    // fixpoint, so the same oracle: THREE independent algorithms
+    // (propagation, star contraction, incremental merge) against one text
+    "q_cluster_append" -> duckClustersSql,
     // the same banded-candidate + exact-verify pipeline, restricted to
     // (incoming odd) x (corpus even) pairs; rep-level verification on
     // the Spark side is census-equivalent because identical word sets
