@@ -216,14 +216,18 @@ object CurationQueries {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val counts = toks.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
     // single-task window over DISTINCT length values only — the
-    // document-length DOMAIN, same bounded-walk argument as q_median
-    val cum = counts.withColumn("cum",
-      sum(col("c")).over(Window.orderBy(col("n_tokens"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // n derives from the already-collapsed counts frame — the
-    // threshold pass costs exactly ONE corpus scan, not two
-    val total = counts.agg(sum(col("c")).as("n"))
-    val thr = cum.crossJoin(total)
+    // document-length DOMAIN, same bounded-walk argument as q_median.
+    // Both the running total AND the corpus size come out of the SAME
+    // ordered window pass (n = the running total's final value), so
+    // the counts subtree is referenced once and the threshold pass is
+    // structurally one corpus scan — no reliance on exchange reuse.
+    val ordered = Window.orderBy(col("n_tokens"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val thr = cum
       .filter(col("cum") * 2 >= col("n"))
       .agg(min(col("n_tokens")).as("thr"))
     toks.crossJoin(broadcast(thr))

@@ -120,21 +120,29 @@ object StreamingQueries {
     * sentinel rows (the outer join's two-branch case) build their own
     * from [[SentinelNanos]].
     */
-  private[operators] def writeSentinel(ss: SparkSession, inDir: String): Unit = {
+  /** Run `write` (which appends files into `inDir`) and force the new
+    * files to sort AFTER everything already there: FileStreamSource
+    * orders by modification time, and on a coarse-mtime filesystem a
+    * sentinel could tie with (and sort before) the fixture, jump the
+    * watermark first, and late-drop everything.
+    */
+  private[operators] def appendOrderedAfter(inDir: String)(write: => Unit): Unit = {
     val before = new java.io.File(inDir).listFiles().toSet
-    ss.createDataFrame(
-      java.util.Arrays.asList(
-        Row(-1L, SentinelNanos, -1L, "sentinel", 0.0, "{}")),
-      StreamingDistinct.eventsSchema)
-      .coalesce(1).write.mode("append").parquet(inDir)
-    // FileStreamSource orders files by modification time; on a coarse-mtime
-    // filesystem the sentinel could tie with (and sort before) the fixture,
-    // jump the watermark first, and late-drop everything. Force the order.
+    write
     val maxBefore = before.map(_.lastModified).foldLeft(0L)(math.max)
     new java.io.File(inDir).listFiles()
       .filterNot(before)
       .foreach(f => f.setLastModified(math.max(f.lastModified, maxBefore + 1000)))
   }
+
+  private[operators] def writeSentinel(ss: SparkSession, inDir: String): Unit =
+    appendOrderedAfter(inDir) {
+      ss.createDataFrame(
+        java.util.Arrays.asList(
+          Row(-1L, SentinelNanos, -1L, "sentinel", 0.0, "{}")),
+        StreamingDistinct.eventsSchema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
 
   /** The standard watermarkable events file source over a staged dir:
     * declared schema, one file per trigger, nanos→timestamp rewrite.
@@ -373,6 +381,95 @@ object StreamingQueries {
     }
   }
 
+  /** Arrival-hour base (2024-01-01T00:00:00Z) and window count for the
+    * streaming quality gate: each document's arrival hour is the
+    * deterministic `doc_id % GateWindows`, so the DuckDB oracle
+    * reconstructs the exact same windows with integer arithmetic.
+    */
+  private val GateBaseEpoch = 1704067200L
+  private val GateWindows = 4
+
+  /** The corpus-global quality gate ([[CurationQueries.qQualityGate]])
+    * composed with windowed streaming state — per ARRIVAL WINDOW, the
+    * gate's exact median-of-token-counts threshold and per-source
+    * census, maintained incrementally: the streaming aggregation keeps
+    * the same collapsed state the batch gate's bounded counting walk
+    * uses — (window, source, n_tokens) → count, cardinality bounded by
+    * the token-length DOMAIN per window, never document rows — and the
+    * append sink flushes each window's distribution when the watermark
+    * closes it. The median walk + census then run over the SINK's
+    * collapsed rows (windows × sources × distinct lengths — bounded
+    * output, like q_stream_retention's matrix), distributed at read
+    * time. Documents are staged with arrival hour `doc_id %
+    * GateWindows`; sentinel choreography is [[qStreamHourly]]'s
+    * (sentinel up front, cut on the AGGREGATED window column — a
+    * source-column filter would push below the watermark node and
+    * starve it). Oracle: the batch gate algebra per window, threshold
+    * tie semantics spelled out identically (smallest v with
+    * 2·count(≤v) ≥ n).
+    */
+  def qStreamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val ss = streamSession(spark)
+    val inDir = Files.createTempDirectory("graft_qg_in").toString
+    val outDir = Files.createTempDirectory("graft_qg_out").toString
+    val ckpt = Files.createTempDirectory("graft_qg_ckpt").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType), StructField("ts", LongType)))
+    try {
+      Engine.table(ss, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          ((lit(GateBaseEpoch) + pmod(col("doc_id"), lit(GateWindows.toLong)) * 3600L)
+            * lit(1000000000L)).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(inDir)
+      appendOrderedAfter(inDir) {
+        ss.createDataFrame(
+          java.util.Arrays.asList(Row(-1L, "sentinel", "", SentinelNanos)),
+          docSchema).coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val src = ss.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      val state = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("source"), col("n_tokens"))
+        .agg(count(lit(1)).as("c"))
+        .select(unix_timestamp(col("window.start")).as("win"),
+          col("source"), col("n_tokens"), col("c"))
+        .filter(col("win") < GateBaseEpoch + 86400L) // cut the sentinel window
+      runPass(state, outDir, ckpt)
+      lease("q_stream_quality_gate", Seq(inDir, outDir, ckpt))
+      val counts = ss.read.schema(state.schema).parquet(outDir)
+      val perWin = counts.groupBy(col("win"), col("n_tokens"))
+        .agg(sum(col("c")).as("c"))
+      // same one-pass trick as the batch gate: running total and
+      // window total out of a single ordered window over the DOMAIN
+      val ordered = Window.partitionBy(col("win")).orderBy(col("n_tokens"))
+      val cum = perWin
+        .withColumn("cum", sum(col("c")).over(
+          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(
+          ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val thr = cum.filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("win")).agg(min(col("n_tokens")).as("thr"))
+      counts.join(thr, "win")
+        .groupBy(col("win"), col("source"))
+        .agg(sum(col("c")).cast("long").as("n_docs"),
+          sum(when(col("n_tokens") >= col("thr"), col("c")).otherwise(0L))
+            .cast("long").as("n_kept"),
+          sum(when(col("n_tokens") >= col("thr"), col("n_tokens") * col("c"))
+            .otherwise(0L)).cast("long").as("kept_tokens"))
+        .orderBy("win", "source")
+    } catch {
+      case e: Throwable =>
+        Seq(inDir, outDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
   /** Stream-stream interval join (click attribution) as a true
     * incremental execution: the view and click streams are two
     * filtered branches of the watermarked events file source, joined
@@ -593,7 +690,8 @@ object StreamingQueries {
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_outer_join" -> (qStreamOuterJoin _),
     "q_stream_dedup" -> (qStreamDedup _),
-    "q_stream_static_join" -> (qStreamStaticJoin _)
+    "q_stream_static_join" -> (qStreamStaticJoin _),
+    "q_stream_quality_gate" -> (qStreamQualityGate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -604,6 +702,27 @@ object StreamingQueries {
     // native streaming session windows must flush exactly the batch
     // session list — the batch q_session_window oracle, verbatim
     "q_stream_session_window" -> RelationalQueries.oracles("q_session_window"),
+    // the batch quality-gate algebra per arrival window (doc_id %
+    // GateWindows), threshold tie semantics spelled out identically to
+    // q_quality_gate's oracle: smallest v with 2*count(<=v) >= n
+    "q_stream_quality_gate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         $GateBaseEpoch + (doc_id % $GateWindows) * 3600 AS win
+         |  FROM documents),
+         |counts AS (SELECT win, n_tokens, count(*) AS c FROM d GROUP BY 1, 2),
+         |cum AS (SELECT win, n_tokens,
+         |               sum(c) OVER (PARTITION BY win ORDER BY n_tokens
+         |                            ROWS UNBOUNDED PRECEDING) AS cum,
+         |               sum(c) OVER (PARTITION BY win) AS n
+         |        FROM counts),
+         |thr AS (SELECT win, min(n_tokens) AS thr FROM cum WHERE cum * 2 >= n GROUP BY win)
+         |SELECT d.win, d.source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN d.n_tokens >= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN d.n_tokens >= t.thr THEN d.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM d JOIN thr t ON d.win = t.win
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the batch ordered-funnel stage times the incremental state must
     // finalize to: earliest view, earliest click strictly after it,
     // earliest purchase strictly after that (users with >=1 view)

@@ -142,6 +142,11 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     shuffles.foreach(x =>
       assert(x.child.toString.contains("HashAggregate"),
         s"non-aggregate corpus shuffle:\n$x"))
+    // exactly TWO corpus scans: one feeding the threshold's collapsed
+    // counts (n now derives from the same window pass — no third scan
+    // for the total), one for the per-source census
+    val scans = collectAll(p).count(_.nodeName.contains("Scan parquet"))
+    assert(scans == 2, s"quality gate must read the corpus exactly twice, got $scans:\n$p")
   }
 
   test("merge upsert plans a broadcast anti join: the base table is never exchanged") {
