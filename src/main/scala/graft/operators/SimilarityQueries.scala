@@ -28,7 +28,7 @@ import graft.Engine
 object SimilarityQueries {
 
   private[operators] val K = 5
-  private val NList = 8
+  private[operators] val NList = 8
   private[operators] val NQueries = 20
 
   /** Codegen'd sequential-order double dot product (graft `vec_dot`). */
@@ -201,8 +201,9 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
   }
 
-  private def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
-    var cent = e.filter(col("vec_id") < NList)
+  private def kmeansCentroids(e: DataFrame, iters: Int,
+      seed: Column = col("vec_id") < NList): DataFrame = {
+    var cent = e.filter(seed)
       .select(col("vec_id").as("centroid_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("c_emb"))
     for (_ <- 1 to iters) {
@@ -286,23 +287,68 @@ object SimilarityQueries {
   private[operators] def buildIvfIndex(
       spark: SparkSession, dir: String, base: String): Unit = {
     val e = embeddings(spark, dir)
+    buildIvfStore(spark, base, e, e, col("vec_id") < NList)
+  }
+
+  /** Core IVF store builder with the train/corpus roles split: k-means
+    * runs over `train` (seeded by `seed`), and `corpus` is what gets
+    * cell-assigned and stored. [[buildIvfIndex]] is the train = corpus
+    * = whole-table instantiation; [[qIvfAppend]] trains on the build
+    * corpus only, because appended batches arrive AFTER the centroid
+    * family is frozen — the same fixed-at-build contract the sign-LSH
+    * store keeps for its hyperplanes.
+    */
+  private[operators] def buildIvfStore(spark: SparkSession, base: String,
+      train: DataFrame, corpus: DataFrame, seed: Column): Unit = {
     // tiny (NList-row) table; cached because assignment joins it and
     // the write below would otherwise re-plan the Lloyd lineage
-    val cent = kmeansCentroids(e, KmIters).cache()
+    val cent = kmeansCentroids(train, KmIters, seed).cache()
     try {
       cent.coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
       // the cell-partitioned corpus commits through the catalog: the
       // manifest rename publishes the generation, so a crashed build
       // leaves nothing visible and later appends (new vectors assigned
       // to the FIXED centroids) can add files without touching these
-      val target = s"$base/corpus"
-      assignToCentroids(e, cent)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
-        .write.mode("append").partitionBy("centroid_id")
-        .parquet(target)
-      graft.sources.IndexCatalog.commitFiles(
-        base, graft.sources.IndexCatalog.listDataFiles(target))
+      writeIvfGen(spark, corpus, base, cent)
     } finally cent.unpersist()
+  }
+
+  /** Append an ingest batch's vectors INTO the IVF store as a new
+    * committed generation: cells come from the STORED centroids (never
+    * retrained — the cell family is fixed at build time, which is what
+    * keeps every generation's partitioning compatible), new files land
+    * inside the existing `centroid_id=` directories, and the manifest
+    * rename publishes them. Vectors already stored are skipped via an
+    * anti-join on the store's id column; append cost is proportional
+    * to the batch, the stored corpus is never re-assigned.
+    */
+  private[operators] def appendIvfStore(
+      spark: SparkSession, vecs: DataFrame, base: String): Unit =
+    writeIvfGen(spark, vecs, base,
+      spark.read.parquet(s"$base/centroids"))
+
+  /** Shared generation writer for [[buildIvfStore]]/[[appendIvfStore]]:
+    * assign `vecs` to `cent`'s cells, append the rows under the store's
+    * `centroid_id` partitioning, and commit exactly the files this
+    * write created (listing diff) through [[graft.sources.IndexCatalog]].
+    */
+  private def writeIvfGen(spark: SparkSession, vecs: DataFrame,
+      base: String, cent: DataFrame): Unit = {
+    import graft.sources.IndexCatalog
+    val target = s"$base/corpus"
+    val stored = IndexCatalog.latestFiles(base)
+    val fresh = if (stored.nonEmpty) {
+      val ids = spark.read.option("basePath", target).parquet(stored: _*)
+        .select(col("vec_id")).distinct()
+      vecs.join(ids, Seq("vec_id"), "left_anti")
+    } else vecs
+    val before = IndexCatalog.listDataFiles(target).toSet
+    assignToCentroids(fresh, cent.select(col("centroid_id"), col("c_emb")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(target)
+    IndexCatalog.commitFiles(base,
+      IndexCatalog.listDataFiles(target).filterNot(before))
   }
 
   /** Probe the STORED index only: queries and corpus both read the
@@ -354,6 +400,69 @@ object SimilarityQueries {
     }
     graft.Lease.lease("q_ivf_persisted", Seq(base))
     probeIvfIndex(spark, base)
+  }
+
+  /** Probe the stored IVF index with an EXTERNAL query batch: the batch
+    * computes its cell against the STORED centroids (an NList-row
+    * broadcast — no k-means job), then equi-joins the cell-partitioned
+    * manifest-resolved corpus on `centroid_id` and ranks within-cell by
+    * exact cosine. The corpus side of the plan touches only the index
+    * store; the only corpus-sized work ran at build/append time.
+    */
+  private[operators] def probeIvfBatch(
+      spark: SparkSession, dir: String, base: String,
+      batchFilter: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.register(spark) // vec_dot on the scoring path
+    val cent = spark.read.parquet(s"$base/centroids")
+    val corpus = spark.read.option("basePath", s"$base/corpus")
+      .parquet(graft.sources.IndexCatalog.latestFiles(base): _*)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("centroid_id").as("n_cent"))
+    val q = assignToCentroids(
+        embeddings(spark, dir).filter(batchFilter),
+        cent.select(col("centroid_id"), col("c_emb")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("centroid_id").as("q_cent"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(corpus, col("q_cent") === col("n_cent") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** The append-maintained form of [[qIvfPersisted]] — the third store
+    * family's index lifecycle, completing the symmetry with
+    * [[DedupQueries.qNeardupAppend]] (MinHash-LSH bands) and
+    * [[qEmbedAppend]] (sign-LSH buckets): build the IVF store over the
+    * even-id corpus (centroids trained there and FROZEN), APPEND batch
+    * A (vec_id % 4 == 1) as a new committed generation assigned to the
+    * stored centroids, then answer batch B's (vec_id % 4 == 3) lookup
+    * from the grown store. B's neighbors draw from corpus ∪ A exactly
+    * as a rebuild over the grown corpus with the same frozen centroids
+    * would (spec-proven), old generations' files byte-untouched, only
+    * batch vectors ever assigned at append time.
+    */
+  def qIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfappend").toString
+    try {
+      val even = embeddings(spark, dir)
+        .filter(pmod(col("vec_id"), lit(2)) === 0)
+      buildIvfStore(spark, base, even, even, col("vec_id") < 2 * NList)
+      appendIvfStore(spark,
+        embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1), base)
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_ivf_append", Seq(base))
+    probeIvfBatch(spark, dir, base,
+      pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
   }
 
   // --- LSH-bucketed ANN (random-hyperplane signs) -----------------------
@@ -609,6 +718,7 @@ object SimilarityQueries {
     "q_ivf_multiprobe" -> (qIvfMultiprobe _),
     "q_ivf_kmeans" -> (qIvfKmeans _),
     "q_ivf_persisted" -> (qIvfPersisted _),
+    "q_ivf_append" -> (qIvfAppend _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_ingest" -> (qEmbedIngest _),
     "q_embed_append" -> (qEmbedAppend _),
@@ -658,7 +768,7 @@ object SimilarityQueries {
        |a$i AS (SELECT vec_id, emb, centroid_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY
        |           list_inner_product(emb, c) / (nrm * cn) DESC, centroid_id) AS rk
-       |       FROM en CROSS JOIN cn$i),
+       |       FROM tr CROSS JOIN cn$i),
        |m$i AS (SELECT centroid_id, emb FROM a$i WHERE rk = 1),
        |u$i AS (SELECT centroid_id, i AS p, CAST(floor(emb[i] * 1000000) AS BIGINT) AS fx
        |       FROM m$i, unnest(generate_series(1, len(emb))) AS t(i)),
@@ -666,29 +776,46 @@ object SimilarityQueries {
        |       FROM u$i GROUP BY 1, 2),
        |c$i AS (SELECT centroid_id, list(cx ORDER BY p) AS c FROM s$i GROUP BY 1)""".stripMargin
 
-  private lazy val duckIvfKmeansSql: String =
+  /** The learned-centroid IVF pipeline in SQL, parameterized by which
+    * rows seed and train the k-means (`seedPred` / `trainPred` — the
+    * build corpus), which rows are index MEMBERS at probe time
+    * (`memberPred` — build corpus plus any appended generations), and
+    * which form the query batch (`queryPred`). The whole-table
+    * single-generation form ([[duckIvfKmeansSql]]) and the
+    * append-maintained form (q_ivf_append) are two instantiations of
+    * this one text, mirroring how the Spark side shares
+    * [[buildIvfStore]]/[[writeIvfGen]] across both.
+    */
+  private def duckIvfSql(seedPred: String, trainPred: String,
+      memberPred: String, queryPred: String): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |en AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) AS nrm FROM e),
-       |c0 AS (SELECT vec_id AS centroid_id, emb AS c FROM e WHERE vec_id < $NList),
+       |tr AS (SELECT * FROM en WHERE $trainPred),
+       |c0 AS (SELECT vec_id AS centroid_id, emb AS c FROM e WHERE $seedPred),
        |${(1 to KmIters).map(i => duckKmIter(i, s"c${i - 1}")).mkString(",\n")},
        |cnf AS (SELECT centroid_id, c, sqrt(list_inner_product(c, c)) AS cn FROM c$KmIters),
+       |mem AS (SELECT * FROM en WHERE ($memberPred) OR ($queryPred)),
        |af AS (SELECT vec_id, emb, nrm, centroid_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY
        |           list_inner_product(emb, c) / (nrm * cn) DESC, centroid_id) AS rk
-       |       FROM en CROSS JOIN cnf),
+       |       FROM mem CROSS JOIN cnf),
        |asg AS (SELECT vec_id, emb, nrm, centroid_id FROM af WHERE rk = 1),
        |q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn, centroid_id AS qc
-       |      FROM asg WHERE vec_id < $NQueries),
+       |      FROM asg WHERE $queryPred),
+       |cps AS (SELECT vec_id, emb, nrm, centroid_id FROM asg WHERE $memberPred),
        |scored AS (
        |  SELECT query_id, a.vec_id AS neighbor_id,
        |         list_inner_product(qe, a.emb) / (qn * a.nrm) AS cos
-       |  FROM q JOIN asg a ON q.qc = a.centroid_id AND q.query_id <> a.vec_id),
+       |  FROM q JOIN cps a ON q.qc = a.centroid_id AND q.query_id <> a.vec_id),
        |ranked AS (SELECT query_id, neighbor_id,
        |                  row_number() OVER (PARTITION BY query_id
        |                                     ORDER BY cos DESC, neighbor_id) AS rk
        |           FROM scored)
        |SELECT query_id, rk, neighbor_id FROM ranked
        |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+
+  private lazy val duckIvfKmeansSql: String =
+    duckIvfSql(s"vec_id < $NList", "TRUE", "TRUE", s"vec_id < $NQueries")
 
   val oracles: Map[String, String] = Map(
     "q_knn_brute" ->
@@ -771,6 +898,14 @@ object SimilarityQueries {
     // (same centroids, same assignment, same rank) — one oracle text,
     // two execution postures (recompute-inline vs write-once/probe-many)
     "q_ivf_persisted" -> duckIvfKmeansSql,
+    // append form: centroids seeded+trained on the even-id build corpus
+    // only (frozen at build), members = build corpus ∪ appended batch A,
+    // queries = batch B assigned to the same frozen centroids
+    "q_ivf_append" -> duckIvfSql(
+      s"vec_id % 2 = 0 AND vec_id < ${2 * NList}",
+      "vec_id % 2 = 0",
+      "vec_id % 2 = 0 OR vec_id % 4 = 1",
+      s"vec_id % 4 = 3 AND vec_id < ${4 * NQueries}"),
     "q_embed_lsh" ->
       s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
          |                WHERE vec_id < $NPlanes),

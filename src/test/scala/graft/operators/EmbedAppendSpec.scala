@@ -113,4 +113,57 @@ class EmbedAppendSpec extends SparkSpec {
       assert(rows.nonEmpty) // the torn file never parses because it is never read
     } finally graft.Fs.deleteRecursively(ivf)
   }
+
+  test("IVF store: append commits a generation, v1 files stay byte-identical") {
+    val base = Files.createTempDirectory("graft_ivfapp").toString
+    try {
+      val even = embeddingsOf(pmod(col("vec_id"), lit(2)) === 0)
+      SimilarityQueries.buildIvfStore(spark, base, even, even,
+        col("vec_id") < 2 * SimilarityQueries.NList)
+      assert(IndexCatalog.currentVersion(base) == 1)
+      val v1Sums = IndexCatalog.files(base, 1).map(f => f -> sha256(f)).toMap
+      assert(v1Sums.nonEmpty)
+
+      SimilarityQueries.appendIvfStore(
+        spark, embeddingsOf(pmod(col("vec_id"), lit(4)) === 1), base)
+      assert(IndexCatalog.currentVersion(base) == 2)
+      val v2Files = IndexCatalog.files(base, 2).toSet
+      v1Sums.foreach { case (f, sum) =>
+        assert(v2Files.contains(f), s"v2 manifest dropped $f")
+        assert(sha256(f) == sum, s"append mutated committed file $f")
+      }
+      assert(v2Files.size > v1Sums.size)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("IVF store: probe after append == probe of a store rebuilt over the grown corpus") {
+    val grown = Files.createTempDirectory("graft_ivfapp_g").toString
+    val rebuilt = Files.createTempDirectory("graft_ivfapp_r").toString
+    try {
+      val even = embeddingsOf(pmod(col("vec_id"), lit(2)) === 0)
+      val batchA = embeddingsOf(pmod(col("vec_id"), lit(4)) === 1)
+      SimilarityQueries.buildIvfStore(spark, grown, even, even,
+        col("vec_id") < 2 * SimilarityQueries.NList)
+      SimilarityQueries.appendIvfStore(spark, batchA, grown)
+      // rebuilt: ONE generation holding the whole grown corpus, with the
+      // SAME frozen centroid family (trained on the even build corpus) —
+      // a different file layout, so equality is a property of the
+      // manifest + cell-assignment semantics, not of repeating steps
+      SimilarityQueries.buildIvfStore(spark, rebuilt, even,
+        even.unionByName(batchA), col("vec_id") < 2 * SimilarityQueries.NList)
+      assert(IndexCatalog.currentVersion(grown) == 2)
+      assert(IndexCatalog.currentVersion(rebuilt) == 1)
+      val probeB = pmod(col("vec_id"), lit(4)) === 3 &&
+        col("vec_id") < 4 * SimilarityQueries.NQueries
+      val a = SimilarityQueries.probeIvfBatch(spark, dir, grown, probeB)
+        .collect().map(_.toString).sorted
+      val b = SimilarityQueries.probeIvfBatch(spark, dir, rebuilt, probeB)
+        .collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+      assert(a.nonEmpty)
+    } finally {
+      graft.Fs.deleteRecursively(grown)
+      graft.Fs.deleteRecursively(rebuilt)
+    }
+  }
 }
