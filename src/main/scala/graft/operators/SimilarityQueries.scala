@@ -655,6 +655,76 @@ object SimilarityQueries {
       pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
   }
 
+  // --- store compaction + retention vacuum ------------------------------
+
+  /** Compact the embed store: rewrite the CURRENT version's live rows
+    * into a fresh file set under the same `bucket=` partitioning (one
+    * shuffle keyed on the partition column, so each bucket lands in ~1
+    * file instead of one-per-generation-per-task) and publish it as a
+    * [[graft.sources.IndexCatalog.commitRewrite]] — the manifest now
+    * lists ONLY the compacted files, superseding every prior
+    * generation's. Old files stay on disk for older manifests (time
+    * travel) until [[graft.sources.IndexCatalog.vacuum]] reclaims them.
+    * Content is untouched: probes before and after compaction are
+    * row-identical (spec-pinned).
+    */
+  private[operators] def compactEmbedStore(
+      spark: SparkSession, base: String): Unit = {
+    import graft.sources.IndexCatalog
+    val target = s"$base/corpus"
+    val live = spark.read.option("basePath", target)
+      .parquet(IndexCatalog.latestFiles(base): _*)
+    val before = IndexCatalog.listDataFiles(target).toSet
+    live.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(target)
+    IndexCatalog.commitRewrite(base,
+      IndexCatalog.listDataFiles(target).filterNot(before))
+  }
+
+  /** The retention end of the index lifecycle: build → append →
+    * COMPACT (rewrite commit) → VACUUM (retention GC) → probe. After
+    * vacuum only the compacted file set and its manifest survive —
+    * superseded generation files, pre-horizon manifests, and a planted
+    * torn-write orphan are all gone — yet the probe is row-identical
+    * to [[qEmbedAppend]]'s (the store's content is invariant under
+    * compaction + vacuum). The filesystem facts are checked eagerly
+    * driver-side (a few dozen paths — catalog metadata, not data
+    * motion) and pinned as the `vacuum_ok` boolean the oracle asserts
+    * TRUE, the same gating pattern as q_hll_rollup's `hll_ok`.
+    */
+  def qStoreVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+    val ok = try {
+      buildEmbedStore(spark, dir, base)
+      appendEmbedStore(spark,
+        embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1), base)
+      compactEmbedStore(spark, base)
+      val preVacuumLive = IndexCatalog.latestFiles(base)
+      val superseded = IndexCatalog.referencedFiles(base, 1) -- preVacuumLive
+      // a torn write that never committed — vacuum must sweep it too
+      val orphan = java.nio.file.Paths.get(preVacuumLive.head).getParent
+        .resolve("part-orphan-torn.parquet")
+      java.nio.file.Files.writeString(orphan, "torn")
+      val deleted = IndexCatalog.vacuum(base, retain = 1)
+      def gone(p: String) = !java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+      superseded.forall(gone) && gone(orphan.toString) &&
+        deleted.toSet == (superseded + orphan.toString) &&
+        IndexCatalog.currentVersion(base) == 3 &&
+        IndexCatalog.latestFiles(base) == preVacuumLive &&
+        preVacuumLive.forall(f => !gone(f)) &&
+        // pre-horizon manifests are dropped: version 1 fails at resolution
+        scala.util.Try(IndexCatalog.files(base, 1)).isFailure
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_store_vacuum", Seq(base))
+    probeEmbedStore(spark, dir, base,
+      pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
+      .withColumn("vacuum_ok", lit(ok))
+  }
+
   // --- embedding-cosine near-duplicate pairs ----------------------------
 
   /** Block count for the balanced block-pair (triangle) self-join. At a
@@ -722,6 +792,7 @@ object SimilarityQueries {
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_ingest" -> (qEmbedIngest _),
     "q_embed_append" -> (qEmbedAppend _),
+    "q_store_vacuum" -> (qStoreVacuum _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
 
@@ -942,6 +1013,14 @@ object SimilarityQueries {
       duckEmbedIngestSql(
         batchPred = s"vec_id % 4 = 3 AND vec_id < ${4 * NQueries}",
         corpusPred = "(vec_id % 2 = 0 OR vec_id % 4 = 1)"),
+    // compaction + vacuum never change content: the probe algebra is
+    // q_embed_append's verbatim, and the filesystem contract (expired
+    // generations + torn writes reclaimed, live files intact) is the
+    // Spark-side vacuum_ok boolean the oracle pins TRUE
+    "q_store_vacuum" ->
+      s"""SELECT t.*, TRUE AS vacuum_ok FROM (${duckEmbedIngestSql(
+        batchPred = s"vec_id % 4 = 3 AND vec_id < ${4 * NQueries}",
+        corpusPred = "(vec_id % 2 = 0 OR vec_id % 4 = 1)")}) t""",
     "q_embed_neardup" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

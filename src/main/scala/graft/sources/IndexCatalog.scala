@@ -96,13 +96,77 @@ object IndexCatalog {
     */
   def commitFiles(base: String, newFiles: Seq[String]): Int = {
     require(newFiles.nonEmpty, "no parquet files to commit")
-    val prior = latestFiles(base)
+    writeManifest(base, latestFiles(base) ++ newFiles.sorted)
+  }
+
+  /** Commit a REWRITE: the next version's manifest lists ONLY
+    * `files` — the compaction commit, where the store's live rows were
+    * rewritten into a fresh (smaller) file set and the old generations'
+    * files are superseded rather than extended. The old files stay on
+    * disk (older manifests still reference them — time travel holds)
+    * until [[vacuum]] reclaims them past the retention horizon.
+    */
+  def commitRewrite(base: String, files: Seq[String]): Int = {
+    require(files.nonEmpty, "no parquet files to commit")
+    writeManifest(base, files.sorted)
+  }
+
+  private def writeManifest(base: String, all: Seq[String]): Int = {
     val v = currentVersion(base) + 1
     Files.createDirectories(manifestsDir(base))
     val tmp = manifestsDir(base).resolve(s".v$v.txt.tmp")
-    Files.writeString(tmp, (prior ++ newFiles.sorted).mkString("\n"))
+    Files.writeString(tmp, all.mkString("\n"))
     Files.move(tmp, manifestsDir(base).resolve(s"v$v.txt"),
       StandardCopyOption.ATOMIC_MOVE)
     v
+  }
+
+  /** Union of the data files referenced by every committed manifest
+    * with version >= `fromVersion`.
+    */
+  def referencedFiles(base: String, fromVersion: Int): Set[String] = {
+    val cur = currentVersion(base)
+    (math.max(1, fromVersion) to cur).flatMap(files(base, _)).toSet
+  }
+
+  /** Reclaim storage: keep the newest `retain` versions readable and
+    * delete everything older — the retention GC every manifest-committed
+    * table format pairs with its time travel. Concretely:
+    *  - live = union of the manifests in the retention window;
+    *  - candidates = parquet files under the directory roots the
+    *    manifests govern (ONLY those roots — store metadata written
+    *    outside the catalog, e.g. `centroids/` / `planes/`, is never
+    *    touched);
+    *  - delete candidates not in live: files superseded by a
+    *    [[commitRewrite]] compaction beyond the horizon, plus torn
+    *    writes that never committed (crash debris);
+    *  - delete the expired manifests, so reads of a pre-horizon version
+    *    fail fast at resolution instead of listing vanished files.
+    * Readers of in-window versions are untouched: their manifests and
+    * every file those reference survive byte-identical. Returns the
+    * deleted data-file paths.
+    */
+  def vacuum(base: String, retain: Int): Seq[String] = {
+    require(retain >= 1, "must retain at least the current version")
+    val cur = currentVersion(base)
+    val horizon = math.max(1, cur - retain + 1)
+    val live = referencedFiles(base, horizon)
+    // roots ever governed by a manifest (committed paths' first segment
+    // under base) — across ALL versions, so files referenced only by
+    // expired manifests are still in scope for deletion
+    val basePath = Paths.get(base).toAbsolutePath.normalize
+    val roots = (1 to cur).flatMap(files(base, _)).flatMap { f =>
+      val rel = basePath.relativize(Paths.get(f).toAbsolutePath.normalize)
+      if (rel.getNameCount >= 1) Some(rel.getName(0).toString) else None
+    }.toSet
+    val deleted = roots.toSeq.sorted.flatMap { r =>
+      listDataFiles(basePath.resolve(r).toString)
+        .filterNot(f => live.contains(f))
+    }
+    deleted.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    (1 until horizon).foreach { v =>
+      Files.deleteIfExists(manifestsDir(base).resolve(s"v$v.txt"))
+    }
+    deleted
   }
 }

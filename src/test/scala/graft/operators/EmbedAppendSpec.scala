@@ -114,6 +114,65 @@ class EmbedAppendSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(ivf)
   }
 
+  test("embed store: compaction supersedes generations and vacuum reclaims them, content invariant") {
+    val base = Files.createTempDirectory("graft_vac").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base)
+      SimilarityQueries.appendEmbedStore(
+        spark, embeddingsOf(pmod(col("vec_id"), lit(4)) === 1), base)
+      val probeB = pmod(col("vec_id"), lit(4)) === 3 &&
+        col("vec_id") < 4 * SimilarityQueries.NQueries
+      val before = SimilarityQueries.probeEmbedStore(spark, dir, base, probeB)
+        .collect().map(_.toString).sorted
+      val v2Files = IndexCatalog.files(base, 2).toSet
+
+      SimilarityQueries.compactEmbedStore(spark, base)
+      assert(IndexCatalog.currentVersion(base) == 3)
+      val v3Files = IndexCatalog.files(base, 3).toSet
+      // a rewrite commit: the new manifest shares nothing with v2 and
+      // the compacted layout is smaller than the accumulated one
+      assert(v3Files.intersect(v2Files).isEmpty)
+      assert(v3Files.size < v2Files.size)
+      val afterCompact = SimilarityQueries
+        .probeEmbedStore(spark, dir, base, probeB)
+        .collect().map(_.toString).sorted
+      assert(afterCompact.sameElements(before))
+
+      val deleted = IndexCatalog.vacuum(base, retain = 1)
+      assert(deleted.toSet == v2Files) // v1 ⊆ v2 by cumulative commit
+      assert(v2Files.forall(f => !Files.exists(Paths.get(f))))
+      assert(v3Files.forall(f => Files.exists(Paths.get(f))))
+      assert(scala.util.Try(IndexCatalog.files(base, 1)).isFailure)
+      assert(scala.util.Try(IndexCatalog.files(base, 2)).isFailure)
+      val afterVacuum = SimilarityQueries
+        .probeEmbedStore(spark, dir, base, probeB)
+        .collect().map(_.toString).sorted
+      assert(afterVacuum.sameElements(before))
+      assert(afterVacuum.nonEmpty)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("vacuum with retain=2 keeps the in-window version's files and drops only pre-horizon manifests") {
+    val base = Files.createTempDirectory("graft_vac2").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base)
+      SimilarityQueries.appendEmbedStore(
+        spark, embeddingsOf(pmod(col("vec_id"), lit(4)) === 1), base)
+      SimilarityQueries.compactEmbedStore(spark, base)
+      val v2Files = IndexCatalog.files(base, 2)
+      val deleted = IndexCatalog.vacuum(base, retain = 2)
+      // v2 is inside the retention window: every file it references
+      // survives, so nothing is reclaimed and v2 stays readable
+      assert(deleted.isEmpty)
+      assert(v2Files.forall(f => Files.exists(Paths.get(f))))
+      assert(IndexCatalog.files(base, 2) == v2Files)
+      assert(scala.util.Try(IndexCatalog.files(base, 1)).isFailure)
+      // metadata written outside the catalog is never vacuum's business
+      assert(Files.isDirectory(Paths.get(s"$base/planes")))
+      assert(IndexCatalog.listDataFiles(s"$base/planes").nonEmpty)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("IVF store: append commits a generation, v1 files stay byte-identical") {
     val base = Files.createTempDirectory("graft_ivfapp").toString
     try {
