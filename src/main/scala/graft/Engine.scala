@@ -91,13 +91,6 @@ object Engine {
     }
     temp("bloom_contains")(exprs =>
       BloomFilterMightContain(exprs(0), hashKey(exprs(1))))
-    // Session-construction conf: set at register() or as session-build
-    // config (Bench/Verify/BenchOne/PlanDump builders), never by read
-    // helpers — `events.ts` is parquet TIMESTAMP(NANOS), which the
-    // vectorized reader rejects unless read as raw longs. [[table]]
-    // stays side-effect free — a concurrent query on a shared session
-    // must never see a conf flip mid-read.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 
@@ -125,22 +118,21 @@ object Engine {
     * queried the reference through plain SQL.
     */
   def registerTables(spark: SparkSession, dir: String): SparkSession = {
-    register(spark) // functions + the nanos read conf `events` needs
+    register(spark)
     tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
     spark
   }
 
   /** Load one fixture table (TESTDATA.md layout: `<dir>/<name>.parquet`).
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; it is read as raw nanos and floor-converted to a
-    * microsecond timestamp — the same truncation DuckDB applies when it
-    * reads the file. Pure: requires the legacy-nanos conf from
-    * [[register]] (or session-build config); it never mutates the
-    * session itself.
+    * `events.ts` is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    * which Spark reads as TIMESTAMP_NTZ; it is cast to the session-zone
+    * TIMESTAMP (every graft session runs UTC, so the instants are
+    * unchanged) so downstream `unix_micros`/watermark arithmetic keeps
+    * the same types as DuckDB's `epoch_us(ts)` on the oracle side.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -22,7 +22,6 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // session-build conf (events is TIMESTAMP(NANOS)); queries that
       // never call Engine.register must still read it
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

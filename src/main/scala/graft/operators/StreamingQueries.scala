@@ -115,6 +115,14 @@ object StreamingQueries {
   private[operators] val SentinelNanos: Long =
     java.time.Instant.parse("2100-01-01T00:00:00Z").getEpochSecond * 1000000000L
 
+  /** The same sentinel instant as a [[java.time.LocalDateTime]] — the
+    * external type for the fixture's TIMESTAMP_NTZ `ts` column (UTC
+    * wall clock, matching the UTC session zone).
+    */
+  private[operators] val SentinelNtz: java.time.LocalDateTime =
+    java.time.LocalDateTime.ofInstant(
+      java.time.Instant.parse("2100-01-01T00:00:00Z"), java.time.ZoneOffset.UTC)
+
   /** Write THE sentinel file: one far-future row (user -1, type
     * `sentinel`) appended to the source dir. Queries needing custom
     * sentinel rows (the outer join's two-branch case) build their own
@@ -139,20 +147,20 @@ object StreamingQueries {
     appendOrderedAfter(inDir) {
       ss.createDataFrame(
         java.util.Arrays.asList(
-          Row(-1L, SentinelNanos, -1L, "sentinel", 0.0, "{}")),
+          Row(-1L, SentinelNtz, -1L, "sentinel", 0.0, "{}")),
         StreamingDistinct.eventsSchema)
         .coalesce(1).write.mode("append").parquet(inDir)
     }
 
   /** The standard watermarkable events file source over a staged dir:
-    * declared schema, one file per trigger, nanos→timestamp rewrite.
+    * declared schema, one file per trigger, NTZ→session-zone cast.
     */
   private[operators] def eventsSource(ss: SparkSession, inDir: String): DataFrame =
     ss.readStream
       .schema(StreamingDistinct.eventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
 
   /** The returned DataFrame reads the parquet sink DIRECTLY — fully
     * distributed, no `Local.pin`: the deduped event table and the
@@ -565,8 +573,8 @@ object StreamingQueries {
       // machinery, and a second pass here was pure harness cost.)
       ss.createDataFrame(
         java.util.Arrays.asList(
-          Row(-1L, SentinelNanos, -1L, "view", 0.0, "{}"),
-          Row(-2L, SentinelNanos, -2L, "click", 0.0, "{}")),
+          Row(-1L, SentinelNtz, -1L, "view", 0.0, "{}"),
+          Row(-2L, SentinelNtz, -2L, "click", 0.0, "{}")),
         StreamingDistinct.eventsSchema)
         .coalesce(1).write.mode("append").parquet(inDir)
       val src = eventsSource(ss, inDir)
@@ -666,7 +674,7 @@ object StreamingQueries {
         .schema(StreamingDistinct.eventsSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", "40 days")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("user_id"),

@@ -40,12 +40,14 @@ object StreamingDistinct {
         col("event_type"), col("distinct_users"), col("n_events"))
   }
 
-  /** The events fixture schema after the nanos->micros conversion that
-    * [[Engine.table]] applies on the batch path.
+  /** The events fixture schema as on disk: `ts` is parquet
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) = TIMESTAMP_NTZ. Readers
+    * cast it to the session-zone TIMESTAMP like [[Engine.table]] does
+    * on the batch path (UTC sessions — same instants).
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // raw nanos, as on disk
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -53,11 +55,11 @@ object StreamingDistinct {
 
   /** Stream the events fixture directory as a file source. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    Engine.register(spark) // session wiring incl. the legacy-nanos conf
+    Engine.register(spark)
     spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet") // fixture is a bare file
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
   }
 }

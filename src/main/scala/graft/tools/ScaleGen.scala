@@ -36,9 +36,9 @@ import org.apache.spark.sql.functions._
   *
   * Each table is written as ONE parquet file named `<table>.parquet`,
   * matching the fixture layout (the streaming queries `Files.copy` the
-  * bare events file). `events.ts` is read raw (nanos as long) and
-  * written as plain int64 nanos; `Engine.table`'s `ts div 1000`
-  * conversion handles both encodings.
+  * bare events file). `events.ts` passes through as TIMESTAMP_NTZ —
+  * Spark writes it back as TIMESTAMP(MICROS, isAdjustedToUTC=false),
+  * the fixture's own encoding, so `Engine.table` reads both alike.
   *
   * Usage: runMain graft.tools.ScaleGen <srcDir> <dstDir> <factor>
   */
@@ -81,13 +81,12 @@ object ScaleGen {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(dst))
     graft.Engine.tableNames.foreach { name =>
-      val base = spark.read.parquet(s"$src/$name.parquet") // events: raw nanos
+      val base = spark.read.parquet(s"$src/$name.parquet")
       val reps =
         if (name == "region" || name == "nation") Seq(base)
         else (0 until factor).map(i => replica(name, base, i))

@@ -52,19 +52,14 @@ class EngineSurfaceSpec extends SparkSpec {
     assert(n == Engine.table(spark, dir, "orders").count())
   }
 
-  test("Engine.table is pure: events needs session wiring; table() never mutates conf") {
-    // A brand-new session has no session-local confs from the shared
-    // test session — in particular not the legacy-nanos flag.
+  test("Engine.table is pure: events reads on an unwired session; ts is session-zone TIMESTAMP") {
+    // A brand-new session needs no session-local confs to read any
+    // fixture table — events' TIMESTAMP_NTZ micros column included.
     val unwired = spark.newSession()
-    assert(unwired.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false")
-    // events is TIMESTAMP(NANOS): unreadable without the wiring conf,
-    // and the failed attempt must NOT have flipped it behind our back.
-    assert(scala.util.Try(Engine.table(unwired, dir, "events").count()).isFailure)
-    assert(unwired.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false")
-    // register() is the one place that wires the session; after it the
-    // same pure helper works.
-    Engine.register(unwired)
-    assert(Engine.table(unwired, dir, "events").count() > 0)
+    val events = Engine.table(unwired, dir, "events")
+    assert(events.count() > 0)
+    assert(events.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
   }
 
   test("streaming dedup: dropDuplicatesWithinWatermark drops replayed events") {
