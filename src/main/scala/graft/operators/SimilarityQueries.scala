@@ -38,7 +38,7 @@ object SimilarityQueries {
   /** Corpus with the L2 norm materialized once per vector — every pair
     * evaluation downstream is a single dot product + one divide.
     */
-  private def embeddings(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def embeddings(spark: SparkSession, dir: String): DataFrame = {
     Engine.register(spark)
     Engine.table(spark, dir, "embeddings")
       .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
@@ -547,7 +547,8 @@ object SimilarityQueries {
     * [[graft.sources.IndexCatalog]].
     */
   private[operators] def writeEmbedGen(
-      spark: SparkSession, vecs: DataFrame, base: String): Unit = {
+      spark: SparkSession, vecs: DataFrame, base: String,
+      commitTags: Seq[String] = Nil): Unit = {
     import graft.sources.IndexCatalog
     val target = s"$base/corpus"
     val planes = spark.read.parquet(s"$base/planes")
@@ -567,7 +568,7 @@ object SimilarityQueries {
       .write.mode("append").partitionBy("bucket")
       .parquet(target)
     IndexCatalog.commitFiles(base,
-      IndexCatalog.listDataFiles(target).filterNot(before))
+      IndexCatalog.listDataFiles(target).filterNot(before), commitTags)
   }
 
   /** Probe the stored buckets with an ingest batch (the first
@@ -805,7 +806,7 @@ object SimilarityQueries {
     * build-time ones (first [[NPlanes]] even ids) — append uses the
     * stored planes, never refits them.
     */
-  private def duckEmbedIngestSql(batchPred: String, corpusPred: String): String =
+  private[operators] def duckEmbedIngestSql(batchPred: String, corpusPred: String): String =
       s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
          |                WHERE vec_id % 2 = 0 AND vec_id < ${2 * NPlanes}),
          |bucketed AS (

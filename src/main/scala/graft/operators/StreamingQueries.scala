@@ -690,7 +690,88 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming ingest INTO the persisted sign-LSH index store — the
+    * index lifecycle driven by Structured Streaming instead of batch
+    * calls: build the store once over the even-id corpus, then commit
+    * an unbounded embedding feed (batch A staged as three files, one
+    * micro-batch each) INTO the store from `foreachBatch`, one
+    * manifest generation per micro-batch. Exactly-once: each commit
+    * carries an `ingest-batch=<batchId>` tag that rides the SAME
+    * atomic manifest rename as the file list, and
+    * [[commitIngestBatch]] skips any batchId whose tag is already
+    * committed — so a micro-batch REPLAYED after a crash between
+    * sink commit and checkpoint commit (the at-least-once window
+    * every foreachBatch sink has) re-commits nothing
+    * (StreamIndexAppendSpec). Batch B' (the second NQueries block of
+    * `vec_id % 4 == 3` ids) is then ranked against corpus ∪ A from
+    * the grown store, exactly as a from-scratch rebuild would answer
+    * it.
+    *
+    * 100 TB shape: foreachBatch + tag-guarded manifest commits is the
+    * production pattern for maintaining a secondary index under a
+    * streaming feed (the idempotent-writes contract of
+    * snapshot-committed table formats); per-batch cost is
+    * proportional to the batch — the corpus is never re-hashed — and
+    * the probe partition-prunes to its sign buckets as in
+    * `q_embed_append`.
+    */
+  def qStreamIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StructField, StructType}
+    val ss = streamSession(spark)
+    val base = Files.createTempDirectory("graft_sia_store").toString
+    val inDir = Files.createTempDirectory("graft_sia_in").toString
+    val ckpt = Files.createTempDirectory("graft_sia_ckpt").toString
+    try {
+      SimilarityQueries.buildEmbedStore(ss, dir, base)
+      val batchA = SimilarityQueries.embeddings(ss, dir)
+        .filter(pmod(col("vec_id"), lit(4)) === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      (0 until 3).foreach { i =>
+        batchA.filter(expr(s"pmod(vec_id div 4, 3) = $i"))
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val feedSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("nrm", DoubleType)))
+      val q = ss.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          commitIngestBatch(ss, batch, base, batchId); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } catch {
+      case e: Throwable =>
+        Seq(base, inDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+    lease("q_stream_index_append", Seq(base, inDir, ckpt))
+    SimilarityQueries.probeEmbedStore(ss, dir, base,
+      pmod(col("vec_id"), lit(4)) === 3 &&
+        col("vec_id") >= lit(4L * SimilarityQueries.NQueries) &&
+        col("vec_id") < lit(8L * SimilarityQueries.NQueries))
+  }
+
+  /** One micro-batch's index commit (shared with the spec's replay
+    * test): skip when the batch is empty or its `ingest-batch=<id>`
+    * tag is already committed, else write + commit ONE tagged
+    * generation. Returns whether a commit happened.
+    */
+  private[operators] def commitIngestBatch(
+      ss: SparkSession, batch: DataFrame, base: String, batchId: Long): Boolean = {
+    val tag = s"ingest-batch=$batchId"
+    val fresh = !batch.isEmpty &&
+      !graft.sources.IndexCatalog.committedTags(base).contains(tag)
+    if (fresh) SimilarityQueries.writeEmbedGen(ss, batch, base, Seq(tag))
+    fresh
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_index_append" -> (qStreamIndexAppend _),
     "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_retention" -> (qStreamRetention _),
     "q_stream_session_window" -> (qStreamSessionWindow _),
@@ -703,6 +784,13 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the streamed micro-batch commits grow the store to corpus ∪ A,
+    // so batch B' ranks against the same algebra as q_embed_append —
+    // one parameterized SQL text shared across the store's lifecycle
+    "q_stream_index_append" -> SimilarityQueries.duckEmbedIngestSql(
+      batchPred = s"vec_id % 4 = 3 AND vec_id >= ${4 * SimilarityQueries.NQueries}" +
+        s" AND vec_id < ${8 * SimilarityQueries.NQueries}",
+      corpusPred = "(vec_id % 2 = 0 OR vec_id % 4 = 1)"),
     // the incremental cohort matrix must finalize to exactly the batch
     // one — same oracle text as q_retention (order-free folds on both
     // sides, so the two formulations coincide on any arrival order)

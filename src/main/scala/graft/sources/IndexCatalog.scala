@@ -41,12 +41,35 @@ object IndexCatalog {
       .foldLeft(0)(math.max)
   }
 
-  /** The data files of committed version `v` (paths, sorted). */
+  /** The data files of committed version `v` (paths, sorted).
+    * `#`-prefixed manifest lines are commit metadata ([[tags]]), not
+    * file paths.
+    */
   def files(base: String, v: Int): Seq[String] = {
     require(v >= 1, s"version $v is not committed")
     Files.readString(manifestsDir(base).resolve(s"v$v.txt"))
-      .split("\n").toSeq.filter(_.nonEmpty)
+      .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
   }
+
+  /** Metadata tags recorded by version `v`'s commit — `#`-prefixed
+    * lines in the manifest, so a tag becomes visible in the SAME
+    * atomic rename that publishes the file list.
+    */
+  def tags(base: String, v: Int): Seq[String] =
+    Files.readString(manifestsDir(base).resolve(s"v$v.txt"))
+      .split("\n").toSeq.collect { case l if l.startsWith("#") => l.drop(1) }
+
+  /** Every tag on a still-live manifest. The streaming ingest path
+    * keys its exactly-once guard on this set: a replayed micro-batch
+    * whose tag is already committed must not commit again. (Retention
+    * must therefore exceed the replay horizon — [[vacuum]] dropping a
+    * manifest forgets its tags, as in any snapshot-committed format.)
+    */
+  def committedTags(base: String): Set[String] =
+    (1 to currentVersion(base)).iterator.flatMap { v =>
+      val m = manifestsDir(base).resolve(s"v$v.txt")
+      if (Files.exists(m)) tags(base, v) else Seq.empty
+    }.toSet
 
   /** The current version's files; empty for an empty store. */
   def latestFiles(base: String): Seq[String] = {
@@ -94,9 +117,10 @@ object IndexCatalog {
     * listing rather than using a separate generation dir. Visibility
     * still flips only at the manifest rename.
     */
-  def commitFiles(base: String, newFiles: Seq[String]): Int = {
+  def commitFiles(base: String, newFiles: Seq[String],
+      commitTags: Seq[String] = Nil): Int = {
     require(newFiles.nonEmpty, "no parquet files to commit")
-    writeManifest(base, latestFiles(base) ++ newFiles.sorted)
+    writeManifest(base, latestFiles(base) ++ newFiles.sorted, commitTags)
   }
 
   /** Commit a REWRITE: the next version's manifest lists ONLY
@@ -111,11 +135,13 @@ object IndexCatalog {
     writeManifest(base, files.sorted)
   }
 
-  private def writeManifest(base: String, all: Seq[String]): Int = {
+  private def writeManifest(base: String, all: Seq[String],
+      commitTags: Seq[String] = Nil): Int = {
+    require(commitTags.forall(t => !t.contains("\n")), "tags are single-line")
     val v = currentVersion(base) + 1
     Files.createDirectories(manifestsDir(base))
     val tmp = manifestsDir(base).resolve(s".v$v.txt.tmp")
-    Files.writeString(tmp, all.mkString("\n"))
+    Files.writeString(tmp, (commitTags.map("#" + _) ++ all).mkString("\n"))
     Files.move(tmp, manifestsDir(base).resolve(s"v$v.txt"),
       StandardCopyOption.ATOMIC_MOVE)
     v
@@ -155,7 +181,9 @@ object IndexCatalog {
     // under base) — across ALL versions, so files referenced only by
     // expired manifests are still in scope for deletion
     val basePath = Paths.get(base).toAbsolutePath.normalize
-    val roots = (1 to cur).flatMap(files(base, _)).flatMap { f =>
+    val roots = (1 to cur)
+      .filter(v => Files.exists(manifestsDir(base).resolve(s"v$v.txt")))
+      .flatMap(files(base, _)).flatMap { f =>
       val rel = basePath.relativize(Paths.get(f).toAbsolutePath.normalize)
       if (rel.getNameCount >= 1) Some(rel.getName(0).toString) else None
     }.toSet
