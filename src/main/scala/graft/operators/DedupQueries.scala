@@ -449,7 +449,7 @@ object DedupQueries {
   /** The capped-Jaccard pair set (shared by [[qNgramJaccardCapped]]
     * and the cluster builder [[qDedupClusters]]).
     */
-  private def cappedPairs(docs: DataFrame): DataFrame = {
+  private[operators] def cappedPairs(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf).select(col("s"))
@@ -621,7 +621,7 @@ object DedupQueries {
   }
 
   /** Cluster verdict shape shared by both CC variants. */
-  private def clusterVerdict(labels: DataFrame): DataFrame = {
+  private[operators] def clusterVerdict(labels: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     labels
       .select(col("node").as("doc_id"), col("comp").as("cluster_rep"))

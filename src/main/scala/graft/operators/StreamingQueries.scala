@@ -770,8 +770,116 @@ object StreamingQueries {
     fresh
   }
 
+  /** Streaming CLUSTER-ASSIGNMENT maintenance — the incremental
+    * connected-components operator (`q_cluster_append`) driven as an
+    * unbounded ingest: the even-id half's assignment is committed to
+    * a manifest-versioned cluster store, then the odd half arrives in
+    * THREE micro-batches, each a file of node arrivals (`(i, NULL)`
+    * rows) plus the discovered pairs whose LATEST endpoint arrived in
+    * that batch — so every streamed edge touches ≥1 new node, the
+    * contract [[DedupQueries.incrementalComponents]] requires.
+    * `foreachBatch` merges the batch into the CURRENT stored
+    * assignment and publishes the full post-batch assignment as a
+    * rewrite-commit ([[graft.sources.IndexCatalog.commitRewrite]] —
+    * each version is a complete, time-travelable snapshot of cluster
+    * state), tagged `ingest-batch=<batchId>` for the same
+    * exactly-once replay guard as `q_stream_index_append`. The final
+    * stored assignment's verdict equals a from-scratch recluster of
+    * the whole corpus — the same recursive-CTE oracle as
+    * `q_dedup_clusters`/`q_cluster_append`, now a THIRD independent
+    * implementation against one oracle text.
+    *
+    * 100 TB shape: per-batch cost is O(batch + touched components),
+    * never O(corpus); the assignment store is read by manifest (no
+    * listing races) and each commit is one atomic rename. Batch
+    * boundaries are value-derived (`pmod(doc_id div 2, 3)`), files
+    * mtime-ordered, so arrival order is deterministic.
+    */
+  def qStreamClusterAppend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ss = streamSession(spark)
+    val store = Files.createTempDirectory("graft_sca_store").toString
+    val inDir = Files.createTempDirectory("graft_sca_in").toString
+    val ckpt = Files.createTempDirectory("graft_sca_ckpt").toString
+    try {
+      val docs = Engine.table(ss, dir, "documents")
+      // pair discovery runs ONCE over the corpus (the df-cap is
+      // corpus-global, exactly as q_cluster_append pins); each pair is
+      // assigned to the arrival batch of its later endpoint
+      val es = DedupQueries.cappedPairs(docs).select(col("i"), col("j"))
+        .withColumn("sl", greatest(
+          expr("CASE WHEN i % 2 = 0 THEN -1 ELSE pmod(i div 2, 3) END"),
+          expr("CASE WHEN j % 2 = 0 THEN -1 ELSE pmod(j div 2, 3) END")))
+        .localCheckpoint() // consumed by the base solve + 3 slice writes
+      val (baseLabels, _) = DedupQueries.starComponents(
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
+        es.filter(col("sl") === -1).select(col("i"), col("j")))
+      val gen = graft.sources.IndexCatalog.newGenDir(store)
+      baseLabels.write.mode("overwrite").parquet(gen)
+      graft.sources.IndexCatalog.commit(store, gen)
+      val oddNodes = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("i"), expr("CAST(NULL AS BIGINT)").as("j"),
+          expr("pmod(doc_id div 2, 3)").as("sl"))
+      (0 until 3).foreach { s =>
+        appendOrderedAfter(inDir) {
+          oddNodes.filter(col("sl") === s).select(col("i"), col("j"))
+            .unionByName(es.filter(col("sl") === s).select(col("i"), col("j")))
+            .coalesce(1).write.mode("append").parquet(inDir)
+        }
+      }
+      val feedSchema = StructType(Seq(
+        StructField("i", LongType), StructField("j", LongType)))
+      val q = ss.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          commitClusterBatch(ss, batch, store, batchId); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } catch {
+      case e: Throwable =>
+        Seq(store, inDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+    lease("q_stream_cluster_append", Seq(store, inDir, ckpt))
+    DedupQueries.clusterVerdict(
+      ss.read.parquet(graft.sources.IndexCatalog.latestFiles(store): _*))
+  }
+
+  /** One micro-batch's assignment maintenance (shared with the spec's
+    * replay test): split the batch into node arrivals (`j IS NULL`)
+    * and edges, merge into the CURRENT stored assignment, publish the
+    * post-batch assignment as one tagged rewrite-commit. Empty and
+    * already-committed batches are no-ops. Returns whether a commit
+    * happened.
+    */
+  private[operators] def commitClusterBatch(
+      ss: SparkSession, batch: DataFrame, store: String, batchId: Long): Boolean = {
+    import graft.sources.IndexCatalog
+    val tag = s"ingest-batch=$batchId"
+    val fresh = !batch.isEmpty &&
+      !IndexCatalog.committedTags(store).contains(tag)
+    if (fresh) {
+      val stored = ss.read.parquet(IndexCatalog.latestFiles(store): _*)
+      val nodes = batch.filter(col("j").isNull)
+        .select(col("i").as("node")).distinct()
+      val edges = batch.filter(col("j").isNotNull).select(col("i"), col("j"))
+      val labels =
+        DedupQueries.incrementalComponents(stored, nodes, edges).labels
+      val gen = IndexCatalog.newGenDir(store)
+      labels.write.mode("overwrite").parquet(gen)
+      IndexCatalog.commitRewrite(store,
+        IndexCatalog.listDataFiles(gen), Seq(tag))
+    }
+    fresh
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_index_append" -> (qStreamIndexAppend _),
+    "q_stream_cluster_append" -> (qStreamClusterAppend _),
     "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_retention" -> (qStreamRetention _),
     "q_stream_session_window" -> (qStreamSessionWindow _),
@@ -791,6 +899,12 @@ object StreamingQueries {
       batchPred = s"vec_id % 4 = 3 AND vec_id >= ${4 * SimilarityQueries.NQueries}" +
         s" AND vec_id < ${8 * SimilarityQueries.NQueries}",
       corpusPred = "(vec_id % 2 = 0 OR vec_id % 4 = 1)"),
+    // three micro-batch merges into the stored assignment finalize to
+    // the from-scratch recluster — the fourth independent
+    // implementation (propagation, star contraction, one-shot
+    // incremental, streamed incremental) sharing one recursive-CTE
+    // oracle text
+    "q_stream_cluster_append" -> DedupQueries.oracles("q_cluster_append"),
     // the incremental cohort matrix must finalize to exactly the batch
     // one — same oracle text as q_retention (order-free folds on both
     // sides, so the two formulations coincide on any arrival order)

@@ -130,9 +130,10 @@ object IndexCatalog {
     * disk (older manifests still reference them — time travel holds)
     * until [[vacuum]] reclaims them past the retention horizon.
     */
-  def commitRewrite(base: String, files: Seq[String]): Int = {
+  def commitRewrite(base: String, files: Seq[String],
+      commitTags: Seq[String] = Nil): Int = {
     require(files.nonEmpty, "no parquet files to commit")
-    writeManifest(base, files.sorted)
+    writeManifest(base, files.sorted, commitTags)
   }
 
   private def writeManifest(base: String, all: Seq[String],

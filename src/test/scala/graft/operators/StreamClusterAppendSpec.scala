@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, SparkSpec}
+import graft.sources.IndexCatalog
+
+/** Exactly-once and convergence contracts of the STREAMED
+  * cluster-assignment maintenance (`q_stream_cluster_append`): each
+  * micro-batch publishes one tagged rewrite-commit, a replayed
+  * batchId changes nothing, and the per-batch merges finalize to the
+  * same assignment a from-scratch solve produces.
+  */
+class StreamClusterAppendSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = Engine.table(spark, dir, "documents")
+
+  private def slicedFeed() = {
+    val es = DedupQueries.cappedPairs(docs).select(col("i"), col("j"))
+      .withColumn("sl", greatest(
+        expr("CASE WHEN i % 2 = 0 THEN -1 ELSE pmod(i div 2, 3) END"),
+        expr("CASE WHEN j % 2 = 0 THEN -1 ELSE pmod(j div 2, 3) END")))
+      .localCheckpoint()
+    val oddNodes = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("i"), expr("CAST(NULL AS BIGINT)").as("j"),
+        expr("pmod(doc_id div 2, 3)").as("sl"))
+    (es, oddNodes)
+  }
+
+  private def baseStore(es: org.apache.spark.sql.DataFrame): String = {
+    val store = Files.createTempDirectory("graft_sca_spec").toString
+    val (baseLabels, _) = DedupQueries.starComponents(
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
+      es.filter(col("sl") === -1).select(col("i"), col("j")))
+    val gen = IndexCatalog.newGenDir(store)
+    baseLabels.write.mode("overwrite").parquet(gen)
+    IndexCatalog.commit(store, gen)
+    store
+  }
+
+  test("a micro-batch publishes one tagged rewrite; a REPLAY publishes nothing") {
+    val (es, oddNodes) = slicedFeed()
+    val store = baseStore(es)
+    try {
+      val batch0 = oddNodes.filter(col("sl") === 0).select(col("i"), col("j"))
+        .unionByName(es.filter(col("sl") === 0).select(col("i"), col("j")))
+        .localCheckpoint() // stable across the replay below
+      assert(StreamingQueries.commitClusterBatch(spark, batch0, store, 0L))
+      assert(IndexCatalog.currentVersion(store) == 2)
+      assert(IndexCatalog.tags(store, 2) == Seq("ingest-batch=0"))
+      val v2 = IndexCatalog.files(store, 2)
+
+      assert(!StreamingQueries.commitClusterBatch(spark, batch0, store, 0L))
+      assert(IndexCatalog.currentVersion(store) == 2)
+      assert(IndexCatalog.files(store, 2) == v2)
+
+      assert(!StreamingQueries.commitClusterBatch(
+        spark, batch0.filter(lit(false)), store, 1L))
+      assert(IndexCatalog.currentVersion(store) == 2)
+    } finally graft.Fs.deleteRecursively(store)
+  }
+
+  test("three streamed merges finalize to the from-scratch assignment") {
+    val (es, oddNodes) = slicedFeed()
+    val store = baseStore(es)
+    try {
+      (0 until 3).foreach { s =>
+        val batch = oddNodes.filter(col("sl") === s).select(col("i"), col("j"))
+          .unionByName(es.filter(col("sl") === s).select(col("i"), col("j")))
+        assert(StreamingQueries.commitClusterBatch(spark, batch, store, s.toLong))
+      }
+      assert(IndexCatalog.currentVersion(store) == 4) // base + 3 batches
+      val streamed = spark.read
+        .parquet(IndexCatalog.latestFiles(store): _*)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (full, _) = DedupQueries.starComponents(
+        docs.select(col("doc_id").as("node")),
+        es.select(col("i"), col("j")))
+      val scratch = full.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == scratch)
+    } finally graft.Fs.deleteRecursively(store)
+  }
+}
