@@ -679,7 +679,8 @@ object SimilarityQueries {
     live.repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(target)
     IndexCatalog.commitRewrite(base,
-      IndexCatalog.listDataFiles(target).filterNot(before))
+      IndexCatalog.listDataFiles(target).filterNot(before),
+      Seq("compaction"))
   }
 
   /** The retention end of the index lifecycle: build → append →
@@ -724,6 +725,41 @@ object SimilarityQueries {
     probeEmbedStore(spark, dir, base,
       pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
       .withColumn("vacuum_ok", lit(ok))
+  }
+
+  /** The catalog's DESCRIBE-HISTORY surface: run the sign-LSH store's
+    * full lifecycle (build → tagged ingest append → compaction rewrite
+    * → retention vacuum), then report one row per LIVE version — its
+    * manifest tags and the store's ROW COUNT at that version, computed
+    * by scanning exactly that manifest's file list (time travel as a
+    * query). Deterministic and oracle-pinned: vacuum(retain=2) expires
+    * v1 (the build), and v2 (the append) and v3 (the compaction) both
+    * hold corpus ∪ batch, so both counts equal the DuckDB census over
+    * the same id predicates. File-count columns are deliberately
+    * absent — they reflect the writer's task layout, not content.
+    */
+  def qStoreHistory(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft_storehist").toString
+    try {
+      buildEmbedStore(spark, dir, base) // v1
+      writeEmbedGen(spark,
+        embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
+        base, Seq("ingest-batch=0")) // v2
+      compactEmbedStore(spark, base) // v3
+      IndexCatalog.vacuum(base, retain = 2) // v1 expires
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_store_history", Seq(base))
+    IndexCatalog.liveVersions(base).map { v =>
+      spark.read.parquet(IndexCatalog.files(base, v): _*)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(v.toLong).as("version"),
+          lit(IndexCatalog.tags(base, v).mkString(",")).as("tags"),
+          col("n_rows"))
+    }.reduce(_.unionByName(_)).orderBy("version")
   }
 
   // --- embedding-cosine near-duplicate pairs ----------------------------
@@ -794,6 +830,7 @@ object SimilarityQueries {
     "q_embed_ingest" -> (qEmbedIngest _),
     "q_embed_append" -> (qEmbedAppend _),
     "q_store_vacuum" -> (qStoreVacuum _),
+    "q_store_history" -> (qStoreHistory _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
 
@@ -1027,6 +1064,18 @@ object SimilarityQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
          |  AND ${duckCos.format("a.embedding", "b.embedding")} >= 0.35
-         |ORDER BY i, j""".stripMargin
+         |ORDER BY i, j""".stripMargin,
+    // the catalog history after build → append → compact →
+    // vacuum(retain=2): v1 expired, v2/v3 both hold corpus ∪ batch —
+    // the row counts are the content census, the tags are the
+    // lifecycle's commit metadata
+    "q_store_history" ->
+      """WITH n AS (
+        |  SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)
+        |       + (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 1) AS n_rows)
+        |SELECT CAST(2 AS BIGINT) AS version, 'ingest-batch=0' AS tags, n_rows FROM n
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT) AS version, 'compaction' AS tags, n_rows FROM n
+        |ORDER BY version""".stripMargin
   )
 }

@@ -66,10 +66,14 @@ object IndexCatalog {
     * manifest forgets its tags, as in any snapshot-committed format.)
     */
   def committedTags(base: String): Set[String] =
-    (1 to currentVersion(base)).iterator.flatMap { v =>
-      val m = manifestsDir(base).resolve(s"v$v.txt")
-      if (Files.exists(m)) tags(base, v) else Seq.empty
-    }.toSet
+    liveVersions(base).iterator.flatMap(tags(base, _)).toSet
+
+  /** Versions whose manifest is still present — committed and not yet
+    * expired by [[vacuum]]. The catalog's readable history.
+    */
+  def liveVersions(base: String): Seq[Int] =
+    (1 to currentVersion(base)).filter(v =>
+      Files.exists(manifestsDir(base).resolve(s"v$v.txt")))
 
   /** The current version's files; empty for an empty store. */
   def latestFiles(base: String): Seq[String] = {
@@ -182,9 +186,7 @@ object IndexCatalog {
     // under base) — across ALL versions, so files referenced only by
     // expired manifests are still in scope for deletion
     val basePath = Paths.get(base).toAbsolutePath.normalize
-    val roots = (1 to cur)
-      .filter(v => Files.exists(manifestsDir(base).resolve(s"v$v.txt")))
-      .flatMap(files(base, _)).flatMap { f =>
+    val roots = liveVersions(base).flatMap(files(base, _)).flatMap { f =>
       val rel = basePath.relativize(Paths.get(f).toAbsolutePath.normalize)
       if (rel.getNameCount >= 1) Some(rel.getName(0).toString) else None
     }.toSet
