@@ -20,8 +20,6 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // session-build conf (events is TIMESTAMP(NANOS)); queries that
-      // never call Engine.register must still read it
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

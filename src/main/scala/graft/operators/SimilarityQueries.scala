@@ -347,8 +347,10 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(target)
-    IndexCatalog.commitFiles(base,
-      IndexCatalog.listDataFiles(target).filterNot(before))
+    // a fully-duplicate batch dedups to zero rows and writes no files —
+    // the documented skip, so the append is a no-op, not a failed commit
+    val newFiles = IndexCatalog.listDataFiles(target).filterNot(before)
+    if (newFiles.nonEmpty) IndexCatalog.commitFiles(base, newFiles)
   }
 
   /** Probe the STORED index only: queries and corpus both read the
@@ -567,8 +569,10 @@ object SimilarityQueries {
       .agg(sum(col("bit")).as("bucket"))
       .write.mode("append").partitionBy("bucket")
       .parquet(target)
-    IndexCatalog.commitFiles(base,
-      IndexCatalog.listDataFiles(target).filterNot(before), commitTags)
+    // a fully-duplicate batch dedups to zero rows and writes no files —
+    // the documented skip, so the append is a no-op, not a failed commit
+    val newFiles = IndexCatalog.listDataFiles(target).filterNot(before)
+    if (newFiles.nonEmpty) IndexCatalog.commitFiles(base, newFiles, commitTags)
   }
 
   /** Probe the stored buckets with an ingest batch (the first

@@ -123,11 +123,6 @@ object StreamingQueries {
     java.time.LocalDateTime.ofInstant(
       java.time.Instant.parse("2100-01-01T00:00:00Z"), java.time.ZoneOffset.UTC)
 
-  /** Write THE sentinel file: one far-future row (user -1, type
-    * `sentinel`) appended to the source dir. Queries needing custom
-    * sentinel rows (the outer join's two-branch case) build their own
-    * from [[SentinelNanos]].
-    */
   /** Run `write` (which appends files into `inDir`) and force the new
     * files to sort AFTER everything already there: FileStreamSource
     * orders by modification time, and on a coarse-mtime filesystem a
@@ -143,6 +138,11 @@ object StreamingQueries {
       .foreach(f => f.setLastModified(math.max(f.lastModified, maxBefore + 1000)))
   }
 
+  /** Write THE sentinel file: one far-future row (user -1, type
+    * `sentinel`) appended to the source dir. Queries needing custom
+    * sentinel rows (the outer join's two-branch case) build their own
+    * from [[SentinelNtz]].
+    */
   private[operators] def writeSentinel(ss: SparkSession, inDir: String): Unit =
     appendOrderedAfter(inDir) {
       ss.createDataFrame(

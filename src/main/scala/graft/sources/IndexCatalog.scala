@@ -14,16 +14,23 @@ import scala.jdk.CollectionConverters._
   * Readers resolve the highest committed manifest and scan exactly those
   * files, so
   *  - a half-written generation is invisible until its manifest commits
-  *    (the commit is a single atomic rename),
+  *    (the commit is a single atomic create-if-absent),
   *  - appends never rewrite old partitions — probe-after-append reads
   *    old files byte-identical to what the build wrote,
-  *  - old versions stay readable forever (manifests are never deleted),
-  *    which is the index analogue of table time travel.
+  *  - committed versions stay readable — the index analogue of table
+  *    time travel — until [[vacuum]] expires them past the retention
+  *    horizon (an expired version fails fast at manifest resolution).
   *
-  * On a real DFS the atomic-rename commit and driver-side manifest
+  * On a real DFS the atomic manifest commit and driver-side manifest
   * resolution (a few KB of paths — a catalog lookup, not data motion)
   * carry over unchanged; production table formats commit snapshots the
-  * same way.
+  * same way. Maintenance concurrency: commits are safe against racing
+  * committers (the loser's commit throws instead of silently replacing
+  * the winner's), but [[vacuum]] must not run concurrently with an
+  * in-flight append to the SAME store unless given an `orphanGraceMs`
+  * exceeding the writer's max write-to-commit latency — the same
+  * single-writer-or-grace rule every table format's orphan-file
+  * cleanup imposes.
   */
 object IndexCatalog {
 
@@ -35,10 +42,14 @@ object IndexCatalog {
   def currentVersion(base: String): Int = {
     val dir = manifestsDir(base)
     if (!Files.isDirectory(dir)) 0
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case ManifestName(n) => n.toInt }
-      .foldLeft(0)(math.max)
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case ManifestName(n) => n.toInt }
+        .foldLeft(0)(math.max)
+      finally s.close()
+    }
   }
 
   /** The data files of committed version `v` (paths, sorted).
@@ -124,7 +135,13 @@ object IndexCatalog {
   def commitFiles(base: String, newFiles: Seq[String],
       commitTags: Seq[String] = Nil): Int = {
     require(newFiles.nonEmpty, "no parquet files to commit")
-    writeManifest(base, latestFiles(base) ++ newFiles.sorted, commitTags)
+    // the predecessor's file list and the target version MUST come from
+    // the same observed state: deriving content from a separate
+    // latestFiles read would let a racing winner's files vanish from a
+    // retrying loser's manifest even though the version CAS succeeded
+    val cur = currentVersion(base)
+    val prev = if (cur == 0) Seq.empty else files(base, cur)
+    writeManifestAt(base, cur + 1, prev ++ newFiles.sorted, commitTags)
   }
 
   /** Commit a REWRITE: the next version's manifest lists ONLY
@@ -135,30 +152,42 @@ object IndexCatalog {
     * until [[vacuum]] reclaims them past the retention horizon.
     */
   def commitRewrite(base: String, files: Seq[String],
-      commitTags: Seq[String] = Nil): Int = {
+      commitTags: Seq[String] = Nil): Int =  {
     require(files.nonEmpty, "no parquet files to commit")
-    writeManifest(base, files.sorted, commitTags)
+    writeManifestAt(base, currentVersion(base) + 1, files.sorted, commitTags)
   }
 
-  private def writeManifest(base: String, all: Seq[String],
-      commitTags: Seq[String] = Nil): Int = {
+  private def writeManifestAt(base: String, v: Int, all: Seq[String],
+      commitTags: Seq[String]): Int = {
     require(commitTags.forall(t => !t.contains("\n")), "tags are single-line")
-    val v = currentVersion(base) + 1
     Files.createDirectories(manifestsDir(base))
-    val tmp = manifestsDir(base).resolve(s".v$v.txt.tmp")
+    // per-attempt tmp file: racing committers targeting the same v must
+    // not share a staging path, or the loser links the winner's content
+    // (or trips over its deletion) instead of failing its own commit
+    val tmp = Files.createTempFile(manifestsDir(base), s".v$v-", ".tmp")
     Files.writeString(tmp, (commitTags.map("#" + _) ++ all).mkString("\n"))
-    Files.move(tmp, manifestsDir(base).resolve(s"v$v.txt"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // createLink is an atomic create-IF-ABSENT: a racing committer that
+    // also computed version v fails here (FileAlreadyExistsException)
+    // instead of silently replacing the winner's manifest — the
+    // conflicting-commit failure every snapshot-committed format gives,
+    // where a rename would drop the winner's files from history.
+    try Files.createLink(manifestsDir(base).resolve(s"v$v.txt"), tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit: version $v of $base was committed by " +
+            "another writer; re-read the store state and retry", e)
+    } finally Files.deleteIfExists(tmp)
     v
   }
 
-  /** Union of the data files referenced by every committed manifest
-    * with version >= `fromVersion`.
+  /** Union of the data files referenced by every still-live manifest
+    * with version >= `fromVersion` (versions a prior [[vacuum]] already
+    * expired are simply absent, not an error).
     */
-  def referencedFiles(base: String, fromVersion: Int): Set[String] = {
-    val cur = currentVersion(base)
-    (math.max(1, fromVersion) to cur).flatMap(files(base, _)).toSet
-  }
+  def referencedFiles(base: String, fromVersion: Int): Set[String] =
+    liveVersions(base).filter(_ >= fromVersion)
+      .flatMap(files(base, _)).toSet
 
   /** Reclaim storage: keep the newest `retain` versions readable and
     * delete everything older — the retention GC every manifest-committed
@@ -170,29 +199,44 @@ object IndexCatalog {
     *    touched);
     *  - delete candidates not in live: files superseded by a
     *    [[commitRewrite]] compaction beyond the horizon, plus torn
-    *    writes that never committed (crash debris);
+    *    writes that never committed (crash debris) under those SHARED
+    *    roots. (A fully uncommitted generation DIRECTORY of the
+    *    gen-dir-layout stores appears in no live manifest, so its root
+    *    is out of scope here — that debris is the store owner's to
+    *    remove, exactly like a table format's untracked directories.)
     *  - delete the expired manifests, so reads of a pre-horizon version
     *    fail fast at resolution instead of listing vanished files.
     * Readers of in-window versions are untouched: their manifests and
     * every file those reference survive byte-identical. Returns the
     * deleted data-file paths.
+    *
+    * `orphanGraceMs`: candidates modified within this window are kept
+    * — set it above the writers' max write-to-commit latency when
+    * vacuum can interleave with an in-flight append to the same store
+    * (the listing-diff stores write data files into shared roots
+    * BEFORE their manifest commit; with the default 0 those in-flight
+    * files look like crash debris and vacuum would delete them out
+    * from under the commit).
     */
-  def vacuum(base: String, retain: Int): Seq[String] = {
+  def vacuum(base: String, retain: Int, orphanGraceMs: Long = 0L): Seq[String] = {
     require(retain >= 1, "must retain at least the current version")
     val cur = currentVersion(base)
     val horizon = math.max(1, cur - retain + 1)
     val live = referencedFiles(base, horizon)
-    // roots ever governed by a manifest (committed paths' first segment
-    // under base) — across ALL versions, so files referenced only by
-    // expired manifests are still in scope for deletion
+    // roots governed by a live manifest (committed paths' first segment
+    // under base) — superseded files under them are in scope even when
+    // only expired manifests referenced those exact files
     val basePath = Paths.get(base).toAbsolutePath.normalize
     val roots = liveVersions(base).flatMap(files(base, _)).flatMap { f =>
       val rel = basePath.relativize(Paths.get(f).toAbsolutePath.normalize)
       if (rel.getNameCount >= 1) Some(rel.getName(0).toString) else None
     }.toSet
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     val deleted = roots.toSeq.sorted.flatMap { r =>
       listDataFiles(basePath.resolve(r).toString)
         .filterNot(f => live.contains(f))
+        .filter(f => orphanGraceMs <= 0L ||
+          Files.getLastModifiedTime(Paths.get(f)).toMillis < cutoff)
     }
     deleted.foreach(f => Files.deleteIfExists(Paths.get(f)))
     (1 until horizon).foreach { v =>

@@ -85,6 +85,22 @@ class EmbedAppendSpec extends SparkSpec {
     }
   }
 
+  test("embed store: a fully-duplicate append is a no-op, not a failed commit") {
+    val base = Files.createTempDirectory("graft_embapp_d").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base)
+      val batch = embeddingsOf(pmod(col("vec_id"), lit(4)) === 1)
+      SimilarityQueries.appendEmbedStore(spark, batch, base)
+      assert(IndexCatalog.currentVersion(base) == 2)
+      val v2 = IndexCatalog.files(base, 2)
+      // the same batch again: every id anti-joins away, zero files are
+      // written, and NO version is published (the documented skip)
+      SimilarityQueries.appendEmbedStore(spark, batch, base)
+      assert(IndexCatalog.currentVersion(base) == 2)
+      assert(IndexCatalog.files(base, 2) == v2)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("embed store: an uncommitted generation is invisible; IVF likewise") {
     val base = Files.createTempDirectory("graft_embapp_u").toString
     try {

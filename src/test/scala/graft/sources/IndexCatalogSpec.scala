@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM contracts of the manifest catalog itself (no Spark): the
+  * commit protocol's concurrent-writer failure, vacuum's tolerance of
+  * earlier vacuums' manifest gaps, and the orphan grace window.
+  */
+class IndexCatalogSpec extends AnyFunSuite {
+
+  private def store(): String =
+    Files.createTempDirectory("graft_cat_spec").toString
+
+  private def fakeGen(base: String, name: String): String = {
+    val d = Paths.get(base, name)
+    Files.createDirectories(d)
+    val f = d.resolve(s"part-$name.parquet")
+    Files.writeString(f, name)
+    f.toString
+  }
+
+  test("concurrent committers never silently drop a commit: successes == versions") {
+    val base = store()
+    try {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val unexpected = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val threads = (0 until 2).map { t =>
+        new Thread(() => (0 until 6).foreach { i =>
+          val f = fakeGen(base, s"gen-t$t-$i")
+          // timed await: a partner killed by an unexpected exception
+          // breaks the barrier instead of deadlocking the suite
+          barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          var attempts = 0
+          var done = false
+          while (!done && attempts < 10) {
+            attempts += 1
+            try { IndexCatalog.commitFiles(base, Seq(f)); committed.add(f); done = true }
+            catch {
+              case e: IllegalStateException if
+                e.getMessage.contains("concurrent commit") => // retry
+              case e: Throwable => unexpected.add(e.toString); done = true
+            }
+          }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(unexpected.isEmpty, s"non-collision failures: $unexpected")
+      // the invariant a silent rename-replace would break: every
+      // successful commit owns its OWN version (a replaced manifest
+      // would make versions < successes and drop files from history)
+      assert(IndexCatalog.currentVersion(base) == committed.size())
+      val latest = IndexCatalog.latestFiles(base).toSet
+      committed.forEach(f => assert(latest.contains(f), s"$f lost from history"))
+      // no stray tmp files survive a collision
+      val s = Files.list(Paths.get(base, "manifests"))
+      try s.forEach(p => assert(!p.getFileName.toString.endsWith(".tmp")))
+      finally s.close()
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("vacuum tolerates manifest gaps left by an earlier, tighter vacuum") {
+    val base = store()
+    try {
+      val fs = (1 to 5).map(i => fakeGen(base, f"gen-v$i%05d"))
+      fs.foreach(f => IndexCatalog.commitRewrite(base, Seq(f)))
+      // retain=1 at v5: manifests v1..v4 drop, their superseded files go
+      assert(IndexCatalog.vacuum(base, retain = 1).toSet == fs.init.toSet)
+      assert(IndexCatalog.liveVersions(base) == Seq(5))
+      val f6 = fakeGen(base, "gen-v00006")
+      IndexCatalog.commitRewrite(base, Seq(f6))
+      // the wider retention window now reaches past the vacuumed
+      // manifests — must GC cleanly, not throw on the gaps
+      val deleted = IndexCatalog.vacuum(base, retain = 4)
+      assert(deleted.isEmpty) // v5 and v6 are both inside the window
+      assert(IndexCatalog.liveVersions(base) == Seq(5, 6))
+      assert(IndexCatalog.referencedFiles(base, 1) == Set(fs.last, f6))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("orphanGraceMs keeps fresh uncommitted files; default reclaims them") {
+    val base = store()
+    try {
+      val f1 = fakeGen(base, "gen-live")
+      IndexCatalog.commitFiles(base, Seq(f1))
+      // an in-flight writer's file inside a governed root: gen-live is
+      // the manifest-governed first segment, so plant the orphan there
+      val orphan = Paths.get(base, "gen-live", "part-inflight.parquet")
+      Files.writeString(orphan, "in-flight")
+      // graceful vacuum keeps the just-written file
+      assert(IndexCatalog.vacuum(base, retain = 1,
+        orphanGraceMs = 3600000L).isEmpty)
+      assert(Files.exists(orphan))
+      // graceless vacuum classifies it as crash debris
+      assert(IndexCatalog.vacuum(base, retain = 1) == Seq(orphan.toString))
+      assert(!Files.exists(orphan))
+      assert(Files.exists(Paths.get(f1)))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+}
