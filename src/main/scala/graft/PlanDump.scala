@@ -163,7 +163,18 @@ object PlanDump {
           ("the size-guarded vocab/bucket broadcasts remain broadcasts " +
             "under AQE and the band self-join keeps its equi-join form — " +
             "no BroadcastNestedLoopJoin/CartesianProduct appears at any " +
-            "adaptive stage"))
+            "adaptive stage"),
+        "q_embed_ingest" ->
+          ("the persisted-store probe keeps its shape under AQE: the " +
+            "manifest-resolved store scan feeds a bucket EQUI-join " +
+            "(BroadcastHashJoin on the sign pattern) at every adaptive " +
+            "stage — the only BroadcastNestedLoopJoin is the deliberate " +
+            "NPlanes-row hyperplane cross (IdentityBroadcastMode over 4 " +
+            "data rows, bounded by construction). Build-side choice is " +
+            "size-based: at fixture scale AQE builds on the tiny store; " +
+            "at production scale the batch is the small side and the " +
+            "store partition-prunes to the probed buckets " +
+            "(PlanQualitySpec pins the pruning + no store-sized BNLJ)"))
       aqeNotes.foreach { case (name, note) =>
         val df =
           if (name == "q_minhash_lsh")
