@@ -759,7 +759,11 @@ object StreamingQueries {
   /** One micro-batch's index commit (shared with the spec's replay
     * test): skip when the batch is empty or its `ingest-batch=<id>`
     * tag is already committed, else write + commit ONE tagged
-    * generation. Returns whether a commit happened.
+    * generation. A replay arriving AFTER vacuum expired its tag is
+    * caught by the content level instead: every vector anti-joins
+    * against the store, zero files are written, and the no-file
+    * append publishes no version (spec-pinned). Returns whether a
+    * commit was attempted.
     */
   private[operators] def commitIngestBatch(
       ss: SparkSession, batch: DataFrame, base: String, batchId: Long): Boolean = {
@@ -853,8 +857,13 @@ object StreamingQueries {
     * replay test): split the batch into node arrivals (`j IS NULL`)
     * and edges, merge into the CURRENT stored assignment, publish the
     * post-batch assignment as one tagged rewrite-commit. Empty and
-    * already-committed batches are no-ops. Returns whether a commit
-    * happened.
+    * already-committed batches are no-ops. Node arrivals additionally
+    * anti-join the stored assignment — the content-level backstop for
+    * a replay arriving AFTER vacuum expired its tag: already-stored
+    * nodes are not re-introduced (no duplicate assignment rows), the
+    * already-merged edges contract to self-loops, and the redundant
+    * version's content is identical (spec-pinned). Returns whether a
+    * commit was attempted.
     */
   private[operators] def commitClusterBatch(
       ss: SparkSession, batch: DataFrame, store: String, batchId: Long): Boolean = {
@@ -866,6 +875,7 @@ object StreamingQueries {
       val stored = ss.read.parquet(IndexCatalog.latestFiles(store): _*)
       val nodes = batch.filter(col("j").isNull)
         .select(col("i").as("node")).distinct()
+        .join(stored.select(col("node")), Seq("node"), "left_anti")
       val edges = batch.filter(col("j").isNotNull).select(col("i"), col("j"))
       val labels =
         DedupQueries.incrementalComponents(stored, nodes, edges).labels

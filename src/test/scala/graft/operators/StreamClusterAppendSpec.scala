@@ -64,6 +64,36 @@ class StreamClusterAppendSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(store)
   }
 
+  test("replay AFTER the tag expired re-commits identical content, no duplicate nodes") {
+    val (es, oddNodes) = slicedFeed()
+    val store = baseStore(es)
+    try {
+      val batch0 = oddNodes.filter(col("sl") === 0).select(col("i"), col("j"))
+        .unionByName(es.filter(col("sl") === 0).select(col("i"), col("j")))
+        .localCheckpoint()
+      assert(StreamingQueries.commitClusterBatch(spark, batch0, store, 0L))
+      // a later batch supersedes batch 0's manifest, then retain=1
+      // expires it — the guard forgets batch 0
+      val batch1 = oddNodes.filter(col("sl") === 1).select(col("i"), col("j"))
+        .unionByName(es.filter(col("sl") === 1).select(col("i"), col("j")))
+      assert(StreamingQueries.commitClusterBatch(spark, batch1, store, 1L))
+      val assigned = spark.read
+        .parquet(IndexCatalog.latestFiles(store): _*)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      IndexCatalog.vacuum(store, retain = 1)
+      assert(!IndexCatalog.committedTags(store).contains("ingest-batch=0"))
+      // the stale replay slips past the guard; the node anti-join and
+      // self-loop contraction make the published content IDENTICAL —
+      // one redundant version, zero duplicate assignment rows
+      assert(StreamingQueries.commitClusterBatch(spark, batch0, store, 0L))
+      val rows = spark.read
+        .parquet(IndexCatalog.latestFiles(store): _*)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(rows.length == rows.map(_._1).distinct.length)
+      assert(rows.toMap == assigned)
+    } finally graft.Fs.deleteRecursively(store)
+  }
+
   test("three streamed merges finalize to the from-scratch assignment") {
     val (es, oddNodes) = slicedFeed()
     val store = baseStore(es)

@@ -59,6 +59,25 @@ class StreamIndexAppendSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("replay AFTER the tag's manifest expired still publishes nothing: content backstop") {
+    val base = Files.createTempDirectory("graft_sia_exp").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base)
+      val batch = embeddingsOf(pmod(col("vec_id"), lit(4)) === 1)
+      assert(StreamingQueries.commitIngestBatch(spark, batch, base, 7L))
+      // compact (v3 rewrite) then vacuum(retain=1): the tag's manifest
+      // (v2) expires — the exactly-once GUARD has forgotten batch 7
+      SimilarityQueries.compactEmbedStore(spark, base)
+      IndexCatalog.vacuum(base, retain = 1)
+      assert(!IndexCatalog.committedTags(base).contains("ingest-batch=7"))
+      val v = IndexCatalog.currentVersion(base)
+      // the very-late replay slips past the tag guard, but every vector
+      // anti-joins against the store: no files, no version
+      StreamingQueries.commitIngestBatch(spark, batch, base, 7L)
+      assert(IndexCatalog.currentVersion(base) == v)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("streamed per-batch generations probe identically to one batch append") {
     val streamed = Files.createTempDirectory("graft_sia_s").toString
     val batched = Files.createTempDirectory("graft_sia_b").toString
