@@ -24,6 +24,7 @@ object Engine {
     * them into the harness log.
     */
   def register(spark: SparkSession): SparkSession = synchronized {
+    pinUtc(spark)
     val registry = spark.sessionState.functionRegistry
     def temp(name: String)(builder: Seq[Expression] => Expression): Unit =
       if (!registry.functionExists(FunctionIdentifier(name)))
@@ -132,7 +133,21 @@ object Engine {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
+      pinUtc(spark)
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", F.col("ts").cast("timestamp"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Every graft session runs UTC: the events fixture is TIMESTAMP_NTZ
+    * and its cast to session-zone TIMESTAMP (in [[table]]) only
+    * preserves the instants when the session zone is UTC — on any
+    * other zone every event would silently shift relative to the
+    * DuckDB oracle's `epoch_us(ts)`. The entry points all set the conf
+    * at session build; pinning it here too makes "register (or read
+    * events) wires the session" a property of the library rather than
+    * a convention each new entry point must remember.
+    */
+  private def pinUtc(spark: SparkSession): Unit =
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
 }

@@ -721,15 +721,30 @@ object StreamingQueries {
     val base = Files.createTempDirectory("graft_sia_store").toString
     val inDir = Files.createTempDirectory("graft_sia_in").toString
     val ckpt = Files.createTempDirectory("graft_sia_ckpt").toString
+    val stage = Files.createTempDirectory("graft_sia_stage").toString
     try {
       SimilarityQueries.buildEmbedStore(ss, dir, base)
       val batchA = SimilarityQueries.embeddings(ss, dir)
         .filter(pmod(col("vec_id"), lit(4)) === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"))
-      (0 until 3).foreach { i =>
-        batchA.filter(expr(s"pmod(vec_id div 4, 3) = $i"))
-          .coalesce(1).write.mode("append").parquet(inDir)
+      // ONE pass over the batch stages all three feed slices: the
+      // single-task partitionBy write lands exactly one file per
+      // `sl=` dir (the slice column rides the dir name, not the
+      // data), and each file then moves into the feed dir under
+      // appendOrderedAfter so the slice → micro-batch (and hence
+      // ingest-batch tag) mapping is mtime-deterministic even on a
+      // coarse-mtime filesystem.
+      batchA.withColumn("sl", expr("pmod(vec_id div 4, 3)"))
+        .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
+      (0 until 3).foreach { s =>
+        appendOrderedAfter(inDir) {
+          graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
+            .zipWithIndex.foreach { case (f, k) =>
+              Files.move(Paths.get(f), Paths.get(inDir, s"slice-$s-$k.parquet"))
+            }
+        }
       }
+      graft.Fs.deleteRecursively(stage)
       val feedSchema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
@@ -746,7 +761,7 @@ object StreamingQueries {
       q.awaitTermination()
     } catch {
       case e: Throwable =>
-        Seq(base, inDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        Seq(base, inDir, ckpt, stage).foreach(d => Try(graft.Fs.deleteRecursively(d)))
         throw e
     }
     lease("q_stream_index_append", Seq(base, inDir, ckpt))

@@ -64,7 +64,8 @@ object IndexCatalog {
 
   /** Metadata tags recorded by version `v`'s commit — `#`-prefixed
     * lines in the manifest, so a tag becomes visible in the SAME
-    * atomic rename that publishes the file list.
+    * atomic manifest commit (create-if-absent) that publishes the
+    * file list.
     */
   def tags(base: String, v: Int): Seq[String] =
     Files.readString(manifestsDir(base).resolve(s"v$v.txt"))
@@ -235,8 +236,12 @@ object IndexCatalog {
     val deleted = roots.toSeq.sorted.flatMap { r =>
       listDataFiles(basePath.resolve(r).toString)
         .filterNot(f => live.contains(f))
+        // a candidate deleted between listing and stat (another
+        // process, or a racing vacuum) is already gone — skip it,
+        // mirroring the deleteIfExists tolerance on the delete side
         .filter(f => orphanGraceMs <= 0L ||
-          Files.getLastModifiedTime(Paths.get(f)).toMillis < cutoff)
+          (try Files.getLastModifiedTime(Paths.get(f)).toMillis < cutoff
+          catch { case _: java.nio.file.NoSuchFileException => false }))
     }
     deleted.foreach(f => Files.deleteIfExists(Paths.get(f)))
     (1 until horizon).foreach { v =>
