@@ -691,7 +691,9 @@ object SimilarityQueries {
     * COMPACT (rewrite commit) → VACUUM (retention GC) → probe. After
     * vacuum only the compacted file set and its manifest survive —
     * superseded generation files, pre-horizon manifests, and a planted
-    * torn-write orphan are all gone — yet the probe is row-identical
+    * STALE torn-write orphan are all gone, while a FRESH uncommitted
+    * file (an in-flight append racing the vacuum) outlives the default
+    * orphan grace — yet the probe is row-identical
     * to [[qEmbedAppend]]'s (the store's content is invariant under
     * compaction + vacuum). The filesystem facts are checked eagerly
     * driver-side (a few dozen paths — catalog metadata, not data
@@ -708,13 +710,24 @@ object SimilarityQueries {
       compactEmbedStore(spark, base)
       val preVacuumLive = IndexCatalog.latestFiles(base)
       val superseded = IndexCatalog.referencedFiles(base, 1) -- preVacuumLive
-      // a torn write that never committed — vacuum must sweep it too
+      // a STALE torn write that never committed (aged past the orphan
+      // grace) — vacuum must sweep it too ...
       val orphan = java.nio.file.Paths.get(preVacuumLive.head).getParent
         .resolve("part-orphan-torn.parquet")
       java.nio.file.Files.writeString(orphan, "torn")
+      java.nio.file.Files.setLastModifiedTime(orphan,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2 * IndexCatalog.DefaultOrphanGraceMs))
+      // ... while a FRESH uncommitted file — an in-flight append racing
+      // this vacuum — must survive the default grace
+      val inflight = java.nio.file.Paths.get(preVacuumLive.head).getParent
+        .resolve("part-inflight-append.parquet")
+      java.nio.file.Files.writeString(inflight, "in-flight")
       val deleted = IndexCatalog.vacuum(base, retain = 1)
       def gone(p: String) = !java.nio.file.Files.exists(java.nio.file.Paths.get(p))
       superseded.forall(gone) && gone(orphan.toString) &&
+        !gone(inflight.toString) &&
+        java.nio.file.Files.deleteIfExists(inflight) &&
         deleted.toSet == (superseded + orphan.toString) &&
         IndexCatalog.currentVersion(base) == 3 &&
         IndexCatalog.latestFiles(base) == preVacuumLive &&

@@ -26,13 +26,21 @@ import scala.jdk.CollectionConverters._
   * carry over unchanged; production table formats commit snapshots the
   * same way. Maintenance concurrency: commits are safe against racing
   * committers (the loser's commit throws instead of silently replacing
-  * the winner's), but [[vacuum]] must not run concurrently with an
-  * in-flight append to the SAME store unless given an `orphanGraceMs`
-  * exceeding the writer's max write-to-commit latency — the same
-  * single-writer-or-grace rule every table format's orphan-file
-  * cleanup imposes.
+  * the winner's), and [[vacuum]] is safe-by-default against an
+  * in-flight append to the SAME store: files not yet referenced by any
+  * manifest are kept unless older than `orphanGraceMs` (default
+  * [[DefaultOrphanGraceMs]]) — keep the grace above the writers' max
+  * write-to-commit latency, the same rule every table format's
+  * orphan-file cleanup imposes.
   */
 object IndexCatalog {
+
+  /** Default orphan grace for [[vacuum]]: files not referenced by any
+    * present manifest are kept unless at least this stale. 20 minutes
+    * covers any fixture-scale (and most production) write-to-commit
+    * latency; an in-flight append racing a default vacuum survives.
+    */
+  val DefaultOrphanGraceMs: Long = 20L * 60 * 1000
 
   private def manifestsDir(base: String): Path = Paths.get(base, "manifests")
 
@@ -211,19 +219,28 @@ object IndexCatalog {
     * every file those reference survive byte-identical. Returns the
     * deleted data-file paths.
     *
-    * `orphanGraceMs`: candidates modified within this window are kept
-    * — set it above the writers' max write-to-commit latency when
-    * vacuum can interleave with an in-flight append to the same store
-    * (the listing-diff stores write data files into shared roots
-    * BEFORE their manifest commit; with the default 0 those in-flight
-    * files look like crash debris and vacuum would delete them out
-    * from under the commit).
+    * Candidates split into two classes with different delete rules:
+    *  - SUPERSEDED files — referenced by some still-present manifest
+    *    (one now expiring) but not by the retention window — were
+    *    definitely committed, so no writer still needs them: deleted
+    *    unconditionally.
+    *  - ORPHANS — referenced by NO present manifest — are ambiguous:
+    *    crash debris, or an IN-FLIGHT append's files (the listing-diff
+    *    stores write data files into shared roots BEFORE their
+    *    manifest commit). These are deleted only when older than
+    *    `orphanGraceMs`, and the DEFAULT grace is [[DefaultOrphanGraceMs]]
+    *    — safe against any append whose write-to-commit latency stays
+    *    under it, the same safe-by-default posture table formats give
+    *    their orphan-file cleanup. Pass `orphanGraceMs <= 0` to
+    *    explicitly reclaim fresh debris (known-quiescent store only).
     */
-  def vacuum(base: String, retain: Int, orphanGraceMs: Long = 0L): Seq[String] = {
+  def vacuum(base: String, retain: Int,
+      orphanGraceMs: Long = DefaultOrphanGraceMs): Seq[String] = {
     require(retain >= 1, "must retain at least the current version")
     val cur = currentVersion(base)
     val horizon = math.max(1, cur - retain + 1)
     val live = referencedFiles(base, horizon)
+    val everCommitted = referencedFiles(base, 1)
     // roots governed by a live manifest (committed paths' first segment
     // under base) — superseded files under them are in scope even when
     // only expired manifests referenced those exact files
@@ -236,10 +253,12 @@ object IndexCatalog {
     val deleted = roots.toSeq.sorted.flatMap { r =>
       listDataFiles(basePath.resolve(r).toString)
         .filterNot(f => live.contains(f))
-        // a candidate deleted between listing and stat (another
-        // process, or a racing vacuum) is already gone — skip it,
-        // mirroring the deleteIfExists tolerance on the delete side
-        .filter(f => orphanGraceMs <= 0L ||
+        // superseded (ever-committed) files delete unconditionally;
+        // orphans only past the grace window. A candidate deleted
+        // between listing and stat (another process, or a racing
+        // vacuum) is already gone — skip it, mirroring the
+        // deleteIfExists tolerance on the delete side.
+        .filter(f => everCommitted.contains(f) || orphanGraceMs <= 0L ||
           (try Files.getLastModifiedTime(Paths.get(f)).toMillis < cutoff
           catch { case _: java.nio.file.NoSuchFileException => false }))
     }

@@ -81,7 +81,7 @@ class IndexCatalogSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(base)
   }
 
-  test("orphanGraceMs keeps fresh uncommitted files; default reclaims them") {
+  test("vacuum default keeps fresh uncommitted files, sweeps stale ones; grace<=0 reclaims fresh") {
     val base = store()
     try {
       val f1 = fakeGen(base, "gen-live")
@@ -90,14 +90,46 @@ class IndexCatalogSpec extends AnyFunSuite {
       // the manifest-governed first segment, so plant the orphan there
       val orphan = Paths.get(base, "gen-live", "part-inflight.parquet")
       Files.writeString(orphan, "in-flight")
-      // graceful vacuum keeps the just-written file
-      assert(IndexCatalog.vacuum(base, retain = 1,
-        orphanGraceMs = 3600000L).isEmpty)
+      // DEFAULT vacuum keeps the just-written file — safe by default
+      // against an in-flight append's pre-commit writes
+      assert(IndexCatalog.vacuum(base, retain = 1).isEmpty)
       assert(Files.exists(orphan))
-      // graceless vacuum classifies it as crash debris
+      // aged past the grace it becomes crash debris and the default sweeps it
+      Files.setLastModifiedTime(orphan,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2 * IndexCatalog.DefaultOrphanGraceMs))
       assert(IndexCatalog.vacuum(base, retain = 1) == Seq(orphan.toString))
       assert(!Files.exists(orphan))
+      // explicit grace<=0 reclaims even a fresh orphan (quiescent store)
+      Files.writeString(orphan, "in-flight")
+      assert(IndexCatalog.vacuum(base, retain = 1, orphanGraceMs = 0L) ==
+        Seq(orphan.toString))
+      assert(!Files.exists(orphan))
       assert(Files.exists(Paths.get(f1)))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("superseded committed files delete regardless of age; vacuum racing an append never eats it") {
+    val base = store()
+    try {
+      // v1 then a v2 REWRITE: v1's file is superseded — committed
+      // history, deletable even though its mtime is fresh
+      val f1 = fakeGen(base, "gen-a")
+      IndexCatalog.commitRewrite(base, Seq(f1))
+      val f2 = fakeGen(base, "gen-b")
+      IndexCatalog.commitRewrite(base, Seq(f2))
+      assert(IndexCatalog.vacuum(base, retain = 1) == Seq(f1))
+      assert(!Files.exists(Paths.get(f1)) && Files.exists(Paths.get(f2)))
+
+      // an append in flight: data file written into a governed root,
+      // manifest not yet committed — a default vacuum interleaves,
+      // the file survives, and the commit then lands intact
+      val inflight = Paths.get(base, "gen-b", "part-inflight.parquet")
+      Files.writeString(inflight, "in-flight")
+      assert(IndexCatalog.vacuum(base, retain = 1).isEmpty)
+      assert(Files.exists(inflight))
+      IndexCatalog.commitFiles(base, Seq(inflight.toString))
+      assert(IndexCatalog.latestFiles(base).toSet == Set(f2, inflight.toString))
     } finally graft.Fs.deleteRecursively(base)
   }
 }
