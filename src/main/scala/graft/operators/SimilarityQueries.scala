@@ -350,7 +350,8 @@ object SimilarityQueries {
     // a fully-duplicate batch dedups to zero rows and writes no files —
     // the documented skip, so the append is a no-op, not a failed commit
     val newFiles = IndexCatalog.listDataFiles(target).filterNot(before)
-    if (newFiles.nonEmpty) IndexCatalog.commitFiles(base, newFiles)
+    if (newFiles.nonEmpty)
+      IndexCatalog.commitWithRetry(base)(_ => (newFiles, Nil))
   }
 
   /** Probe the STORED index only: queries and corpus both read the
@@ -570,9 +571,15 @@ object SimilarityQueries {
       .write.mode("append").partitionBy("bucket")
       .parquet(target)
     // a fully-duplicate batch dedups to zero rows and writes no files —
-    // the documented skip, so the append is a no-op, not a failed commit
+    // the documented skip, so the append is a no-op, not a failed commit.
+    // The commit rides the optimistic-retry loop: losing the version
+    // CAS to a concurrent committer re-reads the store state and
+    // re-publishes — both appends land as distinct versions with union
+    // content. (Writers racing with OVERLAPPING vectors must partition
+    // their input upstream — the anti-join above reads pre-race state.)
     val newFiles = IndexCatalog.listDataFiles(target).filterNot(before)
-    if (newFiles.nonEmpty) IndexCatalog.commitFiles(base, newFiles, commitTags)
+    if (newFiles.nonEmpty)
+      IndexCatalog.commitWithRetry(base)(_ => (newFiles, commitTags))
   }
 
   /** Probe the stored buckets with an ingest batch (the first

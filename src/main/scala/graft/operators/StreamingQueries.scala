@@ -896,8 +896,10 @@ object StreamingQueries {
         DedupQueries.incrementalComponents(stored, nodes, edges).labels
       val gen = IndexCatalog.newGenDir(store)
       labels.write.mode("overwrite").parquet(gen)
-      IndexCatalog.commitRewrite(store,
-        IndexCatalog.listDataFiles(gen), Seq(tag))
+      IndexCatalog.retryingCommit() {
+        IndexCatalog.commitRewrite(store,
+          IndexCatalog.listDataFiles(gen), Seq(tag))
+      }
     }
     fresh
   }

@@ -166,6 +166,62 @@ object IndexCatalog {
     writeManifestAt(base, currentVersion(base) + 1, files.sorted, commitTags)
   }
 
+  /** True iff `e` is the concurrent-commit CAS conflict raised by a
+    * losing committer — the one failure [[retryingCommit]] retries.
+    */
+  def isCommitConflict(e: Throwable): Boolean = e match {
+    case ise: IllegalStateException =>
+      ise.getCause.isInstanceOf[java.nio.file.FileAlreadyExistsException]
+    case _ => false
+  }
+
+  /** Optimistic-retry wrapper around a single catalog commit: re-run
+    * `attempt` when it loses the version CAS, up to `maxAttempts`.
+    * Sound because every commit method here derives its target version
+    * AND predecessor file list inside the call, from the state the
+    * retry observes — a loser's re-attempt sees the winner's commit.
+    * `attempt` must therefore be a catalog commit expression, not a
+    * cached manifest write. Only the CAS conflict retries; any other
+    * failure (or exhaustion) propagates. Content-level conflict
+    * resolution (tag guards, anti-joins against stored rows) remains
+    * the caller's; use [[commitWithRetry]] when the commit's CONTENT
+    * must be re-derived against the freshly observed version.
+    */
+  def retryingCommit(maxAttempts: Int = 16)(attempt: => Int): Int = {
+    var n = 0
+    while (n < maxAttempts) {
+      n += 1
+      try return attempt
+      catch {
+        case e if isCommitConflict(e) && n < maxAttempts =>
+          // bounded deterministic backoff; contention here is a few
+          // maintenance writers, not a thundering herd
+          Thread.sleep(math.min(64L, 1L << math.min(n, 6)))
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $maxAttempts attempts")
+  }
+
+  /** Append-commit with optimistic re-PREPARATION: observe the current
+    * version, let `prepare(cur)` derive the commit's content (new data
+    * files + tags) against exactly that state, and CAS on `cur + 1` —
+    * so a commit landing between observation and publish fails the
+    * CAS and re-runs `prepare` against the winner's state, never
+    * committing content derived from a stale read. This is the loop
+    * two concurrent ingest streams into ONE store need: both commits
+    * land (distinct versions, union content), neither blocks on
+    * manual intervention.
+    */
+  def commitWithRetry(base: String, maxAttempts: Int = 16)
+      (prepare: Int => (Seq[String], Seq[String])): Int =
+    retryingCommit(maxAttempts) {
+      val cur = currentVersion(base)
+      val prev = if (cur == 0) Seq.empty else files(base, cur)
+      val (newFiles, commitTags) = prepare(cur)
+      require(newFiles.nonEmpty, "no parquet files to commit")
+      writeManifestAt(base, cur + 1, prev ++ newFiles.sorted, commitTags)
+    }
+
   private def writeManifestAt(base: String, v: Int, all: Seq[String],
       commitTags: Seq[String]): Int = {
     require(commitTags.forall(t => !t.contains("\n")), "tags are single-line")

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pure-JVM contracts of the manifest catalog itself (no Spark): the
@@ -78,6 +80,74 @@ class IndexCatalogSpec extends AnyFunSuite {
       assert(deleted.isEmpty) // v5 and v6 are both inside the window
       assert(IndexCatalog.liveVersions(base) == Seq(5, 6))
       assert(IndexCatalog.referencedFiles(base, 1) == Set(fs.last, f6))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("commitWithRetry: two racing appenders both land, store content is the union") {
+    val base = store()
+    try {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val failures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val threads = (0 until 2).map { t =>
+        new Thread(() => (0 until 6).foreach { i =>
+          val f = fakeGen(base, s"gen-t$t-$i")
+          barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          // NO external retry loop: the catalog's own optimistic loop
+          // must absorb the CAS conflicts the barrier manufactures
+          try IndexCatalog.commitWithRetry(base)(_ => (Seq(f), Seq(s"w=$t b=$i")))
+          catch { case e: Throwable => failures.add(e.toString) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(failures.isEmpty, s"retry path failed: $failures")
+      // every commit owns its own version and no file fell out of the
+      // latest manifest — the union property two concurrent ingest
+      // streams into one store need
+      assert(IndexCatalog.currentVersion(base) == 12)
+      val latest = IndexCatalog.latestFiles(base).toSet
+      (0 until 2).foreach { t =>
+        (0 until 6).foreach { i =>
+          val f = Paths.get(base, s"gen-t$t-$i", s"part-gen-t$t-$i.parquet")
+          assert(latest.contains(f.toString), s"$f lost from latest")
+        }
+      }
+      assert(IndexCatalog.committedTags(base).size == 12)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("commitWithRetry re-PREPARES against the winner's state after losing the CAS") {
+    val base = store()
+    try {
+      val f1 = fakeGen(base, "gen-one")
+      IndexCatalog.commitFiles(base, Seq(f1))
+      val loserPrepared = new java.util.concurrent.CountDownLatch(1)
+      val winnerDone = new java.util.concurrent.CountDownLatch(1)
+      val observed = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+      val fLoser = fakeGen(base, "gen-loser")
+      val loser = new Thread(() =>
+        IndexCatalog.commitWithRetry(base) { cur =>
+          observed.add(cur)
+          if (observed.size == 1) {
+            // first attempt: observed v1, now let the winner commit v2
+            loserPrepared.countDown()
+            winnerDone.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          }
+          (Seq(fLoser), Seq(s"loser saw v$cur"))
+        })
+      loser.start()
+      loserPrepared.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      val fWinner = fakeGen(base, "gen-winner")
+      IndexCatalog.commitFiles(base, Seq(fWinner))
+      winnerDone.countDown()
+      loser.join(30000)
+      // the loser's first publish lost the v2 CAS; its SECOND prepare
+      // observed the winner's v2 and committed v3 carrying both files
+      assert(observed.asScala.toList == List(1, 2))
+      assert(IndexCatalog.currentVersion(base) == 3)
+      assert(IndexCatalog.tags(base, 3) == Seq("loser saw v2"))
+      assert(IndexCatalog.latestFiles(base).toSet ==
+        Set(f1, fWinner, fLoser))
     } finally graft.Fs.deleteRecursively(base)
   }
 
