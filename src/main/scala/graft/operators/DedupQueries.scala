@@ -501,7 +501,7 @@ object DedupQueries {
     * contract the minhash pipeline establishes. (A checkpointed frame
     * is a `LogicalRDD` leaf; unpersisting its RDD frees the blocks.)
     */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
+  private[operators] def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
@@ -632,12 +632,16 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** Result of [[incrementalComponents]]: the merged assignment plus
-    * the two frames the not-recomputed contract is asserted on (the
-    * active merge graph's nodes and the stored components it touched).
+  /** Result of [[incrementalComponents]]: the merged assignment, the
+    * subset of rows whose assignment could have changed (touched
+    * components' members + new nodes — O(batch + touched), what a
+    * partition-level store commit writes), plus the two frames the
+    * not-recomputed contract is asserted on (the active merge graph's
+    * nodes and the stored components it touched).
     */
   private[operators] final case class IncrementalCc(
-      labels: DataFrame, activeNodes: DataFrame, touchedReps: DataFrame)
+      labels: DataFrame, touchedLabels: DataFrame,
+      activeNodes: DataFrame, touchedReps: DataFrame)
 
   /** Merge NEW edges into a STORED cluster assignment, re-solving only
     * the touched subgraph — the 100 TB shape of cluster maintenance:
@@ -691,8 +695,9 @@ object DedupQueries {
       .select(col("node"), col("mc").as("comp"))
     val newLabels = merged.join(newNodes, Seq("node"), "left_semi")
       .select(col("node"), col("comp"))
+    val touchedLabels = relabeled.unionByName(newLabels)
     IncrementalCc(
-      untouched.unionByName(relabeled).unionByName(newLabels),
+      untouched.unionByName(touchedLabels), touchedLabels,
       activeNodes, touchedReps)
   }
 

@@ -798,21 +798,29 @@ object StreamingQueries {
     * that batch — so every streamed edge touches ≥1 new node, the
     * contract [[DedupQueries.incrementalComponents]] requires.
     * `foreachBatch` merges the batch into the CURRENT stored
-    * assignment and publishes the full post-batch assignment as a
-    * rewrite-commit ([[graft.sources.IndexCatalog.commitRewrite]] —
-    * each version is a complete, time-travelable snapshot of cluster
-    * state), tagged `ingest-batch=<batchId>` for the same
+    * assignment and publishes ONLY the node-hash partitions the merge
+    * touched as a partition-replacement commit
+    * ([[graft.sources.IndexCatalog.commitReplacePartitions]] — each
+    * version is still a complete, time-travelable snapshot of cluster
+    * state, because untouched partitions' files carry forward in the
+    * manifest by path), tagged `ingest-batch=<batchId>` for the same
     * exactly-once replay guard as `q_stream_index_append`. The final
     * stored assignment's verdict equals a from-scratch recluster of
     * the whole corpus — the same recursive-CTE oracle as
     * `q_dedup_clusters`/`q_cluster_append`, now a THIRD independent
     * implementation against one oracle text.
     *
-    * 100 TB shape: per-batch cost is O(batch + touched components),
-    * never O(corpus); the assignment store is read by manifest (no
-    * listing races) and each commit is one atomic rename. Batch
-    * boundaries are value-derived (`pmod(doc_id div 2, 3)`), files
-    * mtime-ordered, so arrival order is deterministic.
+    * 100 TB shape: per-batch cost is O(batch + touched components) on
+    * BOTH the compute and the write side, never O(corpus) — the solver
+    * touches only the merge graph ([[DedupQueries.incrementalComponents]])
+    * and the commit rewrites only partitions holding a changed label;
+    * at billions of assignment rows and minutely batches the store's
+    * I/O is a sliver per batch, where a snapshot-per-batch publish
+    * would be the copy-on-write-table-rewrite anti-pattern. The store
+    * is read by manifest (no listing races) and each commit is one
+    * atomic manifest publish. Batch boundaries are value-derived
+    * (`pmod(doc_id div 2, 3)`), files mtime-ordered, so arrival order
+    * is deterministic.
     */
   def qStreamClusterAppend(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -833,9 +841,7 @@ object StreamingQueries {
       val (baseLabels, _) = DedupQueries.starComponents(
         docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
         es.filter(col("sl") === -1).select(col("i"), col("j")))
-      val gen = graft.sources.IndexCatalog.newGenDir(store)
-      baseLabels.write.mode("overwrite").parquet(gen)
-      graft.sources.IndexCatalog.commit(store, gen)
+      commitClusterBase(baseLabels, store)
       val oddNodes = docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id").as("i"), expr("CAST(NULL AS BIGINT)").as("j"),
           expr("pmod(doc_id div 2, 3)").as("sl"))
@@ -868,17 +874,48 @@ object StreamingQueries {
       ss.read.parquet(graft.sources.IndexCatalog.latestFiles(store): _*))
   }
 
+  /** Partition count of the cluster-assignment store: labels hash by
+    * `part = pmod(node, ClusterParts)`. At the fixture scale 8 keeps
+    * several partitions untouched per targeted batch (the spec's
+    * byte-identity assertion); at 100 TB the same layout runs with
+    * thousands of partitions so a batch's touched set is a sliver of
+    * the store.
+    */
+  private[operators] val ClusterParts = 8
+
+  /** Write a FULL assignment under the store's node-hash partitioning
+    * and commit it as the base version. The `repartition(part)` keys
+    * the single shuffle on the partition column so each `part=` dir
+    * lands as one file, not one per task.
+    */
+  private[operators] def commitClusterBase(
+      labels: DataFrame, store: String): Int = {
+    import graft.sources.IndexCatalog
+    val gen = IndexCatalog.newGenDir(store)
+    labels.withColumn("part", pmod(col("node"), lit(ClusterParts)))
+      .repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(gen)
+    IndexCatalog.commit(store, gen)
+  }
+
   /** One micro-batch's assignment maintenance (shared with the spec's
     * replay test): split the batch into node arrivals (`j IS NULL`)
-    * and edges, merge into the CURRENT stored assignment, publish the
-    * post-batch assignment as one tagged rewrite-commit. Empty and
-    * already-committed batches are no-ops. Node arrivals additionally
-    * anti-join the stored assignment — the content-level backstop for
-    * a replay arriving AFTER vacuum expired its tag: already-stored
-    * nodes are not re-introduced (no duplicate assignment rows), the
-    * already-merged edges contract to self-loops, and the redundant
-    * version's content is identical (spec-pinned). Returns whether a
-    * commit was attempted.
+    * and edges, merge into the CURRENT stored assignment, and publish
+    * ONLY the partitions the merge touched as one tagged
+    * partition-replacement commit
+    * ([[graft.sources.IndexCatalog.commitReplacePartitions]]).
+    * Touched partitions are those holding a new node or any member of
+    * a touched component — exactly the rows whose assignment can
+    * change — so the write side is O(touched partitions), matching
+    * the solver's O(batch + touched components) compute; untouched
+    * partitions' files carry forward in the manifest BY PATH,
+    * byte-identical (spec-pinned). Empty and already-committed
+    * batches are no-ops. Node arrivals additionally anti-join the
+    * stored assignment — the content-level backstop for a replay
+    * arriving AFTER vacuum expired its tag: already-stored nodes are
+    * not re-introduced, the already-merged edges contract to
+    * self-loops, and the redundant version's content is identical
+    * (spec-pinned). Returns whether a commit was published.
     */
   private[operators] def commitClusterBatch(
       ss: SparkSession, batch: DataFrame, store: String, batchId: Long): Boolean = {
@@ -886,22 +923,50 @@ object StreamingQueries {
     val tag = s"ingest-batch=$batchId"
     val fresh = !batch.isEmpty &&
       !IndexCatalog.committedTags(store).contains(tag)
-    if (fresh) {
-      val stored = ss.read.parquet(IndexCatalog.latestFiles(store): _*)
+    fresh && {
+      val storedFiles = IndexCatalog.latestFiles(store)
+      val stored = ss.read.parquet(storedFiles: _*)
       val nodes = batch.filter(col("j").isNull)
         .select(col("i").as("node")).distinct()
         .join(stored.select(col("node")), Seq("node"), "left_anti")
       val edges = batch.filter(col("j").isNotNull).select(col("i"), col("j"))
-      val labels =
-        DedupQueries.incrementalComponents(stored, nodes, edges).labels
-      val gen = IndexCatalog.newGenDir(store)
-      labels.write.mode("overwrite").parquet(gen)
-      IndexCatalog.retryingCommit() {
-        IndexCatalog.commitRewrite(store,
-          IndexCatalog.listDataFiles(gen), Seq(tag))
-      }
+      val inc = DedupQueries.incrementalComponents(stored, nodes, edges)
+      // the rows whose assignment could have changed — O(batch +
+      // touched components). Materialized ONCE: the partition pick
+      // and the generation write below both consume it, and neither
+      // re-evaluates the merge.
+      val touchedLabels = inc.touchedLabels.localCheckpoint()
+      try {
+        // partitions holding any touched row — bounded by
+        // ClusterParts, driver-side catalog metadata, not data motion
+        val parts = touchedLabels
+          .select(pmod(col("node"), lit(ClusterParts)).as("part")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        parts.nonEmpty && {
+          val partDirs = parts.map(p => s"part=$p")
+          val touchedStoredFiles = storedFiles
+            .filter(f => IndexCatalog.partitionKey(f).exists(partDirs.contains))
+          // rows of the touched partitions whose label did NOT change
+          // keep their stored assignment — read from exactly those
+          // partitions' files, so the write side never scans the rest
+          // of the store
+          val keepOld =
+            if (touchedStoredFiles.isEmpty) touchedLabels.limit(0)
+            else ss.read.parquet(touchedStoredFiles: _*)
+              .join(touchedLabels.select(col("node")), Seq("node"), "left_anti")
+          val gen = IndexCatalog.newGenDir(store)
+          touchedLabels.unionByName(keepOld)
+            .withColumn("part", pmod(col("node"), lit(ClusterParts)))
+            .repartition(col("part"))
+            .write.mode("overwrite").partitionBy("part").parquet(gen)
+          IndexCatalog.retryingCommit() {
+            IndexCatalog.commitReplacePartitions(store,
+              IndexCatalog.listDataFiles(gen), Seq(tag))
+          }
+          true
+        }
+      } finally DedupQueries.freeLocalCheckpoint(touchedLabels)
     }
-    fresh
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

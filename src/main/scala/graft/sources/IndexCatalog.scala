@@ -153,6 +153,44 @@ object IndexCatalog {
     writeManifestAt(base, cur + 1, prev ++ newFiles.sorted, commitTags)
   }
 
+  /** The Hive-style partition key of a data file: its `k=v` directory
+    * segments, joined — `.../gen-v00002/part=3/f.parquet` → `part=3`,
+    * `.../corpus/bucket=17/f.parquet` → `bucket=17`, nested layouts
+    * concatenate. None for files outside any `k=v` directory. The
+    * GENERATION directory a file sits in is deliberately not part of
+    * the key: the same logical partition accumulates (or is replaced)
+    * across generations.
+    */
+  private[graft] def partitionKey(f: String): Option[String] = {
+    val segs = Paths.get(f).iterator().asScala.map(_.toString)
+      .filter(s => s.contains("=") && !s.startsWith(".")).toSeq
+    if (segs.isEmpty) None else Some(segs.mkString("/"))
+  }
+
+  /** Commit a PARTITION-LEVEL REPLACEMENT: the next version's manifest
+    * keeps every predecessor file whose partition key is NOT among the
+    * new files' keys, and lists the new files in place of the replaced
+    * partitions — the per-partition copy-on-write commit every real
+    * table format backs MERGE/update with, and the primitive that lets
+    * a streamed maintenance job publish only the partitions a batch
+    * touched instead of a full snapshot. Predecessor files WITHOUT a
+    * partition key (unpartitioned layouts) are always carried forward;
+    * every new file must carry one. Replaced partitions' old files
+    * stay on disk for older manifests (time travel) until [[vacuum]].
+    */
+  def commitReplacePartitions(base: String, newFiles: Seq[String],
+      commitTags: Seq[String] = Nil): Int = {
+    require(newFiles.nonEmpty, "no parquet files to commit")
+    val keyed = newFiles.map(f => f -> partitionKey(f))
+    require(keyed.forall(_._2.isDefined),
+      s"files without a k=v partition segment: ${keyed.filter(_._2.isEmpty).map(_._1)}")
+    val replaced = keyed.flatMap(_._2).toSet
+    val cur = currentVersion(base)
+    val prev = if (cur == 0) Seq.empty else files(base, cur)
+    val kept = prev.filterNot(f => partitionKey(f).exists(replaced.contains))
+    writeManifestAt(base, cur + 1, (kept ++ newFiles).sorted, commitTags)
+  }
+
   /** Commit a REWRITE: the next version's manifest lists ONLY
     * `files` — the compaction commit, where the store's live rows were
     * rewritten into a fresh (smaller) file set and the old generations'

@@ -36,11 +36,18 @@ class StreamClusterAppendSpec extends SparkSpec {
     val (baseLabels, _) = DedupQueries.starComponents(
       docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
       es.filter(col("sl") === -1).select(col("i"), col("j")))
-    val gen = IndexCatalog.newGenDir(store)
-    baseLabels.write.mode("overwrite").parquet(gen)
-    IndexCatalog.commit(store, gen)
+    StreamingQueries.commitClusterBase(baseLabels, store)
     store
   }
+
+  private def sha(p: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(Files.readAllBytes(java.nio.file.Paths.get(p)))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def partOf(f: String): String =
+    IndexCatalog.partitionKey(f).getOrElse(fail(s"unpartitioned file $f"))
 
   test("a micro-batch publishes one tagged rewrite; a REPLAY publishes nothing") {
     val (es, oddNodes) = slicedFeed()
@@ -91,6 +98,50 @@ class StreamClusterAppendSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1))
       assert(rows.length == rows.map(_._1).distinct.length)
       assert(rows.toMap == assigned)
+    } finally graft.Fs.deleteRecursively(store)
+  }
+
+  test("a batch touching one component rewrites only its partitions; the rest carry forward byte-identical") {
+    val (es, _) = slicedFeed()
+    val store = baseStore(es)
+    try {
+      val v1 = IndexCatalog.files(store, 1)
+      // even-only base: exactly the even node-hash partitions exist
+      assert(v1.map(partOf).toSet == Set(0L, 2L, 4L, 6L).map(p => s"part=$p"))
+      val v1Sha = v1.map(f => f -> sha(f)).toMap
+      // one stored even node in a SINGLETON component + one brand-new
+      // node: the merge touches exactly those two nodes' partitions
+      val singleton = spark.read.parquet(v1: _*)
+        .groupBy(col("comp")).agg(count(lit(1)).as("n"), min(col("node")).as("m"))
+        .filter(col("n") === 1).agg(min(col("m"))).collect()(0).getLong(0)
+      val fresh = spark.read.parquet(v1: _*)
+        .agg(max(col("node"))).collect()(0).getLong(0) + 1001 // odd: evens + odd offset
+      val batch = spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(fresh, null.asInstanceOf[java.lang.Long]),
+        org.apache.spark.sql.Row(fresh, java.lang.Long.valueOf(singleton))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.LongType))))
+      assert(StreamingQueries.commitClusterBatch(spark, batch, store, 0L))
+
+      val v2 = IndexCatalog.files(store, 2)
+      val touched = Set(fresh % StreamingQueries.ClusterParts,
+        singleton % StreamingQueries.ClusterParts).map(p => s"part=$p")
+      // only the touched partitions' files are new; every other
+      // partition carries forward BY PATH and byte-identical
+      val (replaced, carried) = v2.partition(f => touched.contains(partOf(f)))
+      assert(replaced.nonEmpty && replaced.forall(f => !v1.contains(f)))
+      // the new node's odd partition is created, the singleton's even
+      // partition is replaced — both appear only among the new files
+      assert(replaced.map(partOf).toSet == touched)
+      assert(carried.nonEmpty)
+      assert(carried.toSet == v1.filterNot(f => touched.contains(partOf(f))).toSet)
+      assert(carried.forall(f => sha(f) == v1Sha(f)))
+      // content: the new node joined the singleton's component
+      val merged = spark.read.parquet(v2: _*)
+      assert(merged.filter(col("node") === fresh)
+        .collect()(0).getAs[Long]("comp") == singleton)
+      assert(merged.count() == spark.read.parquet(v1: _*).count() + 1)
     } finally graft.Fs.deleteRecursively(store)
   }
 
