@@ -931,41 +931,47 @@ object StreamingQueries {
         .join(stored.select(col("node")), Seq("node"), "left_anti")
       val edges = batch.filter(col("j").isNotNull).select(col("i"), col("j"))
       val inc = DedupQueries.incrementalComponents(stored, nodes, edges)
-      // the rows whose assignment could have changed — O(batch +
-      // touched components). Materialized ONCE: the partition pick
-      // and the generation write below both consume it, and neither
-      // re-evaluates the merge.
-      val touchedLabels = inc.touchedLabels.localCheckpoint()
-      try {
-        // partitions holding any touched row — bounded by
-        // ClusterParts, driver-side catalog metadata, not data motion
-        val parts = touchedLabels
-          .select(pmod(col("node"), lit(ClusterParts)).as("part")).distinct()
-          .collect().map(_.getLong(0)).toSet
-        parts.nonEmpty && {
-          val partDirs = parts.map(p => s"part=$p")
-          val touchedStoredFiles = storedFiles
-            .filter(f => IndexCatalog.partitionKey(f).exists(partDirs.contains))
-          // rows of the touched partitions whose label did NOT change
-          // keep their stored assignment — read from exactly those
-          // partitions' files, so the write side never scans the rest
-          // of the store
-          val keepOld =
-            if (touchedStoredFiles.isEmpty) touchedLabels.limit(0)
-            else ss.read.parquet(touchedStoredFiles: _*)
-              .join(touchedLabels.select(col("node")), Seq("node"), "left_anti")
-          val gen = IndexCatalog.newGenDir(store)
-          touchedLabels.unionByName(keepOld)
+      // ONE job materializes the rows whose assignment could have
+      // changed (touched components' members + new nodes — O(batch +
+      // touched)) straight into the new generation's partition
+      // layout; the touched partition set then falls out of the
+      // directory listing — no separate driver pass re-evaluating
+      // the merge
+      val gen = IndexCatalog.newGenDir(store)
+      inc.touchedLabels
+        .withColumn("part", pmod(col("node"), lit(ClusterParts)))
+        .repartition(col("part"))
+        .write.mode("overwrite").partitionBy("part").parquet(gen)
+      val touchedRows = IndexCatalog.listDataFiles(gen)
+      if (touchedRows.isEmpty) {
+        // a batch with zero assignment effect (fully-stale replay):
+        // nothing to publish; drop the empty generation dir
+        Try(graft.Fs.deleteRecursively(gen))
+        false
+      } else {
+        val partDirs = touchedRows.flatMap(IndexCatalog.partitionKey).toSet
+        val touchedStoredFiles = storedFiles
+          .filter(f => IndexCatalog.partitionKey(f).exists(partDirs.contains))
+        // rows of the touched partitions whose label did NOT change
+        // keep their stored assignment — read from exactly those
+        // partitions' files (and the just-written touched node set,
+        // a broadcast-size side), so the write side never scans the
+        // rest of the store
+        // no repartition: the input is already a handful of
+        // partition-pruned files, one task each — a shuffle here
+        // would cost more than the task-per-file layout it avoids
+        if (touchedStoredFiles.nonEmpty)
+          ss.read.parquet(touchedStoredFiles: _*)
+            .join(ss.read.parquet(touchedRows: _*).select(col("node")),
+              Seq("node"), "left_anti")
             .withColumn("part", pmod(col("node"), lit(ClusterParts)))
-            .repartition(col("part"))
-            .write.mode("overwrite").partitionBy("part").parquet(gen)
-          IndexCatalog.retryingCommit() {
-            IndexCatalog.commitReplacePartitions(store,
-              IndexCatalog.listDataFiles(gen), Seq(tag))
-          }
-          true
+            .write.mode("append").partitionBy("part").parquet(gen)
+        IndexCatalog.retryingCommit() {
+          IndexCatalog.commitReplacePartitions(store,
+            IndexCatalog.listDataFiles(gen), Seq(tag))
         }
-      } finally DedupQueries.freeLocalCheckpoint(touchedLabels)
+        true
+      }
     }
   }
 
