@@ -593,15 +593,23 @@ object SimilarityQueries {
   private[operators] def probeEmbedStore(
       spark: SparkSession, dir: String, base: String,
       batchFilter: Column = pmod(col("vec_id"), lit(2)) === 1 &&
-        col("vec_id") < 2 * NQueries): DataFrame = {
+        col("vec_id") < 2 * NQueries,
+      version: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Engine.register(spark) // vec_dot on the scoring path
     val planes = spark.read.parquet(s"$base/planes")
-    // manifest-resolved read: only committed generations' files; the
-    // basePath option keeps the bucket partition column (and pruning)
-    // over the explicit file list
+    // manifest-resolved read: only committed generations' files —
+    // the CURRENT version's by default, or any still-live version's
+    // when `version` names one (time travel: the probe answers as of
+    // that commit, later appends invisible even though their files
+    // sit in the same bucket dirs). The basePath option keeps the
+    // bucket partition column (and pruning) over the explicit file
+    // list.
+    val storeFiles =
+      if (version == 0) graft.sources.IndexCatalog.latestFiles(base)
+      else graft.sources.IndexCatalog.files(base, version)
     val corpus = spark.read.option("basePath", s"$base/corpus")
-      .parquet(graft.sources.IndexCatalog.latestFiles(base): _*)
+      .parquet(storeFiles: _*)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"), col("bucket").as("n_bucket"))
     val q = embeddings(spark, dir)
@@ -665,6 +673,42 @@ object SimilarityQueries {
     graft.Lease.lease("q_embed_append", Seq(base))
     probeEmbedStore(spark, dir, base,
       pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
+  }
+
+  /** Time travel as a QUERY ANSWER — the versioned-probe end of the
+    * catalog's history surface (`q_store_history` counts rows per
+    * live version; this query RANKS at one): build the store (v1),
+    * append batch A (v2), then answer the SAME probe batch at both
+    * versions from the one store. The v1 answer ranks against the
+    * build-time corpus alone — batch A invisible even though its
+    * files sit in the same `bucket=` dirs — and equals the
+    * pre-append probe verbatim; the v2 answer ranks against
+    * corpus ∪ A. What scopes each probe is manifest RESOLUTION
+    * (driver-side catalog metadata), not data copies: both probes
+    * partition-prune to their sign buckets within their version's
+    * file list. 100 TB shape: an as-of probe costs the same as a
+    * current probe — version selection never touches data.
+    */
+  def qStoreAsof(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    try {
+      buildEmbedStore(spark, dir, base)
+      appendEmbedStore(spark,
+        embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
+        base)
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_store_asof", Seq(base))
+    val probeB = pmod(col("vec_id"), lit(4)) === 3 &&
+      col("vec_id") < 4 * NQueries
+    probeEmbedStore(spark, dir, base, probeB, version = 1)
+      .withColumn("version", lit(1L))
+      .unionByName(
+        probeEmbedStore(spark, dir, base, probeB, version = 2)
+          .withColumn("version", lit(2L)))
+      .orderBy("version", "query_id", "rk")
   }
 
   // --- store compaction + retention vacuum ------------------------------
@@ -855,6 +899,7 @@ object SimilarityQueries {
     "q_embed_append" -> (qEmbedAppend _),
     "q_store_vacuum" -> (qStoreVacuum _),
     "q_store_history" -> (qStoreHistory _),
+    "q_store_asof" -> (qStoreAsof _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
 
@@ -1083,6 +1128,19 @@ object SimilarityQueries {
       s"""SELECT t.*, TRUE AS vacuum_ok FROM (${duckEmbedIngestSql(
         batchPred = s"vec_id % 4 = 3 AND vec_id < ${4 * NQueries}",
         corpusPred = "(vec_id % 2 = 0 OR vec_id % 4 = 1)")}) t""",
+    // versioned probe: one batch answered at v1 (build-time corpus
+    // only — the pre-append probe verbatim) and at v2 (corpus ∪ A);
+    // the SQL is the ingest pipeline at each version's corpus scope
+    "q_store_asof" -> {
+      val b = s"vec_id % 4 = 3 AND vec_id < ${4 * NQueries}"
+      s"""SELECT CAST(1 AS BIGINT) AS version, t1.*
+         |FROM (${duckEmbedIngestSql(b, "vec_id % 2 = 0")}) t1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS version, t2.*
+         |FROM (${duckEmbedIngestSql(b,
+               "(vec_id % 2 = 0 OR vec_id % 4 = 1)")}) t2
+         |ORDER BY version, query_id, rk""".stripMargin
+    },
     "q_embed_neardup" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -49,6 +49,30 @@ class EmbedAppendSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("as-of probe: v1 answers the pre-append question; an expired version fails fast") {
+    val base = Files.createTempDirectory("graft_embasof").toString
+    try {
+      val probeB = pmod(col("vec_id"), lit(4)) === 3 &&
+        col("vec_id") < 4 * SimilarityQueries.NQueries
+      SimilarityQueries.buildEmbedStore(spark, dir, base)
+      val pre = SimilarityQueries.probeEmbedStore(spark, dir, base, probeB)
+        .collect().map(_.toString).sorted
+      SimilarityQueries.appendEmbedStore(
+        spark, embeddingsOf(pmod(col("vec_id"), lit(4)) === 1), base)
+      // the versioned probe answers exactly what the store knew at v1
+      val asof = SimilarityQueries
+        .probeEmbedStore(spark, dir, base, probeB, version = 1)
+        .collect().map(_.toString).sorted
+      assert(asof.sameElements(pre))
+      // retention expiry: a pre-horizon version fails at manifest
+      // resolution, not by silently listing vanished files
+      IndexCatalog.vacuum(base, retain = 1)
+      intercept[java.nio.file.NoSuchFileException] {
+        SimilarityQueries.probeEmbedStore(spark, dir, base, probeB, version = 1)
+      }
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("embed store: probe after append == probe of a store rebuilt over the grown corpus") {
     val grown = Files.createTempDirectory("graft_embapp_g").toString
     val rebuilt = Files.createTempDirectory("graft_embapp_r").toString
