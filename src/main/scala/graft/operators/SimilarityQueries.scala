@@ -738,6 +738,36 @@ object SimilarityQueries {
       Seq("compaction"))
   }
 
+  /** PARTITION-SCOPED compaction — `OPTIMIZE ... WHERE` for the
+    * store: rewrite ONLY the named buckets' live rows into fresh
+    * files inside their own `bucket=` partitions and publish via
+    * [[graft.sources.IndexCatalog.commitReplacePartitions]]; every
+    * other partition's files carry forward BY PATH, byte-untouched
+    * (spec-pinned). This is how a 100 TB store compacts under
+    * continuous ingest: hot partitions (skewed buckets fragmented by
+    * many small appends) are rewritten in place-by-replacement while
+    * the cold ones — almost all of the store — cost the commit
+    * nothing but a manifest line. The scan reads only the target
+    * partitions' files (manifest-filtered before Spark ever lists).
+    */
+  private[operators] def compactEmbedStorePartitions(
+      spark: SparkSession, base: String, buckets: Seq[Long]): Unit = {
+    import graft.sources.IndexCatalog
+    val target = s"$base/corpus"
+    val keys = buckets.map(b => s"bucket=$b").toSet
+    val live = IndexCatalog.latestFiles(base)
+      .filter(f => IndexCatalog.partitionKey(f).exists(keys.contains))
+    if (live.nonEmpty) {
+      val before = IndexCatalog.listDataFiles(target).toSet
+      spark.read.option("basePath", target).parquet(live: _*)
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(target)
+      IndexCatalog.commitReplacePartitions(base,
+        IndexCatalog.listDataFiles(target).filterNot(before),
+        Seq(s"compaction ${keys.toSeq.sorted.mkString(",")}"))
+    }
+  }
+
   /** The retention end of the index lifecycle: build → append →
     * COMPACT (rewrite commit) → VACUUM (retention GC) → probe. After
     * vacuum only the compacted file set and its manifest survive —

@@ -411,6 +411,66 @@ object SourceQueries {
       .orderBy("batch")
   }
 
+  /** Schema evolution THROUGH the index catalog — [[qSchemaEvolution]]'s
+    * mergeSchema mechanism composed with the manifest lifecycle every
+    * persisted store here runs on: a digest store builds at v1 with
+    * `(doc_id, digest)`, a later generation appends odd doc_ids WITH an
+    * added nullable `doc_chars` column, and each commit records its
+    * schema as a manifest tag — so the schema history rides the SAME
+    * atomic commit as the file list, and a reader learns a version's
+    * shape from the catalog before touching any footer. The answer
+    * reads each live version's own file list with mergeSchema: the v1
+    * snapshot has no `doc_chars` at all (pre-evolution readers are
+    * undisturbed — old files unrewritten, spec-pinned byte-identical),
+    * the v2 snapshot NULL-fills it across the pre-evolution files.
+    * 100 TB shape: evolution costs one manifest commit — zero data
+    * rewrites — exactly how production table formats add columns;
+    * the mergeSchema footer reconciliation is bounded by file count,
+    * and a deployment caches the merged schema in the tag it already
+    * committed. Oracle: both versions' censuses straight off the
+    * documents table.
+    */
+  def qStoreSchema(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val base = Files.createTempDirectory("graft_storeschema").toString
+    val docs = Engine.table(spark, dir, "documents")
+    try {
+      val g1 = IndexCatalog.newGenDir(base)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .write.mode("overwrite").parquet(g1)
+      IndexCatalog.commitFiles(base, IndexCatalog.listDataFiles(g1),
+        Seq("schema=doc_id BIGINT, digest STRING"))
+      val g2 = IndexCatalog.newGenDir(base)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), md5(col("text")).as("digest"),
+          length(col("text")).cast("long").as("doc_chars"))
+        .write.mode("overwrite").parquet(g2)
+      IndexCatalog.commitFiles(base, IndexCatalog.listDataFiles(g2),
+        Seq("schema=doc_id BIGINT, digest STRING, doc_chars BIGINT"))
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_store_schema", Seq(base))
+    IndexCatalog.liveVersions(base).map { v =>
+      val snap = spark.read.option("mergeSchema", "true")
+        .parquet(IndexCatalog.files(base, v): _*)
+      // the pre-evolution snapshot genuinely lacks the column — absence
+      // (not NULL-fill) is the assertion, so probe the resolved schema
+      val chars = if (snap.columns.contains("doc_chars")) col("doc_chars")
+        else lit(null).cast("long")
+      snap.agg(
+          count(lit(1)).as("n_rows"),
+          count(chars).as("n_evolved"),
+          sum(chars).cast("long").as("chars_sum"),
+          countDistinct(col("digest")).as("n_digests"))
+        .select(lit(v.toLong).as("version"),
+          lit(IndexCatalog.tags(base, v).mkString(",")).as("schema_tag"),
+          col("n_rows"), col("n_evolved"), col("chars_sum"), col("n_digests"))
+    }.reduce(_.unionByName(_)).orderBy("version")
+  }
+
   /** Compaction target for [[qCompact]] — a layout decision like
     * [[NumBuckets]]/[[ZWriteFiles]] (total size / target file size).
     */
@@ -470,6 +530,7 @@ object SourceQueries {
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_time_travel" -> (qTimeTravel _),
     "q_schema_evolution" -> (qSchemaEvolution _),
+    "q_store_schema" -> (qStoreSchema _),
     "q_compact" -> (qCompact _)
   )
 
@@ -552,6 +613,26 @@ object SourceQueries {
         |       CAST(count(DISTINCT event_type) AS BIGINT)
         |FROM events WHERE event_id % 2 = 1
         |ORDER BY batch""".stripMargin,
+    // the two versions' censuses straight off the documents table: v1
+    // (even doc_ids, no doc_chars column — count 0, sum NULL), v2 (all
+    // docs, the evolved column populated on the odd half only); the
+    // schema tags are the manifest commits' metadata verbatim
+    "q_store_schema" ->
+      """SELECT CAST(1 AS BIGINT) AS version,
+        |       'schema=doc_id BIGINT, digest STRING' AS schema_tag,
+        |       count(*) AS n_rows, CAST(0 AS BIGINT) AS n_evolved,
+        |       CAST(NULL AS BIGINT) AS chars_sum,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_digests
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |       'schema=doc_id BIGINT, digest STRING, doc_chars BIGINT',
+        |       (SELECT count(*) FROM documents),
+        |       count(*) FILTER (WHERE doc_id % 2 = 1),
+        |       CAST(sum(length(text)) FILTER (WHERE doc_id % 2 = 1) AS BIGINT),
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT)
+        |FROM documents
+        |ORDER BY version""".stripMargin,
     // compaction must change layout, never content: aggregate the raw table
     "q_compact" ->
       """SELECT event_type, count(*) AS n_events,

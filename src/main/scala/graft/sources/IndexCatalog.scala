@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.Paths
 import scala.jdk.CollectionConverters._
 
 /** Manifest-backed catalog for the persisted index stores (the LSH
@@ -21,19 +21,25 @@ import scala.jdk.CollectionConverters._
   *    time travel — until [[vacuum]] expires them past the retention
   *    horizon (an expired version fails fast at manifest resolution).
   *
-  * On a real DFS the atomic manifest commit and driver-side manifest
-  * resolution (a few KB of paths — a catalog lookup, not data motion)
-  * carry over unchanged; production table formats commit snapshots the
-  * same way. Maintenance concurrency: commits are safe against racing
-  * committers (the loser's commit throws instead of silently replacing
-  * the winner's), and [[vacuum]] is safe-by-default against an
-  * in-flight append to the SAME store: files not yet referenced by any
-  * manifest are kept unless older than `orphanGraceMs` (default
+  * Every filesystem touchpoint goes through [[CatalogFs]] — the
+  * protocol (versions, manifests, tags, partition commits, retention)
+  * is filesystem-agnostic, and porting to a DFS or object store means
+  * implementing that five-method trait (atomic create-if-absent is the
+  * only primitive with teeth; HDFS `create(overwrite=false)`, S3
+  * conditional PUT, and GCS `ifGenerationMatch(0)` all provide it).
+  * The default instance ([[IndexCatalog]]) binds [[LocalCatalogFs]];
+  * manifest resolution is a few KB of paths — a catalog lookup, not
+  * data motion — exactly as production table formats commit snapshots.
+  * Maintenance concurrency: commits are safe against racing committers
+  * (the loser's commit throws instead of silently replacing the
+  * winner's), and [[vacuum]] is safe-by-default against an in-flight
+  * append to the SAME store: files not yet referenced by any manifest
+  * are kept unless older than `orphanGraceMs` (default
   * [[DefaultOrphanGraceMs]]) — keep the grace above the writers' max
   * write-to-commit latency, the same rule every table format's
   * orphan-file cleanup imposes.
   */
-object IndexCatalog {
+class IndexCatalogOps(val fs: CatalogFs) {
 
   /** Default orphan grace for [[vacuum]]: files not referenced by any
     * present manifest are kept unless at least this stale. 20 minutes
@@ -42,23 +48,19 @@ object IndexCatalog {
     */
   val DefaultOrphanGraceMs: Long = 20L * 60 * 1000
 
-  private def manifestsDir(base: String): Path = Paths.get(base, "manifests")
+  private def manifestsDir(base: String): String =
+    Paths.get(base, "manifests").toString
+
+  private def manifestPath(base: String, v: Int): String =
+    Paths.get(manifestsDir(base), s"v$v.txt").toString
 
   private val ManifestName = raw"v(\d+)\.txt".r
 
   /** Highest committed version, 0 if the store has none. */
-  def currentVersion(base: String): Int = {
-    val dir = manifestsDir(base)
-    if (!Files.isDirectory(dir)) 0
-    else {
-      val s = Files.list(dir)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case ManifestName(n) => n.toInt }
-        .foldLeft(0)(math.max)
-      finally s.close()
-    }
-  }
+  def currentVersion(base: String): Int =
+    fs.listNames(manifestsDir(base))
+      .collect { case ManifestName(n) => n.toInt }
+      .foldLeft(0)(math.max)
 
   /** The data files of committed version `v` (paths, sorted).
     * `#`-prefixed manifest lines are commit metadata ([[tags]]), not
@@ -66,7 +68,7 @@ object IndexCatalog {
     */
   def files(base: String, v: Int): Seq[String] = {
     require(v >= 1, s"version $v is not committed")
-    Files.readString(manifestsDir(base).resolve(s"v$v.txt"))
+    fs.readString(manifestPath(base, v))
       .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
@@ -76,7 +78,7 @@ object IndexCatalog {
     * file list.
     */
   def tags(base: String, v: Int): Seq[String] =
-    Files.readString(manifestsDir(base).resolve(s"v$v.txt"))
+    fs.readString(manifestPath(base, v))
       .split("\n").toSeq.collect { case l if l.startsWith("#") => l.drop(1) }
 
   /** Every tag on a still-live manifest. The streaming ingest path
@@ -92,8 +94,7 @@ object IndexCatalog {
     * expired by [[vacuum]]. The catalog's readable history.
     */
   def liveVersions(base: String): Seq[Int] =
-    (1 to currentVersion(base)).filter(v =>
-      Files.exists(manifestsDir(base).resolve(s"v$v.txt")))
+    (1 to currentVersion(base)).filter(v => fs.exists(manifestPath(base, v)))
 
   /** The current version's files; empty for an empty store. */
   def latestFiles(base: String): Seq[String] = {
@@ -107,30 +108,21 @@ object IndexCatalog {
     */
   def newGenDir(base: String): String = {
     val v = currentVersion(base) + 1
-    val p = Paths.get(base, f"gen-v$v%05d")
-    Files.createDirectories(p)
-    p.toString
+    val p = Paths.get(base, f"gen-v$v%05d").toString
+    fs.mkdirs(p)
+    p
   }
 
   /** All parquet data files under `dir`, recursively (covers
     * Hive-partitioned layouts like `bucket=3/part-....parquet`).
     * Empty when the directory does not exist yet.
     */
-  def listDataFiles(dir: String): Seq[String] = {
-    val p = Paths.get(dir)
-    if (!Files.isDirectory(p)) Seq.empty
-    else {
-      val s = Files.walk(p)
-      try s.iterator().asScala
-        .filter(f => f.getFileName.toString.endsWith(".parquet"))
-        .map(_.toString).toSeq.sorted
-      finally s.close()
-    }
-  }
+  def listDataFiles(dir: String): Seq[String] =
+    fs.listFilesRecursive(dir, ".parquet").sorted
 
   /** Commit `genDir`'s parquet files as the next version: manifest =
-    * previous version's files ++ the generation's, written to a temp
-    * path and atomically renamed into place. Returns the new version.
+    * previous version's files ++ the generation's, published with a
+    * single atomic create-if-absent. Returns the new version.
     */
   def commit(base: String, genDir: String): Int =
     commitFiles(base, listDataFiles(genDir))
@@ -139,7 +131,7 @@ object IndexCatalog {
     * the path for partitioned stores, where a generation's files land
     * inside existing `key=value` directories and the writer diffs the
     * listing rather than using a separate generation dir. Visibility
-    * still flips only at the manifest rename.
+    * still flips only at the manifest commit.
     */
   def commitFiles(base: String, newFiles: Seq[String],
       commitTags: Seq[String] = Nil): Int = {
@@ -263,24 +255,18 @@ object IndexCatalog {
   private def writeManifestAt(base: String, v: Int, all: Seq[String],
       commitTags: Seq[String]): Int = {
     require(commitTags.forall(t => !t.contains("\n")), "tags are single-line")
-    Files.createDirectories(manifestsDir(base))
-    // per-attempt tmp file: racing committers targeting the same v must
-    // not share a staging path, or the loser links the winner's content
-    // (or trips over its deletion) instead of failing its own commit
-    val tmp = Files.createTempFile(manifestsDir(base), s".v$v-", ".tmp")
-    Files.writeString(tmp, (commitTags.map("#" + _) ++ all).mkString("\n"))
-    // createLink is an atomic create-IF-ABSENT: a racing committer that
-    // also computed version v fails here (FileAlreadyExistsException)
+    fs.mkdirs(manifestsDir(base))
+    val target = manifestPath(base, v)
+    // publishIfAbsent is an atomic create-IF-ABSENT: a racing committer
+    // that also computed version v gets `false` here and fails loudly
     // instead of silently replacing the winner's manifest — the
     // conflicting-commit failure every snapshot-committed format gives,
-    // where a rename would drop the winner's files from history.
-    try Files.createLink(manifestsDir(base).resolve(s"v$v.txt"), tmp)
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"concurrent commit: version $v of $base was committed by " +
-            "another writer; re-read the store state and retry", e)
-    } finally Files.deleteIfExists(tmp)
+    // where a blind overwrite would drop the winner's files from history.
+    if (!fs.publishIfAbsent(target, (commitTags.map("#" + _) ++ all).mkString("\n")))
+      throw new IllegalStateException(
+        s"concurrent commit: version $v of $base was committed by " +
+          "another writer; re-read the store state and retry",
+        new java.nio.file.FileAlreadyExistsException(target))
     v
   }
 
@@ -350,16 +336,20 @@ object IndexCatalog {
         // superseded (ever-committed) files delete unconditionally;
         // orphans only past the grace window. A candidate deleted
         // between listing and stat (another process, or a racing
-        // vacuum) is already gone — skip it, mirroring the
-        // deleteIfExists tolerance on the delete side.
+        // vacuum) is already gone — skip it, mirroring the tolerant
+        // delete below.
         .filter(f => everCommitted.contains(f) || orphanGraceMs <= 0L ||
-          (try Files.getLastModifiedTime(Paths.get(f)).toMillis < cutoff
-          catch { case _: java.nio.file.NoSuchFileException => false }))
+          fs.mtimeMillis(f).exists(_ < cutoff))
     }
-    deleted.foreach(f => Files.deleteIfExists(Paths.get(f)))
-    (1 until horizon).foreach { v =>
-      Files.deleteIfExists(manifestsDir(base).resolve(s"v$v.txt"))
-    }
+    deleted.foreach(fs.delete)
+    (1 until horizon).foreach(v => fs.delete(manifestPath(base, v)))
     deleted
   }
 }
+
+/** The default catalog instance — the protocol bound to the local
+  * filesystem. Operators call this; tests that exercise the protocol
+  * against a different (or instrumented) filesystem instantiate
+  * [[IndexCatalogOps]] with their own [[CatalogFs]].
+  */
+object IndexCatalog extends IndexCatalogOps(LocalCatalogFs)

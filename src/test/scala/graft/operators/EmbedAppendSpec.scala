@@ -109,6 +109,46 @@ class EmbedAppendSpec extends SparkSpec {
     }
   }
 
+  test("partition-scoped compaction rewrites only the target bucket; the rest carry forward byte-identical") {
+    val base = Files.createTempDirectory("graft_embapp_pc").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base)
+      SimilarityQueries.appendEmbedStore(
+        spark, embeddingsOf(pmod(col("vec_id"), lit(4)) === 1), base)
+      val probeB = pmod(col("vec_id"), lit(4)) === 3 &&
+        col("vec_id") < 4 * SimilarityQueries.NQueries
+      val pre = SimilarityQueries.probeEmbedStore(spark, dir, base, probeB)
+        .collect().map(_.toString).sorted
+      // the hottest bucket: most fragmented across the two generations
+      val keyOf = (f: String) => IndexCatalog.partitionKey(f).get
+      val v2 = IndexCatalog.files(base, 2)
+      val hot = v2.groupBy(keyOf).maxBy(_._2.size)._1
+      val hotBucket = hot.stripPrefix("bucket=").toLong
+      val untouched = v2.filterNot(f => keyOf(f) == hot)
+        .map(f => f -> sha256(f)).toMap
+      assert(untouched.nonEmpty)
+
+      SimilarityQueries.compactEmbedStorePartitions(spark, base, Seq(hotBucket))
+      assert(IndexCatalog.currentVersion(base) == 3)
+      val v3 = IndexCatalog.files(base, 3)
+      // untouched partitions: same paths in the new manifest, same bytes
+      untouched.foreach { case (f, sum) =>
+        assert(v3.contains(f), s"compaction dropped untouched $f")
+        assert(sha256(f) == sum, s"compaction mutated untouched $f")
+      }
+      // the hot bucket: all-new files in v3, old files superseded but
+      // still on disk for v2 readers (time travel until vacuum)
+      val oldHot = v2.filter(f => keyOf(f) == hot)
+      val newHot = v3.filter(f => keyOf(f) == hot)
+      assert(newHot.nonEmpty && oldHot.toSet.intersect(newHot.toSet).isEmpty)
+      oldHot.foreach(f => assert(Files.exists(Paths.get(f))))
+      // content invariant: the probe answers identically at v3
+      val post = SimilarityQueries.probeEmbedStore(spark, dir, base, probeB)
+        .collect().map(_.toString).sorted
+      assert(post.sameElements(pre))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("embed store: a fully-duplicate append is a no-op, not a failed commit") {
     val base = Files.createTempDirectory("graft_embapp_d").toString
     try {
