@@ -68,7 +68,9 @@ object PlanDump {
     "q_embed_append" ->
       "round 9: same probe plan as q_embed_ingest — batch sign patterns against the STORED planes, equi-join on the bucket key over the manifest-resolved bucket-partitioned store; the appended generation only widens the file list, and the one-row-per-vector anti-join is the only store-reading step of the append itself.",
     "q_cluster_append" ->
-      "round 9: the verdict window runs over the STITCHED label set — untouched components stream straight from the stored-assignment parquet (left_anti on the touched reps), touched stored nodes relabel through one join on their old rep, and only the merge graph (new nodes + touched reps) ever entered the star-contraction solver (IncrementalCcSpec counts).")
+      "round 9: the verdict window runs over the STITCHED label set — untouched components stream straight from the stored-assignment parquet (left_anti on the touched reps), touched stored nodes relabel through one join on their old rep, and only the merge graph (new nodes + touched reps) ever entered the star-contraction solver (IncrementalCcSpec counts).",
+    "q_store_asof" ->
+      "round 10: the two versioned probes are the SAME probe plan twice — each side's store scan Location lists exactly its manifest's files (v1's scan omits the appended generation entirely; no filter does the versioning, file RESOLUTION does), both sides keep the bucket-partitioned equi-join shape, and the union is the only node the time travel adds.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"

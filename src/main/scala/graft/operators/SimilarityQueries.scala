@@ -328,13 +328,14 @@ object SimilarityQueries {
       spark.read.parquet(s"$base/centroids"))
 
   /** Shared generation writer for [[buildIvfStore]]/[[appendIvfStore]]:
-    * assign `vecs` to `cent`'s cells, append the rows under the store's
+    * assign `vecs` to `cent`'s cells, stage the rows into the store's
     * `centroid_id` partitioning, and commit exactly the files this
-    * write created (listing diff) through [[graft.sources.IndexCatalog]].
+    * write created ([[graft.sources.StagedWrite]] — concurrent-append
+    * safe by construction).
     */
   private def writeIvfGen(spark: SparkSession, vecs: DataFrame,
       base: String, cent: DataFrame): Unit = {
-    import graft.sources.IndexCatalog
+    import graft.sources.{IndexCatalog, StagedWrite}
     val target = s"$base/corpus"
     val stored = IndexCatalog.latestFiles(base)
     val fresh = if (stored.nonEmpty) {
@@ -342,14 +343,12 @@ object SimilarityQueries {
         .select(col("vec_id")).distinct()
       vecs.join(ids, Seq("vec_id"), "left_anti")
     } else vecs
-    val before = IndexCatalog.listDataFiles(target).toSet
-    assignToCentroids(fresh, cent.select(col("centroid_id"), col("c_emb")))
+    val rows = assignToCentroids(fresh,
+        cent.select(col("centroid_id"), col("c_emb")))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(target)
     // a fully-duplicate batch dedups to zero rows and writes no files —
     // the documented skip, so the append is a no-op, not a failed commit
-    val newFiles = IndexCatalog.listDataFiles(target).filterNot(before)
+    val newFiles = StagedWrite.partitioned(rows, target, Seq("centroid_id"))
     if (newFiles.nonEmpty)
       IndexCatalog.commitWithRetry(base)(_ => (newFiles, Nil))
   }
@@ -545,14 +544,16 @@ object SimilarityQueries {
 
   /** Shared generation writer for [[buildEmbedStore]]/
     * [[appendEmbedStore]]: bucket `vecs` against the stored planes,
-    * append the rows under the store's bucket partitioning, and commit
-    * exactly the files this write created (listing diff) through
-    * [[graft.sources.IndexCatalog]].
+    * stage the rows into the store's bucket partitioning and commit
+    * exactly the files this write created
+    * ([[graft.sources.StagedWrite]] — the writer's file list is its
+    * own by construction, so concurrent appenders to one store can
+    * never claim each other's files).
     */
   private[operators] def writeEmbedGen(
       spark: SparkSession, vecs: DataFrame, base: String,
       commitTags: Seq[String] = Nil): Unit = {
-    import graft.sources.IndexCatalog
+    import graft.sources.{IndexCatalog, StagedWrite}
     val target = s"$base/corpus"
     val planes = spark.read.parquet(s"$base/planes")
     val stored = IndexCatalog.latestFiles(base)
@@ -561,15 +562,12 @@ object SimilarityQueries {
         .select(col("vec_id")).distinct()
       vecs.join(ids, Seq("vec_id"), "left_anti")
     } else vecs
-    val before = IndexCatalog.listDataFiles(target).toSet
-    fresh.crossJoin(planes) // NPlanes rows — bounded small side
+    val rows = fresh.crossJoin(planes) // NPlanes rows — bounded small side
       .withColumn("bit",
         when(dot(col("embedding"), col("p_emb")) >= 0,
           expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
       .groupBy(col("vec_id"), col("embedding"), col("nrm"))
       .agg(sum(col("bit")).as("bucket"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(target)
     // a fully-duplicate batch dedups to zero rows and writes no files —
     // the documented skip, so the append is a no-op, not a failed commit.
     // The commit rides the optimistic-retry loop: losing the version
@@ -577,7 +575,7 @@ object SimilarityQueries {
     // re-publishes — both appends land as distinct versions with union
     // content. (Writers racing with OVERLAPPING vectors must partition
     // their input upstream — the anti-join above reads pre-race state.)
-    val newFiles = IndexCatalog.listDataFiles(target).filterNot(before)
+    val newFiles = StagedWrite.partitioned(rows, target, Seq("bucket"))
     if (newFiles.nonEmpty)
       IndexCatalog.commitWithRetry(base)(_ => (newFiles, commitTags))
   }
@@ -711,6 +709,39 @@ object SimilarityQueries {
       .orderBy("version", "query_id", "rk")
   }
 
+  /** Incremental (change-data) read between two committed versions —
+    * the consumer-side complement of the append path: WHAT CHANGED
+    * from v1 to v2 is pure manifest SET ALGEBRA (files(v2) minus
+    * files(v1) — driver-side catalog metadata), and the reader scans
+    * exactly those files. This is how a downstream job (replica sync,
+    * index refresh, a compaction planner) follows a 100 TB store:
+    * each refresh reads O(delta), never O(store), with no tombstone
+    * scan and no row-level diff join — append-only generations make
+    * the file-level diff exact. The census is over the appended
+    * generation alone; the oracle recomputes the same rows' census
+    * from the raw fixture under the batch predicate.
+    */
+  def qStoreChanges(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft_changes").toString
+    try {
+      buildEmbedStore(spark, dir, base) // v1
+      appendEmbedStore(spark,
+        embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
+        base) // v2
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_store_changes", Seq(base))
+    val added = (IndexCatalog.files(base, 2).toSet --
+      IndexCatalog.files(base, 1).toSet).toSeq.sorted
+    spark.read.option("basePath", s"$base/corpus").parquet(added: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("vec_id")).cast("long").as("id_sum"),
+        countDistinct(col("bucket")).as("n_buckets"))
+  }
+
   // --- store compaction + retention vacuum ------------------------------
 
   /** Compact the embed store: rewrite the CURRENT version's live rows
@@ -726,15 +757,13 @@ object SimilarityQueries {
     */
   private[operators] def compactEmbedStore(
       spark: SparkSession, base: String): Unit = {
-    import graft.sources.IndexCatalog
+    import graft.sources.{IndexCatalog, StagedWrite}
     val target = s"$base/corpus"
     val live = spark.read.option("basePath", target)
       .parquet(IndexCatalog.latestFiles(base): _*)
-    val before = IndexCatalog.listDataFiles(target).toSet
-    live.repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(target)
     IndexCatalog.commitRewrite(base,
-      IndexCatalog.listDataFiles(target).filterNot(before),
+      StagedWrite.partitioned(live.repartition(col("bucket")),
+        target, Seq("bucket")),
       Seq("compaction"))
   }
 
@@ -752,18 +781,17 @@ object SimilarityQueries {
     */
   private[operators] def compactEmbedStorePartitions(
       spark: SparkSession, base: String, buckets: Seq[Long]): Unit = {
-    import graft.sources.IndexCatalog
+    import graft.sources.{IndexCatalog, StagedWrite}
     val target = s"$base/corpus"
     val keys = buckets.map(b => s"bucket=$b").toSet
     val live = IndexCatalog.latestFiles(base)
       .filter(f => IndexCatalog.partitionKey(f).exists(keys.contains))
     if (live.nonEmpty) {
-      val before = IndexCatalog.listDataFiles(target).toSet
-      spark.read.option("basePath", target).parquet(live: _*)
-        .repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(target)
       IndexCatalog.commitReplacePartitions(base,
-        IndexCatalog.listDataFiles(target).filterNot(before),
+        StagedWrite.partitioned(
+          spark.read.option("basePath", target).parquet(live: _*)
+            .repartition(col("bucket")),
+          target, Seq("bucket")),
         Seq(s"compaction ${keys.toSeq.sorted.mkString(",")}"))
     }
   }
@@ -930,6 +958,7 @@ object SimilarityQueries {
     "q_store_vacuum" -> (qStoreVacuum _),
     "q_store_history" -> (qStoreHistory _),
     "q_store_asof" -> (qStoreAsof _),
+    "q_store_changes" -> (qStoreChanges _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
 
@@ -1171,6 +1200,24 @@ object SimilarityQueries {
                "(vec_id % 2 = 0 OR vec_id % 4 = 1)")}) t2
          |ORDER BY version, query_id, rk""".stripMargin
     },
+    // the v1→v2 delta census: the appended generation holds exactly
+    // the batch-A rows (disjoint from the corpus by id parity), so the
+    // oracle recomputes their (count, id-sum, distinct-bucket) census
+    // from the raw fixture under the same sign/bucket pipeline
+    "q_store_changes" ->
+      s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
+         |                WHERE vec_id % 2 = 0 AND vec_id < ${2 * NPlanes}),
+         |bucketed AS (
+         |  SELECT e.vec_id,
+         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
+         |                  THEN power(2, p.plane_id // 2) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  WHERE e.vec_id % 4 = 1
+         |  GROUP BY e.vec_id)
+         |SELECT count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+         |       CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets
+         |FROM bucketed""".stripMargin,
     "q_embed_neardup" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
