@@ -771,6 +771,76 @@ object StreamingQueries {
         col("vec_id") < lit(8L * SimilarityQueries.NQueries))
   }
 
+  /** The catalog as a streaming SOURCE — the read-side complement of
+    * [[qStreamIndexAppend]]'s write side: a consumer FOLLOWS the
+    * sign-LSH store through `graft.sources.StoreChangeSource`
+    * (DataSource V2 MicroBatchStream; offsets are committed
+    * VERSIONS, a batch is exactly one manifest delta — the same set
+    * algebra `q_store_changes` answers once, lifted into Structured
+    * Streaming's offset/checkpoint contract). Lifecycle: build (v1)
+    * → drain → append batch A (v2) → drain → append batch B (v3) →
+    * drain, each drain a Trigger.AvailableNow run against the SAME
+    * checkpoint — so the three runs prove checkpointed resume
+    * (deserializeOffset), exactly-once version consumption (batchIds
+    * 0,1,2, none repeated, idle drains emit nothing), and
+    * manifest-resolution semantics (torn writes invisible —
+    * spec-pinned in StoreFollowSpec). The sink records each batch's
+    * census; the oracle recomputes all three from the raw fixture
+    * under the per-generation predicates.
+    *
+    * 100 TB shape: a derived-index refresh / replica sync follows
+    * the store at O(delta) per batch with no corpus re-scan, no
+    * directory listing (manifests only), and crash-restart safety
+    * carried by the query checkpoint — retention must exceed
+    * consumer lag, the same rule every snapshot-committed format
+    * imposes on its incremental readers.
+    */
+  def qStreamStoreFollow(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val base = Files.createTempDirectory("graft_follow_store").toString
+    val ckpt = Files.createTempDirectory("graft_follow_ckpt").toString
+    val sink = Files.createTempDirectory("graft_follow_sink").toString
+    def drain(): Unit = {
+      val q = ss.readStream.format("graft-store-changes")
+        .option("path", base).load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.groupBy()
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("vec_id")).cast("long").as("id_sum"),
+              countDistinct(col("bucket")).as("n_buckets"))
+            .withColumn("batch", lit(id))
+            .write.mode("append").parquet(sink)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      SimilarityQueries.buildEmbedStore(ss, dir, base) // v1
+      drain() // batch 0: v0 -> v1
+      SimilarityQueries.appendEmbedStore(ss, // v2
+        SimilarityQueries.embeddings(ss, dir)
+          .filter(pmod(col("vec_id"), lit(8)) === 1), base)
+      drain() // batch 1: v1 -> v2
+      SimilarityQueries.appendEmbedStore(ss, // v3
+        SimilarityQueries.embeddings(ss, dir)
+          .filter(pmod(col("vec_id"), lit(8)) === 5), base)
+      drain() // batch 2: v2 -> v3
+      drain() // idle: no version, no batch
+    } catch {
+      case e: Throwable =>
+        Seq(base, ckpt, sink).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+    lease("q_stream_store_follow", Seq(base, ckpt, sink))
+    spark.read.parquet(sink)
+      .select(col("batch"), col("n_rows"), col("id_sum"), col("n_buckets"))
+      .orderBy("batch")
+  }
+
   /** One micro-batch's index commit (shared with the spec's replay
     * test): skip when the batch is empty or its `ingest-batch=<id>`
     * tag is already committed, else write + commit ONE tagged
@@ -976,6 +1046,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_store_follow" -> (qStreamStoreFollow _),
     "q_stream_index_append" -> (qStreamIndexAppend _),
     "q_stream_cluster_append" -> (qStreamClusterAppend _),
     "q_stream_funnel" -> (qStreamFunnel _),
@@ -990,6 +1061,33 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // one census row per followed version delta: batch 0 = the build
+    // (even corpus), batches 1/2 = the two appended generations; the
+    // bucket column decodes through the same sign/plane pipeline the
+    // store was written with
+    "q_stream_store_follow" ->
+      s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
+         |                WHERE vec_id % 2 = 0 AND vec_id < ${2 * SimilarityQueries.NPlanes}),
+         |bucketed AS (
+         |  SELECT e.vec_id,
+         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
+         |                  THEN power(2, p.plane_id // 2) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY e.vec_id)
+         |SELECT CAST(0 AS BIGINT) AS batch, count(*) AS n_rows,
+         |       CAST(sum(vec_id) AS BIGINT) AS id_sum,
+         |       CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets
+         |FROM bucketed WHERE vec_id % 2 = 0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), count(*), CAST(sum(vec_id) AS BIGINT),
+         |       CAST(count(DISTINCT bucket) AS BIGINT)
+         |FROM bucketed WHERE vec_id % 8 = 1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(vec_id) AS BIGINT),
+         |       CAST(count(DISTINCT bucket) AS BIGINT)
+         |FROM bucketed WHERE vec_id % 8 = 5
+         |ORDER BY batch""".stripMargin,
     // the streamed micro-batch commits grow the store to corpus ∪ A,
     // so batch B' ranks against the same algebra as q_embed_append —
     // one parameterized SQL text shared across the store's lifecycle

@@ -1,0 +1,208 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The catalog as a STREAMING SOURCE: a DataSource V2 connector that
+  * FOLLOWS a manifest-committed store — `spark.readStream
+  * .format("graft-store-changes").option("path", base).load()`.
+  *
+  * Offsets are committed VERSIONS (the numbers [[IndexCatalog]]
+  * assigns), so the stream's progression is the store's commit
+  * history: each micro-batch reads exactly the files version `end`
+  * added over version `start` — the same manifest set algebra
+  * `q_store_changes` answers once, lifted into Structured Streaming's
+  * offset/checkpoint contract. What that buys at 100 TB:
+  *  - a downstream consumer (replica sync, derived-index refresh,
+  *    cache warmer) follows the store at O(delta) per batch — the
+  *    corpus is never re-scanned, and an idle store yields no batch;
+  *  - exactly-once across restarts for free: the committed version
+  *    rides the query checkpoint, so a crashed consumer resumes at
+  *    its last processed version (no files re-read, none skipped);
+  *  - uncommitted generations are invisible by construction — the
+  *    source lists MANIFESTS, not directories, so a torn write or an
+  *    in-flight append never reaches a batch (the same guarantee the
+  *    batch probes get);
+  *  - [[SupportsTriggerAvailableNow]] caps a run at the version
+  *    observed when the trigger fires, so maintenance jobs can drain
+  *    "everything committed so far" and exit.
+  * Retention interacts the documented way: the checkpointed version
+  * must stay inside the store's vacuum retention (a resume past the
+  * horizon fails fast at manifest resolution, like any expired read).
+  *
+  * Scope: rows decode through a self-contained parquet-hadoop reader
+  * for the embedding-store schema (`vec_id BIGINT, embedding
+  * ARRAY<FLOAT>, nrm DOUBLE` + the Hive `bucket=` partition value
+  * parsed from each file's path). The connector's substance is the
+  * offset/manifest protocol — a general-schema reader would
+  * re-implement Spark's vectorized parquet decode, which a production
+  * port would delegate to the built-in parquet scan behind the same
+  * stream.
+  */
+class StoreChangeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-store-changes"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StoreChangeSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val base = properties.get("path")
+    require(base != null && base.nonEmpty,
+      "graft-store-changes requires .option(\"path\", <store base dir>)")
+    new StoreChangeTable(base)
+  }
+}
+
+object StoreChangeSource {
+  /** The embed store's row schema; `bucket` is the Hive partition
+    * value each file's path carries.
+    */
+  val Schema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("nrm", DoubleType),
+    StructField("bucket", LongType)))
+}
+
+private[sources] class StoreChangeTable(base: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-store-changes($base)"
+  override def schema(): StructType = StoreChangeSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = StoreChangeSource.Schema
+        override def toBatch: Batch =
+          throw new UnsupportedOperationException(
+            "graft-store-changes is a streaming source; batch reads go " +
+              "through the manifest-resolved parquet scan")
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new StoreChangeStream(base)
+      }
+    }
+}
+
+/** One store-following stream: offset v = "everything up to committed
+  * version v". Version 0 is the empty store.
+  */
+private[sources] class StoreChangeStream(base: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private case class V(v: Int) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  // AvailableNow cap: fixed at trigger time so the run drains exactly
+  // the versions committed before it started, then terminates
+  private var cap: Int = -1
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    cap = IndexCatalog.currentVersion(base)
+
+  override def initialOffset(): Offset = V(0)
+
+  override def latestOffset(): Offset =
+    V(if (cap >= 0) cap else IndexCatalog.currentVersion(base))
+
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl; the
+  // store has no rate knob — a version is all-or-nothing — so every
+  // read limit resolves to "everything committed up to the cap"
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def deserializeOffset(json: String): Offset = V(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[V].v, end.asInstanceOf[V].v)
+    val before =
+      if (s == 0) Set.empty[String] else IndexCatalog.files(base, s).toSet
+    val after =
+      if (e == 0) Seq.empty[String] else IndexCatalog.files(base, e)
+    after.filterNot(before).sorted.map { f =>
+      val bucket = IndexCatalog.partitionKey(f) match {
+        case Some(k) if k.startsWith("bucket=") =>
+          k.stripPrefix("bucket=").toLong
+        case other => throw new IllegalStateException(
+          s"store file without a bucket= partition: $f ($other)")
+      }
+      StoreFilePartition(f, bucket): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StoreFileReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One committed data file (+ its partition value) — the unit of
+  * parallelism; executors read files independently.
+  */
+private[sources] case class StoreFilePartition(file: String, bucket: Long)
+  extends InputPartition
+
+private[sources] class StoreFileReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new StoreFileReader(partition.asInstanceOf[StoreFilePartition])
+}
+
+/** parquet-hadoop Group decode of one store file: (vec_id BIGINT,
+  * embedding ARRAY<FLOAT>, nrm DOUBLE) + the partition's constant
+  * bucket. Spark writes arrays as the standard 3-level LIST shape
+  * (`embedding.list.element`).
+  */
+private[sources] class StoreFileReader(p: StoreFilePartition)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new HPath(p.file))
+      .withConf(new Configuration())
+      .build()
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    val vecId = g.getLong("vec_id", 0)
+    val lst = g.getGroup("embedding", 0)
+    val n = lst.getFieldRepetitionCount("list")
+    val floats = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      floats(i) = lst.getGroup("list", i).getFloat("element", 0)
+      i += 1
+    }
+    val nrm = g.getDouble("nrm", 0)
+    new GenericInternalRow(Array[Any](
+      vecId, ArrayData.toArrayData(floats), nrm, p.bucket))
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{Engine, SparkSpec}
+import graft.sources.IndexCatalog
+
+/** The catalog-as-a-streaming-source contracts: offsets are committed
+  * versions, a batch is exactly one manifest delta, checkpointed
+  * resume re-reads nothing, torn writes never reach a batch, and the
+  * decoded rows equal the manifest-resolved parquet scan of the same
+  * files.
+  */
+class StoreFollowSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def embeddingsOf(pred: org.apache.spark.sql.Column) =
+    Engine.table(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+      .filter(pred)
+
+  private def drainOnce(base: String, ckpt: String, sink: String): Unit = {
+    val q = spark.readStream.format("graft-store-changes")
+      .option("path", base).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.groupBy()
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("vec_id")).cast("long").as("id_sum"),
+            countDistinct(col("bucket")).as("n_buckets"))
+          .withColumn("batch", lit(id))
+          .write.mode("append").parquet(sink)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("follower drains version deltas exactly once across restarts; torn writes invisible") {
+    val base = Files.createTempDirectory("graft_follow").toString
+    val ckpt = Files.createTempDirectory("graft_follow_ck").toString
+    val sink = Files.createTempDirectory("graft_follow_sink").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base) // v1
+      drainOnce(base, ckpt, sink) // batch 0: v0 -> v1
+      // a torn write inside a bucket dir must never reach a batch —
+      // the source lists manifests, not directories
+      val bucketDir = Paths.get(IndexCatalog.latestFiles(base).head).getParent
+      Files.writeString(bucketDir.resolve("part-torn.parquet"), "torn")
+      drainOnce(base, ckpt, sink) // no new version: no batch
+      SimilarityQueries.appendEmbedStore(spark, // v2
+        embeddingsOf(pmod(col("vec_id"), lit(8)) === 1), base)
+      drainOnce(base, ckpt, sink) // batch 1: v1 -> v2
+      SimilarityQueries.appendEmbedStore(spark, // v3
+        embeddingsOf(pmod(col("vec_id"), lit(8)) === 5), base)
+      drainOnce(base, ckpt, sink) // batch 2: v2 -> v3
+      drainOnce(base, ckpt, sink) // idle store: still no batch
+
+      val out = spark.read.parquet(sink)
+        .orderBy("batch")
+        .collect().map(r => (r.getAs[Long]("batch"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("id_sum")))
+      // exactly three batches — one per committed version, none for
+      // the idle drains, none for the torn write
+      assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+      val expect = Seq(
+        embeddingsOf(pmod(col("vec_id"), lit(2)) === 0),
+        embeddingsOf(pmod(col("vec_id"), lit(8)) === 1),
+        embeddingsOf(pmod(col("vec_id"), lit(8)) === 5))
+        .map(df => (df.count(),
+          df.agg(sum("vec_id").cast("long")).collect()(0).getLong(0)))
+      out.zip(expect).foreach { case ((_, n, s), (en, es)) =>
+        assert(n == en && s == es, s"batch census ($n,$s) != ($en,$es)")
+      }
+    } finally Seq(base, ckpt, sink).foreach(graft.Fs.deleteRecursively)
+  }
+
+  test("decoded rows equal the manifest-resolved parquet scan of the same files") {
+    val base = Files.createTempDirectory("graft_follow_eq").toString
+    val ckpt = Files.createTempDirectory("graft_follow_eq_ck").toString
+    val sink = Files.createTempDirectory("graft_follow_eq_sink").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base)
+      val q = spark.readStream.format("graft-store-changes")
+        .option("path", base).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = spark.read.parquet(sink)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+        .collect().map(_.toString).sorted
+      val direct = spark.read.option("basePath", s"$base/corpus")
+        .parquet(IndexCatalog.latestFiles(base): _*)
+        .select(col("vec_id"), col("embedding"),
+          col("nrm"), col("bucket").cast("long"))
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty && streamed.sameElements(direct))
+    } finally Seq(base, ckpt, sink).foreach(graft.Fs.deleteRecursively)
+  }
+}
