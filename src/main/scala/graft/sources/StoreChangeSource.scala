@@ -67,7 +67,8 @@ class StoreChangeSource extends TableProvider with DataSourceRegister {
     val base = properties.get("path")
     require(base != null && base.nonEmpty,
       "graft-store-changes requires .option(\"path\", <store base dir>)")
-    new StoreChangeTable(base)
+    new StoreChangeTable(base,
+      Option(properties.get("startingVersion")).getOrElse("0"))
   }
 }
 
@@ -82,7 +83,8 @@ object StoreChangeSource {
     StructField("bucket", LongType)))
 }
 
-private[sources] class StoreChangeTable(base: String) extends Table with SupportsRead {
+private[sources] class StoreChangeTable(base: String, startingVersion: String)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-store-changes($base)"
   override def schema(): StructType = StoreChangeSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -97,15 +99,24 @@ private[sources] class StoreChangeTable(base: String) extends Table with Support
             "graft-store-changes is a streaming source; batch reads go " +
               "through the manifest-resolved parquet scan")
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new StoreChangeStream(base)
+          new StoreChangeStream(base, startingVersion)
       }
     }
 }
 
 /** One store-following stream: offset v = "everything up to committed
   * version v". Version 0 is the empty store.
+  *
+  * `startingVersion` picks where a FRESH consumer joins the history
+  * (a checkpointed restart always resumes at its own offset):
+  * `"0"` (default) consumes the whole store — first batch is
+  * everything committed so far; `"latest"` tail-follows — only
+  * commits AFTER stream start are seen; an integer `v` joins
+  * mid-history, consuming deltas from version `v` exclusive. The
+  * named version must still be inside vacuum retention, the same
+  * horizon rule any as-of read has.
   */
-private[sources] class StoreChangeStream(base: String)
+private[sources] class StoreChangeStream(base: String, startingVersion: String)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private case class V(v: Int) extends Offset {
@@ -119,7 +130,10 @@ private[sources] class StoreChangeStream(base: String)
   override def prepareForTriggerAvailableNow(): Unit =
     cap = IndexCatalog.currentVersion(base)
 
-  override def initialOffset(): Offset = V(0)
+  override def initialOffset(): Offset = startingVersion match {
+    case "latest" => V(IndexCatalog.currentVersion(base))
+    case v => V(v.trim.toInt)
+  }
 
   override def latestOffset(): Offset =
     V(if (cap >= 0) cap else IndexCatalog.currentVersion(base))

@@ -81,6 +81,41 @@ class StoreFollowSpec extends SparkSpec {
     } finally Seq(base, ckpt, sink).foreach(graft.Fs.deleteRecursively)
   }
 
+  test("startingVersion=latest tail-follows: history invisible, only new commits stream") {
+    val base = Files.createTempDirectory("graft_tail").toString
+    val ckpt = Files.createTempDirectory("graft_tail_ck").toString
+    val sink = Files.createTempDirectory("graft_tail_sink").toString
+    def drainLatest(): Unit = {
+      val q = spark.readStream.format("graft-store-changes")
+        .option("path", base).option("startingVersion", "latest").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base) // v1: history
+      drainLatest() // joins AT v1 — the build must not stream
+      // (the engine still runs an empty batch 0 to seed the
+      // checkpoint, so assert zero ROWS, not zero sink files)
+      val historyRows =
+        scala.util.Try(spark.read.parquet(sink).count()).getOrElse(0L)
+      assert(historyRows == 0L, "tail-follow streamed history")
+      SimilarityQueries.appendEmbedStore(spark,
+        embeddingsOf(pmod(col("vec_id"), lit(8)) === 1), base) // v2
+      drainLatest() // checkpointed offset v1 → streams exactly the append
+      val got = spark.read.parquet(sink).select("vec_id")
+        .collect().map(_.getLong(0)).sorted
+      val want = embeddingsOf(pmod(col("vec_id"), lit(8)) === 1)
+        .select("vec_id").collect().map(_.getLong(0)).sorted
+      assert(got.nonEmpty && got.sameElements(want))
+    } finally Seq(base, ckpt, sink).foreach(graft.Fs.deleteRecursively)
+  }
+
   test("decoded rows equal the manifest-resolved parquet scan of the same files") {
     val base = Files.createTempDirectory("graft_follow_eq").toString
     val ckpt = Files.createTempDirectory("graft_follow_eq_ck").toString
