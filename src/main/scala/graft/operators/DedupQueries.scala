@@ -641,7 +641,8 @@ object DedupQueries {
     */
   private[operators] final case class IncrementalCc(
       labels: DataFrame, touchedLabels: DataFrame,
-      activeNodes: DataFrame, touchedReps: DataFrame)
+      activeNodes: DataFrame, touchedReps: DataFrame,
+      ckpt: DataFrame)
 
   /** Merge NEW edges into a STORED cluster assignment, re-solving only
     * the touched subgraph — the 100 TB shape of cluster maintenance:
@@ -696,9 +697,13 @@ object DedupQueries {
     val newLabels = merged.join(newNodes, Seq("node"), "left_semi")
       .select(col("node"), col("comp"))
     val touchedLabels = relabeled.unionByName(newLabels)
+    // e2's checkpoint rides out in `ckpt` so a caller that fully
+    // materializes the result (e.g. the per-micro-batch store commit)
+    // can free the blocks instead of accumulating one cached RDD per
+    // call until session teardown
     IncrementalCc(
       untouched.unionByName(touchedLabels), touchedLabels,
-      activeNodes, touchedReps)
+      activeNodes, touchedReps, e2)
   }
 
   /** The gated incremental-clustering query — the cluster-store

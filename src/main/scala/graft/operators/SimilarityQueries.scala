@@ -759,12 +759,30 @@ object SimilarityQueries {
       spark: SparkSession, base: String): Unit = {
     import graft.sources.{IndexCatalog, StagedWrite}
     val target = s"$base/corpus"
-    val live = spark.read.option("basePath", target)
-      .parquet(IndexCatalog.latestFiles(base): _*)
-    IndexCatalog.commitRewrite(base,
-      StagedWrite.partitioned(live.repartition(col("bucket")),
-        target, Seq("bucket")),
-      Seq("compaction"))
+    // conflict-safe rewrite: the commit validates against the version
+    // the rewrite READ (basedOn) — an append landing mid-compaction
+    // fails the CAS instead of having its rows silently superseded,
+    // and the loser RE-DERIVES the whole rewrite against the winner's
+    // state (a failed attempt's staged files become vacuum-grace
+    // orphans, the documented crash-debris path)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val basedOn = IndexCatalog.currentVersion(base)
+      require(basedOn >= 1, s"nothing to compact: $base has no committed version")
+      val live = spark.read.option("basePath", target)
+        .parquet(IndexCatalog.files(base, basedOn): _*)
+      try {
+        IndexCatalog.commitRewrite(base,
+          StagedWrite.partitioned(live.repartition(col("bucket")),
+            target, Seq("bucket")),
+          Seq("compaction"), basedOn)
+        done = true
+      } catch {
+        case e if IndexCatalog.isCommitConflict(e) && attempts < 5 => ()
+      }
+    }
   }
 
   /** PARTITION-SCOPED compaction — `OPTIMIZE ... WHERE` for the
@@ -784,15 +802,34 @@ object SimilarityQueries {
     import graft.sources.{IndexCatalog, StagedWrite}
     val target = s"$base/corpus"
     val keys = buckets.map(b => s"bucket=$b").toSet
-    val live = IndexCatalog.latestFiles(base)
-      .filter(f => IndexCatalog.partitionKey(f).exists(keys.contains))
-    if (live.nonEmpty) {
-      IndexCatalog.commitReplacePartitions(base,
-        StagedWrite.partitioned(
-          spark.read.option("basePath", target).parquet(live: _*)
-            .repartition(col("bucket")),
-          target, Seq("bucket")),
-        Seq(s"compaction ${keys.toSeq.sorted.mkString(",")}"))
+    // same conflict loop as [[compactEmbedStore]]: the replacement is
+    // valid only against the version it read — an append into a
+    // target bucket mid-rewrite fails the CAS, and the re-attempt
+    // reads the winner's state (so the appended rows are in the
+    // rewrite, not dropped)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val basedOn = IndexCatalog.currentVersion(base)
+      val live =
+        if (basedOn == 0) Seq.empty
+        else IndexCatalog.files(base, basedOn)
+          .filter(f => IndexCatalog.partitionKey(f).exists(keys.contains))
+      if (live.isEmpty) done = true
+      else {
+        try {
+          IndexCatalog.commitReplacePartitions(base,
+            StagedWrite.partitioned(
+              spark.read.option("basePath", target).parquet(live: _*)
+                .repartition(col("bucket")),
+              target, Seq("bucket")),
+            Seq(s"compaction ${keys.toSeq.sorted.mkString(",")}"), basedOn)
+          done = true
+        } catch {
+          case e if IndexCatalog.isCommitConflict(e) && attempts < 5 => ()
+        }
+      }
     }
   }
 

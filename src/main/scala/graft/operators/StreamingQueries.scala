@@ -994,54 +994,79 @@ object StreamingQueries {
     val fresh = !batch.isEmpty &&
       !IndexCatalog.committedTags(store).contains(tag)
     fresh && {
-      val storedFiles = IndexCatalog.latestFiles(store)
-      val stored = ss.read.parquet(storedFiles: _*)
-      val nodes = batch.filter(col("j").isNull)
-        .select(col("i").as("node")).distinct()
-        .join(stored.select(col("node")), Seq("node"), "left_anti")
-      val edges = batch.filter(col("j").isNotNull).select(col("i"), col("j"))
-      val inc = DedupQueries.incrementalComponents(stored, nodes, edges)
-      // ONE job materializes the rows whose assignment could have
-      // changed (touched components' members + new nodes — O(batch +
-      // touched)) straight into the new generation's partition
-      // layout; the touched partition set then falls out of the
-      // directory listing — no separate driver pass re-evaluating
-      // the merge
-      val gen = IndexCatalog.newGenDir(store)
-      inc.touchedLabels
-        .withColumn("part", pmod(col("node"), lit(ClusterParts)))
-        .repartition(col("part"))
-        .write.mode("overwrite").partitionBy("part").parquet(gen)
-      val touchedRows = IndexCatalog.listDataFiles(gen)
-      if (touchedRows.isEmpty) {
-        // a batch with zero assignment effect (fully-stale replay):
-        // nothing to publish; drop the empty generation dir
-        Try(graft.Fs.deleteRecursively(gen))
-        false
-      } else {
-        val partDirs = touchedRows.flatMap(IndexCatalog.partitionKey).toSet
-        val touchedStoredFiles = storedFiles
-          .filter(f => IndexCatalog.partitionKey(f).exists(partDirs.contains))
-        // rows of the touched partitions whose label did NOT change
-        // keep their stored assignment — read from exactly those
-        // partitions' files (and the just-written touched node set,
-        // a broadcast-size side), so the write side never scans the
-        // rest of the store
-        // no repartition: the input is already a handful of
-        // partition-pruned files, one task each — a shuffle here
-        // would cost more than the task-per-file layout it avoids
-        if (touchedStoredFiles.nonEmpty)
-          ss.read.parquet(touchedStoredFiles: _*)
-            .join(ss.read.parquet(touchedRows: _*).select(col("node")),
-              Seq("node"), "left_anti")
-            .withColumn("part", pmod(col("node"), lit(ClusterParts)))
-            .write.mode("append").partitionBy("part").parquet(gen)
-        IndexCatalog.retryingCommit() {
-          IndexCatalog.commitReplacePartitions(store,
-            IndexCatalog.listDataFiles(gen), Seq(tag))
+      // conflict loop: the merge is derived against an OBSERVED
+      // version and the commit validates on it (basedOn) — a
+      // concurrent committer landing in between fails the CAS and
+      // the WHOLE merge re-derives against the winner's state;
+      // retrying the stale gen would silently revert the winner's
+      // label changes in any partition both writers touched
+      var attempts = 0
+      var result = false
+      var done = false
+      while (!done) {
+        attempts += 1
+        val basedOn = IndexCatalog.currentVersion(store)
+        val storedFiles =
+          if (basedOn == 0) Seq.empty else IndexCatalog.files(store, basedOn)
+        val stored = ss.read.parquet(storedFiles: _*)
+        val nodes = batch.filter(col("j").isNull)
+          .select(col("i").as("node")).distinct()
+          .join(stored.select(col("node")), Seq("node"), "left_anti")
+        val edges = batch.filter(col("j").isNotNull).select(col("i"), col("j"))
+        val inc = DedupQueries.incrementalComponents(stored, nodes, edges)
+        // ONE job materializes the rows whose assignment could have
+        // changed (touched components' members + new nodes — O(batch +
+        // touched)) straight into the new generation's partition
+        // layout; the touched partition set then falls out of the
+        // directory listing — no separate driver pass re-evaluating
+        // the merge
+        val gen = IndexCatalog.newGenDir(store)
+        inc.touchedLabels
+          .withColumn("part", pmod(col("node"), lit(ClusterParts)))
+          .repartition(col("part"))
+          .write.mode("overwrite").partitionBy("part").parquet(gen)
+        // the merge is fully materialized into gen — free its
+        // checkpoint now, or a long-running stream accumulates one
+        // cached RDD per micro-batch until session teardown
+        DedupQueries.freeLocalCheckpoint(inc.ckpt)
+        val touchedRows = IndexCatalog.listDataFiles(gen)
+        if (touchedRows.isEmpty) {
+          // a batch with zero assignment effect (fully-stale replay):
+          // nothing to publish; drop the empty generation dir
+          Try(graft.Fs.deleteRecursively(gen))
+          done = true
+        } else {
+          val partDirs = touchedRows.flatMap(IndexCatalog.partitionKey).toSet
+          val touchedStoredFiles = storedFiles
+            .filter(f => IndexCatalog.partitionKey(f).exists(partDirs.contains))
+          // rows of the touched partitions whose label did NOT change
+          // keep their stored assignment — read from exactly those
+          // partitions' files (and the just-written touched node set,
+          // a broadcast-size side), so the write side never scans the
+          // rest of the store
+          // no repartition: the input is already a handful of
+          // partition-pruned files, one task each — a shuffle here
+          // would cost more than the task-per-file layout it avoids
+          if (touchedStoredFiles.nonEmpty)
+            ss.read.parquet(touchedStoredFiles: _*)
+              .join(ss.read.parquet(touchedRows: _*).select(col("node")),
+                Seq("node"), "left_anti")
+              .withColumn("part", pmod(col("node"), lit(ClusterParts)))
+              .write.mode("append").partitionBy("part").parquet(gen)
+          try {
+            IndexCatalog.commitReplacePartitions(store,
+              IndexCatalog.listDataFiles(gen), Seq(tag), basedOn)
+            result = true
+            done = true
+          } catch {
+            case e if IndexCatalog.isCommitConflict(e) && attempts < 5 =>
+              // stale merge: drop this attempt's generation and
+              // re-derive against the winner's commit
+              Try(graft.Fs.deleteRecursively(gen))
+          }
         }
-        true
       }
+      result
     }
   }
 

@@ -169,18 +169,29 @@ class IndexCatalogOps(val fs: CatalogFs) {
     * partition key (unpartitioned layouts) are always carried forward;
     * every new file must carry one. Replaced partitions' old files
     * stay on disk for older manifests (time travel) until [[vacuum]].
+    *
+    * `basedOn` is the REQUIRED base-version validation: the caller
+    * names the version its replacement content was derived from, and
+    * the commit targets exactly `basedOn + 1` — so a commit that
+    * landed in between (say an append into a partition this rewrite
+    * is about to replace) fails the CAS loudly instead of being
+    * silently dropped from the new manifest. This is the
+    * conflicting-commit detection every snapshot format's
+    * rewrite/OPTIMIZE path performs; losers must RE-DERIVE their
+    * replacement against the winner's state, not re-publish stale
+    * content (so [[retryingCommit]] alone is NOT a valid wrapper).
     */
   def commitReplacePartitions(base: String, newFiles: Seq[String],
-      commitTags: Seq[String] = Nil): Int = {
+      commitTags: Seq[String], basedOn: Int): Int = {
     require(newFiles.nonEmpty, "no parquet files to commit")
+    require(basedOn >= 0, s"basedOn must be an observed version, got $basedOn")
     val keyed = newFiles.map(f => f -> partitionKey(f))
     require(keyed.forall(_._2.isDefined),
       s"files without a k=v partition segment: ${keyed.filter(_._2.isEmpty).map(_._1)}")
     val replaced = keyed.flatMap(_._2).toSet
-    val cur = currentVersion(base)
-    val prev = if (cur == 0) Seq.empty else files(base, cur)
+    val prev = if (basedOn == 0) Seq.empty else files(base, basedOn)
     val kept = prev.filterNot(f => partitionKey(f).exists(replaced.contains))
-    writeManifestAt(base, cur + 1, (kept ++ newFiles).sorted, commitTags)
+    writeManifestAt(base, basedOn + 1, (kept ++ newFiles).sorted, commitTags)
   }
 
   /** Commit a REWRITE: the next version's manifest lists ONLY
@@ -189,11 +200,18 @@ class IndexCatalogOps(val fs: CatalogFs) {
     * files are superseded rather than extended. The old files stay on
     * disk (older manifests still reference them — time travel holds)
     * until [[vacuum]] reclaims them past the retention horizon.
+    *
+    * `basedOn` names the version the rewrite's content was derived
+    * from and the commit targets `basedOn + 1` — a commit landing in
+    * between (an append whose rows the rewrite did not carry) fails
+    * the CAS loudly instead of having its rows silently superseded
+    * away; see [[commitReplacePartitions]] for the contract.
     */
   def commitRewrite(base: String, files: Seq[String],
-      commitTags: Seq[String] = Nil): Int =  {
+      commitTags: Seq[String], basedOn: Int): Int =  {
     require(files.nonEmpty, "no parquet files to commit")
-    writeManifestAt(base, currentVersion(base) + 1, files.sorted, commitTags)
+    require(basedOn >= 0, s"basedOn must be an observed version, got $basedOn")
+    writeManifestAt(base, basedOn + 1, files.sorted, commitTags)
   }
 
   /** True iff `e` is the concurrent-commit CAS conflict raised by a
@@ -319,13 +337,20 @@ class IndexCatalogOps(val fs: CatalogFs) {
     require(retain >= 1, "must retain at least the current version")
     val cur = currentVersion(base)
     val horizon = math.max(1, cur - retain + 1)
-    val live = referencedFiles(base, horizon)
-    val everCommitted = referencedFiles(base, 1)
+    // ONE read per live manifest; live/ever-committed/roots all derive
+    // from this map — on a remote CatalogFs each manifest is a
+    // metadata round-trip, so re-listing per derived set would triple
+    // the protocol's I/O for no reason
+    val byVersion: Map[Int, Seq[String]] =
+      liveVersions(base).map(v => v -> files(base, v)).toMap
+    val live = byVersion.collect {
+      case (v, fs) if v >= horizon => fs }.flatten.toSet
+    val everCommitted = byVersion.values.flatten.toSet
     // roots governed by a live manifest (committed paths' first segment
     // under base) — superseded files under them are in scope even when
     // only expired manifests referenced those exact files
     val basePath = Paths.get(base).toAbsolutePath.normalize
-    val roots = liveVersions(base).flatMap(files(base, _)).flatMap { f =>
+    val roots = byVersion.values.flatten.flatMap { f =>
       val rel = basePath.relativize(Paths.get(f).toAbsolutePath.normalize)
       if (rel.getNameCount >= 1) Some(rel.getName(0).toString) else None
     }.toSet

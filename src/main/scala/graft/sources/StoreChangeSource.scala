@@ -147,13 +147,35 @@ private[sources] class StoreChangeStream(base: String, startingVersion: String)
 
   override def deserializeOffset(json: String): Offset = V(json.trim.toInt)
 
+  /** The batch's files, walked VERSION BY VERSION so commit TYPE
+    * decides what streams: a pure-append step (no predecessor file
+    * removed) contributes its added files — new rows; a step that
+    * removed files is content-preserving MAINTENANCE (compaction /
+    * partition-scoped compaction rewrite the same rows into a fresh
+    * layout) and contributes nothing — emitting its files would
+    * re-deliver every rewritten row to a consumer that already saw
+    * them. A naive files(end)∖files(start) diff would do exactly
+    * that re-delivery on the first compaction. (Content-CHANGING
+    * replacement commits — the cluster-assignment store's label
+    * rewrites — need a row-level CDC consumer and are outside this
+    * follower's insert-only contract.) The walk only touches live
+    * manifests; vacuum expires a PREFIX of versions, so if `start`
+    * itself expired the consumer outlived retention and resolution
+    * fails fast.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[V].v, end.asInstanceOf[V].v)
-    val before =
-      if (s == 0) Set.empty[String] else IndexCatalog.files(base, s).toSet
-    val after =
-      if (e == 0) Seq.empty[String] else IndexCatalog.files(base, e)
-    after.filterNot(before).sorted.map { f =>
+    // one manifest read per version in the range, shared by both
+    // sides of every step's diff
+    val byV: Map[Int, Seq[String]] = (s to e)
+      .map(v => v -> (if (v == 0) Seq.empty[String]
+        else IndexCatalog.files(base, v))).toMap
+    (s + 1 to e).flatMap { v =>
+      val prev = byV(v - 1).toSet
+      val cur = byV(v)
+      val removed = prev -- cur.toSet
+      if (removed.nonEmpty) Seq.empty else cur.filterNot(prev)
+    }.sorted.map { f =>
       val bucket = IndexCatalog.partitionKey(f) match {
         case Some(k) if k.startsWith("bucket=") =>
           k.stripPrefix("bucket=").toLong

@@ -1,7 +1,6 @@
 package graft.operators
 
 import java.nio.file.{Files, Paths}
-import java.security.MessageDigest
 
 import org.apache.spark.sql.functions._
 
@@ -19,10 +18,7 @@ class EmbedAppendSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def sha256(p: String): String = {
-    val d = MessageDigest.getInstance("SHA-256")
-    d.digest(Files.readAllBytes(Paths.get(p))).map("%02x".format(_)).mkString
-  }
+  private def sha256(p: String): String = graft.TestHash.sha256(p)
 
   private def embeddingsOf(pred: org.apache.spark.sql.Column) =
     Engine.table(spark, dir, "embeddings")

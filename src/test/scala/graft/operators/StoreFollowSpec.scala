@@ -61,21 +61,28 @@ class StoreFollowSpec extends SparkSpec {
         embeddingsOf(pmod(col("vec_id"), lit(8)) === 5), base)
       drainOnce(base, ckpt, sink) // batch 2: v2 -> v3
       drainOnce(base, ckpt, sink) // idle store: still no batch
+      // maintenance is layout, not data: a compaction rewrite commits
+      // v4 with fresh paths for the SAME rows — the follower must not
+      // re-deliver them (the naive files(end)∖files(start) diff would)
+      SimilarityQueries.compactEmbedStore(spark, base) // v4
+      drainOnce(base, ckpt, sink)
 
       val out = spark.read.parquet(sink)
         .orderBy("batch")
         .collect().map(r => (r.getAs[Long]("batch"), r.getAs[Long]("n_rows"),
           r.getAs[Long]("id_sum")))
-      // exactly three batches — one per committed version, none for
-      // the idle drains, none for the torn write
-      assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+      // three data batches — one per append-type commit, none for the
+      // idle drains, none for the torn write; the compaction advances
+      // the offset with an EMPTY batch (layout changed, data did not)
+      assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+      assert(out.last._2 == 0L, "compaction re-delivered rows")
       val expect = Seq(
         embeddingsOf(pmod(col("vec_id"), lit(2)) === 0),
         embeddingsOf(pmod(col("vec_id"), lit(8)) === 1),
         embeddingsOf(pmod(col("vec_id"), lit(8)) === 5))
         .map(df => (df.count(),
           df.agg(sum("vec_id").cast("long")).collect()(0).getLong(0)))
-      out.zip(expect).foreach { case ((_, n, s), (en, es)) =>
+      out.init.zip(expect).foreach { case ((_, n, s), (en, es)) =>
         assert(n == en && s == es, s"batch census ($n,$s) != ($en,$es)")
       }
     } finally Seq(base, ckpt, sink).foreach(graft.Fs.deleteRecursively)

@@ -40,11 +40,7 @@ class StreamClusterAppendSpec extends SparkSpec {
     store
   }
 
-  private def sha(p: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(Files.readAllBytes(java.nio.file.Paths.get(p)))
-      .map("%02x".format(_)).mkString
-  }
+  private def sha(p: String): String = graft.TestHash.sha256(p)
 
   private def partOf(f: String): String =
     IndexCatalog.partitionKey(f).getOrElse(fail(s"unpartitioned file $f"))

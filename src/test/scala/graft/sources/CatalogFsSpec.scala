@@ -73,7 +73,7 @@ class CatalogFsSpec extends AnyFunSuite {
     // carried forward untouched; v2 still resolves the old bucket=1
     fs.put(s"$base/corpus/bucket=1/part-d.parquet", "d")
     assert(cat.commitReplacePartitions(base,
-      Seq(s"$base/corpus/bucket=1/part-d.parquet")) == 3)
+      Seq(s"$base/corpus/bucket=1/part-d.parquet"), Nil, 2) == 3)
     assert(cat.files(base, 3).toSet == Set(
       s"$base/corpus/bucket=0/part-a.parquet",
       s"$base/corpus/bucket=1/part-d.parquet"))
@@ -84,7 +84,7 @@ class CatalogFsSpec extends AnyFunSuite {
     // fresh orphan outlives the default grace, an aged one does not
     fs.put(s"$base/corpus/bucket=9/part-z.parquet", "z")
     assert(cat.commitRewrite(base,
-      Seq(s"$base/corpus/bucket=9/part-z.parquet"), Seq("compaction")) == 4)
+      Seq(s"$base/corpus/bucket=9/part-z.parquet"), Seq("compaction"), 3) == 4)
     fs.put(s"$base/corpus/bucket=9/part-fresh-orphan.parquet", "f")
     fs.put(s"$base/corpus/bucket=9/part-stale-orphan.parquet", "s")
     fs.age(s"$base/corpus/bucket=9/part-stale-orphan.parquet",

@@ -68,12 +68,14 @@ class IndexCatalogSpec extends AnyFunSuite {
     val base = store()
     try {
       val fs = (1 to 5).map(i => fakeGen(base, f"gen-v$i%05d"))
-      fs.foreach(f => IndexCatalog.commitRewrite(base, Seq(f)))
+      fs.foreach(f => IndexCatalog.commitRewrite(base, Seq(f), Nil,
+        IndexCatalog.currentVersion(base)))
       // retain=1 at v5: manifests v1..v4 drop, their superseded files go
       assert(IndexCatalog.vacuum(base, retain = 1).toSet == fs.init.toSet)
       assert(IndexCatalog.liveVersions(base) == Seq(5))
       val f6 = fakeGen(base, "gen-v00006")
-      IndexCatalog.commitRewrite(base, Seq(f6))
+      IndexCatalog.commitRewrite(base, Seq(f6), Nil,
+        IndexCatalog.currentVersion(base))
       // the wider retention window now reaches past the vacuumed
       // manifests — must GC cleanly, not throw on the gaps
       val deleted = IndexCatalog.vacuum(base, retain = 4)
@@ -151,6 +153,36 @@ class IndexCatalogSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("a rewrite based on a stale version fails the CAS instead of dropping an interleaved append") {
+    val base = store()
+    try {
+      val f1 = fakeGen(base, "gen-a")
+      IndexCatalog.commitFiles(base, Seq(f1)) // v1
+      val basedOn = IndexCatalog.currentVersion(base) // rewriter reads v1
+      val fApp = fakeGen(base, "gen-app")
+      IndexCatalog.commitFiles(base, Seq(fApp)) // append lands v2 mid-rewrite
+      // the stale rewrite loses the CAS — without basedOn validation it
+      // would have published a manifest silently missing gen-app
+      val fCompact = fakeGen(base, "gen-compact")
+      val e = intercept[IllegalStateException] {
+        IndexCatalog.commitRewrite(base, Seq(fCompact), Seq("compaction"), basedOn)
+      }
+      assert(IndexCatalog.isCommitConflict(e))
+      assert(IndexCatalog.latestFiles(base).toSet == Set(f1, fApp))
+      // same contract for partition replacement
+      val fPart = fakeGen(base, "bucket=1")
+      val e2 = intercept[IllegalStateException] {
+        IndexCatalog.commitReplacePartitions(base, Seq(fPart), Nil, basedOn)
+      }
+      assert(IndexCatalog.isCommitConflict(e2))
+      // re-derived against the winner's version, the rewrite lands
+      IndexCatalog.commitRewrite(base, Seq(fCompact), Seq("compaction"),
+        IndexCatalog.currentVersion(base))
+      assert(IndexCatalog.currentVersion(base) == 3)
+      assert(IndexCatalog.latestFiles(base) == Seq(fCompact))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("vacuum default keeps fresh uncommitted files, sweeps stale ones; grace<=0 reclaims fresh") {
     val base = store()
     try {
@@ -185,9 +217,9 @@ class IndexCatalogSpec extends AnyFunSuite {
       // v1 then a v2 REWRITE: v1's file is superseded — committed
       // history, deletable even though its mtime is fresh
       val f1 = fakeGen(base, "gen-a")
-      IndexCatalog.commitRewrite(base, Seq(f1))
+      IndexCatalog.commitRewrite(base, Seq(f1), Nil, 0)
       val f2 = fakeGen(base, "gen-b")
-      IndexCatalog.commitRewrite(base, Seq(f2))
+      IndexCatalog.commitRewrite(base, Seq(f2), Nil, 1)
       assert(IndexCatalog.vacuum(base, retain = 1) == Seq(f1))
       assert(!Files.exists(Paths.get(f1)) && Files.exists(Paths.get(f2)))
 
