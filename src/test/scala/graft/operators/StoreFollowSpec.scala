@@ -123,6 +123,29 @@ class StoreFollowSpec extends SparkSpec {
     } finally Seq(base, ckpt, sink).foreach(graft.Fs.deleteRecursively)
   }
 
+  test("a consumer lagging past vacuum retention fails fast at offset resolution") {
+    val base = Files.createTempDirectory("graft_lag").toString
+    val ckpt = Files.createTempDirectory("graft_lag_ck").toString
+    val sink = Files.createTempDirectory("graft_lag_sink").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base) // v1
+      drainOnce(base, ckpt, sink) // checkpoint parks at v1
+      SimilarityQueries.appendEmbedStore(spark,
+        embeddingsOf(pmod(col("vec_id"), lit(8)) === 1), base) // v2
+      SimilarityQueries.compactEmbedStore(spark, base) // v3
+      IndexCatalog.vacuum(base, retain = 1) // v1, v2 manifests expire
+      // the lagging consumer's next drain needs the v1→v2 delta whose
+      // manifests are gone: resolution must fail loudly, never skip
+      // silently over versions it cannot reconstruct
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        drainOnce(base, ckpt, sink)
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[java.nio.file.NoSuchFileException]))
+    } finally Seq(base, ckpt, sink).foreach(graft.Fs.deleteRecursively)
+  }
+
   test("decoded rows equal the manifest-resolved parquet scan of the same files") {
     val base = Files.createTempDirectory("graft_follow_eq").toString
     val ckpt = Files.createTempDirectory("graft_follow_eq_ck").toString
