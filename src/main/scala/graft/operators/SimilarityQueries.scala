@@ -742,6 +742,89 @@ object SimilarityQueries {
         countDistinct(col("bucket")).as("n_buckets"))
   }
 
+  /** Row-level DELETE from the embed store — copy-on-write with the
+    * partition pruning the hash family gives for free: a row's bucket
+    * is a FUNCTION of the row (its sign pattern against the stored
+    * planes), so the delete set's target partitions are computed by
+    * re-hashing the deletes — no store scan ever runs to FIND the
+    * rows. Only the target buckets' live rows are read (anti-joined
+    * on the delete ids) and rewritten in place-by-replacement; a
+    * bucket whose rows are ALL deleted is replaced with nothing
+    * (`extraReplacedKeys`), and every untouched partition carries
+    * forward by path, byte-identical. The commit validates against
+    * the version the delete read (`basedOn`) and re-derives on
+    * conflict, like the compaction paths.
+    *
+    * 100 TB shape: the GDPR-style erasure pattern — cost is
+    * O(partitions holding deleted rows), a sliver of the store; time
+    * travel still serves the deleted rows at pre-delete versions
+    * (by design) until [[graft.sources.IndexCatalog.vacuum]] expires
+    * those manifests, so PHYSICAL erasure = delete + vacuum past the
+    * retention horizon, exactly as in production table formats.
+    */
+  private[operators] def deleteFromEmbedStore(
+      spark: SparkSession, base: String, delIds: DataFrame): Unit = {
+    import graft.sources.{IndexCatalog, StagedWrite}
+    val target = s"$base/corpus"
+    val planes = spark.read.parquet(s"$base/planes")
+    // the delete set's buckets via the stored hash family — bounded by
+    // 2^NPlanes, a driver-side constant set
+    val targetKeys = delIds.crossJoin(planes)
+      .withColumn("bit",
+        when(dot(col("embedding"), col("p_emb")) >= 0,
+          expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+      .select(col("bucket")).distinct()
+      .collect().map(r => s"bucket=${r.getLong(0)}").toSet
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val basedOn = IndexCatalog.currentVersion(base)
+      require(basedOn >= 1, s"nothing to delete from: $base has no version")
+      val live = IndexCatalog.files(base, basedOn)
+        .filter(f => IndexCatalog.partitionKey(f).exists(targetKeys.contains))
+      if (live.isEmpty) done = true // ids not in the store: no-op
+      else {
+        val remaining = spark.read.option("basePath", target).parquet(live: _*)
+          .join(delIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        try {
+          IndexCatalog.commitReplacePartitions(base,
+            StagedWrite.partitioned(remaining.repartition(col("bucket")),
+              target, Seq("bucket")),
+            Seq(s"delete ${targetKeys.toSeq.sorted.mkString(",")}"),
+            basedOn, extraReplacedKeys = targetKeys)
+          done = true
+        } catch {
+          case e if IndexCatalog.isCommitConflict(e) && attempts < 5 => ()
+        }
+      }
+    }
+  }
+
+  /** The gated DELETE query: build the store over the even corpus,
+    * DELETE the `vec_id % 4 == 0` half, and answer the standard
+    * ingest probe from the post-delete store — rankings must equal a
+    * store that never held the deleted vectors (the oracle runs the
+    * ingest pipeline over the surviving `vec_id % 4 == 2` corpus).
+    * The deleted rows remain visible at v1 by time-travel design
+    * (spec-pinned, with vacuum as the physical-erasure step).
+    */
+  def qStoreDelete(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_storedel").toString
+    try {
+      buildEmbedStore(spark, dir, base) // v1: evens
+      deleteFromEmbedStore(spark, base,
+        embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 0)
+          .select(col("vec_id"), col("embedding"))) // v2: odd-half of evens gone
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_store_delete", Seq(base))
+    probeEmbedStore(spark, dir, base)
+  }
+
   // --- store compaction + retention vacuum ------------------------------
 
   /** Compact the embed store: rewrite the CURRENT version's live rows
@@ -996,6 +1079,7 @@ object SimilarityQueries {
     "q_store_history" -> (qStoreHistory _),
     "q_store_asof" -> (qStoreAsof _),
     "q_store_changes" -> (qStoreChanges _),
+    "q_store_delete" -> (qStoreDelete _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
 
@@ -1237,6 +1321,14 @@ object SimilarityQueries {
                "(vec_id % 2 = 0 OR vec_id % 4 = 1)")}) t2
          |ORDER BY version, query_id, rk""".stripMargin
     },
+    // post-delete probe: rankings equal a store that never held the
+    // deleted vectors — the ingest pipeline over the surviving
+    // vec_id % 4 = 2 corpus (planes unaffected: stored outside the
+    // manifest-governed roots)
+    "q_store_delete" ->
+      duckEmbedIngestSql(
+        batchPred = s"vec_id % 2 = 1 AND vec_id < ${2 * NQueries}",
+        corpusPred = "vec_id % 4 = 2"),
     // the v1→v2 delta census: the appended generation holds exactly
     // the batch-A rows (disjoint from the corpus by id parity), so the
     // oracle recomputes their (count, id-sum, distinct-bucket) census

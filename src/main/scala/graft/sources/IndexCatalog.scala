@@ -181,14 +181,22 @@ class IndexCatalogOps(val fs: CatalogFs) {
     * replacement against the winner's state, not re-publish stale
     * content (so [[retryingCommit]] alone is NOT a valid wrapper).
     */
+  /** `extraReplacedKeys` names partitions replaced WITH NOTHING — the
+    * fully-emptied-partition case a row-level DELETE produces (every
+    * row of a bucket removed leaves no new file to carry the key, but
+    * the old files must still be superseded). A commit may be pure
+    * removal: `newFiles` empty, `extraReplacedKeys` non-empty.
+    */
   def commitReplacePartitions(base: String, newFiles: Seq[String],
-      commitTags: Seq[String], basedOn: Int): Int = {
-    require(newFiles.nonEmpty, "no parquet files to commit")
+      commitTags: Seq[String], basedOn: Int,
+      extraReplacedKeys: Set[String] = Set.empty): Int = {
+    require(newFiles.nonEmpty || extraReplacedKeys.nonEmpty,
+      "nothing to commit: no new files and no partitions to empty")
     require(basedOn >= 0, s"basedOn must be an observed version, got $basedOn")
     val keyed = newFiles.map(f => f -> partitionKey(f))
     require(keyed.forall(_._2.isDefined),
       s"files without a k=v partition segment: ${keyed.filter(_._2.isEmpty).map(_._1)}")
-    val replaced = keyed.flatMap(_._2).toSet
+    val replaced = keyed.flatMap(_._2).toSet ++ extraReplacedKeys
     val prev = if (basedOn == 0) Seq.empty else files(base, basedOn)
     val kept = prev.filterNot(f => partitionKey(f).exists(replaced.contains))
     writeManifestAt(base, basedOn + 1, (kept ++ newFiles).sorted, commitTags)
@@ -323,9 +331,10 @@ class IndexCatalogOps(val fs: CatalogFs) {
     *    definitely committed, so no writer still needs them: deleted
     *    unconditionally.
     *  - ORPHANS — referenced by NO present manifest — are ambiguous:
-    *    crash debris, or an IN-FLIGHT append's files (the listing-diff
-    *    stores write data files into shared roots BEFORE their
-    *    manifest commit). These are deleted only when older than
+    *    crash debris (a [[StagedWrite]] whose mover died mid-promotion,
+    *    or a gen-dir writer that never committed), or an IN-FLIGHT
+    *    append's just-moved files awaiting their manifest commit.
+    *    These are deleted only when older than
     *    `orphanGraceMs`, and the DEFAULT grace is [[DefaultOrphanGraceMs]]
     *    — safe against any append whose write-to-commit latency stays
     *    under it, the same safe-by-default posture table formats give
