@@ -576,6 +576,10 @@ object SimilarityQueries {
     // content. (Writers racing with OVERLAPPING vectors must partition
     // their input upstream — the anti-join above reads pre-race state.)
     val newFiles = StagedWrite.partitioned(rows, target, Seq("bucket"))
+    // per-file id-range stats off the parquet footers the write just
+    // produced — the data-skipping metadata q_store_skipping gates
+    // (commit-visibility is the manifest's; sidecars are inert until)
+    graft.sources.FileStats.record(base, newFiles, Seq("vec_id"))
     if (newFiles.nonEmpty)
       IndexCatalog.commitWithRetry(base)(_ => (newFiles, commitTags))
   }
@@ -789,9 +793,10 @@ object SimilarityQueries {
         val remaining = spark.read.option("basePath", target).parquet(live: _*)
           .join(delIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
         try {
-          IndexCatalog.commitReplacePartitions(base,
-            StagedWrite.partitioned(remaining.repartition(col("bucket")),
-              target, Seq("bucket")),
+          val rewritten = StagedWrite.partitioned(
+            remaining.repartition(col("bucket")), target, Seq("bucket"))
+          graft.sources.FileStats.record(base, rewritten, Seq("vec_id"))
+          IndexCatalog.commitReplacePartitions(base, rewritten,
             Seq(s"delete ${targetKeys.toSeq.sorted.mkString(",")}"),
             basedOn, extraReplacedKeys = targetKeys)
           done = true
@@ -823,6 +828,74 @@ object SimilarityQueries {
     }
     graft.Lease.lease("q_store_delete", Seq(base))
     probeEmbedStore(spark, dir, base)
+  }
+
+  // --- manifest file-statistics data skipping ---------------------------
+
+  /** Id-range constants for [[qStoreSkipping]] — fixed absolute ids so
+    * the oracle text is scale-independent (every fixture holds ids
+    * 0..499 at minimum): three ingest generations with disjoint id
+    * ranges, probed on a range strictly inside the middle one.
+    */
+  private[operators] val SkipT1 = 100L
+  private[operators] val SkipT2 = 200L
+  private[operators] val SkipLo = 120L
+  private[operators] val SkipHi = 180L
+
+  /** FILE-statistics data skipping — the metadata axis partition
+    * pruning can't cover: the store is hash-partitioned by `bucket=`
+    * (a content hash — useless against an id predicate), but an
+    * id-ORDERED ingest gives every generation's files a tight id
+    * range, recorded per file at commit time from the parquet footers
+    * ([[graft.sources.FileStats]] — the min/max sidecars production
+    * table formats keep in their manifests). A range probe then
+    * prunes the manifest's file list BEFORE the engine lists or opens
+    * anything: here three generations land with ids [0,T1), [T1,T2),
+    * [T2,∞), the census over ids [[SkipLo]]..[[SkipHi]] keeps only
+    * generation 2's files (driver-side set logic pinned in `skip_ok`),
+    * and the answer must still be exact — if skipping dropped a
+    * needed file the oracle's census catches it.
+    *
+    * 100 TB shape: stats live with the manifest (bytes per file, read
+    * driver-side); a time- or sequence-scoped query over years of
+    * ingest touches the few files whose range intersects, exactly as
+    * partition pruning touches the few buckets a hash probe names —
+    * the two prune axes compose on the same file list. Pruning is
+    * conservative by contract: a file without a recorded range is
+    * always scanned (spec-pinned).
+    */
+  def qStoreSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{FileStats, IndexCatalog}
+    val base = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val (pruned, ok) = try {
+      val e = embeddings(spark, dir).filter(pmod(col("vec_id"), lit(2)) === 0)
+      val planes = e.filter(col("vec_id") < 2 * NPlanes)
+        .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
+      planes.coalesce(1).write.mode("overwrite").parquet(s"$base/planes")
+      // id-ordered ingest: three generations with disjoint id ranges —
+      // the layout a sequence/time-ordered production ingest produces
+      writeEmbedGen(spark, e.filter(col("vec_id") < SkipT1), base) // v1
+      writeEmbedGen(spark,
+        e.filter(col("vec_id") >= SkipT1 && col("vec_id") < SkipT2), base) // v2
+      writeEmbedGen(spark, e.filter(col("vec_id") >= SkipT2), base) // v3
+      val all = IndexCatalog.latestFiles(base)
+      val gen2 = IndexCatalog.files(base, 2).toSet --
+        IndexCatalog.files(base, 1).toSet
+      val kept = FileStats.prune(base, all, "vec_id", SkipLo, SkipHi)
+      // the probe must keep STRICTLY fewer files than the store holds,
+      // and nothing outside generation 2 — the skipping contract
+      (kept, kept.nonEmpty && kept.size < all.size &&
+        kept.forall(gen2.contains))
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw t
+    }
+    graft.Lease.lease("q_store_skipping", Seq(base))
+    spark.read.option("basePath", s"$base/corpus").parquet(pruned: _*)
+      .filter(col("vec_id").between(SkipLo, SkipHi))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("vec_id")).cast("long").as("id_sum"))
+      .withColumn("skip_ok", lit(ok))
   }
 
   // --- store compaction + retention vacuum ------------------------------
@@ -857,10 +930,10 @@ object SimilarityQueries {
       val live = spark.read.option("basePath", target)
         .parquet(IndexCatalog.files(base, basedOn): _*)
       try {
-        IndexCatalog.commitRewrite(base,
-          StagedWrite.partitioned(live.repartition(col("bucket")),
-            target, Seq("bucket")),
-          Seq("compaction"), basedOn)
+        val compacted = StagedWrite.partitioned(
+          live.repartition(col("bucket")), target, Seq("bucket"))
+        graft.sources.FileStats.record(base, compacted, Seq("vec_id"))
+        IndexCatalog.commitRewrite(base, compacted, Seq("compaction"), basedOn)
         done = true
       } catch {
         case e if IndexCatalog.isCommitConflict(e) && attempts < 5 => ()
@@ -902,11 +975,12 @@ object SimilarityQueries {
       if (live.isEmpty) done = true
       else {
         try {
-          IndexCatalog.commitReplacePartitions(base,
-            StagedWrite.partitioned(
-              spark.read.option("basePath", target).parquet(live: _*)
-                .repartition(col("bucket")),
-              target, Seq("bucket")),
+          val rewritten = StagedWrite.partitioned(
+            spark.read.option("basePath", target).parquet(live: _*)
+              .repartition(col("bucket")),
+            target, Seq("bucket"))
+          graft.sources.FileStats.record(base, rewritten, Seq("vec_id"))
+          IndexCatalog.commitReplacePartitions(base, rewritten,
             Seq(s"compaction ${keys.toSeq.sorted.mkString(",")}"), basedOn)
           done = true
         } catch {
@@ -1080,6 +1154,7 @@ object SimilarityQueries {
     "q_store_asof" -> (qStoreAsof _),
     "q_store_changes" -> (qStoreChanges _),
     "q_store_delete" -> (qStoreDelete _),
+    "q_store_skipping" -> (qStoreSkipping _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
 
@@ -1347,6 +1422,16 @@ object SimilarityQueries {
          |SELECT count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum,
          |       CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets
          |FROM bucketed""".stripMargin,
+    // the stats-pruned census must be EXACT (skipping removes provably
+    // irrelevant files, never rows) — the oracle recomputes it from the
+    // raw fixture; the file-set contract (only generation-2 files kept,
+    // strictly fewer than the store holds) is the Spark-side skip_ok
+    // boolean pinned TRUE
+    "q_store_skipping" ->
+      s"""SELECT count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+         |       TRUE AS skip_ok
+         |FROM embeddings
+         |WHERE vec_id % 2 = 0 AND vec_id BETWEEN $SkipLo AND $SkipHi""".stripMargin,
     "q_embed_neardup" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
