@@ -830,6 +830,131 @@ object SimilarityQueries {
     probeEmbedStore(spark, dir, base)
   }
 
+  /** MERGE INTO the embed store — the upsert every CDC-fed index needs:
+    * batch rows whose `vec_id` is already stored REPLACE the stored row
+    * (an update), the rest INSERT, in ONE atomic commit. The twist a
+    * hash-partitioned store adds over a plain table MERGE: a row's
+    * partition is a FUNCTION of the row (its sign pattern), so an
+    * update whose embedding changed usually MIGRATES buckets — the
+    * commit must remove the row from its old partition and land it in
+    * its new one atomically, which is exactly what
+    * [[graft.sources.IndexCatalog.commitReplacePartitions]] over
+    * (old buckets ∪ new buckets) gives. The hash FAMILY itself (the
+    * stored planes) is never refit — even when an update touches a row
+    * the planes were seeded from, every generation keeps hashing with
+    * the build-time planes, so all buckets stay compatible.
+    *
+    * Work bounded in three steps, none corpus-sized:
+    *  1. re-hash the batch against the stored planes → new buckets;
+    *  2. locate matched ids' CURRENT buckets with an id-column scan of
+    *     the candidate files — candidates cut by the
+    *     [[graft.sources.FileStats]] id-range sidecars to files whose
+    *     range intersects the batch's (an id-ordered ingest makes that
+    *     a sliver of the store), and the scan reads only (vec_id,
+    *     bucket) — the partition value rides the path, so this is one
+    *     pruned skinny-column pass, not a row fetch;
+    *  3. rewrite ONLY the touched buckets' live rows (survivors
+    *     anti-joined on batch ids, union the re-hashed batch) and
+    *     publish via a partition-replacement commit validated against
+    *     the version the merge read (`basedOn`); a concurrent commit
+    *     fails the CAS and the merge RE-DERIVES against the winner.
+    *
+    * Deleted-then-superseded rows stay readable at pre-merge versions
+    * (time travel) until vacuum, as with DELETE.
+    */
+  private[operators] def mergeIntoEmbedStore(
+      spark: SparkSession, base: String, batch: DataFrame): Unit = {
+    import graft.sources.{FileStats, IndexCatalog, StagedWrite}
+    val target = s"$base/corpus"
+    val planes = spark.read.parquet(s"$base/planes")
+    // the batch's rows under the STORED hash family — small (batch ×
+    // NPlanes), checkpointed once and reused across the retry loop
+    val hashed = batch.crossJoin(planes)
+      .withColumn("bit",
+        when(dot(col("embedding"), col("p_emb")) >= 0,
+          expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(sum(col("bit")).as("bucket"))
+      .localCheckpoint()
+    val bounds = hashed.agg(min("vec_id"), max("vec_id")).collect()(0)
+    if (bounds.isNullAt(0)) return // empty batch: no-op, no commit
+    val (idLo, idHi) = (bounds.getLong(0), bounds.getLong(1))
+    val newKeys = hashed.select(col("bucket")).distinct()
+      .collect().map(r => s"bucket=${r.getLong(0)}").toSet
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val basedOn = IndexCatalog.currentVersion(base)
+      require(basedOn >= 1, s"nothing to merge into: $base has no version")
+      val files = IndexCatalog.files(base, basedOn)
+      // step 2: matched ids' current buckets — stats-pruned skinny scan
+      val candidates = FileStats.prune(base, files, "vec_id", idLo, idHi)
+      val oldKeys = spark.read.option("basePath", target)
+        .parquet(candidates: _*)
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+        .join(hashed.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("bucket")).distinct()
+        .collect().map(r => s"bucket=${r.getLong(0)}").toSet
+      val targetKeys = oldKeys ++ newKeys
+      val live = files
+        .filter(f => IndexCatalog.partitionKey(f).exists(targetKeys.contains))
+      // pure-insert into so-far-empty buckets: no live files to carry
+      val survivors =
+        if (live.isEmpty) hashed.limit(0)
+        else spark.read.option("basePath", target)
+          .parquet(live: _*)
+          .join(hashed.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("bucket").cast("long").as("bucket"))
+      try {
+        val written = StagedWrite.partitioned(
+          survivors.unionByName(hashed).repartition(col("bucket")),
+          target, Seq("bucket"))
+        FileStats.record(base, written, Seq("vec_id"))
+        IndexCatalog.commitReplacePartitions(base, written,
+          Seq(s"merge ${targetKeys.toSeq.sorted.mkString(",")}"),
+          basedOn, extraReplacedKeys = targetKeys)
+        done = true
+      } catch {
+        case e if IndexCatalog.isCommitConflict(e) && attempts < 5 => ()
+      }
+    }
+  }
+
+  /** The gated MERGE query: build the store over the even corpus (v1),
+    * then one merge commit that UPDATES every `vec_id % 8 == 0` row to
+    * hold its successor's embedding (a deterministic new vector the
+    * oracle can reproduce — most such rows migrate buckets) and
+    * INSERTS the `vec_id % 4 == 1` batch. The standard batch-B probe
+    * against the merged store must rank exactly as an ingest over the
+    * merged corpus — survivors with their original vectors, updated
+    * rows with their new ones, inserts present, and the hash planes
+    * still the BUILD-time ones even though vec_id 0 (a plane seed) was
+    * itself updated.
+    */
+  def qStoreMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    try {
+      buildEmbedStore(spark, dir, base) // v1: evens
+      val e = embeddings(spark, dir)
+      val inserts = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      // update target t (t % 8 == 0) takes the embedding of row t + 1
+      val updates = e.filter(pmod(col("vec_id"), lit(8)) === 0)
+        .select(col("vec_id"))
+        .join(e.select((col("vec_id") - 1).as("vec_id"),
+          col("embedding"), col("nrm")), Seq("vec_id"))
+      mergeIntoEmbedStore(spark, base, inserts.unionByName(updates))
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw t
+    }
+    graft.Lease.lease("q_store_merge", Seq(base))
+    probeEmbedStore(spark, dir, base,
+      pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
+  }
+
   // --- manifest file-statistics data skipping ---------------------------
 
   /** Id-range constants for [[qStoreSkipping]] — fixed absolute ids so
@@ -1154,6 +1279,7 @@ object SimilarityQueries {
     "q_store_asof" -> (qStoreAsof _),
     "q_store_changes" -> (qStoreChanges _),
     "q_store_delete" -> (qStoreDelete _),
+    "q_store_merge" -> (qStoreMerge _),
     "q_store_skipping" -> (qStoreSkipping _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
@@ -1422,6 +1548,50 @@ object SimilarityQueries {
          |SELECT count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum,
          |       CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets
          |FROM bucketed""".stripMargin,
+    // post-merge probe: rankings equal an ingest over the MERGED
+    // corpus — survivors (evens except the % 8 == 0 targets) with
+    // their original vectors, each update target holding its
+    // successor's embedding, the % 4 == 1 batch inserted — while the
+    // hash planes stay the BUILD-time ones (vec_id 0 is both a plane
+    // seed and an update target; the family is frozen, so the planes
+    // CTE reads the RAW fixture)
+    "q_store_merge" -> {
+      val batchPred = s"vec_id % 4 = 3 AND vec_id < ${4 * NQueries}"
+      s"""WITH src AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE (vec_id % 2 = 0 AND vec_id % 8 <> 0) OR vec_id % 4 = 1
+         |  UNION ALL
+         |  SELECT t.vec_id, s.embedding
+         |  FROM embeddings t JOIN embeddings s ON s.vec_id = t.vec_id + 1
+         |  WHERE t.vec_id % 8 = 0),
+         |planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
+         |           WHERE vec_id % 2 = 0 AND vec_id < ${2 * NPlanes}),
+         |c AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
+         |                  THEN power(2, p.plane_id // 2) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM src e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, e.embedding),
+         |q AS (
+         |  SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
+         |                  THEN power(2, p.plane_id // 2) ELSE 0 END) AS BIGINT) AS q_bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  WHERE $batchPred
+         |  GROUP BY e.vec_id, e.embedding),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |         ${duckCos.format("q_emb", "c.embedding")} AS cos
+         |  FROM q JOIN c ON q.q_bucket = c.bucket),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM scored)
+         |SELECT query_id, rk, neighbor_id FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+    },
     // the stats-pruned census must be EXACT (skipping removes provably
     // irrelevant files, never rows) — the oracle recomputes it from the
     // raw fixture; the file-set contract (only generation-2 files kept,
