@@ -339,8 +339,7 @@ object SimilarityQueries {
     val target = s"$base/corpus"
     val stored = IndexCatalog.latestFiles(base)
     val fresh = if (stored.nonEmpty) {
-      val ids = spark.read.option("basePath", target).parquet(stored: _*)
-        .select(col("vec_id")).distinct()
+      val ids = readStoreFiles(spark, stored).select(col("vec_id")).distinct()
       vecs.join(ids, Seq("vec_id"), "left_anti")
     } else vecs
     val rows = assignToCentroids(fresh,
@@ -529,6 +528,31 @@ object SimilarityQueries {
     writeEmbedGen(spark, e, base)
   }
 
+  /** Read a manifest-resolved store file list that may span MULTIPLE
+    * corpus roots: a shallow clone's ([[cloneEmbedStore]]) early
+    * versions reference the SOURCE store's files by path, so one
+    * version's list can mix `src/corpus/bucket=…` and
+    * `dst/corpus/bucket=…` files. Files are grouped by their root (the
+    * path prefix above the first `k=v` segment), each group read with
+    * its own `basePath` so the Hive partition column survives, and the
+    * groups unioned — for the common single-root store this collapses
+    * to exactly the old one-basePath read. Driver-side cost is string
+    * grouping over the file list: catalog metadata, not data motion.
+    */
+  private[operators] def readStoreFiles(
+      spark: SparkSession, files: Seq[String]): DataFrame = {
+    val byRoot = files.groupBy { f =>
+      val p = java.nio.file.Paths.get(f)
+      val segs = (0 until p.getNameCount).map(p.getName(_).toString)
+      val i = segs.indexWhere(_.contains("="))
+      require(i > 0, s"no k=v partition segment in store file $f")
+      (if (p.isAbsolute) "/" else "") + segs.take(i).mkString("/")
+    }
+    byRoot.toSeq.sortBy(_._1).map { case (root, fs) =>
+      spark.read.option("basePath", root).parquet(fs: _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Append an ingest batch's vectors INTO the store as a new committed
     * generation: sign patterns come from the STORED planes (never
     * recomputed — the hash family is fixed at build time, which is what
@@ -558,8 +582,7 @@ object SimilarityQueries {
     val planes = spark.read.parquet(s"$base/planes")
     val stored = IndexCatalog.latestFiles(base)
     val fresh = if (stored.nonEmpty) {
-      val ids = spark.read.option("basePath", target).parquet(stored: _*)
-        .select(col("vec_id")).distinct()
+      val ids = readStoreFiles(spark, stored).select(col("vec_id")).distinct()
       vecs.join(ids, Seq("vec_id"), "left_anti")
     } else vecs
     val rows = fresh.crossJoin(planes) // NPlanes rows — bounded small side
@@ -610,8 +633,7 @@ object SimilarityQueries {
     val storeFiles =
       if (version == 0) graft.sources.IndexCatalog.latestFiles(base)
       else graft.sources.IndexCatalog.files(base, version)
-    val corpus = spark.read.option("basePath", s"$base/corpus")
-      .parquet(storeFiles: _*)
+    val corpus = readStoreFiles(spark, storeFiles)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"), col("bucket").as("n_bucket"))
     val q = embeddings(spark, dir)
@@ -790,7 +812,7 @@ object SimilarityQueries {
         .filter(f => IndexCatalog.partitionKey(f).exists(targetKeys.contains))
       if (live.isEmpty) done = true // ids not in the store: no-op
       else {
-        val remaining = spark.read.option("basePath", target).parquet(live: _*)
+        val remaining = readStoreFiles(spark, live)
           .join(delIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
         try {
           val rewritten = StagedWrite.partitioned(
@@ -890,8 +912,7 @@ object SimilarityQueries {
       val files = IndexCatalog.files(base, basedOn)
       // step 2: matched ids' current buckets — stats-pruned skinny scan
       val candidates = FileStats.prune(base, files, "vec_id", idLo, idHi)
-      val oldKeys = spark.read.option("basePath", target)
-        .parquet(candidates: _*)
+      val oldKeys = readStoreFiles(spark, candidates)
         .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
         .join(hashed.select(col("vec_id")), Seq("vec_id"), "left_semi")
         .select(col("bucket")).distinct()
@@ -902,8 +923,7 @@ object SimilarityQueries {
       // pure-insert into so-far-empty buckets: no live files to carry
       val survivors =
         if (live.isEmpty) hashed.limit(0)
-        else spark.read.option("basePath", target)
-          .parquet(live: _*)
+        else readStoreFiles(spark, live)
           .join(hashed.select(col("vec_id")), Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("embedding"), col("nrm"),
             col("bucket").cast("long").as("bucket"))
@@ -953,6 +973,93 @@ object SimilarityQueries {
     graft.Lease.lease("q_store_merge", Seq(base))
     probeEmbedStore(spark, dir, base,
       pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
+  }
+
+  /** SHALLOW CLONE of the embed store — a new store whose v1 manifest
+    * references the source's current data files BY PATH: zero data
+    * motion (the commit is one manifest write plus copying the store's
+    * small metadata — planes and stats sidecars), after which the two
+    * stores diverge independently — appends to the clone land under
+    * the CLONE's own corpus root and the source never sees them. This
+    * is the dev/test-branch primitive production table formats ship as
+    * `CREATE TABLE ... SHALLOW CLONE`: branch a 100 TB index in
+    * milliseconds, experiment (append, compact, probe), throw away.
+    *
+    * Ownership contract (as in those formats): borrowed files belong
+    * to the SOURCE — the clone's [[graft.sources.IndexCatalog.vacuum]]
+    * never touches a foreign root, and vacuuming the source past the
+    * clone point can orphan the clone's early versions (the documented
+    * shallow-clone hazard everywhere; deep-copy or re-clone if the
+    * source must be vacuumed). Reads spanning both roots are
+    * [[readStoreFiles]]'s multi-root grouping.
+    */
+  private[operators] def cloneEmbedStore(src: String, dst: String): Unit = {
+    import graft.sources.{FileStats, IndexCatalog, LocalCatalogFs}
+    val files = IndexCatalog.latestFiles(src)
+    require(files.nonEmpty, s"nothing to clone: $src has no committed version")
+    // store metadata (the hash planes) is copied — tiny, and the clone
+    // must keep hashing with the SOURCE's family or its buckets would
+    // be incompatible with the borrowed files' partitioning
+    val planes = IndexCatalog.listDataFiles(s"$src/planes")
+    LocalCatalogFs.mkdirs(s"$dst/planes")
+    planes.foreach { f =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(f),
+        java.nio.file.Paths.get(s"$dst/planes",
+          java.nio.file.Paths.get(f).getFileName.toString))
+    }
+    // stats sidecars are keyed by the data file's path, which the
+    // clone references verbatim — copy the metadata so range pruning
+    // works on the clone from version 1
+    LocalCatalogFs.mkdirs(java.nio.file.Paths
+      .get(FileStats.statsPath(dst, files.head)).getParent.toString)
+    files.foreach { f =>
+      val sp = FileStats.statsPath(src, f)
+      if (LocalCatalogFs.exists(sp))
+        LocalCatalogFs.publishIfAbsent(
+          FileStats.statsPath(dst, f), LocalCatalogFs.readString(sp))
+    }
+    IndexCatalog.commitFiles(dst, files, Seq(s"clone-of $src"))
+  }
+
+  /** The gated CLONE query: build the source store over the even
+    * corpus, shallow-clone it, append batch A to the CLONE, and answer
+    * batch B's probe from the clone — rankings must equal
+    * [[qEmbedAppend]]'s (corpus ∪ A; same oracle text), while the
+    * SOURCE store is untouched by the whole episode: still at v1, same
+    * file list, no clone files under its roots — pinned in the
+    * `clone_ok` boolean the oracle asserts TRUE (byte-identity of the
+    * borrowed files is spec-pinned with checksums).
+    */
+  def qStoreClone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val src = java.nio.file.Files.createTempDirectory("graft_clonesrc").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_clonedst").toString
+    val ok = try {
+      buildEmbedStore(spark, dir, src) // source v1: evens
+      val srcFiles = IndexCatalog.latestFiles(src)
+      cloneEmbedStore(src, dst) // clone v1: borrowed paths, zero copy
+      appendEmbedStore(spark,
+        embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
+        dst) // clone v2: own files under dst/corpus
+      val v2New = IndexCatalog.files(base = dst, 2).toSet --
+        IndexCatalog.files(base = dst, 1).toSet
+      // the clone borrowed exactly the source's files, appended only
+      // under its own root, and the source never moved
+      IndexCatalog.files(dst, 1) == srcFiles &&
+        v2New.nonEmpty && v2New.forall(_.startsWith(dst)) &&
+        IndexCatalog.currentVersion(src) == 1 &&
+        IndexCatalog.latestFiles(src) == srcFiles &&
+        IndexCatalog.listDataFiles(s"$src/corpus").toSet == srcFiles.toSet
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(src))
+        scala.util.Try(graft.Fs.deleteRecursively(dst))
+        throw t
+    }
+    graft.Lease.lease("q_store_clone", Seq(src, dst))
+    probeEmbedStore(spark, dir, dst,
+      pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
+      .withColumn("clone_ok", lit(ok))
   }
 
   // --- manifest file-statistics data skipping ---------------------------
@@ -1052,8 +1159,7 @@ object SimilarityQueries {
       attempts += 1
       val basedOn = IndexCatalog.currentVersion(base)
       require(basedOn >= 1, s"nothing to compact: $base has no committed version")
-      val live = spark.read.option("basePath", target)
-        .parquet(IndexCatalog.files(base, basedOn): _*)
+      val live = readStoreFiles(spark, IndexCatalog.files(base, basedOn))
       try {
         val compacted = StagedWrite.partitioned(
           live.repartition(col("bucket")), target, Seq("bucket"))
@@ -1101,7 +1207,7 @@ object SimilarityQueries {
       else {
         try {
           val rewritten = StagedWrite.partitioned(
-            spark.read.option("basePath", target).parquet(live: _*)
+            readStoreFiles(spark, live)
               .repartition(col("bucket")),
             target, Seq("bucket"))
           graft.sources.FileStats.record(base, rewritten, Seq("vec_id"))
@@ -1280,6 +1386,7 @@ object SimilarityQueries {
     "q_store_changes" -> (qStoreChanges _),
     "q_store_delete" -> (qStoreDelete _),
     "q_store_merge" -> (qStoreMerge _),
+    "q_store_clone" -> (qStoreClone _),
     "q_store_skipping" -> (qStoreSkipping _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
@@ -1548,6 +1655,15 @@ object SimilarityQueries {
          |SELECT count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum,
          |       CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets
          |FROM bucketed""".stripMargin,
+    // probe of the appended CLONE: rankings equal q_embed_append's
+    // (corpus ∪ batch A — one oracle text, two store layouts: the
+    // clone answers from borrowed source files plus its own appended
+    // generation); source-untouched is the Spark-side clone_ok
+    // boolean pinned TRUE (byte-identity spec-pinned)
+    "q_store_clone" ->
+      s"""SELECT t.*, TRUE AS clone_ok FROM (${duckEmbedIngestSql(
+        batchPred = s"vec_id % 4 = 3 AND vec_id < ${4 * NQueries}",
+        corpusPred = "(vec_id % 2 = 0 OR vec_id % 4 = 1)")}) t""",
     // post-merge probe: rankings equal an ingest over the MERGED
     // corpus — survivors (evens except the % 8 == 0 targets) with
     // their original vectors, each update target holding its

@@ -357,11 +357,17 @@ class IndexCatalogOps(val fs: CatalogFs) {
     val everCommitted = byVersion.values.flatten.toSet
     // roots governed by a live manifest (committed paths' first segment
     // under base) — superseded files under them are in scope even when
-    // only expired manifests referenced those exact files
+    // only expired manifests referenced those exact files. Files
+    // OUTSIDE base — a shallow clone's manifests reference the SOURCE
+    // store's files by path — are the source store's to manage: the
+    // borrower's vacuum never walks (let alone deletes) a foreign
+    // root, the same ownership rule table formats give shallow clones.
     val basePath = Paths.get(base).toAbsolutePath.normalize
     val roots = byVersion.values.flatten.flatMap { f =>
       val rel = basePath.relativize(Paths.get(f).toAbsolutePath.normalize)
-      if (rel.getNameCount >= 1) Some(rel.getName(0).toString) else None
+      if (rel.getNameCount >= 1 && rel.getName(0).toString != "..")
+        Some(rel.getName(0).toString)
+      else None
     }.toSet
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     val deleted = roots.toSeq.sorted.flatMap { r =>
