@@ -975,6 +975,107 @@ object SimilarityQueries {
       pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
   }
 
+  /** Row-level CHANGE-DATA feed of one commit — the CDC complement to
+    * the file-level follower ([[graft.sources.StoreChangeSource]]
+    * streams pure appends and must skip replacement commits, because
+    * their files mix rewritten survivors with real changes; this
+    * computes the ROW-level truth of exactly those commits). The diff
+    * is scoped by the manifest: only the files version `v` REMOVED and
+    * ADDED are read — for a DML commit that's the touched partitions,
+    * O(changed partitions) never O(store) — and a full-outer join on
+    * the row key classifies:
+    *  - key only on the new side → `insert`;
+    *  - key only on the old side → `delete`;
+    *  - both sides, row changed  → `update_preimage` (the old row)
+    *    + `update_postimage` (the new row);
+    *  - both sides, row identical → nothing: a rewritten SURVIVOR.
+    * That last row makes maintenance transparent by construction — a
+    * compaction rewrites every row identically, so its change feed is
+    * EMPTY (spec-pinned), with no special-casing of commit types: the
+    * classification falls out of content, the manifest only bounds
+    * what's read. This is the change-data-feed contract production
+    * table formats expose (`table_changes`), derived here entirely
+    * from the catalog's immutable commits — no change log is written
+    * at commit time, so CDC costs nothing until someone asks.
+    */
+  private[operators] def storeChanges(
+      spark: SparkSession, base: String, v: Int): DataFrame = {
+    import graft.sources.IndexCatalog
+    val prev = if (v <= 1) Seq.empty else IndexCatalog.files(base, v - 1)
+    val cur = IndexCatalog.files(base, v)
+    val removed = prev.filterNot(cur.toSet)
+    val added = cur.filterNot(prev.toSet)
+    def rowsOf(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.emptyDataFrame
+          .select(lit(0L).as("vec_id"),
+            lit(null).cast("array<float>").as("embedding"),
+            lit(0L).as("bucket")).limit(0)
+      else readStoreFiles(spark, files)
+        .select(col("vec_id"), col("embedding"),
+          col("bucket").cast("long").as("bucket"))
+    val o = rowsOf(removed).select(col("vec_id"),
+      col("embedding").as("o_emb"), col("bucket").as("o_bucket"))
+    val n = rowsOf(added).select(col("vec_id"),
+      col("embedding").as("n_emb"), col("bucket").as("n_bucket"))
+    val j = o.join(n, Seq("vec_id"), "full_outer")
+    val inserts = j.filter(col("o_emb").isNull && col("o_bucket").isNull)
+      .select(lit("insert").as("change_type"), col("vec_id"),
+        col("n_bucket").as("bucket"))
+    val deletes = j.filter(col("n_emb").isNull && col("n_bucket").isNull)
+      .select(lit("delete").as("change_type"), col("vec_id"),
+        col("o_bucket").as("bucket"))
+    val changed = j.filter(col("o_bucket").isNotNull &&
+      col("n_bucket").isNotNull &&
+      (col("o_bucket") =!= col("n_bucket") || col("o_emb") =!= col("n_emb")))
+    val pre = changed.select(lit("update_preimage").as("change_type"),
+      col("vec_id"), col("o_bucket").as("bucket"))
+    val post = changed.select(lit("update_postimage").as("change_type"),
+      col("vec_id"), col("n_bucket").as("bucket"))
+    inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+  }
+
+  /** The gated CDC query: run the store's full DML lifecycle — build
+    * (v1: evens), MERGE (v2: update the `% 8 == 0` rows to their
+    * successor's vector, insert the `% 4 == 1` batch), row-level
+    * DELETE (v3: the never-updated `% 8 == 4` rows) — then read each
+    * commit's row-level change feed and report the per-(version,
+    * change_type) census. The oracle recomputes every census from the
+    * fixture's id algebra alone: v2 = inserts + the update pair over
+    * the same ids, v3 = deletes; the rewritten SURVIVORS sharing
+    * files with real changes must contribute NOTHING.
+    */
+  def qStoreCdc(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    try {
+      buildEmbedStore(spark, dir, base) // v1: evens
+      val e = embeddings(spark, dir)
+      val inserts = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val updates = e.filter(pmod(col("vec_id"), lit(8)) === 0)
+        .select(col("vec_id"))
+        .join(e.select((col("vec_id") - 1).as("vec_id"),
+          col("embedding"), col("nrm")), Seq("vec_id"))
+      mergeIntoEmbedStore(spark, base, inserts.unionByName(updates)) // v2
+      // delete ids whose stored vector is still the fixture's (the
+      // % 8 == 4 slice was never updated), so the delete set re-hashes
+      // to the right buckets from the raw table
+      deleteFromEmbedStore(spark, base,
+        e.filter(pmod(col("vec_id"), lit(8)) === 4)
+          .select(col("vec_id"), col("embedding"))) // v3
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw t
+    }
+    graft.Lease.lease("q_store_cdc", Seq(base))
+    storeChanges(spark, base, 2).withColumn("version", lit(2L))
+      .unionByName(storeChanges(spark, base, 3).withColumn("version", lit(3L)))
+      .groupBy(col("version"), col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("vec_id")).cast("long").as("id_sum"))
+      .orderBy("version", "change_type")
+  }
+
   /** SHALLOW CLONE of the embed store — a new store whose v1 manifest
     * references the source's current data files BY PATH: zero data
     * motion (the commit is one manifest write plus copying the store's
@@ -1386,6 +1487,7 @@ object SimilarityQueries {
     "q_store_changes" -> (qStoreChanges _),
     "q_store_delete" -> (qStoreDelete _),
     "q_store_merge" -> (qStoreMerge _),
+    "q_store_cdc" -> (qStoreCdc _),
     "q_store_clone" -> (qStoreClone _),
     "q_store_skipping" -> (qStoreSkipping _),
     "q_embed_neardup" -> (qEmbedNearDup _)
@@ -1655,6 +1757,31 @@ object SimilarityQueries {
          |SELECT count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum,
          |       CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets
          |FROM bucketed""".stripMargin,
+    // the DML lifecycle's row-level change feed, recomputed from id
+    // algebra alone: the MERGE commit (v2) yields the insert batch and
+    // the update pair over the % 8 == 0 targets (each update once as
+    // preimage, once as postimage — same ids), the DELETE commit (v3)
+    // yields the % 8 == 4 rows; rewritten survivors sharing files with
+    // the changes contribute nothing, and change row COUNTS are what
+    // pins that (a survivor leak would inflate them)
+    "q_store_cdc" ->
+      """WITH upd AS (SELECT t.vec_id FROM embeddings t
+        |            JOIN embeddings s ON s.vec_id = t.vec_id + 1
+        |            WHERE t.vec_id % 8 = 0),
+        |ins AS (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 1),
+        |del AS (SELECT vec_id FROM embeddings WHERE vec_id % 8 = 4)
+        |SELECT CAST(2 AS BIGINT) AS version, 'insert' AS change_type,
+        |       count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum FROM ins
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'update_postimage', count(*),
+        |       CAST(sum(vec_id) AS BIGINT) FROM upd
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'update_preimage', count(*),
+        |       CAST(sum(vec_id) AS BIGINT) FROM upd
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'delete', count(*),
+        |       CAST(sum(vec_id) AS BIGINT) FROM del
+        |ORDER BY version, change_type""".stripMargin,
     // probe of the appended CLONE: rankings equal q_embed_append's
     // (corpus ∪ batch A — one oracle text, two store layouts: the
     // clone answers from borrowed source files plus its own appended

@@ -156,9 +156,12 @@ private[sources] class StoreChangeStream(base: String, startingVersion: String)
     * re-deliver every rewritten row to a consumer that already saw
     * them. A naive files(end)∖files(start) diff would do exactly
     * that re-delivery on the first compaction. (Content-CHANGING
-    * replacement commits — the cluster-assignment store's label
-    * rewrites — need a row-level CDC consumer and are outside this
-    * follower's insert-only contract.) The walk only touches live
+    * replacement commits — row-level DELETE, a MERGE touching stored
+    * rows, the cluster-assignment store's label rewrites — need a
+    * row-level CDC consumer and are outside this follower's
+    * insert-only contract; a MERGE that matched nothing and landed
+    * only in so-far-empty buckets removes no file, so it IS a pure
+    * append and streams.) The walk only touches live
     * manifests; vacuum expires a PREFIX of versions, so if `start`
     * itself expired the consumer outlived retention and resolution
     * fails fast.
