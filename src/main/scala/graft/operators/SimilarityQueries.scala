@@ -109,6 +109,75 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Candidate-pool size for [[qKnnQuantized]]'s exact re-rank: the
+    * approximate stage keeps 3k candidates per query, the exact stage
+    * re-ranks only those.
+    */
+  private[operators] val SqC = 3 * K
+
+  /** Scalar-quantized (int8-style) kNN — the COMPRESSION axis of the
+    * ANN family, orthogonal to bucketing (IVF cells, LSH signs): each
+    * vector is quantized to per-dimension integer codes in [-128, 127]
+    * with one per-vector scale (`127 / max|x_i|`), the approximate
+    * stage ranks on the QUANTIZED dot product, and only the top
+    * [[SqC]] candidates per query are re-ranked by exact cosine. At
+    * 100 TB this is why production ANN serves from RAM: codes are 4×
+    * smaller than float32 (8× vs float64), so the first pass streams a
+    * quarter of the bytes — and composes with IVF/LSH bucketing, which
+    * cut the CANDIDATE COUNT while quantization cuts the BYTES PER
+    * CANDIDATE.
+    *
+    * Determinism note (why this is oracle-gateable at hash equality):
+    * the quantized dot is a sum of small-integer products (≤ 127²·dims
+    * ≪ 2⁵³), EXACT in double arithmetic in any summation order on both
+    * engines — the one FP-fragile ingredient of an approximate score
+    * is gone by construction. Scales and norms are computed with the
+    * same expression shape on both sides; ranks (never floats) are the
+    * compared output. The shuffle is bounded: `topk_agg` keeps ≤ SqC
+    * candidates per query per task, and the exact stage touches
+    * SqC × queries rows total.
+    */
+  def qKnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, dir)
+      .withColumn("s", lit(127.0) / expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("qv", expr(
+        // Spark floor returns BIGINT (DuckDB's returns DOUBLE); the
+        // cast aligns the array element type for vec_dot — the values
+        // are the same small integers either way
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * s) AS DOUBLE))"))
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("s").as("q_s"), col("qv").as("q_qv"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"),
+      col("s").as("n_s"), col("qv").as("n_qv"))
+    // stage 1: approximate rank on the integer codes; the aggregate
+    // bounds the exchange at SqC rows per query independent of corpus
+    val cands = queries.crossJoin(corpus)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("acos", dot(col("q_qv"), col("n_qv")) /
+        (col("q_s") * col("n_s") * col("q_nrm") * col("n_nrm")))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_agg(acos, neighbor_id, $SqC)").as("tk"))
+      .select(col("query_id"), explode(col("tk.payload")).as("neighbor_id"))
+    // stage 2: exact re-rank of SqC × queries rows only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands
+      .join(queries.select(col("query_id"), col("q_emb"), col("q_nrm")),
+        Seq("query_id"))
+      .join(corpus.select(col("neighbor_id"), col("n_emb"), col("n_nrm")),
+        Seq("neighbor_id"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+      .orderBy("query_id", "rk")
+  }
+
   // --- IVF-style clustered ANN ------------------------------------------
 
   /** Probe count for [[qIvfMultiprobe]]: each query searches its
@@ -1473,6 +1542,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_topk_agg" -> (qKnnTopkAgg _),
+    "q_knn_quantized" -> (qKnnQuantized _),
     "q_ivf_knn" -> (qIvfKnn _),
     "q_ivf_multiprobe" -> (qIvfMultiprobe _),
     "q_ivf_kmeans" -> (qIvfKmeans _),
@@ -1610,6 +1680,39 @@ object SimilarityQueries {
          |                  row_number() OVER (PARTITION BY query_id
          |                                     ORDER BY cos DESC, neighbor_id) AS rk
          |           FROM scored)
+         |SELECT query_id, rk, neighbor_id FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    // the identical two-stage quantize/approx-rank/exact-re-rank
+    // pipeline in SQL; the approximate scores are integer-exact sums
+    // in double arithmetic on both engines (codes ≤ 127²·dims ≪ 2⁵³),
+    // so candidate sets — not just final ranks — coincide exactly
+    "q_knn_quantized" ->
+      s"""WITH en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |m AS (SELECT vec_id, emb,
+         |             sqrt(list_inner_product(emb, emb)) AS nrm,
+         |             127.0 / list_max(list_transform(emb, x -> abs(x))) AS s
+         |      FROM en),
+         |qz AS (SELECT vec_id, emb, nrm, s,
+         |              list_transform(emb, x -> floor(x * s)) AS qv FROM m),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm,
+         |             s AS q_s, qv AS q_qv
+         |      FROM qz WHERE vec_id < $NQueries),
+         |approx AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id, q.q_emb, q.q_nrm,
+         |         c.emb AS n_emb, c.nrm AS n_nrm,
+         |         list_inner_product(q.q_qv, c.qv)
+         |           / (q.q_s * c.s * q.q_nrm * c.nrm) AS acos
+         |  FROM q JOIN qz c ON q.query_id <> c.vec_id),
+         |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY acos DESC, neighbor_id) AS ark
+         |         FROM approx),
+         |exact AS (SELECT query_id, neighbor_id,
+         |                 list_inner_product(q_emb, n_emb) / (q_nrm * n_nrm) AS cos
+         |          FROM cand WHERE ark <= $SqC),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM exact)
          |SELECT query_id, rk, neighbor_id FROM ranked
          |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
     "q_ivf_knn" ->
