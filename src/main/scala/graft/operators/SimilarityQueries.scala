@@ -1342,6 +1342,87 @@ object SimilarityQueries {
     }
   }
 
+  /** Range-partition count for [[compactEmbedStoreSorted]]: the sorted
+    * rewrite spreads the store over this many disjoint id ranges (at
+    * scale: proportional to store size / target file size).
+    */
+  private[operators] val SortedCompactTasks = 8
+
+  /** SORTED compaction — `OPTIMIZE ... ZORDER/SORT BY (id)` for the
+    * store: identical commit semantics to [[compactEmbedStore]], but
+    * the live rows are RANGE-partitioned on `vec_id` before the
+    * bucket-partitioned write, so every rewritten file covers a tight,
+    * task-disjoint id slice instead of the whole domain. Why it
+    * matters: a PLAIN compaction is where data skipping goes to die —
+    * merging id-ordered generations gives every output file the full
+    * id range, so the [[graft.sources.FileStats]] prune keeps
+    * everything. Sorting on compact RESTORES (and tightens) the
+    * skipping that ingest order had provided, which is exactly why
+    * production table formats pair OPTIMIZE with a sort/Z-order
+    * clause. Layout changes only; content is untouched (same oracle
+    * as the unsorted path would give), and the commit still validates
+    * against the version it read.
+    */
+  private[operators] def compactEmbedStoreSorted(
+      spark: SparkSession, base: String): Unit = {
+    import graft.sources.{FileStats, IndexCatalog, StagedWrite}
+    val target = s"$base/corpus"
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val basedOn = IndexCatalog.currentVersion(base)
+      require(basedOn >= 1, s"nothing to compact: $base has no committed version")
+      val live = readStoreFiles(spark, IndexCatalog.files(base, basedOn))
+      try {
+        val compacted = StagedWrite.partitioned(
+          live.repartitionByRange(SortedCompactTasks, col("vec_id")),
+          target, Seq("bucket"))
+        FileStats.record(base, compacted, Seq("vec_id"))
+        IndexCatalog.commitRewrite(base, compacted,
+          Seq("compaction sort=vec_id"), basedOn)
+        done = true
+      } catch {
+        case e if IndexCatalog.isCommitConflict(e) && attempts < 5 => ()
+      }
+    }
+  }
+
+  /** The gated OPTIMIZE query: build the store as ONE generation —
+    * every file spans essentially the whole id domain, so the range
+    * probe's file prune keeps everything — then run the SORTED
+    * compaction and prune again: strictly fewer files survive, and
+    * the census over the pruned scan is still exact (the oracle
+    * recomputes it from the fixture). The layout-only contract and
+    * the strict improvement are pinned in `optimize_ok`.
+    */
+  def qStoreOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{FileStats, IndexCatalog}
+    val base = java.nio.file.Files.createTempDirectory("graft_opt").toString
+    val (pruned, ok) = try {
+      buildEmbedStore(spark, dir, base) // v1: one full-range generation
+      val all1 = IndexCatalog.latestFiles(base)
+      val kept1 = FileStats.prune(base, all1, "vec_id", SkipLo, SkipHi)
+      compactEmbedStoreSorted(spark, base) // v2: tight id slices
+      val all2 = IndexCatalog.latestFiles(base)
+      val kept2 = FileStats.prune(base, all2, "vec_id", SkipLo, SkipHi)
+      // sorting trades file count for range tightness (more, smaller
+      // files), so the skipping win is the kept FRACTION — the share
+      // of the store a range scan must touch — dropping strictly
+      (kept2, kept2.nonEmpty && kept2.size < all2.size &&
+        kept2.size.toLong * all1.size < kept1.size.toLong * all2.size)
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw t
+    }
+    graft.Lease.lease("q_store_optimize", Seq(base))
+    spark.read.option("basePath", s"$base/corpus").parquet(pruned: _*)
+      .filter(col("vec_id").between(SkipLo, SkipHi))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("vec_id")).cast("long").as("id_sum"))
+      .withColumn("optimize_ok", lit(ok))
+  }
+
   /** PARTITION-SCOPED compaction — `OPTIMIZE ... WHERE` for the
     * store: rewrite ONLY the named buckets' live rows into fresh
     * files inside their own `bucket=` partitions and publish via
@@ -1560,6 +1641,7 @@ object SimilarityQueries {
     "q_store_cdc" -> (qStoreCdc _),
     "q_store_clone" -> (qStoreClone _),
     "q_store_skipping" -> (qStoreSkipping _),
+    "q_store_optimize" -> (qStoreOptimize _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
 
@@ -1946,6 +2028,15 @@ object SimilarityQueries {
     "q_store_skipping" ->
       s"""SELECT count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum,
          |       TRUE AS skip_ok
+         |FROM embeddings
+         |WHERE vec_id % 2 = 0 AND vec_id BETWEEN $SkipLo AND $SkipHi""".stripMargin,
+    // sorted compaction is layout-only: the pruned census equals the
+    // raw fixture's under the same predicate; the strict skipping
+    // improvement over the pre-sort layout is the Spark-side
+    // optimize_ok boolean pinned TRUE
+    "q_store_optimize" ->
+      s"""SELECT count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+         |       TRUE AS optimize_ok
          |FROM embeddings
          |WHERE vec_id % 2 = 0 AND vec_id BETWEEN $SkipLo AND $SkipHi""".stripMargin,
     "q_embed_neardup" ->

@@ -85,6 +85,37 @@ class StoreSkippingSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("plain compaction destroys skipping; sorted compaction restores it; content invariant") {
+    val base = Files.createTempDirectory("graft_skipsort").toString
+    try {
+      buildThreeGen(base)
+      def census(files: Seq[String]) =
+        spark.read.option("basePath", s"$base/corpus").parquet(files: _*)
+          .filter(col("vec_id").between(120, 180))
+          .agg(count(lit(1)), sum("vec_id")).collect()(0)
+      val before = census(IndexCatalog.latestFiles(base))
+      def frac(): Double = {
+        val all = IndexCatalog.latestFiles(base)
+        FileStats.prune(base, all, "vec_id", 120, 180).size.toDouble / all.size
+      }
+      val fIngest = frac()
+      // a PLAIN compaction merges the id-ordered generations into
+      // full-range files: the prune keeps (nearly) everything
+      SimilarityQueries.compactEmbedStore(spark, base)
+      val fPlain = frac()
+      assert(fPlain > fIngest,
+        f"plain compaction should widen ranges: $fIngest%.2f -> $fPlain%.2f")
+      // the SORTED compaction restores tight, task-disjoint id slices
+      SimilarityQueries.compactEmbedStoreSorted(spark, base)
+      val fSorted = frac()
+      assert(fSorted < fPlain,
+        f"sorted compaction should restore skipping: $fPlain%.2f -> $fSorted%.2f")
+      // layout-only: the pruned census is unchanged through both rewrites
+      assert(census(FileStats.prune(base,
+        IndexCatalog.latestFiles(base), "vec_id", 120, 180)) == before)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("stats follow files across carry-forward, compaction, and vacuum") {
     val base = Files.createTempDirectory("graft_skipspec3").toString
     try {
