@@ -841,6 +841,126 @@ object StreamingQueries {
       .orderBy("batch")
   }
 
+  /** One micro-batch's MATERIALIZED-VIEW merge (shared with the
+    * spec's replay test): fold a change-feed delta into the per-bucket
+    * (count, id-sum) aggregate store. The delta collapses to one row
+    * per touched bucket, the CURRENT aggregate rows of exactly those
+    * buckets are read back (partition-pruned — the view store is
+    * `bucket=`-partitioned), summed, and republished as a
+    * partition-replacement commit carrying the `mv-batch=<id>` tag —
+    * so per-batch cost is O(buckets the delta touched), untouched
+    * partitions carry forward by path, a replayed batchId re-commits
+    * nothing, and a concurrent commit re-derives via the basedOn CAS
+    * loop. Returns whether a commit was attempted.
+    */
+  private[operators] def commitMvBatch(
+      ss: SparkSession, delta: DataFrame, mvBase: String, batchId: Long): Boolean = {
+    import graft.sources.{IndexCatalog, StagedWrite}
+    val tag = s"mv-batch=$batchId"
+    if (delta.isEmpty || IndexCatalog.committedTags(mvBase).contains(tag))
+      return false
+    val dAgg = delta
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("d_n"), sum(col("vec_id")).cast("long").as("d_sum"))
+      .localCheckpoint()
+    val touchedKeys = dAgg.select("bucket").collect()
+      .map(r => s"bucket=${r.getLong(0)}").toSet
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val basedOn = IndexCatalog.currentVersion(mvBase)
+      val curFiles =
+        if (basedOn == 0) Seq.empty else IndexCatalog.files(mvBase, basedOn)
+      val touchedLive = curFiles
+        .filter(f => IndexCatalog.partitionKey(f).exists(touchedKeys.contains))
+      val cur =
+        if (touchedLive.isEmpty)
+          dAgg.select(col("bucket"), lit(0L).as("n_rows"), lit(0L).as("id_sum"))
+            .limit(0)
+        else ss.read.option("basePath", s"$mvBase/agg").parquet(touchedLive: _*)
+          .select(col("bucket").cast("long").as("bucket"),
+            col("n_rows"), col("id_sum"))
+      val merged = cur.join(dAgg, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("id_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
+            .as("id_sum"))
+      try {
+        IndexCatalog.commitReplacePartitions(mvBase,
+          StagedWrite.partitioned(merged.repartition(col("bucket")),
+            s"$mvBase/agg", Seq("bucket")),
+          Seq(tag), basedOn, extraReplacedKeys = touchedKeys)
+        done = true
+      } catch {
+        case e if IndexCatalog.isCommitConflict(e) && attempts < 5 => ()
+      }
+    }
+    true
+  }
+
+  /** Incrementally-maintained MATERIALIZED VIEW — the derived-data
+    * loop closed end to end with round-10 primitives ONLY composed,
+    * nothing bespoke: the sign-LSH store is followed through the
+    * catalog's V2 streaming source ([[graft.sources.StoreChangeSource]]
+    * — offsets are committed versions, a batch is one manifest delta),
+    * and each micro-batch folds its delta into a SECOND
+    * manifest-committed store holding the per-bucket (count, id-sum)
+    * aggregate via [[commitMvBatch]]: partition-replacement commits
+    * rewrite only the buckets the delta touched, exactly-once keyed on
+    * the `mv-batch=<id>` manifest tag, re-derive-on-conflict via the
+    * basedOn CAS. Lifecycle: build (v1) → drain → append batch A (v2)
+    * → drain → idle drain (commits nothing); the view then equals the
+    * direct aggregate over corpus ∪ A, which the oracle recomputes
+    * from the raw fixture through the same sign/bucket pipeline.
+    *
+    * 100 TB shape: this is how a derived table (an index summary, a
+    * serving-layer rollup, a replica's statistics) follows a store —
+    * per refresh cost is O(delta) to read (manifest algebra, no
+    * corpus re-scan) plus O(touched partitions) to write, with
+    * crash-restart safety from the query checkpoint on the read side
+    * and commit tags on the write side, and the view itself is
+    * time-travelable because it IS a catalog store.
+    */
+  def qStoreMatview(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val base = Files.createTempDirectory("graft_mv_src").toString
+    val mv = Files.createTempDirectory("graft_mv_view").toString
+    val ckpt = Files.createTempDirectory("graft_mv_ckpt").toString
+    def drain(): Unit = {
+      val q = ss.readStream.format("graft-store-changes")
+        .option("path", base).load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          commitMvBatch(ss, b, mv, id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      SimilarityQueries.buildEmbedStore(ss, dir, base) // v1
+      drain() // view = corpus census
+      SimilarityQueries.appendEmbedStore(ss,
+        SimilarityQueries.embeddings(ss, dir)
+          .filter(pmod(col("vec_id"), lit(4)) === 1), base) // v2
+      drain() // view += batch A, only touched buckets rewritten
+      drain() // idle: no version, no commit
+    } catch {
+      case e: Throwable =>
+        Seq(base, mv, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+    lease("q_store_matview", Seq(base, mv, ckpt))
+    spark.read.option("basePath", s"$mv/agg")
+      .parquet(graft.sources.IndexCatalog.latestFiles(mv): _*)
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_rows"), col("id_sum"))
+      .orderBy("bucket")
+  }
+
   /** One micro-batch's index commit (shared with the spec's replay
     * test): skip when the batch is empty or its `ingest-batch=<id>`
     * tag is already committed, else write + commit ONE tagged
@@ -1072,6 +1192,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_store_follow" -> (qStreamStoreFollow _),
+    "q_store_matview" -> (qStoreMatview _),
     "q_stream_index_append" -> (qStreamIndexAppend _),
     "q_stream_cluster_append" -> (qStreamClusterAppend _),
     "q_stream_funnel" -> (qStreamFunnel _),
@@ -1113,6 +1234,22 @@ object StreamingQueries {
          |       CAST(count(DISTINCT bucket) AS BIGINT)
          |FROM bucketed WHERE vec_id % 8 = 5
          |ORDER BY batch""".stripMargin,
+    // the incrementally-maintained view must equal the direct
+    // per-bucket aggregate over corpus ∪ A — recomputed through the
+    // same sign/bucket pipeline from the raw fixture
+    "q_store_matview" ->
+      s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
+         |                WHERE vec_id % 2 = 0 AND vec_id < ${2 * SimilarityQueries.NPlanes}),
+         |bucketed AS (
+         |  SELECT e.vec_id,
+         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
+         |                  THEN power(2, p.plane_id // 2) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  WHERE e.vec_id % 2 = 0 OR e.vec_id % 4 = 1
+         |  GROUP BY e.vec_id)
+         |SELECT bucket, count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum
+         |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the streamed micro-batch commits grow the store to corpus ∪ A,
     // so batch B' ranks against the same algebra as q_embed_append —
     // one parameterized SQL text shared across the store's lifecycle

@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, SparkSpec}
+import graft.sources.IndexCatalog
+
+/** Materialized-view maintenance contracts (q_store_matview's
+  * mechanism): a delta rewrites ONLY the view partitions it touches,
+  * a replayed batchId commits nothing, an empty delta commits
+  * nothing, and the folded view equals the direct aggregate.
+  */
+class StoreMatviewSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def viewRows(mv: String): Map[Long, (Long, Long)] =
+    spark.read.option("basePath", s"$mv/agg")
+      .parquet(IndexCatalog.latestFiles(mv): _*)
+      .select(col("bucket").cast("long"), col("n_rows"), col("id_sum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("delta folds touch only their buckets; replay and empty deltas are no-ops; view equals direct aggregate") {
+    val src = Files.createTempDirectory("graft_mvspec_src").toString
+    val mv = Files.createTempDirectory("graft_mvspec_view").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, src)
+      val stored = spark.read.option("basePath", s"$src/corpus")
+        .parquet(IndexCatalog.latestFiles(src): _*)
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+
+      // batch 0: the whole corpus
+      assert(StreamingQueries.commitMvBatch(spark, stored, mv, 0L))
+      val direct = stored.groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("vec_id").cast("long").as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(viewRows(mv) == direct)
+
+      // batch 1: a delta touching exactly ONE bucket — every other
+      // view partition's files must carry forward byte-identical
+      val hot = direct.keys.min
+      val v1Files = IndexCatalog.files(mv, 1)
+      val untouched = v1Files
+        .filterNot(f => IndexCatalog.partitionKey(f).contains(s"bucket=$hot"))
+        .map(f => f -> graft.TestHash.sha256(f)).toMap
+      assert(untouched.nonEmpty)
+      val delta = stored.filter(col("bucket") === hot).limit(3)
+      val dCensus = delta.agg(count(lit(1)), sum("vec_id").cast("long"))
+        .collect()(0)
+      assert(StreamingQueries.commitMvBatch(spark, delta, mv, 1L))
+      assert(IndexCatalog.currentVersion(mv) == 2)
+      val v2Files = IndexCatalog.files(mv, 2)
+      untouched.foreach { case (f, sum) =>
+        assert(v2Files.contains(f), s"delta dropped untouched view file $f")
+        assert(graft.TestHash.sha256(f) == sum, s"delta mutated view file $f")
+      }
+      val after = viewRows(mv)
+      assert(after(hot) ==
+        (direct(hot)._1 + dCensus.getLong(0), direct(hot)._2 + dCensus.getLong(1)))
+      assert((after - hot) == (direct - hot))
+
+      // replayed batchId: tag already committed, nothing happens
+      assert(!StreamingQueries.commitMvBatch(spark, delta, mv, 1L))
+      assert(IndexCatalog.currentVersion(mv) == 2)
+      // empty delta: nothing happens
+      assert(!StreamingQueries.commitMvBatch(spark, delta.limit(0), mv, 7L))
+      assert(IndexCatalog.currentVersion(mv) == 2)
+    } finally {
+      graft.Fs.deleteRecursively(src)
+      graft.Fs.deleteRecursively(mv)
+    }
+  }
+}
