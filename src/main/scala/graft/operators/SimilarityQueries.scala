@@ -804,6 +804,60 @@ object SimilarityQueries {
       .orderBy("version", "query_id", "rk")
   }
 
+  /** RESTORE — rollback as a query answer, closing the time-travel
+    * loop (`q_store_history` reads history, `q_store_asof` queries at
+    * a version, this one makes a version the HEAD again): build the
+    * store from the even corpus (v1), append a batch later judged bad
+    * (vec_id % 4 == 1, v2), RESTORE to v1
+    * ([[graft.sources.IndexCatalogOps.restore]] — v3's manifest lists
+    * exactly v1's files; zero data files move, the commit is catalog
+    * metadata), then append the re-vetted slice (vec_id % 8 == 5, a
+    * strict subset of the rolled-back batch, v4) and answer the probe
+    * batch (vec_id % 4 == 3) from the head. The ranking draws from
+    * corpus ∪ the re-appended slice alone: the bad batch's other half
+    * is gone from the head even though its files still sit in the
+    * same `bucket=` dirs — and stays readable at v2 (rollback never
+    * destroys history; vacuum does, later, on its own schedule). The
+    * catalog-side contract — restored manifest ≡ v1's verbatim,
+    * nothing written by the restore, history monotone 1..4 — is the
+    * Spark-side `restore_ok` boolean the oracle pins TRUE.
+    *
+    * 100 TB shape: un-ingesting a bad batch costs one manifest write
+    * regardless of store size — the alternative (row-level DELETE of
+    * the batch) would rewrite every partition the batch touched; the
+    * re-append then re-hashes only the re-vetted rows (the anti-join
+    * sees the RESTORED head, so re-ingest after rollback needs no
+    * special casing).
+    */
+  def qStoreRestore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft_restore").toString
+    val ok = try {
+      buildEmbedStore(spark, dir, base) // v1: evens
+      appendEmbedStore(spark,
+        embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
+        base) // v2: + the batch later judged bad
+      val before = IndexCatalog.listDataFiles(s"$base/corpus")
+      val v3 = IndexCatalog.restore(base, 1)
+      val after = IndexCatalog.listDataFiles(s"$base/corpus")
+      appendEmbedStore(spark,
+        embeddings(spark, dir).filter(pmod(col("vec_id"), lit(8)) === 5),
+        base) // v4: the re-vetted slice, anti-joined against the RESTORED head
+      v3 == 3 &&
+        IndexCatalog.files(base, 3) == IndexCatalog.files(base, 1) &&
+        after == before && // zero-copy: the restore wrote no data files
+        IndexCatalog.tags(base, 3) == Seq("restore-of=1") &&
+        IndexCatalog.liveVersions(base) == Seq(1, 2, 3, 4) // history monotone
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw t
+    }
+    graft.Lease.lease("q_store_restore", Seq(base))
+    probeEmbedStore(spark, dir, base,
+      pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
+      .withColumn("restore_ok", lit(ok))
+  }
+
   /** Incremental (change-data) read between two committed versions —
     * the consumer-side complement of the append path: WHAT CHANGED
     * from v1 to v2 is pure manifest SET ALGEBRA (files(v2) minus
@@ -1635,6 +1689,7 @@ object SimilarityQueries {
     "q_store_vacuum" -> (qStoreVacuum _),
     "q_store_history" -> (qStoreHistory _),
     "q_store_asof" -> (qStoreAsof _),
+    "q_store_restore" -> (qStoreRestore _),
     "q_store_changes" -> (qStoreChanges _),
     "q_store_delete" -> (qStoreDelete _),
     "q_store_merge" -> (qStoreMerge _),
@@ -1916,6 +1971,15 @@ object SimilarityQueries {
                "(vec_id % 2 = 0 OR vec_id % 4 = 1)")}) t2
          |ORDER BY version, query_id, rk""".stripMargin
     },
+    // post-restore probe: the head holds corpus ∪ the re-appended
+    // vec_id % 8 == 5 slice — the rolled-back batch's other half
+    // (vec_id % 8 == 1) must NOT rank, which is what distinguishes a
+    // real rollback from a no-op (those files still sit in the bucket
+    // dirs); the catalog contract rides the restore_ok boolean
+    "q_store_restore" ->
+      s"""SELECT t.*, TRUE AS restore_ok FROM (${duckEmbedIngestSql(
+        batchPred = s"vec_id % 4 = 3 AND vec_id < ${4 * NQueries}",
+        corpusPred = "(vec_id % 2 = 0 OR vec_id % 8 = 5)")}) t""",
     // post-delete probe: rankings equal a store that never held the
     // deleted vectors — the ingest pipeline over the surviving
     // vec_id % 4 = 2 corpus (planes unaffected: stored outside the

@@ -222,6 +222,31 @@ class IndexCatalogOps(val fs: CatalogFs) {
     writeManifestAt(base, basedOn + 1, files.sorted, commitTags)
   }
 
+  /** RESTORE the store to prior committed version `toVersion` — the
+    * rollback every snapshot-committed table format pairs with its
+    * time travel: the NEXT manifest lists exactly `toVersion`'s
+    * files, published as a normal rewrite commit tagged
+    * `restore-of=<v>`. The restore is pure catalog metadata — zero
+    * data files move, copy, or rewrite (the spec pins byte-identity
+    * of the whole store across it) — and history stays monotone: the
+    * rolled-back versions remain readable between `toVersion` and the
+    * restore until [[vacuum]] expires them, exactly like any other
+    * superseded commit. Later appends build on the restored state.
+    *
+    * Rides [[retryingCommit]]: losing the version CAS to a concurrent
+    * committer re-reads the head and re-publishes — no content
+    * re-derivation is needed because the restored FILE LIST is pinned
+    * by `toVersion`, not derived from the head. Restoring a vacuumed
+    * version fails fast at manifest resolution ([[files]]).
+    */
+  def restore(base: String, toVersion: Int): Int = {
+    val target = files(base, toVersion)
+    retryingCommit() {
+      commitRewrite(base, target, Seq(s"restore-of=$toVersion"),
+        basedOn = currentVersion(base))
+    }
+  }
+
   /** True iff `e` is the concurrent-commit CAS conflict raised by a
     * losing committer — the one failure [[retryingCommit]] retries.
     */
