@@ -1354,6 +1354,64 @@ object SimilarityQueries {
       .withColumn("skip_ok", lit(ok))
   }
 
+  /** Fixed lookup keys for [[qStoreLookup]] — absolute ids so the
+    * oracle text is scale-independent (every fixture holds ids
+    * 0..499): three build-corpus evens, two appended-batch ids
+    * (% 4 == 1), and one id the store never held (7: odd, % 4 == 3 —
+    * the miss path the sketch should prune to nothing).
+    */
+  private[operators] val LookupIds = Seq(0L, 42L, 101L, 200L, 333L, 7L)
+
+  /** BLOOM-FILTER file skipping — the POINT-LOOKUP axis, orthogonal
+    * to both prune axes the store already has: partition pruning
+    * needs the partition VALUE (here a content-hash bucket a caller
+    * can't derive from an id), and [[qStoreSkipping]]'s min/max
+    * ranges need the files to be range-CLUSTERED on the column (here
+    * every file of a generation spans essentially the whole id
+    * domain). A per-file membership sketch
+    * ([[graft.sources.FileBloom]] — Spark's own `bloom_agg` bits,
+    * recorded once per generation in one pass over the new files,
+    * probed driver-side from the manifest) answers "which files can
+    * hold these ids?" regardless of layout: the lookup census scans
+    * only the surviving files, the sketch contract guarantees no
+    * false negatives (the census must still be EXACT — the oracle
+    * recomputes it from the raw fixture, so a dropped needed file is
+    * a wrong answer, not a slow one), and the never-ingested key
+    * relies on that same contract to return zero rows through
+    * whatever files false-positive it in. The file-set contract —
+    * strictly fewer files scanned than the store holds — is the
+    * Spark-side `lookup_ok` boolean pinned TRUE.
+    *
+    * 100 TB shape: needle queries (is doc X ingested? fetch ids
+    * {…}) probe O(files) sketch bits in catalog metadata and open
+    * ~|ids| files, instead of scanning every file of an unknown
+    * bucket; the sidecars cost ~1 byte/row, written at ingest over
+    * data the writer just produced.
+    */
+  def qStoreLookup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{FileBloom, IndexCatalog}
+    val base = java.nio.file.Files.createTempDirectory("graft_lookup").toString
+    val (kept, ok) = try {
+      buildEmbedStore(spark, dir, base) // v1: evens
+      appendEmbedStore(spark,
+        embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
+        base) // v2: + batch A — lookups span both generations
+      val all = IndexCatalog.latestFiles(base)
+      FileBloom.record(spark, base, all, "vec_id")
+      val kept = FileBloom.prunePoint(spark, base, all, "vec_id", LookupIds)
+      (kept, kept.nonEmpty && kept.size < all.size)
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw t
+    }
+    graft.Lease.lease("q_store_lookup", Seq(base))
+    spark.read.option("basePath", s"$base/corpus").parquet(kept: _*)
+      .filter(col("vec_id").isin(LookupIds: _*))
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+      .withColumn("lookup_ok", lit(ok))
+      .orderBy("vec_id")
+  }
+
   // --- store compaction + retention vacuum ------------------------------
 
   /** Compact the embed store: rewrite the CURRENT version's live rows
@@ -1696,6 +1754,7 @@ object SimilarityQueries {
     "q_store_cdc" -> (qStoreCdc _),
     "q_store_clone" -> (qStoreClone _),
     "q_store_skipping" -> (qStoreSkipping _),
+    "q_store_lookup" -> (qStoreLookup _),
     "q_store_optimize" -> (qStoreOptimize _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
@@ -2094,6 +2153,25 @@ object SimilarityQueries {
          |       TRUE AS skip_ok
          |FROM embeddings
          |WHERE vec_id % 2 = 0 AND vec_id BETWEEN $SkipLo AND $SkipHi""".stripMargin,
+    // the sketch-pruned lookup must be EXACT (no false negatives by
+    // the bloom contract; the never-ingested key 7 returns no row) —
+    // the oracle recomputes each stored id's bucket from the raw
+    // fixture through the sign/plane pipeline; the strictly-fewer-
+    // files contract is the Spark-side lookup_ok boolean pinned TRUE
+    "q_store_lookup" ->
+      s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
+         |                WHERE vec_id % 2 = 0 AND vec_id < ${2 * NPlanes}),
+         |bucketed AS (
+         |  SELECT e.vec_id,
+         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
+         |                  THEN power(2, p.plane_id // 2) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  WHERE e.vec_id % 2 = 0 OR e.vec_id % 4 = 1
+         |  GROUP BY e.vec_id)
+         |SELECT vec_id, bucket, TRUE AS lookup_ok FROM bucketed
+         |WHERE vec_id IN (${LookupIds.mkString(", ")})
+         |ORDER BY vec_id""".stripMargin,
     // sorted compaction is layout-only: the pruned census equals the
     // raw fixture's under the same predicate; the strict skipping
     // improvement over the pre-sort layout is the Spark-side

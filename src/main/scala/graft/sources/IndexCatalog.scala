@@ -407,10 +407,13 @@ class IndexCatalogOps(val fs: CatalogFs) {
           fs.mtimeMillis(f).exists(_ < cutoff))
     }
     deleted.foreach(fs.delete)
-    // a data file's stats sidecar ([[FileStats]]) dies with the file —
-    // sidecars are keyed by path, so this is an exact cleanup, and a
-    // file that never had one is a no-op delete
-    deleted.foreach(f => fs.delete(FileStats.statsPath(base, f)))
+    // a data file's sidecars ([[FileStats]] ranges, [[FileBloom]]
+    // sketches) die with the file — both are keyed by path, so this is
+    // an exact cleanup, and a file that never had one is a no-op delete
+    deleted.foreach { f =>
+      fs.delete(FileStats.statsPath(base, f))
+      fs.delete(FileBloom.bloomPath(base, f))
+    }
     (1 until horizon).foreach(v => fs.delete(manifestPath(base, v)))
     deleted
   }

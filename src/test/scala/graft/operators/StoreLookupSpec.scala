@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, SparkSpec}
+import graft.sources.{FileBloom, IndexCatalog}
+
+/** Bloom-sidecar point-lookup contracts (q_store_lookup's mechanism):
+  * no false negatives (the file physically holding an id always
+  * survives its lookup's prune), real pruning on single-id lookups,
+  * conservative keep for files without a sidecar, idempotent
+  * recording, and sidecar death with the file under vacuum.
+  */
+class StoreLookupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("no false negatives, strict pruning, conservative no-sidecar keep, idempotent record") {
+    val base = Files.createTempDirectory("graft_blsp").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base) // v1: evens
+      SimilarityQueries.appendEmbedStore(spark,
+        Engine.table(spark, dir, "embeddings")
+          .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+          .filter(pmod(col("vec_id"), lit(4)) === 1), base) // v2
+      val all = IndexCatalog.latestFiles(base)
+      FileBloom.record(spark, base, all, "vec_id")
+
+      // ground truth: which file physically holds each id
+      val idFile = spark.read.parquet(all: _*)
+        .select(col("vec_id"),
+          regexp_replace(input_file_name(), "^file:(//)?", "").as("f"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+      // no false negatives: for a sample of stored ids, the holding
+      // file survives that id's prune — and the prune is strict
+      // (store-wide single-id lookups touch a sliver of the files)
+      val sample = idFile.keys.toSeq.sorted.take(24)
+      sample.foreach { id =>
+        val kept = FileBloom.prunePoint(spark, base, all, "vec_id", Seq(id))
+        assert(kept.contains(idFile(id)),
+          s"bloom prune dropped the file holding vec_id=$id")
+        assert(kept.size < all.size, s"no pruning at all for vec_id=$id")
+      }
+
+      // a file without a sidecar is always kept, whatever the keys
+      val victim = all.head
+      val sidecar = FileBloom.bloomPath(base, victim)
+      val bytes = Files.readAllBytes(Paths.get(sidecar))
+      Files.delete(Paths.get(sidecar))
+      val keptNoSidecar =
+        FileBloom.prunePoint(spark, base, all, "vec_id", Seq(-987654321L))
+      assert(keptNoSidecar == Seq(victim),
+        "an absurd key must prune every sketched file but keep the sidecar-less one")
+
+      // idempotent record: re-recording restores the missing sidecar
+      // byte-identically and leaves the others untouched
+      FileBloom.record(spark, base, all, "vec_id")
+      assert(Files.readAllBytes(Paths.get(sidecar)).sameElements(bytes),
+        "re-recorded sidecar differs — the sketch is not deterministic")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("vacuum deletes a reclaimed file's bloom sidecar with it") {
+    val base = Files.createTempDirectory("graft_blvac").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base) // v1
+      val v1Files = IndexCatalog.latestFiles(base)
+      FileBloom.record(spark, base, v1Files, "vec_id")
+      SimilarityQueries.compactEmbedStore(spark, base) // v2 supersedes v1
+      IndexCatalog.vacuum(base, retain = 1)
+      v1Files.foreach { f =>
+        assert(!Files.exists(Paths.get(f)), s"vacuum kept superseded $f")
+        assert(!Files.exists(Paths.get(FileBloom.bloomPath(base, f))),
+          s"vacuum kept the dead file's bloom sidecar for $f")
+      }
+    } finally graft.Fs.deleteRecursively(base)
+  }
+}
