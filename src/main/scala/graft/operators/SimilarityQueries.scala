@@ -1412,6 +1412,76 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** The embed store's CHECK constraint for [[qStoreConstraint]]:
+    * every ingested vector must be non-empty with a positive norm —
+    * the rows the cosine pipeline would otherwise divide-by-zero on.
+    */
+  private[operators] val EmbedCheck = "nrm > 0 AND size(embedding) > 0"
+
+  /** CHECK-constraint enforcement at commit — the WRITE-side quality
+    * gate paired with the read-side schema surface (`q_store_schema`):
+    * the constraint is DECLARED ON THE STORE at build (a `check=`
+    * manifest tag riding the v1 commit —
+    * [[graft.sources.StoreConstraints]]), so every writer discovers it
+    * from catalog metadata instead of each ingest stream hard-coding
+    * its own idea of valid. A poisoned batch (same ids, emptied
+    * vectors — rows the cosine pipeline would divide by zero on) is
+    * rejected BEFORE anything is written: no committed version, no
+    * data files, no debris; the clean batch then commits normally and
+    * the probe answers from corpus ∪ batch exactly as
+    * `q_embed_append`. The enforcement contract — violating append
+    * raised with the store unchanged, clean append committed,
+    * constraint resolvable from the store — is the Spark-side
+    * `constraint_ok` boolean the oracle pins TRUE.
+    *
+    * 100 TB shape: the gate is one map-side pass over rows the writer
+    * is about to hash anyway — O(batch), never O(store) — and the
+    * predicate travels with the store, so a fleet of independent
+    * ingest streams cannot drift on what "valid" means.
+    */
+  def qStoreConstraint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IndexCatalog, StoreConstraints}
+    val base = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    val ok = try {
+      // build: the v1 commit declares the constraint on the store
+      val e = embeddings(spark, dir).filter(pmod(col("vec_id"), lit(2)) === 0)
+      val planes = e.filter(col("vec_id") < 2 * NPlanes)
+        .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
+      planes.coalesce(1).write.mode("overwrite").parquet(s"$base/planes")
+      writeEmbedGen(spark, e, base,
+        Seq(StoreConstraints.declareTag(EmbedCheck)))
+
+      val batchA =
+        embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1)
+      // the poisoned form of the same batch: every row violates
+      val bad = batchA
+        .withColumn("embedding", expr("cast(array() as array<float>)"))
+        .withColumn("nrm", lit(0.0))
+      val before = IndexCatalog.listDataFiles(s"$base/corpus")
+      val rejected =
+        try {
+          writeEmbedGen(spark, StoreConstraints.enforce(bad, base), base)
+          false
+        } catch {
+          case v: IllegalArgumentException =>
+            v.getMessage.contains("CHECK constraint violated")
+        }
+      val unchanged = IndexCatalog.currentVersion(base) == 1 &&
+        IndexCatalog.listDataFiles(s"$base/corpus") == before
+      // the clean batch passes the same gate and commits
+      writeEmbedGen(spark, StoreConstraints.enforce(batchA, base), base)
+      rejected && unchanged && IndexCatalog.currentVersion(base) == 2 &&
+        StoreConstraints.constraintOf(base).contains(EmbedCheck)
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw t
+    }
+    graft.Lease.lease("q_store_constraint", Seq(base))
+    probeEmbedStore(spark, dir, base,
+      pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
+      .withColumn("constraint_ok", lit(ok))
+  }
+
   // --- store compaction + retention vacuum ------------------------------
 
   /** Compact the embed store: rewrite the CURRENT version's live rows
@@ -1755,6 +1825,7 @@ object SimilarityQueries {
     "q_store_clone" -> (qStoreClone _),
     "q_store_skipping" -> (qStoreSkipping _),
     "q_store_lookup" -> (qStoreLookup _),
+    "q_store_constraint" -> (qStoreConstraint _),
     "q_store_optimize" -> (qStoreOptimize _),
     "q_embed_neardup" -> (qEmbedNearDup _)
   )
@@ -2153,6 +2224,14 @@ object SimilarityQueries {
          |       TRUE AS skip_ok
          |FROM embeddings
          |WHERE vec_id % 2 = 0 AND vec_id BETWEEN $SkipLo AND $SkipHi""".stripMargin,
+    // the constraint gate never changes committed content — the
+    // poisoned batch commits nothing, the clean batch commits fully,
+    // so the probe algebra is q_embed_append's verbatim; the
+    // enforcement contract rides the constraint_ok boolean
+    "q_store_constraint" ->
+      s"""SELECT t.*, TRUE AS constraint_ok FROM (${duckEmbedIngestSql(
+        batchPred = s"vec_id % 4 = 3 AND vec_id < ${4 * NQueries}",
+        corpusPred = "(vec_id % 2 = 0 OR vec_id % 4 = 1)")}) t""",
     // the sketch-pruned lookup must be EXACT (no false negatives by
     // the bloom contract; the never-ingested key 7 returns no row) —
     // the oracle recomputes each stored id's bucket from the raw
