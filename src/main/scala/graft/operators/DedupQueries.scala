@@ -1052,9 +1052,88 @@ object DedupQueries {
       .orderBy("source")
   }
 
+  /** Edit-distance threshold / blocking-key width / per-key df cap
+    * for [[qEditDedup]] — shared verbatim with the oracle text.
+    */
+  private val EditD = 4
+  private val EditBlock = 16
+  private val EditCap = 64
+
+  /** Blocked EDIT-DISTANCE near-dup — the typo/small-revision dedup
+    * modality, orthogonal to every other family here: shingle Jaccard
+    * and MinHash see a 3-character suffix edit as ~identical sets (no
+    * discrimination below the shingle grain), while edit distance
+    * measures exactly the character-level revision a re-crawled or
+    * hand-touched page carries. All-pairs Levenshtein is O(N² · L²) —
+    * never viable — so candidates come from TWO equi-join blocking
+    * keys, the standard fuzzy-join shape: the first [[EditBlock]]
+    * chars and the LAST [[EditBlock]] (via `reverse`), so an edit
+    * near either end still matches on the other key; a pair escaping
+    * both blocks is outside the operator's declared semantics (more
+    * keys = more recall, each another equi-join). Keys hotter than
+    * [[EditCap]] base docs are excluded from blocking — the same
+    * df-cap guard as `q_ngram_capped`, bounding candidate fan-out per
+    * incoming doc at 2·cap against boilerplate prefixes at 100 TB.
+    * Candidates then verify exactly: length bands within [[EditD]]
+    * first (a free O(1) cut), `levenshtein ≤ EditD` second. The
+    * incoming (odd) half carries a deterministic injected revision —
+    * `doc_id % 10 == 1` docs borrow their predecessor's text plus a
+    * 3-char suffix (the same donor join as `q_incremental_dedup`, so
+    * a missing donor falls back to the doc's own text) — and the
+    * output is every verified (incoming, base) pair with its integer
+    * distance.
+    *
+    * 100 TB shape: two hash-partitioned equi-joins on 16-char keys
+    * (digests in production), candidate verification map-side after
+    * the join, per-key fan-out df-capped; document text crosses the
+    * exchange only for candidate rows, never corpus-wide.
+    */
+  /** The blocked-verify pipeline over arbitrary `(iid, itext)` /
+    * `(bid, btext)` frames — separated so the spec can drive it with
+    * constructed head-edits, hot keys, and threshold-boundary pairs.
+    */
+  private[operators] def editPairs(
+      incoming: DataFrame, base: DataFrame): DataFrame = {
+    def keyOf(t: Column, suffix: Boolean): Column =
+      if (suffix) substring(reverse(t), 1, EditBlock)
+      else substring(t, 1, EditBlock)
+    // candidates: union of the two blocking joins, hot base keys
+    // excluded per key; one verification per distinct (iid, bid)
+    val cand = Seq(false, true).map { sfx =>
+      val bk = base.withColumn("k", keyOf(col("btext"), sfx))
+      val cool = bk.groupBy(col("k")).count()
+        .filter(col("count") <= EditCap).select(col("k"))
+      incoming.withColumn("k", keyOf(col("itext"), sfx))
+        .join(bk.join(cool, Seq("k"), "left_semi"), Seq("k"))
+        .select(col("iid"), col("bid"), col("itext"), col("btext"))
+    }.reduce(_.unionByName(_)).distinct()
+    cand
+      .filter(abs(length(col("itext")) - length(col("btext"))) <= EditD)
+      .filter(levenshtein(col("itext"), col("btext")) <= EditD)
+      .select(col("iid").as("i"), col("bid").as("j"),
+        levenshtein(col("itext"), col("btext")).cast("long").as("dist"))
+      .orderBy("i", "j")
+  }
+
+  def qEditDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    val donors = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("iid"), col("text").as("own_text"),
+        when(col("doc_id") % 10 === 1, col("doc_id") - 1).as("donor_id"))
+      .join(donors, col("donor_id") === col("b_id"), "left_outer")
+      .select(col("iid"),
+        coalesce(concat(col("b_text"), lit(" zq")), col("own_text"))
+          .as("itext"))
+    val base = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("bid"), col("text").as("btext"))
+    editPairs(incoming, base)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
+    "q_edit_dedup" -> (qEditDedup _),
     "q_ngram_capped" -> (qNgramJaccardCapped _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_star" -> (qDedupClustersStar _),
@@ -1158,6 +1237,37 @@ object DedupQueries {
       duckIngestSql(
         batchPred = "doc_id % 4 = 3",
         corpusPred = "(doc_id % 2 = 0 OR doc_id % 4 = 1)"),
+    // the same two-key capped blocking + exact levenshtein verify,
+    // CTE for CTE: injection (predecessor text + ' zq'), prefix and
+    // reversed-prefix keys, per-key base df cap, length band, integer
+    // distance — every constant shared with the Spark pipeline
+    "q_edit_dedup" ->
+      s"""WITH inc AS (
+         |  SELECT i.doc_id AS iid,
+         |         coalesce(b.text || ' zq', i.text) AS itext
+         |  FROM documents i LEFT JOIN documents b
+         |    ON i.doc_id % 10 = 1 AND b.doc_id = i.doc_id - 1
+         |  WHERE i.doc_id % 2 = 1),
+         |bse AS (SELECT doc_id AS bid, text AS btext FROM documents
+         |        WHERE doc_id % 2 = 0),
+         |bk1 AS (SELECT bid, btext, substr(btext, 1, $EditBlock) AS k FROM bse),
+         |bk2 AS (SELECT bid, btext, substr(reverse(btext), 1, $EditBlock) AS k FROM bse),
+         |cool1 AS (SELECT k FROM bk1 GROUP BY k HAVING count(*) <= $EditCap),
+         |cool2 AS (SELECT k FROM bk2 GROUP BY k HAVING count(*) <= $EditCap),
+         |cand AS (
+         |  SELECT iid, bid, itext, btext
+         |  FROM inc JOIN bk1 ON substr(itext, 1, $EditBlock) = bk1.k
+         |  WHERE bk1.k IN (SELECT k FROM cool1)
+         |  UNION
+         |  SELECT iid, bid, itext, btext
+         |  FROM inc JOIN bk2 ON substr(reverse(itext), 1, $EditBlock) = bk2.k
+         |  WHERE bk2.k IN (SELECT k FROM cool2))
+         |SELECT iid AS i, bid AS j,
+         |       CAST(levenshtein(itext, btext) AS BIGINT) AS dist
+         |FROM cand
+         |WHERE abs(len(itext) - len(btext)) <= $EditD
+         |  AND levenshtein(itext, btext) <= $EditD
+         |ORDER BY i, j""".stripMargin,
     // the duplicate INJECTION (doc_id % 10 == 1 borrows the
     // predecessor's text) is the same join in both engines
     "q_incremental_dedup" ->
