@@ -1439,17 +1439,26 @@ object SimilarityQueries {
     * predicate travels with the store, so a fleet of independent
     * ingest streams cannot drift on what "valid" means.
     */
+  /** [[buildEmbedStore]] with [[EmbedCheck]] declared on the v1
+    * commit — the checked-store build `q_store_constraint` and the
+    * streaming quarantine path share.
+    */
+  private[operators] def buildEmbedStoreChecked(
+      spark: SparkSession, dir: String, base: String): Unit = {
+    val e = embeddings(spark, dir).filter(pmod(col("vec_id"), lit(2)) === 0)
+    val planes = e.filter(col("vec_id") < 2 * NPlanes)
+      .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
+    planes.coalesce(1).write.mode("overwrite").parquet(s"$base/planes")
+    writeEmbedGen(spark, e, base,
+      Seq(graft.sources.StoreConstraints.declareTag(EmbedCheck)))
+  }
+
   def qStoreConstraint(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{IndexCatalog, StoreConstraints}
     val base = java.nio.file.Files.createTempDirectory("graft_chk").toString
     val ok = try {
       // build: the v1 commit declares the constraint on the store
-      val e = embeddings(spark, dir).filter(pmod(col("vec_id"), lit(2)) === 0)
-      val planes = e.filter(col("vec_id") < 2 * NPlanes)
-        .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
-      planes.coalesce(1).write.mode("overwrite").parquet(s"$base/planes")
-      writeEmbedGen(spark, e, base,
-        Seq(StoreConstraints.declareTag(EmbedCheck)))
+      buildEmbedStoreChecked(spark, dir, base)
 
       val batchA =
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1)

@@ -771,6 +771,125 @@ object StreamingQueries {
         col("vec_id") < lit(8L * SimilarityQueries.NQueries))
   }
 
+  /** One micro-batch's CONSTRAINT-ROUTED ingest (shared with the
+    * spec's replay test): resolve the store's declared CHECK
+    * constraint from its manifest tags, split the batch row-level,
+    * land violating rows in the quarantine area keyed by batchId
+    * (overwrite — a replayed micro-batch rewrites the same rows, so
+    * the dead-letter side is idempotent) and commit the passing rows
+    * through [[commitIngestBatch]]'s tag guard. Quarantine writes
+    * BEFORE the store commit: a crash between them replays into an
+    * idempotent overwrite plus a tag-skipped commit — exactly-once on
+    * both sides. A store with no declared constraint fails loudly:
+    * routing against a missing gate would silently pass everything.
+    */
+  private[operators] def quarantineIngestBatch(
+      ss: SparkSession, batch: DataFrame, base: String, quar: String,
+      batchId: Long): Unit = {
+    val c = graft.sources.StoreConstraints.constraintOf(base)
+      .getOrElse(sys.error(s"no CHECK constraint declared on $base — " +
+        "quarantine routing needs a gate to route on"))
+    val pass = coalesce(expr(c), lit(false))
+    val bad = batch.filter(!pass)
+    if (!bad.isEmpty)
+      bad.write.mode("overwrite").parquet(s"$quar/batch=$batchId")
+    commitIngestBatch(ss, batch.filter(pass), base, batchId)
+    ()
+  }
+
+  /** Streaming ingest under the store's declared CHECK constraint —
+    * the DEAD-LETTER (quarantine) pattern: batch ingest rejects a
+    * violating batch atomically (`q_store_constraint`), but a
+    * streaming pipeline must stay LIVE when poisoned rows arrive, so
+    * enforcement becomes row-level ROUTING per micro-batch: the
+    * constraint is read from the store's manifest tags (declared once
+    * at build — no writer-side configuration), passing rows commit
+    * into the index exactly-once (`ingest-batch=<id>` tag guard),
+    * violating rows land in a batch-keyed quarantine area for offline
+    * triage instead of poisoning the store or killing the query. The
+    * feed is batch A (vec_id % 4 == 1) with its % 8 == 5 half
+    * POISONED upstream (emptied vectors — rows the cosine pipeline
+    * would divide by zero on), three slices, one micro-batch each.
+    * The gated censuses: the store ends at corpus ∪ the CLEAN half,
+    * hashed through the bucket pipeline (the distinct-bucket count
+    * proves the rows really indexed); the quarantine holds exactly
+    * the poisoned ids.
+    *
+    * 100 TB shape: the gate is one map-side predicate per micro-batch
+    * (O(batch)); the dead-letter side is append-shaped and
+    * batch-keyed, so replays are idempotent overwrites; and because
+    * the constraint travels with the store, every ingest stream in a
+    * fleet routes on the same definition of valid.
+    */
+  def qStreamQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StructField, StructType}
+    val ss = streamSession(spark)
+    val base = Files.createTempDirectory("graft_qr_store").toString
+    val inDir = Files.createTempDirectory("graft_qr_in").toString
+    val ckpt = Files.createTempDirectory("graft_qr_ckpt").toString
+    val quar = Files.createTempDirectory("graft_qr_dlq").toString
+    val stage = Files.createTempDirectory("graft_qr_stage").toString
+    try {
+      SimilarityQueries.buildEmbedStoreChecked(ss, dir, base)
+      val feed = SimilarityQueries.embeddings(ss, dir)
+        .filter(pmod(col("vec_id"), lit(4)) === 1)
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(8)) === 5,
+            expr("cast(array() as array<float>)"))
+            .otherwise(col("embedding")).as("embedding"),
+          when(pmod(col("vec_id"), lit(8)) === 5, lit(0.0))
+            .otherwise(col("nrm")).as("nrm"))
+      // same mtime-deterministic three-slice staging as
+      // qStreamIndexAppend: one pass, one file per slice dir, ordered
+      // moves into the feed
+      feed.withColumn("sl", expr("pmod(vec_id div 4, 3)"))
+        .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
+      (0 until 3).foreach { s =>
+        appendOrderedAfter(inDir) {
+          graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
+            .zipWithIndex.foreach { case (f, k) =>
+              Files.move(Paths.get(f), Paths.get(inDir, s"slice-$s-$k.parquet"))
+            }
+        }
+      }
+      graft.Fs.deleteRecursively(stage)
+      val feedSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("nrm", DoubleType)))
+      val q = ss.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          quarantineIngestBatch(ss, batch, base, quar, batchId)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } catch {
+      case e: Throwable =>
+        Seq(base, inDir, ckpt, quar, stage)
+          .foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+    lease("q_stream_quarantine", Seq(base, inDir, ckpt, quar))
+    val store = SimilarityQueries.readStoreFiles(ss,
+      graft.sources.IndexCatalog.latestFiles(base))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("vec_id")).cast("long").as("id_sum"),
+        countDistinct(col("bucket")).as("n_buckets"))
+      .withColumn("side", lit("store"))
+    val dlq = ss.read.option("basePath", quar).parquet(quar)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("vec_id")).cast("long").as("id_sum"))
+      .withColumn("n_buckets", lit(0L))
+      .withColumn("side", lit("quarantine"))
+    dlq.unionByName(store)
+      .select(col("side"), col("n_rows"), col("id_sum"), col("n_buckets"))
+      .orderBy("side")
+  }
+
   /** The catalog as a streaming SOURCE — the read-side complement of
     * [[qStreamIndexAppend]]'s write side: a consumer FOLLOWS the
     * sign-LSH store through `graft.sources.StoreChangeSource`
@@ -1194,6 +1313,7 @@ object StreamingQueries {
     "q_stream_store_follow" -> (qStreamStoreFollow _),
     "q_store_matview" -> (qStoreMatview _),
     "q_stream_index_append" -> (qStreamIndexAppend _),
+    "q_stream_quarantine" -> (qStreamQuarantine _),
     "q_stream_cluster_append" -> (qStreamClusterAppend _),
     "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_retention" -> (qStreamRetention _),
@@ -1257,6 +1377,30 @@ object StreamingQueries {
       batchPred = s"vec_id % 4 = 3 AND vec_id >= ${4 * SimilarityQueries.NQueries}" +
         s" AND vec_id < ${8 * SimilarityQueries.NQueries}",
       corpusPred = "(vec_id % 2 = 0 OR vec_id % 4 = 1)"),
+    // routed ingest: the store census runs the sign/bucket pipeline
+    // over corpus ∪ the CLEAN feed half (vec_id % 8 == 1 — the % 8 ==
+    // 5 half was poisoned upstream and must never index), the
+    // quarantine census is pure id algebra over the poisoned half
+    "q_stream_quarantine" ->
+      s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
+         |                WHERE vec_id % 2 = 0 AND vec_id < ${2 * SimilarityQueries.NPlanes}),
+         |bucketed AS (
+         |  SELECT e.vec_id,
+         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
+         |                  THEN power(2, p.plane_id // 2) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  WHERE e.vec_id % 2 = 0 OR e.vec_id % 8 = 1
+         |  GROUP BY e.vec_id)
+         |SELECT 'quarantine' AS side, count(*) AS n_rows,
+         |       CAST(sum(vec_id) AS BIGINT) AS id_sum,
+         |       CAST(0 AS BIGINT) AS n_buckets
+         |FROM embeddings WHERE vec_id % 8 = 5
+         |UNION ALL
+         |SELECT 'store', count(*), CAST(sum(vec_id) AS BIGINT),
+         |       CAST(count(DISTINCT bucket) AS BIGINT)
+         |FROM bucketed
+         |ORDER BY side""".stripMargin,
     // three micro-batch merges into the stored assignment finalize to
     // the from-scratch recluster — the fourth independent
     // implementation (propagation, star contraction, one-shot

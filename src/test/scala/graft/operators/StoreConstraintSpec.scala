@@ -22,14 +22,8 @@ class StoreConstraintSpec extends SparkSpec {
       .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
       .filter(pred)
 
-  private def buildChecked(base: String): Unit = {
-    val e = emb(pmod(col("vec_id"), lit(2)) === 0)
-    e.filter(col("vec_id") < 2 * SimilarityQueries.NPlanes)
-      .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/planes")
-    SimilarityQueries.writeEmbedGen(spark, e, base,
-      Seq(StoreConstraints.declareTag(SimilarityQueries.EmbedCheck)))
-  }
+  private def buildChecked(base: String): Unit =
+    SimilarityQueries.buildEmbedStoreChecked(spark, dir, base)
 
   test("a violating batch is rejected atomically: store byte-identical, nothing committed") {
     val base = Files.createTempDirectory("graft_chksp").toString
