@@ -70,7 +70,9 @@ object PlanDump {
     "q_cluster_append" ->
       "round 9: the verdict window runs over the STITCHED label set — untouched components stream straight from the stored-assignment parquet (left_anti on the touched reps), touched stored nodes relabel through one join on their old rep, and only the merge graph (new nodes + touched reps) ever entered the star-contraction solver (IncrementalCcSpec counts).",
     "q_store_asof" ->
-      "round 10: the two versioned probes are the SAME probe plan twice — each side's store scan Location lists exactly its manifest's files (v1's scan omits the appended generation entirely; no filter does the versioning, file RESOLUTION does), both sides keep the bucket-partitioned equi-join shape, and the union is the only node the time travel adds.")
+      "round 10: the two versioned probes are the SAME probe plan twice — each side's store scan Location lists exactly its manifest's files (v1's scan omits the appended generation entirely; no filter does the versioning, file RESOLUTION does), both sides keep the bucket-partitioned equi-join shape, and the union is the only node the time travel adds.",
+    "q_edit_dedup" ->
+      "round 10: TWO hash-partitioned equi-joins on the 16-char blocking keys (prefix and reversed-prefix) — no cartesian or nested-loop node anywhere; the per-key df cap is a left-semi join against the under-cap key set, the length band and levenshtein verify are codegen'd map-side filters AFTER the join, and only candidate rows ever carry document text through an exchange.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"
