@@ -17,7 +17,7 @@ cd "$(dirname "$0")/.."
 # one space-joined string: the names are interpolated INSIDE the one
 # quoted sbt command — an array expansion would send the second and
 # later names to sbt as separate (invalid) commands
-QUERIES="${*:-q_minhash_lsh q_ngram_capped q_dedup_clusters q_dedup_star q_cluster_append q_neardup_append q_neardup_ingest q_stream_cluster_append q_stream_sessionize q_stream_join q_stream_dedup}"
+QUERIES="${*:-q_minhash_lsh q_ngram_capped q_dedup_clusters q_dedup_star q_cluster_append q_neardup_append q_neardup_ingest q_stream_cluster_append q_stream_sessionize q_stream_join q_stream_dedup q_stream_index_append q_store_cdc q_store_matview q_stream_quarantine}"
 SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
   sbt -batch "runMain graft.BenchOne -n 5 $QUERIES" 2>&1 |
   tee /dev/stderr |
