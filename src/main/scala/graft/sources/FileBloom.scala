@@ -116,8 +116,13 @@ object FileBloom {
       .collect() // one row per new file — generation-sized, not corpus-sized
     sketches.foreach { r =>
       val f = fromUri(r.getString(0))
-      val b64 = Base64.getEncoder.encodeToString(r.getAs[Array[Byte]]("bf"))
-      fs.publishIfAbsent(bloomPath(base, f), s"$column\t$b64")
+      // defensive: a NULL sketch (an empty aggregation group, should
+      // one ever reach here) records no sidecar, so the prune keeps
+      // the file conservatively instead of this loop crashing
+      Option(r.getAs[Array[Byte]]("bf")).foreach { bf =>
+        val b64 = Base64.getEncoder.encodeToString(bf)
+        fs.publishIfAbsent(bloomPath(base, f), s"$column\t$b64")
+      }
     }
   }
 

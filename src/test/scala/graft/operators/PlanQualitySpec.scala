@@ -90,6 +90,11 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q_edit_dedup plans no cartesian or nested-loop join (two blocking equi-joins)") {
+    val s = plan(DedupQueries.qEditDedup(spark, dir)).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q_knn_brute reduces to a local top-k before the per-query ranking window") {
     // two window stages: the (query, partition)-local cut, then the
     // global per-query rank over at most K x partitions candidates

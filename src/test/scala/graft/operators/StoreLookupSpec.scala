@@ -63,6 +63,23 @@ class StoreLookupSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("an all-NULL column file records without error and never false-negatives") {
+    val base = Files.createTempDirectory("graft_blnull").toString
+    try {
+      import spark.implicits._
+      val fdir = s"$base/corpus/bucket=0"
+      Seq[Option[Long]](None, None, None).toDF("vec_id")
+        .coalesce(1).write.parquet(fdir)
+      val files = graft.sources.IndexCatalog.listDataFiles(fdir)
+      FileBloom.record(spark, base, files, "vec_id")
+      // the file holds no real vec_id, so pruning it for any real key
+      // is correct — the only contract is no crash and determinism
+      val k1 = FileBloom.prunePoint(spark, base, files, "vec_id", Seq(42L))
+      val k2 = FileBloom.prunePoint(spark, base, files, "vec_id", Seq(42L))
+      assert(k1 == k2)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("vacuum deletes a reclaimed file's bloom sidecar with it") {
     val base = Files.createTempDirectory("graft_blvac").toString
     try {
