@@ -38,19 +38,43 @@ object TextQueries {
 
   // --- per-language corpus profile (explode + distinct + count300k) ----
 
+  /** Two-level aggregation instead of the naive
+    * `groupBy(lang).agg(countDistinct(doc), countDistinct(tok), count300k(tok), …)`:
+    * two distinct aggregates make Catalyst Expand the exploded token
+    * stream ×3 (one replica per distinct group + one for the plain
+    * aggregates), so count300k and min/max would chew 3× the tokens.
+    * Instead the token stream is pre-aggregated on `(lang, tok)` — the
+    * map-side combine collapses the stream to per-partition vocabulary
+    * before the only big shuffle — and the per-lang final then runs over
+    * vocabulary-sized input: `count(*)` IS the distinct-token count,
+    * `sum(c)` the token count, and count300k (distinct-count semantics)
+    * is invariant under the pre-distinct. `n_docs` never needs the
+    * explode at all (`split` yields `[""]` even for an empty text, so
+    * every doc contributes ≥1 token row): it is a per-lang distinct over
+    * the raw table, joined back on the handful of lang keys.
+    */
   def qLangProfile(spark: SparkSession, dir: String): DataFrame = {
     Engine.register(spark)
     val docs = Engine.table(spark, dir, "documents")
-    docs
-      .select(col("lang"), col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val perTok = docs
+      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("lang"))
       .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("tok")).as("n_distinct_tokens"),
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
         expr("count300k(tok)").as("count300k_tokens"),
         min(length(col("tok"))).cast("long").as("min_tok_len"),
         max(length(col("tok"))).cast("long").as("max_tok_len"))
+    val perDoc = docs
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    perDoc
+      .join(perTok, Seq("lang"))
+      .select(
+        col("lang"), col("n_docs"), col("n_tokens"), col("n_distinct_tokens"),
+        col("count300k_tokens"), col("min_tok_len"), col("max_tok_len"))
       .orderBy("lang")
   }
 
