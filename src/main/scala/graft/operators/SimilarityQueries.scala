@@ -1809,6 +1809,59 @@ object SimilarityQueries {
       .orderBy("i", "j")
   }
 
+  // --- SemDeDup: cluster-bounded semantic deduplication -----------------
+
+  /** Cosine threshold for the SemDeDup pass. Shares [[qEmbedNearDup]]'s
+    * 0.35 regime; the fixture's within-cell cosines keep a float margin
+    * around the boundary (audited in SemDedupSpec) so the `>=` compare
+    * never straddles an ulp between engines.
+    */
+  private val SemThr = 0.35
+
+  /** SemDeDup (Abbas et al., 2023): semantic deduplication with the
+    * quadratic bounded by k-means cells — the documented SCALE PATH for
+    * what [[qEmbedNearDup]] computes exactly. Pipeline: assign every
+    * vector to its learned centroid (the [[kmeansCentroids]] /
+    * [[assignToCentroids]] machinery [[qIvfKmeans]] already oracle-pins),
+    * then compare pairs only WITHIN a cell — a cell-keyed equi-join, so
+    * the comparison count is sum(cell^2), not N^2, and the join
+    * shuffle-partitions on centroid_id with no corpus broadcast. A
+    * vector is removed when an earlier (lower-id) vector in its cell is
+    * within the threshold — the paper's index-ordered greedy — and
+    * reports its best keeper (max cosine, ties to the lower id).
+    *
+    * At 100 TB the cell count grows with the corpus (cells of ~10k
+    * vectors keep each tile task-sized, exactly [[NDBlocks]]'s role in
+    * the exact join), so per-cell work stays constant while cells
+    * parallelize; a skewed giant cell splits by sub-blocking the same
+    * way. The fixture keeps [[NList]] cells so the DuckDB oracle can
+    * replay the identical k-means.
+    */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, dir)
+    // tiny NList-row table; cache so the Lloyd lineage is not replanned
+    // per join side (same posture as probeIvfKmeans)
+    val cent = kmeansCentroids(e, KmIters).cache()
+    val a = assignToCentroids(e, cent)
+    val keep = a.select(col("centroid_id"), col("vec_id").as("keeper_id"),
+      col("embedding").as("k_emb"), col("nrm").as("k_nrm"))
+    val cand = a.select(col("centroid_id"), col("vec_id").as("removed_id"),
+      col("embedding").as("r_emb"), col("nrm").as("r_nrm"))
+    val w = Window.partitionBy(col("removed_id"))
+      .orderBy(col("cos").desc, col("keeper_id"))
+    keep.join(cand,
+        Seq("centroid_id"))
+      .filter(col("keeper_id") < col("removed_id"))
+      .withColumn("cos",
+        dot(col("k_emb"), col("r_emb")) / (col("k_nrm") * col("r_nrm")))
+      .filter(col("cos") >= SemThr)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("removed_id"), col("keeper_id"), col("centroid_id"))
+      .orderBy("removed_id")
+  }
+
   // --- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1836,7 +1889,8 @@ object SimilarityQueries {
     "q_store_lookup" -> (qStoreLookup _),
     "q_store_constraint" -> (qStoreConstraint _),
     "q_store_optimize" -> (qStoreOptimize _),
-    "q_embed_neardup" -> (qEmbedNearDup _)
+    "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_semdedup" -> (qSemDedup _)
   )
 
   private val duckCos =
@@ -2275,6 +2329,34 @@ object SimilarityQueries {
          |WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
          |  AND ${duckCos.format("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY i, j""".stripMargin,
+    // the same k-means CTE chain q_ivf_kmeans replays, then in-cell
+    // pairs only; cosines in the explicit inner_product/sqrt form so
+    // both the threshold compare and the keeper ranking see the same
+    // doubles Spark's vec_dot produces
+    "q_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |en AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) AS nrm FROM e),
+         |tr AS (SELECT * FROM en),
+         |c0 AS (SELECT vec_id AS centroid_id, emb AS c FROM e WHERE vec_id < $NList),
+         |${(1 to KmIters).map(i => duckKmIter(i, s"c${i - 1}")).mkString(",\n")},
+         |cnf AS (SELECT centroid_id, c, sqrt(list_inner_product(c, c)) AS cn FROM c$KmIters),
+         |af AS (SELECT vec_id, emb, nrm, centroid_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY
+         |           list_inner_product(emb, c) / (nrm * cn) DESC, centroid_id) AS rk
+         |       FROM en CROSS JOIN cnf),
+         |asg AS (SELECT vec_id, emb, nrm, centroid_id FROM af WHERE rk = 1),
+         |pairs AS (
+         |  SELECT x.vec_id AS keeper_id, y.vec_id AS removed_id,
+         |         y.centroid_id AS centroid_id,
+         |         list_inner_product(x.emb, y.emb) / (x.nrm * y.nrm) AS cos
+         |  FROM asg x JOIN asg y
+         |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id),
+         |ranked AS (SELECT removed_id, keeper_id, centroid_id,
+         |                  row_number() OVER (PARTITION BY removed_id
+         |                                     ORDER BY cos DESC, keeper_id) AS rk
+         |           FROM pairs WHERE cos >= $SemThr)
+         |SELECT removed_id, keeper_id, centroid_id FROM ranked WHERE rk = 1
+         |ORDER BY removed_id""".stripMargin,
     // the catalog history after build → append → compact →
     // vacuum(retain=2): v1 expired, v2/v3 both hold corpus ∪ batch —
     // the row counts are the content census, the tags are the

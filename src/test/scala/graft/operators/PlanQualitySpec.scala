@@ -90,6 +90,18 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q_semdedup's pair join stays inside cells: equi-join on centroid_id, no cartesian") {
+    val p = plan(SimilarityQueries.qSemDedup(spark, dir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    // the only nested-loop joins are the NList-row centroid assignment
+    // broadcasts; the corpus-vs-corpus pair join must be keyed
+    val pairJoin = collectAll(p).find(n =>
+      (n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("HashJoin")) &&
+        n.toString.contains("centroid_id"))
+    assert(pairJoin.isDefined, s"expected a centroid_id-keyed pair join:\n$p")
+  }
+
   test("q_edit_dedup plans no cartesian or nested-loop join (two blocking equi-joins)") {
     val s = plan(DedupQueries.qEditDedup(spark, dir)).toString
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
