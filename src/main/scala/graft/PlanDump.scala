@@ -72,7 +72,9 @@ object PlanDump {
     "q_store_asof" ->
       "round 10: the two versioned probes are the SAME probe plan twice — each side's store scan Location lists exactly its manifest's files (v1's scan omits the appended generation entirely; no filter does the versioning, file RESOLUTION does), both sides keep the bucket-partitioned equi-join shape, and the union is the only node the time travel adds.",
     "q_edit_dedup" ->
-      "round 10: TWO hash-partitioned equi-joins on the 16-char blocking keys (prefix and reversed-prefix) — no cartesian or nested-loop node anywhere; the per-key df cap is a left-semi join against the under-cap key set, the length band and levenshtein verify are codegen'd map-side filters AFTER the join, and only candidate rows ever carry document text through an exchange.")
+      "round 10: TWO hash-partitioned equi-joins on the 16-char blocking keys (prefix and reversed-prefix) — no cartesian or nested-loop node anywhere; the per-key df cap is a left-semi join against the under-cap key set, the length band and levenshtein verify are codegen'd map-side filters AFTER the join, and only candidate rows ever carry document text through an exchange.",
+    "q_semdedup" ->
+      "round 10: the pair quadratic stays INSIDE k-means cells — the corpus-vs-corpus join is a hash-partitioned equi-join on centroid_id (no cartesian; the only nested-loop nodes are the NList-row centroid table broadcast into assignment), so comparison volume is sum(cell^2) and cells parallelize independently; the keeper ranking window partitions per removed vector over its in-cell qualifying set only.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"
