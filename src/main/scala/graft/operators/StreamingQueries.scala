@@ -605,6 +605,61 @@ object StreamingQueries {
     }
   }
 
+  /** Stream-stream FULL OUTER join — [[qStreamOuterJoin]]'s machinery
+    * (same interval condition, same up-front two-row sentinel, same
+    * single-pass eviction) with BOTH sides' unmatched rows surfacing:
+    * impressions that never got a click AND clicks with no preceding
+    * impression (the orphan-click audit an ads pipeline runs next to
+    * its attribution join). The join key must coalesce across sides
+    * (`ad` is whichever side is present), and the batch-side sentinel
+    * drop must too — an unmatched sentinel CLICK null-extends the
+    * impression columns, so filtering on `ad_id` alone would keep it.
+    * State bound is identical to the left-outer case: each side holds
+    * rows only until the watermark proves the null verdict, so state
+    * tracks rate × horizon on both sides, never stream lifetime.
+    */
+  def qStreamFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val inDir = Files.createTempDirectory("graft_sfo_in").toString
+    val outDir = Files.createTempDirectory("graft_sfo_out").toString
+    val ckpt = Files.createTempDirectory("graft_sfo_ckpt").toString
+    try {
+      stageFixture(dir, inDir)
+      ss.createDataFrame(
+        java.util.Arrays.asList(
+          Row(-1L, SentinelNtz, -1L, "view", 0.0, "{}"),
+          Row(-2L, SentinelNtz, -2L, "click", 0.0, "{}")),
+        StreamingDistinct.eventsSchema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val src = eventsSource(ss, inDir)
+        .withWatermark("ts", "1 hour") // BEFORE the branch filters
+      val imps = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("ad_id"), col("ts").as("imp_ts"),
+          col("event_id").as("imp_id"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("click_ad"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val joined = imps.join(clicks, expr(
+          """ad_id = click_ad AND
+            |click_ts >= imp_ts AND
+            |click_ts <= imp_ts + interval 1 hour""".stripMargin),
+          "full_outer")
+        .select(coalesce(col("ad_id"), col("click_ad")).as("ad"),
+          col("imp_id"), col("click_id"),
+          unix_micros(col("imp_ts")).as("imp_us"),
+          unix_micros(col("click_ts")).as("click_us"))
+      runPass(joined, outDir, ckpt)
+      lease("q_stream_full_outer", Seq(inDir, outDir, ckpt))
+      ss.read.schema(joined.schema).parquet(outDir)
+        .filter(col("ad") >= 0) // drops BOTH sentinel orphans
+        .orderBy("imp_id", "click_id")
+    } catch {
+      case e: Throwable =>
+        Seq(inDir, outDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
   /** Stream-static enrichment join — the third streaming join shape
     * after stream-stream (`q_stream_join`) and batch: each micro-batch
     * of the events stream joins map-side against the STATIC customer
@@ -1321,6 +1376,7 @@ object StreamingQueries {
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_outer_join" -> (qStreamOuterJoin _),
+    "q_stream_full_outer" -> (qStreamFullOuterJoin _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_static_join" -> (qStreamStaticJoin _),
     "q_stream_quality_gate" -> (qStreamQualityGate _)
@@ -1496,6 +1552,20 @@ object StreamingQueries {
         |SELECT ad_id, imp_id, click_id,
         |       epoch_us(imp_ts) AS imp_us, epoch_us(click_ts) AS click_us
         |FROM i LEFT JOIN c
+        |  ON ad_id = click_ad
+        | AND epoch_us(click_ts) >= epoch_us(imp_ts)
+        | AND epoch_us(click_ts) <= epoch_us(imp_ts) + 3600000000
+        |ORDER BY imp_id, click_id""".stripMargin,
+    "q_stream_full_outer" ->
+      """WITH i AS (
+        |  SELECT user_id AS ad_id, ts AS imp_ts, event_id AS imp_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id AS click_ad, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT coalesce(ad_id, click_ad) AS ad, imp_id, click_id,
+        |       epoch_us(imp_ts) AS imp_us, epoch_us(click_ts) AS click_us
+        |FROM i FULL JOIN c
         |  ON ad_id = click_ad
         | AND epoch_us(click_ts) >= epoch_us(imp_ts)
         | AND epoch_us(click_ts) <= epoch_us(imp_ts) + 3600000000
