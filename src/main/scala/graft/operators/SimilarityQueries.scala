@@ -1827,7 +1827,8 @@ object SimilarityQueries {
     * the comparison count is sum(cell^2), not N^2, and the join
     * shuffle-partitions on centroid_id with no corpus broadcast. A
     * vector is removed when an earlier (lower-id) vector in its cell is
-    * within the threshold — the paper's index-ordered greedy — and
+    * within the threshold — an index-ordered greedy, the deterministic
+    * stand-in for the paper's arbitrary which-one-to-keep choice — and
     * reports its best keeper (max cosine, ties to the lower id).
     *
     * At 100 TB the cell count grows with the corpus (cells of ~10k
