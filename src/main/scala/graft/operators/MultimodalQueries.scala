@@ -230,12 +230,67 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** Raw-blob ingestion through Spark's `binaryFile` source — the step
+    * every multimodal pipeline STARTS with: media lands in an object
+    * store as path-addressed files, and the first job turns
+    * `(path, length, content)` rows into the binary-column tables the
+    * rest of this surface consumes. The read is the built-in
+    * `binaryFile` FileFormat (one row per file, never split
+    * intra-file; `maxPartitionBytes` packs small files per task, so a
+    * billion-blob bucket fans out across executors with no driver
+    * listing loop beyond the FileIndex), `pathGlobFilter` prunes
+    * non-media files AT LISTING time (the decoy README in the fixture
+    * dir never reaches an executor), the id is parsed from the path,
+    * and the dimensions come from REALLY decoding the content bytes
+    * through `javax.imageio` — a truncated or swapped payload fails
+    * loudly rather than passing a metadata-only census. Oracle: the
+    * PNG fixtures are generated from the same closed-form dims as
+    * `q_image_decode`, so DuckDB replays the id→(w, h) algebra.
+    */
+  def qBinaryIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobDir = java.nio.file.Files.createTempDirectory("graft_blobs").toString
+    try {
+      (0L until NImages).foreach { i =>
+        val w = 16 + (i % 32).toInt
+        val h = 8 + (i % 16).toInt
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(blobDir, f"img-$i%04d.png"),
+          ImageCodec.encodePng(w, h, i))
+      }
+      // the decoy the glob must exclude at listing time
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(blobDir, "README.txt"),
+        "not an image".getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(blobDir)); throw e
+    }
+    graft.Lease.lease("q_binary_ingest", Seq(blobDir))
+    val items = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(blobDir)
+      .select(
+        regexp_extract(col("path"), "img-(\\d+)\\.png$", 1)
+          .cast("long").as("media_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        Multimodal.MediaItem(id, "image/png", "blob-store", bytes.length.toLong, bytes)
+      }
+    Multimodal.decodeFeatures(items).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_profile" -> (qMediaProfile _),
     "q_image_decode" -> (qImageDecode _),
     "q_audio_decode" -> (qAudioDecode _),
-    "q_image_phash" -> (qImagePhash _)
+    "q_image_phash" -> (qImagePhash _),
+    "q_binary_ingest" -> (qBinaryIngest _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -292,6 +347,12 @@ object MultimodalQueries {
          |       CAST(ch AS BIGINT) AS channels, CAST(frames AS BIGINT) AS n_frames,
          |       s.sum_abs, CAST(s.sum_abs // (frames * ch) AS BIGINT) AS mean_abs
          |FROM params p JOIN sums s ON p.i = s.i
+         |ORDER BY media_id""".stripMargin,
+    "q_binary_ingest" ->
+      s"""SELECT i AS media_id,
+         |       CAST(16 + i % 32 AS BIGINT) AS width,
+         |       CAST(8 + i % 16 AS BIGINT) AS height
+         |FROM generate_series(0, ${NImages - 1}) AS t(i)
          |ORDER BY media_id""".stripMargin,
     "q_image_decode" ->
       s"""SELECT i AS media_id,

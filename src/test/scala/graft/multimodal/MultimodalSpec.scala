@@ -194,4 +194,37 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(5) == expSum / (frames * ch), s"mean_abs of $i")
     }
   }
+
+  test("binaryFile ingestion: glob prunes the decoy at listing, bytes round-trip") {
+    val blobDir = java.nio.file.Files.createTempDirectory("graft_bi_spec").toString
+    try {
+      val png = graft.multimodal.ImageCodec.encodePng(20, 10, 7L)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(blobDir, "img-0007.png"), png)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(blobDir, "README.txt"), "decoy".getBytes("UTF-8"))
+      val blobs = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(blobDir)
+      // the source's fixed schema: path, modificationTime, length, content
+      assert(blobs.columns.toSet ==
+        Set("path", "modificationTime", "length", "content"))
+      val rows = blobs.collect()
+      assert(rows.length == 1, "glob must exclude the decoy file")
+      val r = rows(0)
+      assert(r.getAs[String]("path").endsWith("img-0007.png"))
+      assert(r.getAs[Long]("length") == png.length.toLong)
+      assert(r.getAs[Array[Byte]]("content").toSeq == png.toSeq,
+        "content must be the exact written bytes")
+    } finally graft.Fs.deleteRecursively(blobDir)
+  }
+
+  test("q_binary_ingest decodes real dims from path-addressed blobs") {
+    val rows = graft.operators.MultimodalQueries.qBinaryIngest(spark, dir).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getLong(1) == 16 + i % 32, s"width of $i")
+      assert(r.getLong(2) == 8 + i % 16, s"height of $i")
+    }
+  }
 }
