@@ -100,4 +100,35 @@ class StreamStreamJoinSpec extends SparkSpec {
     assert(streamed.exists(_._3 == -1L),
       "fixture must contain unmatched impressions (null click rows)")
   }
+
+  test("streaming FULL OUTER interval join equals the batch full join in BOTH null directions") {
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))
+    val streamed = graft.operators.StreamingQueries
+      .qStreamFullOuterJoin(spark, dir)
+      .select("ad", "imp_id", "click_id")
+      .collect().map(key).toSet
+    val ev = graft.Engine.table(spark, dir, "events")
+    val i = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("ad_id"), col("ts").as("imp_ts"),
+        col("event_id").as("imp_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_ad"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val batch = i.join(c, expr(
+        "ad_id = click_ad AND click_ts >= imp_ts AND click_ts <= imp_ts + interval 1 hour"),
+        "full_outer")
+      .select(coalesce(col("ad_id"), col("click_ad")).as("ad"),
+        col("imp_id"), col("click_id"))
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    // both null-extension directions actually fire on the fixture
+    assert(streamed.exists(_._3 == -1L),
+      "fixture must contain unmatched impressions")
+    assert(streamed.exists(_._2 == -1L),
+      "fixture must contain orphan clicks (no preceding impression)")
+  }
 }
