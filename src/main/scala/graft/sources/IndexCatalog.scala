@@ -10,9 +10,8 @@ import scala.jdk.CollectionConverters._
   * ([[graft.operators.SourceQueries]]'s time-travel store) uses, applied
   * to indexes: data files are immutable once written, each store
   * GENERATION is a directory of new files, and a VERSION is a manifest
-  * listing every live file (all prior files plus the new generation's).
-  * Readers resolve the highest committed manifest and scan exactly those
-  * files, so
+  * commit. Readers resolve a version to its live-file list and scan
+  * exactly those files, so
   *  - a half-written generation is invisible until its manifest commits
   *    (the commit is a single atomic create-if-absent),
   *  - appends never rewrite old partitions — probe-after-append reads
@@ -20,6 +19,27 @@ import scala.jdk.CollectionConverters._
   *  - committed versions stay readable — the index analogue of table
   *    time travel — until [[vacuum]] expires them past the retention
   *    horizon (an expired version fails fast at manifest resolution).
+  *
+  * Manifests are INCREMENTAL — a commit records only its DELTA, so
+  * commit metadata is O(what the commit touched), never O(store):
+  *  - an append manifest lists just the added files (`+path` lines);
+  *  - a partition replacement lists the replaced partition KEYS
+  *    (`~key` lines) plus the added files — O(touched partitions);
+  *  - only a REWRITE ([[commitRewrite]] — compaction, restore), whose
+  *    content is by definition the whole live set, writes a full
+  *    snapshot (`!full` marker).
+  * Version resolution replays the delta chain from the nearest FULL
+  * point below: a rewrite manifest, or a CHECKPOINT — a `v<N>.ckpt`
+  * snapshot of the resolved list written every
+  * [[CheckpointInterval]] commits (and by [[vacuum]] at its horizon,
+  * so expiring the pre-horizon chain never strands the survivors).
+  * Checkpoints are derived, idempotent metadata (create-if-absent of
+  * a list the deltas already determine), so writing one needs no
+  * coordination and losing one only lengthens a replay. This is the
+  * incremental-log + periodic-checkpoint design production table
+  * formats use so that a million-file table's ten-thousandth commit
+  * writes kilobytes, not a full file listing — without it, every
+  * commit and every read of a 100 TB store pays O(store) metadata.
   *
   * Every filesystem touchpoint goes through [[CatalogFs]] — the
   * protocol (versions, manifests, tags, partition commits, retention)
@@ -48,11 +68,23 @@ class IndexCatalogOps(val fs: CatalogFs) {
     */
   val DefaultOrphanGraceMs: Long = 20L * 60 * 1000
 
+  /** A checkpoint snapshot is written every this-many commits (plus
+    * at every [[vacuum]] horizon), bounding any version resolution to
+    * at most this many delta-manifest reads past a snapshot. Small
+    * enough that replay is a handful of KB-sized metadata reads,
+    * large enough that snapshot writes stay rare; the knob every
+    * incremental-log table format exposes.
+    */
+  val CheckpointInterval: Int = 8
+
   private def manifestsDir(base: String): String =
     Paths.get(base, "manifests").toString
 
   private def manifestPath(base: String, v: Int): String =
     Paths.get(manifestsDir(base), s"v$v.txt").toString
+
+  private def ckptPath(base: String, v: Int): String =
+    Paths.get(manifestsDir(base), s"v$v.ckpt").toString
 
   private val ManifestName = raw"v(\d+)\.txt".r
 
@@ -62,24 +94,80 @@ class IndexCatalogOps(val fs: CatalogFs) {
       .collect { case ManifestName(n) => n.toInt }
       .foldLeft(0)(math.max)
 
-  /** The data files of committed version `v` (paths, sorted).
-    * `#`-prefixed manifest lines are commit metadata ([[tags]]), not
-    * file paths.
+  /** One commit's parsed manifest: `#` lines are [[tags]], `!full`
+    * marks a snapshot (adds = the complete live list), `+` lines are
+    * added files, `~` lines are replaced partition keys.
+    */
+  private[sources] case class Manifest(tags: Seq[String], full: Boolean,
+      adds: Seq[String], removeKeys: Set[String])
+
+  private[sources] def readManifest(base: String, v: Int): Manifest = {
+    val lines = fs.readString(manifestPath(base, v))
+      .split("\n").toSeq.filter(_.nonEmpty)
+    Manifest(
+      tags = lines.collect { case l if l.startsWith("#") => l.drop(1) },
+      full = lines.contains("!full"),
+      adds = lines.collect { case l if l.startsWith("+") => l.drop(1) },
+      removeKeys =
+        lines.collect { case l if l.startsWith("~") => l.drop(1) }.toSet)
+  }
+
+  /** The partition keys a committed version TOUCHED — added files'
+    * keys plus replaced keys (conservatively including keys replaced
+    * with nothing), None when the commit was a full rewrite (which
+    * touches everything). The input to key-level conflict detection
+    * ([[commitReplacePartitionsRebasing]]); reading it is one
+    * delta-manifest read, never a resolution.
+    */
+  private[graft] def touchedKeys(base: String, v: Int): Option[Set[String]] = {
+    val m = readManifest(base, v)
+    if (m.full) None
+    else Some(m.adds.flatMap(partitionKey).toSet ++ m.removeKeys)
+  }
+
+  /** The data files of committed version `v` (paths, sorted),
+    * resolved by replaying the delta chain from the nearest full
+    * point at or below `v` (a `!full` rewrite manifest, a checkpoint
+    * snapshot, or the empty store at version 0). A version whose
+    * chain was expired by [[vacuum]] fails fast at the missing
+    * manifest read.
     */
   def files(base: String, v: Int): Seq[String] = {
     require(v >= 1, s"version $v is not committed")
-    fs.readString(manifestPath(base, v))
-      .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
+    // walk back collecting deltas until a full point, then replay
+    var deltas = List.empty[Manifest] // oldest-first via prepend
+    var cursor = v
+    var full: Seq[String] = null
+    while (full == null) {
+      val m = readManifest(base, cursor) // absent manifest: expired, fail fast
+      if (m.full) full = m.adds
+      else if (fs.exists(ckptPath(base, cursor)))
+        // a checkpoint is the POST-commit state of its version: use it
+        // as the base and do not re-apply that version's delta
+        full = fs.readString(ckptPath(base, cursor))
+          .split("\n").toSeq.filter(_.nonEmpty)
+      else {
+        deltas = m :: deltas
+        cursor -= 1
+        if (cursor == 0) full = Seq.empty
+      }
+    }
+    var state = full
+    deltas.foreach { m =>
+      val kept =
+        if (m.removeKeys.isEmpty) state
+        else state.filterNot(f => partitionKey(f).exists(m.removeKeys.contains))
+      state = kept ++ m.adds
+    }
+    state.sorted
   }
 
   /** Metadata tags recorded by version `v`'s commit — `#`-prefixed
     * lines in the manifest, so a tag becomes visible in the SAME
     * atomic manifest commit (create-if-absent) that publishes the
-    * file list.
+    * delta.
     */
-  def tags(base: String, v: Int): Seq[String] =
-    fs.readString(manifestPath(base, v))
-      .split("\n").toSeq.collect { case l if l.startsWith("#") => l.drop(1) }
+  def tags(base: String, v: Int): Seq[String] = readManifest(base, v).tags
 
   /** Every tag on a still-live manifest. The streaming ingest path
     * keys its exactly-once guard on this set: a replayed micro-batch
@@ -136,13 +224,11 @@ class IndexCatalogOps(val fs: CatalogFs) {
   def commitFiles(base: String, newFiles: Seq[String],
       commitTags: Seq[String] = Nil): Int = {
     require(newFiles.nonEmpty, "no parquet files to commit")
-    // the predecessor's file list and the target version MUST come from
-    // the same observed state: deriving content from a separate
-    // latestFiles read would let a racing winner's files vanish from a
-    // retrying loser's manifest even though the version CAS succeeded
-    val cur = currentVersion(base)
-    val prev = if (cur == 0) Seq.empty else files(base, cur)
-    writeManifestAt(base, cur + 1, prev ++ newFiles.sorted, commitTags)
+    // the delta manifest lists ONLY this commit's files — O(batch)
+    // metadata written no matter how large the store has grown; the
+    // predecessor chain is never read, only the version CAS races
+    writeDeltaAt(base, currentVersion(base) + 1,
+      newFiles.sorted, Set.empty, commitTags)
   }
 
   /** The Hive-style partition key of a data file: its `k=v` directory
@@ -197,9 +283,57 @@ class IndexCatalogOps(val fs: CatalogFs) {
     require(keyed.forall(_._2.isDefined),
       s"files without a k=v partition segment: ${keyed.filter(_._2.isEmpty).map(_._1)}")
     val replaced = keyed.flatMap(_._2).toSet ++ extraReplacedKeys
-    val prev = if (basedOn == 0) Seq.empty else files(base, basedOn)
-    val kept = prev.filterNot(f => partitionKey(f).exists(replaced.contains))
-    writeManifestAt(base, basedOn + 1, (kept ++ newFiles).sorted, commitTags)
+    // the delta records replaced KEYS + added files — O(touched
+    // partitions) metadata; resolution applies the key removal to
+    // whatever the predecessor chain holds, so the kept list is never
+    // materialized at commit time
+    writeDeltaAt(base, basedOn + 1, newFiles.sorted, replaced, commitTags)
+  }
+
+  /** [[commitReplacePartitions]] with KEY-LEVEL conflict handling: on
+    * losing the version CAS, the intervening commits' touched
+    * partition keys (one delta-manifest read each — this is what the
+    * incremental manifests buy) are checked against this replacement's
+    * keys. Disjoint — the common case of a replacement racing appends
+    * into OTHER partitions — means the derived content is still valid
+    * against the new head, so the commit REBASES (re-targets the head
+    * + 1) without the caller re-deriving anything; sound because
+    * resolution applies this commit's key removals to whatever the
+    * predecessor chain holds, so the interleaved commits' files in
+    * other partitions carry forward untouched. An intervening commit
+    * that touched one of OUR keys (or a full rewrite, which touches
+    * everything) re-raises the CAS conflict: the caller must
+    * re-derive its replacement content against the winner's state,
+    * exactly the serialization rule [[commitReplacePartitions]]
+    * documents. This is the commit-level conflict detection
+    * production snapshot formats run so that logically-independent
+    * writers never serialize on re-derivation.
+    */
+  def commitReplacePartitionsRebasing(base: String, newFiles: Seq[String],
+      commitTags: Seq[String], basedOn: Int,
+      extraReplacedKeys: Set[String] = Set.empty,
+      maxAttempts: Int = 16): Int = {
+    val myKeys = newFiles.flatMap(partitionKey).toSet ++ extraReplacedKeys
+    var bo = basedOn
+    var n = 0
+    while (true) {
+      n += 1
+      try return commitReplacePartitions(
+        base, newFiles, commitTags, bo, extraReplacedKeys)
+      catch {
+        case e if isCommitConflict(e) && n < maxAttempts =>
+          val head = currentVersion(base)
+          val conflicting = (bo + 1 to head).exists { v =>
+            touchedKeys(base, v) match {
+              case None => true // full rewrite: content conflict
+              case Some(ks) => ks.exists(myKeys.contains)
+            }
+          }
+          if (conflicting) throw e // caller must re-derive
+          bo = head // disjoint keys: rebase, content still valid
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $maxAttempts attempts")
   }
 
   /** Commit a REWRITE: the next version's manifest lists ONLY
@@ -219,7 +353,9 @@ class IndexCatalogOps(val fs: CatalogFs) {
       commitTags: Seq[String], basedOn: Int): Int =  {
     require(files.nonEmpty, "no parquet files to commit")
     require(basedOn >= 0, s"basedOn must be an observed version, got $basedOn")
-    writeManifestAt(base, basedOn + 1, files.sorted, commitTags)
+    // a rewrite's content IS the whole live set, so its manifest is a
+    // full snapshot — which also makes it a free resolution point
+    writeFullAt(base, basedOn + 1, files.sorted, commitTags)
   }
 
   /** RESTORE the store to prior committed version `toVersion` — the
@@ -297,15 +433,48 @@ class IndexCatalogOps(val fs: CatalogFs) {
       (prepare: Int => (Seq[String], Seq[String])): Int =
     retryingCommit(maxAttempts) {
       val cur = currentVersion(base)
-      val prev = if (cur == 0) Seq.empty else files(base, cur)
       val (newFiles, commitTags) = prepare(cur)
       require(newFiles.nonEmpty, "no parquet files to commit")
-      writeManifestAt(base, cur + 1, prev ++ newFiles.sorted, commitTags)
+      writeDeltaAt(base, cur + 1, newFiles.sorted, Set.empty, commitTags)
     }
 
-  private def writeManifestAt(base: String, v: Int, all: Seq[String],
-      commitTags: Seq[String]): Int = {
-    require(commitTags.forall(t => !t.contains("\n")), "tags are single-line")
+  private def writeDeltaAt(base: String, v: Int, adds: Seq[String],
+      removeKeys: Set[String], commitTags: Seq[String]): Int = {
+    publishManifest(base, v, commitTags.map("#" + _) ++
+      removeKeys.toSeq.sorted.map("~" + _) ++ adds.map("+" + _))
+    // periodic checkpoint: a derived, idempotent snapshot so later
+    // resolutions replay at most CheckpointInterval deltas. Written
+    // AFTER the commit succeeded — a crash here loses nothing (the
+    // next resolution just replays further), and create-if-absent
+    // makes a replayed writer's re-attempt a no-op.
+    if (v % CheckpointInterval == 0) checkpoint(base, v)
+    v
+  }
+
+  private def writeFullAt(base: String, v: Int, all: Seq[String],
+      commitTags: Seq[String]): Int =
+    publishManifest(base, v,
+      commitTags.map("#" + _) ++ Seq("!full") ++ all.map("+" + _))
+
+  /** Materialize version `v`'s resolved file list as a `v<N>.ckpt`
+    * snapshot (idempotent; no-op when present). Safe to call from any
+    * process at any time — the content is fully determined by the
+    * committed chain.
+    */
+  def checkpoint(base: String, v: Int): Unit = {
+    val p = ckptPath(base, v)
+    if (!fs.exists(p)) fs.publishIfAbsent(p, files(base, v).mkString("\n"))
+  }
+
+  /** True iff version `v`'s checkpoint snapshot is materialized —
+    * observable protocol state for specs and gated queries.
+    */
+  def hasCheckpoint(base: String, v: Int): Boolean =
+    fs.exists(ckptPath(base, v))
+
+  private def publishManifest(base: String, v: Int, lines: Seq[String]): Int = {
+    require(lines.forall(l => !l.contains("\n")),
+      "manifest entries are single-line")
     fs.mkdirs(manifestsDir(base))
     val target = manifestPath(base, v)
     // publishIfAbsent is an atomic create-IF-ABSENT: a racing committer
@@ -313,7 +482,7 @@ class IndexCatalogOps(val fs: CatalogFs) {
     // instead of silently replacing the winner's manifest — the
     // conflicting-commit failure every snapshot-committed format gives,
     // where a blind overwrite would drop the winner's files from history.
-    if (!fs.publishIfAbsent(target, (commitTags.map("#" + _) ++ all).mkString("\n")))
+    if (!fs.publishIfAbsent(target, lines.mkString("\n")))
       throw new IllegalStateException(
         s"concurrent commit: version $v of $base was committed by " +
           "another writer; re-read the store state and retry",
@@ -371,8 +540,15 @@ class IndexCatalogOps(val fs: CatalogFs) {
     require(retain >= 1, "must retain at least the current version")
     val cur = currentVersion(base)
     val horizon = math.max(1, cur - retain + 1)
-    // ONE read per live manifest; live/ever-committed/roots all derive
-    // from this map — on a remote CatalogFs each manifest is a
+    // the horizon version must stay resolvable once its predecessor
+    // delta chain expires: materialize its snapshot first (idempotent;
+    // skipped when its own manifest is already full, or when an
+    // earlier tighter vacuum already expired the version itself)
+    if (horizon > 1 && fs.exists(manifestPath(base, horizon)) &&
+        !readManifest(base, horizon).full)
+      checkpoint(base, horizon)
+    // ONE resolution per live version; live/ever-committed/roots all
+    // derive from this map — on a remote CatalogFs each manifest is a
     // metadata round-trip, so re-listing per derived set would triple
     // the protocol's I/O for no reason
     val byVersion: Map[Int, Seq[String]] =
@@ -414,7 +590,10 @@ class IndexCatalogOps(val fs: CatalogFs) {
       fs.delete(FileStats.statsPath(base, f))
       fs.delete(FileBloom.bloomPath(base, f))
     }
-    (1 until horizon).foreach(v => fs.delete(manifestPath(base, v)))
+    (1 until horizon).foreach { v =>
+      fs.delete(manifestPath(base, v))
+      fs.delete(ckptPath(base, v)) // a pre-horizon snapshot dies with its chain
+    }
     deleted
   }
 }

@@ -140,6 +140,85 @@ class CatalogFsSpec extends AnyFunSuite {
     assert(cat.tags(base, 1) == Seq("saw v0"))
   }
 
+  test("commit metadata is O(batch), not O(store): append manifest bytes stay flat as the store grows") {
+    val mem = new MemCatalogFs
+    // record the byte size of every published metadata file
+    val published = new ConcurrentHashMap[String, Int]()
+    val counting = new CatalogFs {
+      def listNames(d: String) = mem.listNames(d)
+      def listFilesRecursive(d: String, s: String) = mem.listFilesRecursive(d, s)
+      def readString(p: String) = mem.readString(p)
+      def exists(p: String) = mem.exists(p)
+      def mkdirs(d: String) = mem.mkdirs(d)
+      def delete(p: String) = mem.delete(p)
+      def mtimeMillis(p: String) = mem.mtimeMillis(p)
+      def publishIfAbsent(p: String, c: String): Boolean = {
+        val won = mem.publishIfAbsent(p, c)
+        if (won) published.put(p, c.length)
+        won
+      }
+    }
+    val cat = new IndexCatalogOps(counting)
+    val base = "/mem/grow"
+    val fileOf = (i: Int) => s"$base/corpus/bucket=${i % 4}/part-$i.parquet"
+    (1 to 30).foreach { i =>
+      mem.put(fileOf(i), "x")
+      cat.commitFiles(base, Seq(fileOf(i)), Seq(s"batch=$i"))
+    }
+    assert(cat.currentVersion(base) == 30)
+    assert(cat.latestFiles(base).size == 30)
+    // every append's manifest is one add line + one tag — the byte
+    // size is the BATCH's, independent of the 30-file store. (Before
+    // incremental manifests, v30's manifest listed all 30 files.)
+    val sizes = (1 to 30).map(v => published.get(s"$base/manifests/v$v.txt"))
+    assert(sizes.forall(_ > 0))
+    assert(sizes.max - sizes.min <= 2, // path-length digits only
+      s"append manifest bytes grew with store size: $sizes")
+    // periodic checkpoints materialized at the interval boundaries...
+    val interval = cat.CheckpointInterval
+    (interval to 30 by interval).foreach { v =>
+      assert(counting.exists(s"$base/manifests/v$v.ckpt"), s"no ckpt at v$v")
+      // ...and each snapshot holds exactly that version's resolved list
+      assert(counting.readString(s"$base/manifests/v$v.ckpt")
+        .split("\n").count(_.nonEmpty) == v)
+    }
+    // resolution across a checkpoint boundary replays ckpt + suffix
+    // and equals the full-chain walk: content pinned at three points
+    assert(cat.files(base, interval + 3).toSet ==
+      (1 to interval + 3).map(fileOf).toSet)
+    assert(cat.files(base, interval - 1).toSet ==
+      (1 until interval).map(fileOf).toSet)
+    assert(cat.files(base, 30).toSet == (1 to 30).map(fileOf).toSet)
+  }
+
+  test("vacuum checkpoints its horizon so survivors resolve after the delta chain expires") {
+    val mem = new MemCatalogFs
+    val cat = new IndexCatalogOps(mem)
+    val base = "/mem/hvac"
+    val fileOf = (i: Int) => s"$base/corpus/bucket=${i % 4}/part-$i.parquet"
+    // five DELTA commits (never crossing the periodic interval), then
+    // retain=2: horizon v4's predecessors all expire — without the
+    // horizon snapshot, v4 and v5 would be unresolvable
+    (1 to 5).foreach { i =>
+      mem.put(fileOf(i), "x")
+      cat.commitFiles(base, Seq(fileOf(i)))
+    }
+    assert(cat.CheckpointInterval > 5) // the premise: no periodic ckpt yet
+    cat.vacuum(base, retain = 2)
+    assert(cat.liveVersions(base) == Seq(4, 5))
+    assert(mem.exists(s"$base/manifests/v4.ckpt"))
+    assert(cat.files(base, 4).toSet == (1 to 4).map(fileOf).toSet)
+    assert(cat.files(base, 5).toSet == (1 to 5).map(fileOf).toSet)
+    assert(scala.util.Try(cat.files(base, 3)).isFailure)
+    // a later, wider-horizon vacuum drops the now-pre-horizon snapshot
+    mem.put(fileOf(6), "x")
+    cat.commitFiles(base, Seq(fileOf(6)))
+    cat.vacuum(base, retain = 1)
+    assert(!mem.exists(s"$base/manifests/v4.ckpt"))
+    assert(mem.exists(s"$base/manifests/v6.ckpt"))
+    assert(cat.files(base, 6).toSet == (1 to 6).map(fileOf).toSet)
+  }
+
   test("LocalCatalogFs.publishIfAbsent: exactly one winner under contention, content intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fs_spec").toString
     try {

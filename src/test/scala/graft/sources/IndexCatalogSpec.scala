@@ -183,6 +183,67 @@ class IndexCatalogSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  private def fakePart(base: String, bucket: Int, name: String): String = {
+    val d = Paths.get(base, "corpus", s"bucket=$bucket")
+    Files.createDirectories(d)
+    val f = d.resolve(s"part-$name.parquet")
+    Files.writeString(f, name)
+    f.toString
+  }
+
+  test("rebasing replacement: an append into a DIFFERENT partition does not force re-derivation") {
+    val base = store()
+    try {
+      val a0 = fakePart(base, 0, "a0")
+      val a1 = fakePart(base, 1, "a1")
+      IndexCatalog.commitFiles(base, Seq(a0, a1)) // v1
+      val basedOn = IndexCatalog.currentVersion(base) // rewriter reads v1
+      // an append lands in bucket=2 mid-rewrite — logically independent
+      val b2 = fakePart(base, 2, "b2")
+      IndexCatalog.commitFiles(base, Seq(b2)) // v2
+      // the bucket=1 replacement, still based on v1: the plain commit
+      // would fail the CAS; the rebasing commit sees the intervening
+      // keys are disjoint and lands WITHOUT the caller re-deriving
+      val r1 = fakePart(base, 1, "r1")
+      val v = IndexCatalog.commitReplacePartitionsRebasing(
+        base, Seq(r1), Seq("rewrite b1"), basedOn)
+      assert(v == 3)
+      // the winner's append survived AND the replacement applied
+      assert(IndexCatalog.latestFiles(base).toSet == Set(a0, b2, r1))
+      assert(IndexCatalog.tags(base, 3) == Seq("rewrite b1"))
+      // time travel still serves the pre-replacement bucket=1 file
+      assert(IndexCatalog.files(base, 2).toSet == Set(a0, a1, b2))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("rebasing replacement: a commit into the SAME partition re-raises the conflict to re-derive") {
+    val base = store()
+    try {
+      val a1 = fakePart(base, 1, "a1")
+      IndexCatalog.commitFiles(base, Seq(a1)) // v1
+      val basedOn = IndexCatalog.currentVersion(base)
+      val b1 = fakePart(base, 1, "b1")
+      IndexCatalog.commitFiles(base, Seq(b1)) // v2: bucket=1 grew mid-rewrite
+      val r1 = fakePart(base, 1, "r1")
+      // rebasing would silently supersede b1's rows — must re-raise
+      val e = intercept[IllegalStateException] {
+        IndexCatalog.commitReplacePartitionsRebasing(base, Seq(r1), Nil, basedOn)
+      }
+      assert(IndexCatalog.isCommitConflict(e))
+      assert(IndexCatalog.latestFiles(base).toSet == Set(a1, b1))
+      // an intervening FULL REWRITE conflicts with every key
+      val basedOn2 = IndexCatalog.currentVersion(base)
+      val c1 = fakePart(base, 1, "c1")
+      IndexCatalog.commitRewrite(base, Seq(c1), Seq("compaction"), basedOn2) // v3
+      val r9 = fakePart(base, 9, "r9")
+      val e2 = intercept[IllegalStateException] {
+        IndexCatalog.commitReplacePartitionsRebasing(base, Seq(r9), Nil, basedOn2)
+      }
+      assert(IndexCatalog.isCommitConflict(e2))
+      assert(IndexCatalog.latestFiles(base) == Seq(c1))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("vacuum default keeps fresh uncommitted files, sweeps stale ones; grace<=0 reclaims fresh") {
     val base = store()
     try {
