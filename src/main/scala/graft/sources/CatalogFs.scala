@@ -19,8 +19,14 @@ import scala.jdk.CollectionConverters._
   * Everything else is plain list/read/delete semantics any object
   * store provides. Paths are plain strings throughout; an impl may
   * interpret them as URIs.
+  *
+  * Serializable because sidecar publication ([[FileBloom.record]])
+  * ships the fs to executors — an impl used on that path must write
+  * to storage every executor reaches (true of [[LocalCatalogFs]] in
+  * one JVM, and of any DFS/object-store impl by construction; a
+  * test-only in-memory fs is driver-local and must stay off it).
   */
-trait CatalogFs {
+trait CatalogFs extends Serializable {
 
   /** Immediate child names of `dir` (file names, not paths); empty
     * when `dir` does not exist.

@@ -63,6 +63,71 @@ class StoreLookupSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("second probe of a store reads zero sidecar bytes (parsed-sketch cache)") {
+    val base = Files.createTempDirectory("graft_blcache").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base)
+      val all = IndexCatalog.latestFiles(base)
+      FileBloom.record(spark, base, all, "vec_id")
+      // counting wrapper over the real fs; the cache is keyed per fs
+      // instance, so this instance starts cold
+      val reads = new java.util.concurrent.atomic.AtomicInteger
+      val counting = new graft.sources.CatalogFs {
+        private val d = graft.sources.LocalCatalogFs
+        def listNames(x: String) = d.listNames(x)
+        def listFilesRecursive(x: String, s: String) = d.listFilesRecursive(x, s)
+        def readString(p: String) = { reads.incrementAndGet(); d.readString(p) }
+        def exists(p: String) = d.exists(p)
+        def mkdirs(x: String) = d.mkdirs(x)
+        def delete(p: String) = d.delete(p)
+        def mtimeMillis(p: String) = d.mtimeMillis(p)
+        def publishIfAbsent(p: String, c: String) = d.publishIfAbsent(p, c)
+      }
+      val k1 = FileBloom.prunePoint(spark, base, all, "vec_id", Seq(42L), counting)
+      val afterFirst = reads.get()
+      assert(afterFirst == all.size, "first probe reads each sidecar once")
+      val k2 = FileBloom.prunePoint(spark, base, all, "vec_id", Seq(42L), counting)
+      assert(k1 == k2)
+      assert(reads.get() == afterFirst,
+        "second probe of the same store must read zero sidecar bytes")
+      // a different key set still probes from the cache, zero reads
+      FileBloom.prunePoint(spark, base, all, "vec_id", Seq(7L, 99L), counting)
+      assert(reads.get() == afterFirst)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("sidecar capacity is per-file: re-recording one above-floor file alone is byte-identical") {
+    val base = Files.createTempDirectory("graft_blcap").toString
+    try {
+      import spark.implicits._
+      // two files with very different row counts, both above the 1024
+      // floor — under subset-dependent sizing, re-recording the small
+      // file alone would pick its own max instead of the pair's
+      val big = s"$base/corpus/bucket=0"
+      val small = s"$base/corpus/bucket=1"
+      (0L until 9000L).toDF("vec_id").coalesce(1).write.parquet(big)
+      (0L until 1500L).map(_ + 100000L).toDF("vec_id")
+        .coalesce(1).write.parquet(small)
+      val bigF = IndexCatalog.listDataFiles(big)
+      val smallF = IndexCatalog.listDataFiles(small)
+      FileBloom.record(spark, base, bigF ++ smallF, "vec_id")
+      val p = FileBloom.bloomPath(base, smallF.head)
+      val orig = Files.readAllBytes(Paths.get(p))
+      Files.delete(Paths.get(p))
+      FileBloom.record(spark, base, smallF, "vec_id") // subset re-record
+      assert(Files.readAllBytes(Paths.get(p)).sameElements(orig),
+        "re-recording a single sidecar must reproduce the original bytes " +
+          "regardless of which files the recording call covers")
+      // and the two capacity classes really differ (9000 → 16384,
+      // 1500 → 2048), so the recording ran as two class passes
+      assert(FileBloom.capacityOf(9000L) != FileBloom.capacityOf(1500L))
+      // no false negatives across classes
+      val kept = FileBloom.prunePoint(
+        spark, base, bigF ++ smallF, "vec_id", Seq(100007L))
+      assert(kept.contains(smallF.head) && !kept.contains(bigF.head))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("an all-NULL column file records without error and never false-negatives") {
     val base = Files.createTempDirectory("graft_blnull").toString
     try {
