@@ -1109,9 +1109,13 @@ object DedupQueries {
     }.reduce(_.unionByName(_)).distinct()
     cand
       .filter(abs(length(col("itext")) - length(col("btext"))) <= EditD)
-      .filter(levenshtein(col("itext"), col("btext")) <= EditD)
-      .select(col("iid").as("i"), col("bid").as("j"),
-        levenshtein(col("itext"), col("btext")).cast("long").as("dist"))
+      // compute the O(L²) DP once and filter on the materialized
+      // column — Catalyst does not CSE a levenshtein repeated across
+      // the Filter/Project boundary, so repeating it would run the DP
+      // twice per surviving candidate
+      .withColumn("dist", levenshtein(col("itext"), col("btext")).cast("long"))
+      .filter(col("dist") <= EditD)
+      .select(col("iid").as("i"), col("bid").as("j"), col("dist"))
       .orderBy("i", "j")
   }
 

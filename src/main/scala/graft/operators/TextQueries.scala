@@ -50,8 +50,14 @@ object TextQueries {
     * `sum(c)` the token count, and count300k (distinct-count semantics)
     * is invariant under the pre-distinct. `n_docs` never needs the
     * explode at all (`split` yields `[""]` even for an empty text, so
-    * every doc contributes ≥1 token row): it is a per-lang distinct over
-    * the raw table, joined back on the handful of lang keys.
+    * every non-NULL text contributes ≥1 token row): it is a per-lang
+    * distinct over the raw table restricted to non-NULL texts — the
+    * same population the exploded stream carries (`split(NULL)` is
+    * NULL, so explode drops NULL-text docs on both engines), keeping
+    * the rewrite row-identical to the single-groupBy original on
+    * corpora with NULL texts. The join is NULL-SAFE on `lang` so a
+    * NULL-lang group (kept by groupBy on both sides) survives — a
+    * plain equi-join would silently drop it.
     */
   def qLangProfile(spark: SparkSession, dir: String): DataFrame = {
     Engine.register(spark)
@@ -68,12 +74,13 @@ object TextQueries {
         min(length(col("tok"))).cast("long").as("min_tok_len"),
         max(length(col("tok"))).cast("long").as("max_tok_len"))
     val perDoc = docs
+      .filter(col("text").isNotNull)
       .groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     perDoc
-      .join(perTok, Seq("lang"))
+      .join(perTok, perDoc("lang") <=> perTok("lang"))
       .select(
-        col("lang"), col("n_docs"), col("n_tokens"), col("n_distinct_tokens"),
+        perDoc("lang"), col("n_docs"), col("n_tokens"), col("n_distinct_tokens"),
         col("count300k_tokens"), col("min_tok_len"), col("max_tok_len"))
       .orderBy("lang")
   }
