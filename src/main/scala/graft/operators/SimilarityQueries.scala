@@ -941,7 +941,10 @@ object SimilarityQueries {
           val rewritten = StagedWrite.partitioned(
             remaining.repartition(col("bucket")), target, Seq("bucket"))
           graft.sources.FileStats.record(base, rewritten, Seq("vec_id"))
-          IndexCatalog.commitReplacePartitions(base, rewritten,
+          // the REBASING commit absorbs conflicts whose intervening
+          // commits touched only OTHER partitions (no re-derivation);
+          // a same-partition conflict re-raises into the outer loop
+          IndexCatalog.commitReplacePartitionsRebasing(base, rewritten,
             Seq(s"delete ${targetKeys.toSeq.sorted.mkString(",")}"),
             basedOn, extraReplacedKeys = targetKeys)
           done = true
@@ -1055,7 +1058,9 @@ object SimilarityQueries {
           survivors.unionByName(hashed).repartition(col("bucket")),
           target, Seq("bucket"))
         FileStats.record(base, written, Seq("vec_id"))
-        IndexCatalog.commitReplacePartitions(base, written,
+        // rebasing commit: an interleaved commit into untouched
+        // buckets rebases in place; touched-bucket conflicts re-derive
+        IndexCatalog.commitReplacePartitionsRebasing(base, written,
           Seq(s"merge ${targetKeys.toSeq.sorted.mkString(",")}"),
           basedOn, extraReplacedKeys = targetKeys)
         done = true
@@ -1121,6 +1126,43 @@ object SimilarityQueries {
     * from the catalog's immutable commits — no change log is written
     * at commit time, so CDC costs nothing until someone asks.
     */
+  /** The row-level CDC classification shared by the batch
+    * `table_changes` probe ([[storeChanges]]) and the streaming cdc
+    * feed (`q_stream_store_cdc` over
+    * [[graft.sources.StoreChangeSource]]'s cdc mode): full-outer join
+    * pre-state (`oldRows`) against post-state (`newRows`) on
+    * `extraKeys :+ vec_id` — batch passes no extra key (one commit at
+    * a time), streaming passes `version` so one join classifies every
+    * commit in a micro-batch. Both frames carry
+    * (extraKeys…, vec_id, embedding, bucket); the output is
+    * (extraKeys…, change_type, vec_id, bucket). Sharing the function
+    * is what makes "the drained stream equals the batch feed" true by
+    * construction, not by parallel maintenance.
+    */
+  private[operators] def classifyChanges(
+      oldRows: DataFrame, newRows: DataFrame,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val keyCols = extraKeys.map(col)
+    val o = oldRows.select(keyCols ++ Seq(col("vec_id"),
+      col("embedding").as("o_emb"), col("bucket").as("o_bucket")): _*)
+    val n = newRows.select(keyCols ++ Seq(col("vec_id"),
+      col("embedding").as("n_emb"), col("bucket").as("n_bucket")): _*)
+    val j = o.join(n, extraKeys :+ "vec_id", "full_outer")
+    def out(kind: String, bucket: Column): Seq[Column] =
+      keyCols ++ Seq(lit(kind).as("change_type"), col("vec_id"),
+        bucket.as("bucket"))
+    val inserts = j.filter(col("o_emb").isNull && col("o_bucket").isNull)
+      .select(out("insert", col("n_bucket")): _*)
+    val deletes = j.filter(col("n_emb").isNull && col("n_bucket").isNull)
+      .select(out("delete", col("o_bucket")): _*)
+    val changed = j.filter(col("o_bucket").isNotNull &&
+      col("n_bucket").isNotNull &&
+      (col("o_bucket") =!= col("n_bucket") || col("o_emb") =!= col("n_emb")))
+    val pre = changed.select(out("update_preimage", col("o_bucket")): _*)
+    val post = changed.select(out("update_postimage", col("n_bucket")): _*)
+    inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+  }
+
   private[operators] def storeChanges(
       spark: SparkSession, base: String, v: Int): DataFrame = {
     import graft.sources.IndexCatalog
@@ -1137,25 +1179,7 @@ object SimilarityQueries {
       else readStoreFiles(spark, files)
         .select(col("vec_id"), col("embedding"),
           col("bucket").cast("long").as("bucket"))
-    val o = rowsOf(removed).select(col("vec_id"),
-      col("embedding").as("o_emb"), col("bucket").as("o_bucket"))
-    val n = rowsOf(added).select(col("vec_id"),
-      col("embedding").as("n_emb"), col("bucket").as("n_bucket"))
-    val j = o.join(n, Seq("vec_id"), "full_outer")
-    val inserts = j.filter(col("o_emb").isNull && col("o_bucket").isNull)
-      .select(lit("insert").as("change_type"), col("vec_id"),
-        col("n_bucket").as("bucket"))
-    val deletes = j.filter(col("n_emb").isNull && col("n_bucket").isNull)
-      .select(lit("delete").as("change_type"), col("vec_id"),
-        col("o_bucket").as("bucket"))
-    val changed = j.filter(col("o_bucket").isNotNull &&
-      col("n_bucket").isNotNull &&
-      (col("o_bucket") =!= col("n_bucket") || col("o_emb") =!= col("n_emb")))
-    val pre = changed.select(lit("update_preimage").as("change_type"),
-      col("vec_id"), col("o_bucket").as("bucket"))
-    val post = changed.select(lit("update_postimage").as("change_type"),
-      col("vec_id"), col("n_bucket").as("bucket"))
-    inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+    classifyChanges(rowsOf(removed), rowsOf(added))
   }
 
   /** The gated CDC query: run the store's full DML lifecycle — build
@@ -1653,7 +1677,9 @@ object SimilarityQueries {
               .repartition(col("bucket")),
             target, Seq("bucket"))
           graft.sources.FileStats.record(base, rewritten, Seq("vec_id"))
-          IndexCatalog.commitReplacePartitions(base, rewritten,
+          // rebasing commit: appends into non-target buckets no longer
+          // force a rewrite re-derivation, only same-bucket commits do
+          IndexCatalog.commitReplacePartitionsRebasing(base, rewritten,
             Seq(s"compaction ${keys.toSeq.sorted.mkString(",")}"), basedOn)
           done = true
         } catch {
@@ -1753,6 +1779,79 @@ object SimilarityQueries {
           lit(IndexCatalog.tags(base, v).mkString(",")).as("tags"),
           col("n_rows"))
     }.reduce(_.unionByName(_)).orderBy("version")
+  }
+
+  /** The INCREMENTAL-MANIFEST protocol as a gated query — the catalog
+    * property that keeps a 100 TB store's metadata honest: every
+    * append commit writes a DELTA manifest (O(batch) bytes, never the
+    * live-file list), resolution replays from the nearest snapshot —
+    * a periodic checkpoint every
+    * [[graft.sources.IndexCatalogOps.CheckpointInterval]] commits, or
+    * the one [[graft.sources.IndexCatalogOps.vacuum]] materializes at
+    * its horizon so expiring the pre-horizon delta chain never
+    * strands the surviving versions. Without this, a million-file
+    * store's ten-thousandth commit writes (and every read parses) the
+    * full listing — the exact failure mode incremental-log +
+    * checkpoint table formats exist to avoid.
+    *
+    * Lifecycle: build (v1, evens) then EIGHT appends (the odd
+    * `% 16` slices, v2..v9) — crossing the periodic-checkpoint
+    * boundary at v8 — then vacuum(retain=3), whose horizon (v7) sits
+    * mid-chain and forces the horizon snapshot. The output is the
+    * content census at three resolution postures: v5 (pure delta
+    * replay, read before it expires), v7 (resolved from the vacuum's
+    * horizon checkpoint), v9 (resolved from the periodic v8
+    * checkpoint + one delta). The oracle recomputes all three from
+    * the fixture's id algebra; the protocol facts — delta commits,
+    * checkpoint placement, byte-identical resolution across the
+    * vacuum, fail-fast on expired versions — ride the `inc_ok`
+    * boolean (CatalogFsSpec pins the O(batch)-bytes contract with an
+    * instrumented filesystem).
+    */
+  def qStoreIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val (n5, s5, ok) = try {
+      buildEmbedStore(spark, dir, base) // v1: evens
+      val e = embeddings(spark, dir)
+      (1 to 15 by 2).foreach { k => // v2..v9: odd % 16 slices
+        writeEmbedGen(spark, e.filter(pmod(col("vec_id"), lit(16)) === k),
+          base, Seq(s"slice=$k"))
+      }
+      // protocol facts before the vacuum: nine commits, the periodic
+      // snapshot exactly at the interval boundary, v9 a delta commit
+      // (its manifest records touched keys, not the live list)
+      val preOk = IndexCatalog.currentVersion(base) == 9 &&
+        IndexCatalog.hasCheckpoint(base, IndexCatalog.CheckpointInterval) &&
+        !IndexCatalog.hasCheckpoint(base, 7) &&
+        IndexCatalog.touchedKeys(base, 9).isDefined
+      // v5's census, read NOW — the pure delta-replay posture; the
+      // version expires at the vacuum below (fail-fast spec'd there)
+      val r5 = readStoreFiles(spark, IndexCatalog.files(base, 5))
+        .agg(count(lit(1)), sum(col("vec_id"))).collect()(0)
+      val head = IndexCatalog.files(base, 9)
+      IndexCatalog.vacuum(base, retain = 3) // horizon v7: mid-chain
+      val postOk = IndexCatalog.liveVersions(base) == Seq(7, 8, 9) &&
+        IndexCatalog.hasCheckpoint(base, 7) && // the horizon snapshot
+        scala.util.Try(IndexCatalog.files(base, 6)).isFailure &&
+        scala.util.Try(IndexCatalog.files(base, 5)).isFailure &&
+        IndexCatalog.files(base, 9) == head // resolution invariant
+      (r5.getLong(0), r5.getLong(1), preOk && postOk)
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw t
+    }
+    graft.Lease.lease("q_store_incremental", Seq(base))
+    def census(v: Int): DataFrame =
+      readStoreFiles(spark, IndexCatalog.files(base, v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("vec_id")).cast("long").as("id_sum"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("id_sum"))
+    spark.range(1)
+      .select(lit(5L).as("version"), lit(n5).as("n_rows"), lit(s5).as("id_sum"))
+      .unionByName(census(7)).unionByName(census(9))
+      .withColumn("inc_ok", lit(ok))
+      .orderBy("version")
   }
 
   // --- embedding-cosine near-duplicate pairs ----------------------------
@@ -1879,6 +1978,7 @@ object SimilarityQueries {
     "q_embed_append" -> (qEmbedAppend _),
     "q_store_vacuum" -> (qStoreVacuum _),
     "q_store_history" -> (qStoreHistory _),
+    "q_store_incremental" -> (qStoreIncremental _),
     "q_store_asof" -> (qStoreAsof _),
     "q_store_restore" -> (qStoreRestore _),
     "q_store_changes" -> (qStoreChanges _),
@@ -2362,6 +2462,23 @@ object SimilarityQueries {
     // vacuum(retain=2): v1 expired, v2/v3 both hold corpus ∪ batch —
     // the row counts are the content census, the tags are the
     // lifecycle's commit metadata
+    // three resolution postures of the incremental-manifest chain —
+    // v5 = build ∪ the first four odd slices (delta replay), v7 = +
+    // slices 9,11 (the vacuum's horizon checkpoint), v9 = every slice
+    // appended, i.e. the whole fixture (periodic checkpoint + one
+    // delta); the protocol facts ride inc_ok
+    "q_store_incremental" ->
+      """SELECT CAST(5 AS BIGINT) AS version, count(*) AS n_rows,
+        |       CAST(sum(vec_id) AS BIGINT) AS id_sum, TRUE AS inc_ok
+        |FROM embeddings WHERE vec_id % 2 = 0 OR vec_id % 16 IN (1, 3, 5, 7)
+        |UNION ALL
+        |SELECT CAST(7 AS BIGINT), count(*), CAST(sum(vec_id) AS BIGINT), TRUE
+        |FROM embeddings
+        |WHERE vec_id % 2 = 0 OR vec_id % 16 IN (1, 3, 5, 7, 9, 11)
+        |UNION ALL
+        |SELECT CAST(9 AS BIGINT), count(*), CAST(sum(vec_id) AS BIGINT), TRUE
+        |FROM embeddings
+        |ORDER BY version""".stripMargin,
     "q_store_history" ->
       """WITH n AS (
         |  SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)

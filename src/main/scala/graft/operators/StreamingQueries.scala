@@ -845,11 +845,19 @@ object StreamingQueries {
       .getOrElse(sys.error(s"no CHECK constraint declared on $base — " +
         "quarantine routing needs a gate to route on"))
     val pass = coalesce(expr(c), lit(false))
-    val bad = batch.filter(!pass)
-    if (!bad.isEmpty)
-      bad.write.mode("overwrite").parquet(s"$quar/batch=$batchId")
-    commitIngestBatch(ss, batch.filter(pass), base, batchId)
-    ()
+    // pin the micro-batch once: the split consumes the lineage twice
+    // (dead-letter write, store commit), and a replayed batch from a
+    // non-deterministic source must route the SAME rows both times
+    val pinned = batch.persist()
+    try {
+      // ALWAYS overwrite batch=<id> — possibly with zero rows — so the
+      // quarantine dir reflects exactly this attempt's routing and a
+      // replay that now yields no violations clears a stale dead-letter
+      // dir instead of leaving a prior attempt's rows behind
+      pinned.filter(!pass).write.mode("overwrite")
+        .parquet(s"$quar/batch=$batchId")
+      commitIngestBatch(ss, pinned.filter(pass), base, batchId)
+    } finally { pinned.unpersist(); () }
   }
 
   /** Streaming ingest under the store's declared CHECK constraint —
@@ -1015,6 +1023,83 @@ object StreamingQueries {
       .orderBy("batch")
   }
 
+  /** The ROW-LEVEL change-data feed as a STREAM — the cdc mode of
+    * [[graft.sources.StoreChangeSource]] driven through the store's
+    * full DML lifecycle, proving a downstream replica can follow DML,
+    * not just appends. The store runs exactly `q_store_cdc`'s
+    * history — build (v1: evens), MERGE (v2: update the `% 8 == 0`
+    * rows to their successor's vector, insert the `% 4 == 1` batch),
+    * row-level DELETE (v3: the never-updated `% 8 == 4` rows) — and
+    * ONE Trigger.AvailableNow drain from version 0 consumes the
+    * side-tagged pre/post images of every commit. Because offsets are
+    * versions, both sides of a commit land in the same micro-batch,
+    * so the consumer classifies with ONE full-outer join on
+    * (version, vec_id) — `SimilarityQueries.classifyChanges`, the
+    * SAME function the batch `table_changes` probe runs, which is
+    * what makes "drained feed equals batch feed" structural. The
+    * gated output is the per-(version, change_type) census across
+    * the whole lifecycle: v1 streams as pure inserts, v2's rewritten
+    * survivors cancel in the join (only the merge's real changes
+    * net), v3 nets the deletes.
+    *
+    * 100 TB shape: per batch the source reads O(touched partitions'
+    * files) — a DML commit streams its replaced partitions, never
+    * the store — and the classify join is keyed on (version,
+    * vec_id), shuffle bounded by the delta; the replica applies
+    * classified rows idempotently keyed by version, resuming from
+    * its checkpointed offset after a crash.
+    */
+  def qStreamStoreCdc(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val base = Files.createTempDirectory("graft_scdc_store").toString
+    val ckpt = Files.createTempDirectory("graft_scdc_ckpt").toString
+    val sink = Files.createTempDirectory("graft_scdc_sink").toString
+    try {
+      SimilarityQueries.buildEmbedStore(ss, dir, base) // v1: evens
+      val e = SimilarityQueries.embeddings(ss, dir)
+      val inserts = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val updates = e.filter(pmod(col("vec_id"), lit(8)) === 0)
+        .select(col("vec_id"))
+        .join(e.select((col("vec_id") - 1).as("vec_id"),
+          col("embedding"), col("nrm")), Seq("vec_id"))
+      SimilarityQueries.mergeIntoEmbedStore(ss, base,
+        inserts.unionByName(updates)) // v2
+      SimilarityQueries.deleteFromEmbedStore(ss, base,
+        e.filter(pmod(col("vec_id"), lit(8)) === 4)
+          .select(col("vec_id"), col("embedding"))) // v3
+      val q = ss.readStream.format("graft-store-changes")
+        .option("path", base).option("mode", "cdc").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // pin the batch: both sides of the classify consume it
+          val pinned = b.persist()
+          try {
+            def side(s: String) = pinned.filter(col("side") === s)
+              .select(col("version"), col("vec_id"), col("embedding"),
+                col("bucket"))
+            SimilarityQueries
+              .classifyChanges(side("old"), side("new"), Seq("version"))
+              .write.mode("append").parquet(sink)
+          } finally { pinned.unpersist(); () }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } catch {
+      case e: Throwable =>
+        Seq(base, ckpt, sink).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+    lease("q_stream_store_cdc", Seq(base, ckpt, sink))
+    spark.read.parquet(sink)
+      .groupBy(col("version"), col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("vec_id")).cast("long").as("id_sum"))
+      .orderBy("version", "change_type")
+  }
+
   /** One micro-batch's MATERIALIZED-VIEW merge (shared with the
     * spec's replay test): fold a change-feed delta into the per-bucket
     * (count, id-sum) aggregate store. The delta collapses to one row
@@ -1062,7 +1147,9 @@ object StreamingQueries {
           (coalesce(col("id_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
             .as("id_sum"))
       try {
-        IndexCatalog.commitReplacePartitions(mvBase,
+        // rebasing commit: a concurrent commit into OTHER buckets
+        // rebases in place; same-bucket conflicts re-derive upstairs
+        IndexCatalog.commitReplacePartitionsRebasing(mvBase,
           StagedWrite.partitioned(merged.repartition(col("bucket")),
             s"$mvBase/agg", Seq("bucket")),
           Seq(tag), basedOn, extraReplacedKeys = touchedKeys)
@@ -1348,7 +1435,9 @@ object StreamingQueries {
               .withColumn("part", pmod(col("node"), lit(ClusterParts)))
               .write.mode("append").partitionBy("part").parquet(gen)
           try {
-            IndexCatalog.commitReplacePartitions(store,
+            // rebasing commit: conflicts from commits into untouched
+            // part= slices rebase; touched-slice conflicts re-derive
+            IndexCatalog.commitReplacePartitionsRebasing(store,
               IndexCatalog.listDataFiles(gen), Seq(tag), basedOn)
             result = true
             done = true
@@ -1366,6 +1455,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_store_follow" -> (qStreamStoreFollow _),
+    "q_stream_store_cdc" -> (qStreamStoreCdc _),
     "q_store_matview" -> (qStoreMatview _),
     "q_stream_index_append" -> (qStreamIndexAppend _),
     "q_stream_quarantine" -> (qStreamQuarantine _),
@@ -1410,6 +1500,32 @@ object StreamingQueries {
          |       CAST(count(DISTINCT bucket) AS BIGINT)
          |FROM bucketed WHERE vec_id % 8 = 5
          |ORDER BY batch""".stripMargin,
+    // the drained row-level cdc feed across build→MERGE→DELETE: the
+    // batch table_changes censuses (q_store_cdc's oracle algebra for
+    // v2/v3) plus v1 streaming as pure inserts of the even corpus —
+    // the rewritten survivors sharing v2's files must net to zero
+    "q_stream_store_cdc" ->
+      """WITH upd AS (SELECT t.vec_id FROM embeddings t
+        |            JOIN embeddings s ON s.vec_id = t.vec_id + 1
+        |            WHERE t.vec_id % 8 = 0),
+        |ins AS (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 1),
+        |del AS (SELECT vec_id FROM embeddings WHERE vec_id % 8 = 4),
+        |ev AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+        |       count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum FROM ev
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'insert', count(*),
+        |       CAST(sum(vec_id) AS BIGINT) FROM ins
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'update_postimage', count(*),
+        |       CAST(sum(vec_id) AS BIGINT) FROM upd
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'update_preimage', count(*),
+        |       CAST(sum(vec_id) AS BIGINT) FROM upd
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'delete', count(*),
+        |       CAST(sum(vec_id) AS BIGINT) FROM del
+        |ORDER BY version, change_type""".stripMargin,
     // the incrementally-maintained view must equal the direct
     // per-bucket aggregate over corpus ∪ A — recomputed through the
     // same sign/bucket pipeline from the raw fixture

@@ -47,6 +47,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * must stay inside the store's vacuum retention (a resume past the
   * horizon fails fast at manifest resolution, like any expired read).
   *
+  * TWO MODES, picked by `.option("mode", …)`:
+  *  - `append` (default) — the insert-only follower above: each batch
+  *    is the files pure-append commits added; commits that removed
+  *    files (maintenance rewrites, DML replacements) contribute
+  *    nothing, because their files mix rewritten survivors with real
+  *    changes (re-emitting them would re-deliver rows the consumer
+  *    already saw).
+  *  - `cdc` — the ROW-LEVEL change-data feed: every commit streams
+  *    its manifest diff as side-tagged pre/post images — the files
+  *    the commit REMOVED (`side = 'old'`) and ADDED (`side = 'new'`),
+  *    each row carrying its commit `version`. Offsets are versions,
+  *    so both sides of a commit always land in the SAME micro-batch;
+  *    a consumer classifies them with one full-outer join on
+  *    (version, vec_id) — insert / delete / update pre+post, with
+  *    rewritten SURVIVORS (both sides identical) cancelling out — the
+  *    exact classification the batch `table_changes` probe
+  *    (`q_store_cdc`) computes, shared as
+  *    `SimilarityQueries.classifyChanges`. Per-batch cost is
+  *    O(touched partitions' files): a DML commit streams the
+  *    replaced partitions, never the store (a full REWRITE streams
+  *    everything, which is what a rewrite is). This is how a
+  *    downstream replica follows DML, not just appends, without the
+  *    store writing any change log at commit time.
+  *
   * Scope: rows decode through a self-contained parquet-hadoop reader
   * for the embedding-store schema (`vec_id BIGINT, embedding
   * ARRAY<FLOAT>, nrm DOUBLE` + the Hive `bucket=` partition value
@@ -60,15 +84,19 @@ class StoreChangeSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-store-changes"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StoreChangeSource.Schema
+    StoreChangeSource.schemaFor(
+      Option(options.get("mode")).getOrElse("append"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val base = properties.get("path")
     require(base != null && base.nonEmpty,
       "graft-store-changes requires .option(\"path\", <store base dir>)")
+    val mode = Option(properties.get("mode")).getOrElse("append")
+    require(mode == "append" || mode == "cdc",
+      s"graft-store-changes mode must be 'append' or 'cdc', got '$mode'")
     new StoreChangeTable(base,
-      Option(properties.get("startingVersion")).getOrElse("0"))
+      Option(properties.get("startingVersion")).getOrElse("0"), mode)
   }
 }
 
@@ -81,25 +109,36 @@ object StoreChangeSource {
     StructField("embedding", ArrayType(FloatType)),
     StructField("nrm", DoubleType),
     StructField("bucket", LongType)))
+
+  /** cdc mode prefixes every row with its commit version and diff
+    * side (`old` = a removed file's row, the pre-state; `new` = an
+    * added file's row, the post-state).
+    */
+  val CdcSchema: StructType = StructType(
+    StructField("version", LongType) +: StructField("side", StringType) +:
+      Schema.fields.toSeq)
+
+  private[sources] def schemaFor(mode: String): StructType =
+    if (mode == "cdc") CdcSchema else Schema
 }
 
-private[sources] class StoreChangeTable(base: String, startingVersion: String)
-    extends Table with SupportsRead {
-  override def name(): String = s"graft-store-changes($base)"
-  override def schema(): StructType = StoreChangeSource.Schema
+private[sources] class StoreChangeTable(base: String, startingVersion: String,
+    mode: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-store-changes($base,$mode)"
+  override def schema(): StructType = StoreChangeSource.schemaFor(mode)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = StoreChangeSource.Schema
+        override def readSchema(): StructType = StoreChangeSource.schemaFor(mode)
         override def toBatch: Batch =
           throw new UnsupportedOperationException(
             "graft-store-changes is a streaming source; batch reads go " +
               "through the manifest-resolved parquet scan")
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new StoreChangeStream(base, startingVersion)
+          new StoreChangeStream(base, startingVersion, mode)
       }
     }
 }
@@ -116,7 +155,8 @@ private[sources] class StoreChangeTable(base: String, startingVersion: String)
   * named version must still be inside vacuum retention, the same
   * horizon rule any as-of read has.
   */
-private[sources] class StoreChangeStream(base: String, startingVersion: String)
+private[sources] class StoreChangeStream(base: String, startingVersion: String,
+    mode: String = "append")
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private case class V(v: Int) extends Offset {
@@ -168,25 +208,31 @@ private[sources] class StoreChangeStream(base: String, startingVersion: String)
     */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[V].v, end.asInstanceOf[V].v)
-    // one manifest read per version in the range, shared by both
+    // one manifest resolution per version in the range, shared by both
     // sides of every step's diff
     val byV: Map[Int, Seq[String]] = (s to e)
       .map(v => v -> (if (v == 0) Seq.empty[String]
         else IndexCatalog.files(base, v))).toMap
+    def bucketOf(f: String): Long = IndexCatalog.partitionKey(f) match {
+      case Some(k) if k.startsWith("bucket=") =>
+        k.stripPrefix("bucket=").toLong
+      case other => throw new IllegalStateException(
+        s"store file without a bucket= partition: $f ($other)")
+    }
     (s + 1 to e).flatMap { v =>
       val prev = byV(v - 1).toSet
       val cur = byV(v)
-      val removed = prev -- cur.toSet
-      if (removed.nonEmpty) Seq.empty else cur.filterNot(prev)
-    }.sorted.map { f =>
-      val bucket = IndexCatalog.partitionKey(f) match {
-        case Some(k) if k.startsWith("bucket=") =>
-          k.stripPrefix("bucket=").toLong
-        case other => throw new IllegalStateException(
-          s"store file without a bucket= partition: $f ($other)")
-      }
-      StoreFilePartition(f, bucket): InputPartition
-    }.toArray
+      val removed = (prev -- cur.toSet).toSeq.sorted
+      val added = cur.filterNot(prev).sorted
+      if (mode == "cdc")
+        // every commit streams its side-tagged manifest diff; the
+        // consumer's (version, vec_id) full-outer classify cancels
+        // rewritten survivors, so maintenance still nets to zero rows
+        removed.map(f => StoreFilePartition(f, bucketOf(f), v, "old")) ++
+          added.map(f => StoreFilePartition(f, bucketOf(f), v, "new"))
+      else if (removed.nonEmpty) Seq.empty // append mode: skip non-append
+      else added.map(f => StoreFilePartition(f, bucketOf(f)))
+    }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -197,9 +243,11 @@ private[sources] class StoreChangeStream(base: String, startingVersion: String)
 }
 
 /** One committed data file (+ its partition value) — the unit of
-  * parallelism; executors read files independently.
+  * parallelism; executors read files independently. `version`/`side`
+  * are set (and prefixed onto every row) only in cdc mode.
   */
-private[sources] case class StoreFilePartition(file: String, bucket: Long)
+private[sources] case class StoreFilePartition(file: String, bucket: Long,
+    version: Int = 0, side: String = "")
   extends InputPartition
 
 private[sources] class StoreFileReaderFactory extends PartitionReaderFactory {
@@ -209,7 +257,8 @@ private[sources] class StoreFileReaderFactory extends PartitionReaderFactory {
 
 /** parquet-hadoop Group decode of one store file: (vec_id BIGINT,
   * embedding ARRAY<FLOAT>, nrm DOUBLE) + the partition's constant
-  * bucket. Spark writes arrays as the standard 3-level LIST shape
+  * bucket — prefixed by the constant (version, side) in cdc mode.
+  * Spark writes arrays as the standard 3-level LIST shape
   * (`embedding.list.element`).
   */
 private[sources] class StoreFileReader(p: StoreFilePartition)
@@ -239,8 +288,11 @@ private[sources] class StoreFileReader(p: StoreFilePartition)
       i += 1
     }
     val nrm = g.getDouble("nrm", 0)
-    new GenericInternalRow(Array[Any](
-      vecId, ArrayData.toArrayData(floats), nrm, p.bucket))
+    val data = Array[Any](vecId, ArrayData.toArrayData(floats), nrm, p.bucket)
+    if (p.side.isEmpty) new GenericInternalRow(data)
+    else new GenericInternalRow(
+      Array[Any](p.version.toLong,
+        org.apache.spark.unsafe.types.UTF8String.fromString(p.side)) ++ data)
   }
 
   override def close(): Unit = reader.close()
