@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine
@@ -229,6 +229,193 @@ object SourceQueries {
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         min(col("zcode")).as("min_z"), max(col("zcode")).as("max_z"))
+      .orderBy("event_type")
+  }
+
+  // --- declared multi-column file stats + z-order OPTIMIZE on a store ---
+
+  /** The events STORE both stats queries below share: (event_id,
+    * event_type, ub = user_id % 8, hr = hour(ts)) committed through
+    * the manifest catalog with `stats_cols=(event_id, ub, hr)`
+    * DECLARED on the v1 commit ([[graft.sources.FileStats.declareTag]]
+    * — the same declare-once-in-the-manifest pattern as the CHECK
+    * constraint and schema tags), so every writer records the store's
+    * column list from catalog metadata via `recordDeclared` instead
+    * of hard-coding its own.
+    */
+  private def eventsStoreRows(spark: SparkSession, dir: String): DataFrame =
+    Engine.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("user_id") % 8).as("ub"),
+        expr("hour(ts)").cast("long").as("hr"))
+
+  /** Write one generation of the events store (range-laid-out by
+    * `layout`), commit it, and record the DECLARED stats sidecars.
+    */
+  private def writeEventsGen(spark: SparkSession, dir: String, base: String,
+      rows: DataFrame, layout: Column, nFiles: Int,
+      commitTags: Seq[String] = Nil): Seq[String] = {
+    import graft.sources.{FileStats, IndexCatalog, StagedWrite}
+    val files = StagedWrite.partitioned(
+      rows.repartitionByRange(nFiles, layout, col("event_id")),
+      s"$base/corpus", Seq.empty)
+    IndexCatalog.commitFiles(base, files, commitTags)
+    FileStats.recordDeclared(base, files)
+    files
+  }
+
+  /** [[qStoreSkipping2]]'s constants: event_id generation boundaries
+    * (absolute — every fixture holds ids 0..999) and the conjunctive
+    * probe (an id range inside generation 2, morning hours 4–7).
+    */
+  private val Sk2G1 = 300L
+  private val Sk2G2 = 600L
+  private val Sk2IdLo = 350L
+  private val Sk2IdHi = 550L
+  private val Sk2HrLo = 4L
+  private val Sk2HrHi = 7L
+
+  /** MULTI-COLUMN file-statistics skipping — the declared-column
+    * generalization of `q_store_skipping` (which prunes on the one
+    * hard-coded id column): the store DECLARES its stats column list
+    * in the v1 manifest tag, writers record every declared column's
+    * min/max per file, and a CONJUNCTIVE probe prunes on two columns
+    * at once ([[graft.sources.FileStats.pruneAll]] — one sidecar read
+    * per file for all predicates). The layout makes the second column
+    * do real work: three generations ingest disjoint `event_id`
+    * ranges (the axis `q_store_skipping` proved), but WITHIN each
+    * generation files are range-split by `hr` — so the id predicate
+    * keeps all of generation 2 and only the hour predicate cuts
+    * deeper. Pinned in `skip2_ok`: conjunctive ⊂ id-only ⊂ all
+    * (strictly), and the conservative fallback — deleting a pruned
+    * file's sidecar puts exactly that file back in the kept set.
+    *
+    * 100 TB shape: stats sidecars are bytes per file per declared
+    * column; a probe constraining N declared columns reads each
+    * file's sidecar once and scans only files every range
+    * intersects — the prune axes compose in metadata before the
+    * engine lists anything.
+    */
+  def qStoreSkipping2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{FileStats, IndexCatalog, LocalCatalogFs}
+    val base = Files.createTempDirectory("graft_skip2").toString
+    val (pruned, ok) = try {
+      val ev = eventsStoreRows(spark, dir)
+      writeEventsGen(spark, dir, base, ev.filter(col("event_id") < Sk2G1),
+        col("hr"), 4,
+        Seq(FileStats.declareTag(Seq("event_id", "ub", "hr")))) // v1
+      writeEventsGen(spark, dir, base,
+        ev.filter(col("event_id") >= Sk2G1 && col("event_id") < Sk2G2),
+        col("hr"), 4) // v2
+      writeEventsGen(spark, dir, base, ev.filter(col("event_id") >= Sk2G2),
+        col("hr"), 4) // v3
+      val all = IndexCatalog.latestFiles(base)
+      val keptById = FileStats.prune(base, all, "event_id", Sk2IdLo, Sk2IdHi)
+      val preds = Seq(("event_id", Sk2IdLo, Sk2IdHi), ("hr", Sk2HrLo, Sk2HrHi))
+      val kept = FileStats.pruneAll(base, all, preds)
+      // conservative fallback: a pruned-OUT file losing its sidecar
+      // must come back into the kept set (unbounded on every column)
+      val blinded = all.filterNot(kept.toSet).head
+      LocalCatalogFs.delete(FileStats.statsPath(base, blinded))
+      val keptConservative = FileStats.pruneAll(base, all, preds)
+      (kept,
+        kept.nonEmpty && kept.size < keptById.size &&
+          keptById.size < all.size && kept.forall(keptById.contains) &&
+          keptConservative.toSet == kept.toSet + blinded)
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw t
+    }
+    graft.Lease.lease("q_store_skipping2", Seq(base))
+    spark.read.parquet(pruned: _*)
+      .filter(col("event_id").between(Sk2IdLo, Sk2IdHi) &&
+        col("hr").between(Sk2HrLo, Sk2HrHi))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id")).cast("long").as("id_sum"))
+      .withColumn("skip2_ok", lit(ok))
+  }
+
+  /** File count for the two OPTIMIZE layouts of [[qStoreZorder]] —
+    * enough files that the kept-fraction comparison has headroom at
+    * every fixture scale (measured: the z layout keeps 4–5 of 32
+    * where the 1-D sort keeps 9–10 and the ingest layout all 32).
+    */
+  private val ZOptFiles = 32
+
+  /** `OPTIMIZE ... ZORDER BY (ub, hr)` on a manifest-committed store —
+    * the MULTI-DIMENSIONAL layout rewrite 1-D sorted compaction
+    * (`q_store_optimize`) cannot replace: the store's history walks
+    * the three layouts a lakehouse table lives through, each a
+    * rewrite commit whose declared stats sidecars are recorded at
+    * commit —
+    *   v1 ingest order (range-split by `event_id`: every file spans
+    *      all users and hours — the conjunctive probe keeps ALL
+    *      files),
+    *   v2 `OPTIMIZE SORT BY ub` (tight `ub` per file, `hr` still
+    *      spans — the probe prunes the user axis only),
+    *   v3 `OPTIMIZE ZORDER BY (ub, hr)` ([[sparkMorton]]'s interleave
+    *      as the range key — BOTH columns tight per file, the probe
+    *      prunes on both at once).
+    * The kept-file census under the conjunctive probe must shrink
+    * STRICTLY at each step (pinned in `zorder_ok`, computed with
+    * time-travel reads of all three versions — the superseded
+    * layouts stay probeable until vacuum); the data census over the
+    * z-pruned scan is oracle-exact, proving the rewrites changed
+    * layout, never content.
+    *
+    * 100 TB shape: the z-sort is one `repartitionByRange` over the
+    * partitions being optimized — the same shuffle any compaction
+    * pays — and buys conjunctive (entity AND time) probes that touch
+    * the intersection's files instead of one axis's stripe; the
+    * kept-fraction ordering measured here is the whole argument for
+    * Z-order over sort in every production lakehouse.
+    */
+  def qStoreZorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{FileStats, IndexCatalog}
+    val base = Files.createTempDirectory("graft_zopt").toString
+    val preds = Seq(("ub", 2L, 3L), ("hr", Sk2HrLo, Sk2HrHi))
+    val (pruned, ok) = try {
+      val ev = eventsStoreRows(spark, dir)
+      writeEventsGen(spark, dir, base, ev, col("event_id"), ZOptFiles,
+        Seq(FileStats.declareTag(Seq("event_id", "ub", "hr")))) // v1: ingest
+      def optimize(layout: Column, tag: String): Unit = {
+        import graft.sources.StagedWrite
+        val basedOn = IndexCatalog.currentVersion(base)
+        val live = spark.read.parquet(IndexCatalog.files(base, basedOn): _*)
+        val files = StagedWrite.partitioned(
+          live.repartitionByRange(ZOptFiles, layout, col("event_id")),
+          s"$base/corpus", Seq.empty)
+        FileStats.recordDeclared(base, files)
+        IndexCatalog.commitRewrite(base, files, Seq(tag), basedOn)
+      }
+      optimize(col("ub"), "optimize sort=ub") // v2: 1-D sort
+      optimize(expr(sparkMorton("ub", "hr")),
+        "optimize zorder=(ub,hr)") // v3: z-order
+      def keptAt(v: Int): (Int, Int) = {
+        val files = IndexCatalog.files(base, v)
+        (FileStats.pruneAll(base, files, preds).size, files.size)
+      }
+      val (kIngest, nIngest) = keptAt(1)
+      val (kSort, _) = keptAt(2)
+      val zFiles = IndexCatalog.files(base, 3)
+      val keptZ = FileStats.pruneAll(base, zFiles, preds)
+      (keptZ,
+        kIngest == nIngest && // ingest layout: conjunctive probe prunes nothing
+          kSort < kIngest && // 1-D sort prunes the user axis
+          keptZ.size < kSort && // z-order strictly beats 1-D sort
+          keptZ.nonEmpty)
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw t
+    }
+    graft.Lease.lease("q_store_zorder", Seq(base))
+    spark.read.parquet(pruned: _*)
+      .filter(col("ub").between(2, 3) &&
+        col("hr").between(Sk2HrLo, Sk2HrHi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).cast("long").as("id_sum"))
+      .withColumn("zorder_ok", lit(ok))
       .orderBy("event_type")
   }
 
@@ -527,6 +714,8 @@ object SourceQueries {
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_zorder" -> (qZorder _),
     "q_zorder_write" -> (qZorderWrite _),
+    "q_store_skipping2" -> (qStoreSkipping2 _),
+    "q_store_zorder" -> (qStoreZorder _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_time_travel" -> (qTimeTravel _),
     "q_schema_evolution" -> (qSchemaEvolution _),
@@ -559,6 +748,26 @@ object SourceQueries {
          |       CAST(max(zcode) AS BIGINT) AS max_z
          |FROM z
          |WHERE ubucket BETWEEN 64 AND 127 AND hr BETWEEN 6 AND 11
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // conjunctive census straight off the raw table: the declared
+    // two-column prune must keep every file the predicate needs —
+    // a dropped needed file is a wrong answer, not a slow one
+    "q_store_skipping2" ->
+      s"""SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+         |       TRUE AS skip2_ok
+         |FROM events
+         |WHERE event_id BETWEEN $Sk2IdLo AND $Sk2IdHi
+         |  AND hour(ts) BETWEEN $Sk2HrLo AND $Sk2HrHi""".stripMargin,
+    // the z-pruned scan's census equals the raw conjunctive census —
+    // three OPTIMIZE rewrites changed layout, never content; the
+    // kept-fraction ordering (ingest ⊃ 1-D sort ⊃ z-order, strict)
+    // rides zorder_ok
+    "q_store_zorder" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |       CAST(sum(event_id) AS BIGINT) AS id_sum, TRUE AS zorder_ok
+         |FROM events
+         |WHERE user_id % 8 BETWEEN 2 AND 3
+         |  AND hour(ts) BETWEEN $Sk2HrLo AND $Sk2HrHi
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the textbook full-outer-coalesce MERGE: a deliberately DIFFERENT
     // algebra from the Spark side's broadcast-anti+union — both must

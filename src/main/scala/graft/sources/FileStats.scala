@@ -104,6 +104,44 @@ object FileStats {
     }
   }
 
+  // --- declared stats columns (catalog metadata, not caller knowledge) --
+
+  private val TagPrefix = "stats_cols="
+
+  /** The commit tag declaring the store's stats column list — the
+    * same declare-once-in-the-manifest pattern as the store's CHECK
+    * constraint ([[StoreConstraints.declareTag]]) and schema tag:
+    * every later writer discovers WHICH columns to record from
+    * catalog metadata instead of each call site hard-coding its own
+    * list.
+    */
+  def declareTag(cols: Seq[String]): String = {
+    require(cols.nonEmpty && cols.forall(c => !c.contains(",") && !c.contains("\n")),
+      s"stats columns must be non-empty, comma/newline-free: $cols")
+    TagPrefix + cols.mkString(",")
+  }
+
+  /** The store's declared stats columns: the `stats_cols=` tag of the
+    * NEWEST live version that declares one (a later commit's tag
+    * supersedes — re-declare to widen the list; files recorded before
+    * the widening simply lack the new column and fall back to the
+    * conservative keep). Empty for a store that never declared.
+    */
+  def declaredCols(base: String,
+      catalog: IndexCatalogOps = IndexCatalog): Seq[String] =
+    catalog.liveVersions(base).sorted.reverse.iterator
+      .flatMap(v => catalog.tags(base, v))
+      .collectFirst { case t if t.startsWith(TagPrefix) =>
+        t.drop(TagPrefix.length).split(",").toSeq.filter(_.nonEmpty) }
+      .getOrElse(Seq.empty)
+
+  /** [[record]] over the store's DECLARED column list — what a writer
+    * that knows only the store base calls after its commit.
+    */
+  def recordDeclared(base: String, files: Seq[String],
+      fs: CatalogFs = LocalCatalogFs): Unit =
+    record(base, files, declaredCols(base), fs)
+
   /** The recorded (min, max) of `col` for each of `files` that has
     * one — files without a sidecar or without the column are absent
     * from the map (and must be treated as unbounded by callers).
@@ -129,5 +167,31 @@ object FileStats {
       lo: Long, hi: Long, fs: CatalogFs = LocalCatalogFs): Seq[String] = {
     val r = ranges(base, files, col, fs)
     files.filter(f => r.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+  }
+
+  /** Conjunctive multi-column prune: keep the files every predicate's
+    * recorded range intersects — ONE sidecar read per file for all
+    * predicates (the per-column [[prune]] composed naively would
+    * re-read the sidecar per column). Per column, a file without a
+    * recorded range is conservatively unbounded, exactly as [[prune]].
+    */
+  def pruneAll(base: String, files: Seq[String],
+      preds: Seq[(String, Long, Long)],
+      fs: CatalogFs = LocalCatalogFs): Seq[String] = {
+    if (preds.isEmpty) return files
+    val wanted = preds.map(_._1).toSet
+    files.filter { f =>
+      val p = statsPath(base, f)
+      val recorded: Map[String, (Long, Long)] =
+        if (!fs.exists(p)) Map.empty
+        else fs.readString(p).split("\n").iterator
+          .map(_.split("\t"))
+          .collect { case Array(c, lo, hi) if wanted.contains(c) =>
+            c -> (lo.toLong, hi.toLong)
+          }.toMap
+      preds.forall { case (c, lo, hi) =>
+        recorded.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
   }
 }

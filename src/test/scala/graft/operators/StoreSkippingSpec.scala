@@ -116,6 +116,109 @@ class StoreSkippingSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("declared stats columns resolve from manifest tags; pruneAll = intersection of per-column prunes") {
+    val base = Files.createTempDirectory("graft_declspec").toString
+    try {
+      import spark.implicits._
+      // no declaration yet -> empty, recordDeclared is a no-op
+      val f0 = s"$base/corpus"
+      (0L until 400L).map(i => (i, i % 8, (i / 16) % 24))
+        .toDF("event_id", "ub", "hr")
+        .repartitionByRange(4, col("hr"), col("event_id"))
+        .write.parquet(f0)
+      val files = IndexCatalog.listDataFiles(f0)
+      IndexCatalog.commitFiles(base, files,
+        Seq(FileStats.declareTag(Seq("event_id", "hr"))))
+      assert(FileStats.declaredCols(base) == Seq("event_id", "hr"))
+      FileStats.recordDeclared(base, files)
+      // both declared columns recorded; an undeclared one is not
+      assert(FileStats.ranges(base, files, "event_id").keySet == files.toSet)
+      assert(FileStats.ranges(base, files, "hr").keySet == files.toSet)
+      assert(FileStats.ranges(base, files, "ub").isEmpty)
+      // conjunctive prune == intersection of the per-column prunes
+      val preds = Seq(("event_id", 50L, 250L), ("hr", 4L, 7L))
+      val both = FileStats.pruneAll(base, files, preds).toSet
+      val byId = FileStats.prune(base, files, "event_id", 50, 250).toSet
+      val byHr = FileStats.prune(base, files, "hr", 4, 7).toSet
+      assert(both == byId.intersect(byHr))
+      // an undeclared column in the predicate is unbounded: keeps all
+      assert(FileStats.pruneAll(base, files,
+        preds :+ (("ub", 100L, 200L))).toSet == both)
+      // a LATER commit re-declares and supersedes (newest live wins)
+      val extra = s"$base/corpus2"
+      (0L until 8L).map(i => (i, i, i)).toDF("event_id", "ub", "hr")
+        .coalesce(1).write.parquet(extra)
+      val f2 = IndexCatalog.listDataFiles(extra)
+      IndexCatalog.commitFiles(base, f2,
+        Seq(FileStats.declareTag(Seq("event_id", "ub", "hr"))))
+      assert(FileStats.declaredCols(base) == Seq("event_id", "ub", "hr"))
+      FileStats.recordDeclared(base, f2)
+      assert(FileStats.ranges(base, f2, "ub").keySet == f2.toSet)
+      // pre-widening files lack the new column -> conservative keep
+      assert(FileStats.pruneAll(base, files :+ f2.head,
+        Seq(("ub", 100L, 200L))).toSet == files.toSet)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("z-order OPTIMIZE: conjunctive kept-fraction shrinks strictly vs 1-D sort vs ingest; content invariant") {
+    val base = Files.createTempDirectory("graft_zoptspec").toString
+    try {
+      val preds = Seq(("ub", 2L, 3L), ("hr", 4L, 7L))
+      def keptFrac(v: Int): Double = {
+        val files = IndexCatalog.files(base, v)
+        FileStats.pruneAll(base, files, preds).size.toDouble / files.size
+      }
+      def census(v: Int) = {
+        val files = IndexCatalog.files(base, v)
+        spark.read.parquet(
+          FileStats.pruneAll(base, files, preds): _*)
+          .filter(col("ub").between(2, 3) && col("hr").between(4, 7))
+          .agg(count(lit(1)), sum("event_id")).collect()(0)
+      }
+      // drive the exact gated lifecycle (build -> sort -> zorder)
+      // through the shared query; its ok boolean re-checks the
+      // ordering internally — here we re-derive the fractions and
+      // the layout-only invariant from the store it leaves behind
+      val out = SourceQueries.qStoreZorder(spark, dir).collect()
+      assert(out.forall(_.getAs[Boolean]("zorder_ok")))
+      // the leased store is gone (fresh temp base per call), so build
+      // our own three-layout store via the same internals and verify
+      // fraction ordering end-to-end
+      val ev = Engine.table(spark, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") % 8).as("ub"),
+          expr("hour(ts)").cast("long").as("hr"))
+      import graft.sources.StagedWrite
+      def commitLayout(rows: org.apache.spark.sql.DataFrame,
+          key: org.apache.spark.sql.Column, rewrite: Boolean): Unit = {
+        val basedOn = IndexCatalog.currentVersion(base)
+        val files = StagedWrite.partitioned(
+          rows.repartitionByRange(32, key, col("event_id")),
+          s"$base/corpus", Seq.empty)
+        if (rewrite) {
+          FileStats.recordDeclared(base, files)
+          IndexCatalog.commitRewrite(base, files, Seq("opt"), basedOn)
+        } else {
+          IndexCatalog.commitFiles(base, files,
+            Seq(FileStats.declareTag(Seq("event_id", "ub", "hr"))))
+          FileStats.recordDeclared(base, files)
+        }
+      }
+      commitLayout(ev, col("event_id"), rewrite = false) // v1 ingest
+      val live = () => spark.read.parquet(
+        IndexCatalog.latestFiles(base): _*)
+      commitLayout(live(), col("ub"), rewrite = true) // v2 1-D sort
+      commitLayout(live(),
+        expr(SourceQueries.sparkMorton("ub", "hr")), rewrite = true) // v3 z
+      val (f1, f2, f3) = (keptFrac(1), keptFrac(2), keptFrac(3))
+      assert(f1 == 1.0, s"ingest layout should keep everything: $f1")
+      assert(f2 < f1, s"1-D sort should prune the user axis: $f2 vs $f1")
+      assert(f3 < f2, s"z-order should strictly beat 1-D sort: $f3 vs $f2")
+      // layout-only: the pruned census is identical at all three versions
+      assert(census(2) == census(1) && census(3) == census(1))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("stats follow files across carry-forward, compaction, and vacuum") {
     val base = Files.createTempDirectory("graft_skipspec3").toString
     try {
