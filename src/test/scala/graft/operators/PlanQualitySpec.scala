@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -100,6 +102,27 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
       (n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("HashJoin")) &&
         n.toString.contains("centroid_id"))
     assert(pairJoin.isDefined, s"expected a centroid_id-keyed pair join:\n$p")
+  }
+
+  test("q_ivf_pq's candidate pass is cell-keyed; no cartesian; codes join the LUT by key") {
+    val base = Files.createTempDirectory("graft_pqplan").toString
+    try {
+      SimilarityQueries.buildPqStore(spark, dir, base)
+      val p = plan(SimilarityQueries.probePqStore(spark, dir, base))
+      val s = p.toString
+      assert(!s.contains("CartesianProduct"), s)
+      // the probe-vs-corpus candidate join must be keyed on the cell
+      // (the only nested-loop joins are the bounded centroid/codebook
+      // broadcasts, NList and PqM×PqKs rows)
+      val cellJoin = collectAll(p).find(n =>
+        (n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("HashJoin")) &&
+          n.toString.contains("cent"))
+      assert(cellJoin.isDefined, s"expected a cell-keyed candidate join:\n$p")
+      val lutJoin = collectAll(p).find(n =>
+        (n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("HashJoin")) &&
+          n.toString.contains("cw_id"))
+      assert(lutJoin.isDefined, s"expected a keyed ADC LUT join:\n$p")
+    } finally graft.Fs.deleteRecursively(base)
   }
 
   test("q_edit_dedup plans no cartesian or nested-loop join (two blocking equi-joins)") {

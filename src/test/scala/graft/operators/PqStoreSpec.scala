@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.IndexCatalog
+
+/** IVF-PQ store contracts (q_ivf_pq's mechanism): the asymmetric-
+  * distance probe's recall against the exact brute-force baseline,
+  * and the frozen-family append lifecycle — centroids and codebooks
+  * are trained once at build and NEVER retrained, so appended
+  * generations stay code-compatible with the stored corpus (the same
+  * contract q_ivf_append pins for centroids alone).
+  */
+class PqStoreSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def bytesUnder(d: String): Map[String, Seq[Byte]] =
+    IndexCatalog.listDataFiles(d)
+      .map(f => f -> Files.readAllBytes(Paths.get(f)).toSeq).toMap
+
+  test("recall@5 vs exact brute force is at least 0.9") {
+    val brute = SimilarityQueries.qKnnBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilarityQueries.qIvfPq(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.9,
+      f"IVF-PQ recall@5 vs brute = $recall%.3f — the approximate index " +
+        "no longer clears the recall gate")
+  }
+
+  test("appends freeze centroids and codebooks; old generations byte-untouched; batch becomes searchable") {
+    val base = Files.createTempDirectory("graft_pqappend").toString
+    try {
+      // build over the even corpus only — centroids + codebooks
+      // trained there, then FROZEN
+      SimilarityQueries.buildPqStore(spark, dir, base,
+        pmod(col("vec_id"), lit(2)) === 0)
+      val frozenCent = bytesUnder(s"$base/centroids")
+      val frozenCb = bytesUnder(s"$base/pq")
+      val v1Files = IndexCatalog.latestFiles(base)
+      val v1Bytes = v1Files.map(f =>
+        f -> Files.readAllBytes(Paths.get(f)).toSeq).toMap
+
+      // append batch A: encoded against the STORED families
+      SimilarityQueries.appendPqStore(spark,
+        SimilarityQueries.embeddings(spark, dir)
+          .filter(pmod(col("vec_id"), lit(4)) === 1), base)
+
+      assert(bytesUnder(s"$base/centroids") == frozenCent,
+        "append retrained/rewrote the centroids — the cell family must be frozen")
+      assert(bytesUnder(s"$base/pq") == frozenCb,
+        "append retrained/rewrote the codebooks — the quantizer must be frozen")
+      v1Bytes.foreach { case (f, b) =>
+        assert(Files.readAllBytes(Paths.get(f)).toSeq == b,
+          s"append touched a build-generation file: $f")
+      }
+      assert(IndexCatalog.currentVersion(base) == 2)
+
+      // the appended rows are in the store with codes, and the probe
+      // can now surface them: every appended id present exactly once,
+      // and batch ids appear among some query's neighbors
+      val grown = spark.read.option("basePath", s"$base/corpus")
+        .parquet(IndexCatalog.latestFiles(base): _*)
+      val ids = grown.select(col("vec_id")).collect().map(_.getLong(0))
+      assert(ids.length == ids.distinct.length)
+      assert(ids.count(_ % 4 == 1) > 0)
+      assert(grown.filter(size(col("codes")) =!= SimilarityQueries.PqM)
+        .isEmpty, "every stored row carries one code per subspace")
+      val neighbors = SimilarityQueries.probePqStore(spark, dir, base,
+        pmod(col("vec_id"), lit(4)) === 3 &&
+          col("vec_id") < 4 * SimilarityQueries.NQueries)
+        .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+      assert(neighbors.forall(n => n % 2 == 0 || n % 4 == 1),
+        "probe surfaced an id the store never held")
+      assert(neighbors.exists(_ % 4 == 1),
+        "no appended vector ever surfaced as a neighbor — the batch is " +
+          "not searchable through the frozen families")
+
+      // replaying the same batch is a no-op (anti-join dedup): no new
+      // version, no new files
+      val before = IndexCatalog.latestFiles(base)
+      SimilarityQueries.appendPqStore(spark,
+        SimilarityQueries.embeddings(spark, dir)
+          .filter(pmod(col("vec_id"), lit(4)) === 1), base)
+      assert(IndexCatalog.currentVersion(base) == 2)
+      assert(IndexCatalog.latestFiles(base) == before)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+}
