@@ -173,4 +173,50 @@ class StoreFollowSpec extends SparkSpec {
       assert(streamed.nonEmpty && streamed.sameElements(direct))
     } finally Seq(base, ckpt, sink).foreach(graft.Fs.deleteRecursively)
   }
+
+  test("cdc mode: maintenance nets zero classified rows, DML streams its row diff, appends stream as inserts") {
+    val base = Files.createTempDirectory("graft_cdcm").toString
+    val ckpt = Files.createTempDirectory("graft_cdcm_ck").toString
+    val sink = Files.createTempDirectory("graft_cdcm_sink").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base) // v1: evens
+      SimilarityQueries.compactEmbedStore(spark, base) // v2: maintenance
+      SimilarityQueries.deleteFromEmbedStore(spark, base, // v3: DML
+        embeddingsOf(pmod(col("vec_id"), lit(8)) === 4)
+          .select(col("vec_id"), col("embedding")))
+      val q = spark.readStream.format("graft-store-changes")
+        .option("path", base).option("mode", "cdc").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val pinned = b.persist()
+          try {
+            def side(s: String) = pinned.filter(col("side") === s)
+              .select(col("version"), col("vec_id"), col("embedding"),
+                col("bucket"))
+            SimilarityQueries
+              .classifyChanges(side("old"), side("new"), Seq("version"))
+              .write.mode("append").parquet(sink)
+          } finally { pinned.unpersist(); () }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val feed = spark.read.parquet(sink)
+        .groupBy(col("version"), col("change_type")).count()
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val nEvens = embeddingsOf(pmod(col("vec_id"), lit(2)) === 0).count()
+      val nDel = embeddingsOf(pmod(col("vec_id"), lit(8)) === 4).count()
+      // v1: the build streams as pure inserts
+      assert(feed.get((1L, "insert")).contains(nEvens))
+      // v2: the compaction rewrote every row identically — ZERO
+      // classified rows, with no commit-type special-casing
+      assert(!feed.keys.exists(_._1 == 2L),
+        s"maintenance leaked into the cdc feed: $feed")
+      // v3: exactly the deletes, nothing else
+      assert(feed.get((3L, "delete")).contains(nDel))
+      assert(feed.keys.count(_._1 == 3L) == 1)
+    } finally Seq(base, ckpt, sink).foreach(graft.Fs.deleteRecursively)
+  }
 }

@@ -244,6 +244,52 @@ class IndexCatalogSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("racing replacement vs disjoint-partition appends: all land, none re-derives its content") {
+    val base = store()
+    try {
+      val a0 = fakePart(base, 0, "a0")
+      val a1 = fakePart(base, 1, "a1")
+      IndexCatalog.commitFiles(base, Seq(a0, a1)) // v1
+      val basedOn = IndexCatalog.currentVersion(base)
+      // one thread REWRITES bucket=1 (based on v1, its content derived
+      // once — a re-derivation would be observable as a second commit
+      // attempt with different content, so we pin commit count);
+      // three threads APPEND into buckets 2..4 concurrently
+      val barrier = new java.util.concurrent.CyclicBarrier(4)
+      val unexpected = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val r1 = fakePart(base, 1, "r1")
+      val rewriter = new Thread(() => {
+        try {
+          barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          // the rebasing commit must absorb every disjoint-key CAS
+          // loss WITHOUT the caller re-deriving (no outer retry loop
+          // here — a same-key conflict would escape and fail the test)
+          IndexCatalog.commitReplacePartitionsRebasing(
+            base, Seq(r1), Seq("rewrite b1"), basedOn)
+        } catch { case e: Throwable => unexpected.add("rewriter: " + e) }
+      })
+      val appenders = (2 to 4).map { b =>
+        new Thread(() => {
+          try {
+            val f = fakePart(base, b, s"app$b")
+            barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+            IndexCatalog.commitWithRetry(base)(_ => (Seq(f), Nil))
+          } catch { case e: Throwable => unexpected.add(s"appender $b: " + e) }
+        })
+      }
+      (rewriter +: appenders).foreach(_.start())
+      (rewriter +: appenders).foreach(_.join())
+      assert(unexpected.isEmpty, s"failures under disjoint-key race: $unexpected")
+      // every writer landed exactly once: 1 build + 3 appends + 1 rewrite
+      assert(IndexCatalog.currentVersion(base) == 5)
+      val latest = IndexCatalog.latestFiles(base).toSet
+      // the replacement applied (a1 superseded by r1) AND every
+      // concurrent append survived
+      assert(latest == Set(a0, r1) ++
+        (2 to 4).map(b => s"$base/corpus/bucket=$b/part-app$b.parquet"))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("vacuum default keeps fresh uncommitted files, sweeps stale ones; grace<=0 reclaims fresh") {
     val base = store()
     try {
