@@ -845,17 +845,21 @@ object StreamingQueries {
       .getOrElse(sys.error(s"no CHECK constraint declared on $base — " +
         "quarantine routing needs a gate to route on"))
     val pass = coalesce(expr(c), lit(false))
-    // pin the micro-batch once: the split consumes the lineage twice
-    // (dead-letter write, store commit), and a replayed batch from a
-    // non-deterministic source must route the SAME rows both times
+    // pin the micro-batch once: the split consumes the lineage three
+    // times (bad-side count, dead-letter write, store commit), and a
+    // replayed batch from a non-deterministic source must route the
+    // SAME rows at every consumption
     val pinned = batch.persist()
     try {
-      // ALWAYS overwrite batch=<id> — possibly with zero rows — so the
-      // quarantine dir reflects exactly this attempt's routing and a
-      // replay that now yields no violations clears a stale dead-letter
-      // dir instead of leaving a prior attempt's rows behind
-      pinned.filter(!pass).write.mode("overwrite")
-        .parquet(s"$quar/batch=$batchId")
+      // the quarantine dir reflects exactly THIS attempt's routing: a
+      // batch with dead letters overwrites batch=<id>; a batch with
+      // none DELETES any stale batch=<id> a prior (non-deterministic)
+      // attempt left, so replay output is independent of history while
+      // an all-clean batch still writes nothing (spec-pinned both ways)
+      val badDir = s"$quar/batch=$batchId"
+      val bad = pinned.filter(!pass)
+      if (bad.isEmpty) graft.Fs.deleteRecursively(badDir)
+      else bad.write.mode("overwrite").parquet(badDir)
       commitIngestBatch(ss, pinned.filter(pass), base, batchId)
     } finally { pinned.unpersist(); () }
   }

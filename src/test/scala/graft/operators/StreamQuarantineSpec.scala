@@ -72,10 +72,15 @@ class StreamQuarantineSpec extends SparkSpec {
     val quar = Files.createTempDirectory("graft_qrclean_dlq").toString
     try {
       SimilarityQueries.buildEmbedStoreChecked(spark, dir, base)
+      // a stale dead-letter dir left by a prior (non-deterministic)
+      // attempt of this batchId: the clean replay must CLEAR it, so
+      // replay output is independent of history
+      Files.createDirectories(Paths.get(s"$quar/batch=0"))
+      Files.writeString(Paths.get(s"$quar/batch=0/stale.parquet"), "stale")
       StreamingQueries.quarantineIngestBatch(spark,
         emb(pmod(col("vec_id"), lit(8)) === 1), base, quar, 0L)
       assert(!Files.exists(Paths.get(s"$quar/batch=0")),
-        "an all-clean batch wrote a quarantine dir")
+        "an all-clean batch left a quarantine dir behind")
       assert(IndexCatalog.currentVersion(base) == 2)
 
       val free = Files.createTempDirectory("graft_qrfree").toString
