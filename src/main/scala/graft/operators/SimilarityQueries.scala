@@ -575,16 +575,20 @@ object SimilarityQueries {
     * to the lower cw_id. The ONE formula training, encoding, and the
     * DuckDB oracle share.
     */
-  private def assignToCodebook(resid: DataFrame, cb: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d"), col("cw_id"))
+  private def assignToCodebook(resid: DataFrame, cb: DataFrame): DataFrame =
+    // argmin as a map-side-combinable aggregate: min(struct(d, cw_id))
+    // orders lexicographically — distance first, lower cw_id on ties,
+    // the IDENTICAL tie-break the oracle's row_number window applies —
+    // and partially aggregates the (corpus × M × KS)-row join before
+    // its one exchange, where a per-(vec, m) ranking window would sort
+    // the whole blow-up through the shuffle. `sr` is constant per
+    // (vec_id, m) group, so first() is deterministic.
     resid.join(cb, Seq("m"))
       .withColumn("d", dot(col("cw"), col("cw")) - lit(2.0) * dot(col("sr"), col("cw")))
-      .withColumn("ark", row_number().over(w))
-      .filter(col("ark") === 1)
-      .select(col("vec_id"), col("m"), col("sr"), col("cw_id"))
-  }
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("cw_id"))).as("w"),
+        first(col("sr")).as("sr"))
+      .select(col("vec_id"), col("m"), col("sr"), col("w.cw_id").as("cw_id"))
 
   /** Train the per-subspace codebooks on the build corpus's residuals:
     * seeds are the first [[PqKs]] corpus vectors' residual slices
@@ -893,12 +897,18 @@ object SimilarityQueries {
     */
   private[operators] def writeEmbedGen(
       spark: SparkSession, vecs: DataFrame, base: String,
-      commitTags: Seq[String] = Nil): Unit = {
+      commitTags: Seq[String] = Nil, assumeFresh: Boolean = false): Unit = {
     import graft.sources.{IndexCatalog, StagedWrite}
     val target = s"$base/corpus"
     val planes = spark.read.parquet(s"$base/planes")
     val stored = IndexCatalog.latestFiles(base)
-    val fresh = if (stored.nonEmpty) {
+    // assumeFresh is the upstream-partitioned ingest contract: a
+    // writer that KNOWS its batch is disjoint from the store (sliced
+    // by key upstream, the common production shape) skips the
+    // O(store) dedup anti-join — per-append cost then depends on the
+    // BATCH alone, which is what lets a 100 TB store take appends at
+    // ingest rate
+    val fresh = if (stored.nonEmpty && !assumeFresh) {
       val ids = readStoreFiles(spark, stored).select(col("vec_id")).distinct()
       vecs.join(ids, Seq("vec_id"), "left_anti")
     } else vecs
@@ -2063,8 +2073,11 @@ object SimilarityQueries {
       buildEmbedStore(spark, dir, base) // v1: evens
       val e = embeddings(spark, dir)
       (1 to 15 by 2).foreach { k => // v2..v9: odd % 16 slices
+        // the slices are disjoint by construction (an upstream-
+        // partitioned ingest), so each append skips the dedup
+        // anti-join — per-append cost is the batch's, never the store's
         writeEmbedGen(spark, e.filter(pmod(col("vec_id"), lit(16)) === k),
-          base, Seq(s"slice=$k"))
+          base, Seq(s"slice=$k"), assumeFresh = true)
       }
       // protocol facts before the vacuum: nine commits, the periodic
       // snapshot exactly at the interval boundary, v9 a delta commit

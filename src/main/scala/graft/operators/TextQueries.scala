@@ -77,10 +77,14 @@ object TextQueries {
       .filter(col("text").isNotNull)
       .groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
+    // rename one side's key: both frames descend from `docs`, so a
+    // df("lang") reference on each would resolve ambiguously through
+    // the self-join lineage (Spark's trivially-true-predicate trap)
     perDoc
-      .join(perTok, perDoc("lang") <=> perTok("lang"))
+      .join(perTok.withColumnRenamed("lang", "t_lang"),
+        col("lang") <=> col("t_lang"))
       .select(
-        perDoc("lang"), col("n_docs"), col("n_tokens"), col("n_distinct_tokens"),
+        col("lang"), col("n_docs"), col("n_tokens"), col("n_distinct_tokens"),
         col("count300k_tokens"), col("min_tok_len"), col("max_tok_len"))
       .orderBy("lang")
   }
