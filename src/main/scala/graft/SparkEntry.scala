@@ -22,12 +22,14 @@ object SparkEntry {
       DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ SourceQueries.queries ++
       StreamingQueries.queries ++ CurationQueries.queries ++
-      ProfileQueries.queries ++ TimeSeriesQueries.queries
+      ProfileQueries.queries ++ TimeSeriesQueries.queries ++
+      RetrievalQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ SourceQueries.oracles ++
       StreamingQueries.oracles ++ CurationQueries.oracles ++
-      ProfileQueries.oracles ++ TimeSeriesQueries.oracles
+      ProfileQueries.oracles ++ TimeSeriesQueries.oracles ++
+      RetrievalQueries.oracles
 }

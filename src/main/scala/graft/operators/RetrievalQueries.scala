@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Ranked-retrieval operators — the query side of a training-data
+  * pipeline (contamination probes, quality-by-relevance filtering,
+  * RAG-corpus serving all rank documents against queries):
+  *
+  * - qBm25: BM25 term-at-a-time ranked retrieval over the inverted
+  *   posting lists the token explode induces.
+  * - qHybridRrf: hybrid lexical+vector retrieval — BM25 and cosine-kNN
+  *   rankings fused by reciprocal-rank fusion, the standard hybrid
+  *   search combiner (Cormack et al., SIGIR'09: 1/(k+rank) with k=60).
+  *
+  * Both keep every score in scaled BIGINT arithmetic so results are
+  * bit-identical across engines (the repo's oracle discipline): BM25's
+  * `ln`-based idf is replaced by its rational pre-log odds
+  * `(N - df + 0.5) / (df + 0.5)` — the log only dampens, and dampening
+  * constants are a per-engine IEEE hazard — and the k1/b saturation
+  * term is cleared to integers (k1 = 1.2, b = 0.75 exactly, scaled
+  * ×10). RRF is exactly rational already (`1e6 div (60 + rank)`).
+  *
+  * Scale shape (the part that must survive 100 TB): the token stream
+  * is filtered to the query vocabulary BEFORE its only shuffle — what
+  * reaches the exchange is the posting lists of the query terms, never
+  * the corpus token stream; document frequency and the query-term map
+  * are vocabulary-sized broadcasts; final top-k runs through the
+  * bounded `topk_agg` (map-side cut, ≤ k rows per query per task on
+  * the exchange — no corpus-sized ranking window anywhere).
+  */
+object RetrievalQueries {
+
+  /** Per-query search terms, fixed literals over the fixture's
+    * vocabulary — query 1 pairs two common terms, query 2 pairs a
+    * common term with the one rare term (`dup`, df ≈ 5% of docs) so
+    * the idf axis visibly reorders, query 3 is a three-term query.
+    */
+  private val Bm25Terms: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join",
+    2L -> "vector", 2L -> "dup",
+    3L -> "hash", 3L -> "merge", 3L -> "sort")
+
+  /** Hybrid queries: vector = embeddings row `vec_id == query_id`
+    * (the corpus-as-queries convention every kNN query here uses),
+    * lexical = two fixed terms per query. doc_id and vec_id identify
+    * the same corpus item (the fixture convention: `embeddings` is
+    * the vector index over `documents`).
+    */
+  private val HybridTerms: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "join",
+    1L -> "vector", 1L -> "dup",
+    2L -> "hash", 2L -> "merge",
+    3L -> "scan", 3L -> "filter",
+    4L -> "window", 4L -> "group",
+    5L -> "sort", 5L -> "order",
+    6L -> "batch", 6L -> "stream",
+    7L -> "key", 7L -> "value")
+
+  private val NHybridQueries = 8
+  private val ArmK = 20 // per-arm depth feeding the fusion
+  private val TopK = 10 // emitted fused/bm25 depth
+
+  /** BM25 partial scores per (query_id, doc_id, term), integer-exact.
+    *
+    * idf1000 = 1000 · (N - df + ½)/(df + ½)            (halves cleared ×2)
+    * tf1e6   = 1e6 · 2.2·tf / (tf + 0.3 + 0.9·dl/avgdl) (cleared ×10;
+    *           avgdl ≈ avg10/10 with avg10 = (10·Σdl) div N)
+    * partial = (idf1000 · tf1e6) div 1000               (≈ idf·sat ×1e6)
+    *
+    * All operands are positive BIGINTs; `div` truncates identically to
+    * DuckDB's `//` floor on positives. Bounds: tf ≤ dl ≤ doc tokens,
+    * idf1000 < 2000·N/df — products stay far under 2^63 at any SF here;
+    * a corpus past ~10^12 docs would move this to DECIMAL(38,0), same
+    * plan.
+    */
+  private def bm25Partials(docs: DataFrame, qterms: DataFrame,
+      termList: Seq[String]): DataFrame = {
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_toks"))
+      .withColumn("avg10", expr("(10 * n_toks) div n_docs"))
+    val tf = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(termList: _*)) // posting lists only cross the shuffle
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    // df derives from the pruned tf frame: each (doc, tok) row is one
+    // containing document. ≤ |terms| rows — broadcast.
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(broadcast(qterms), col("tok") === col("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf1000",
+        expr("((2 * n_docs - 2 * df + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("tf1e6",
+        expr("(22 * tf * 1000000) div (10 * tf + 3 + (90 * dl) div avg10)"))
+      .withColumn("partial", expr("(idf1000 * tf1e6) div 1000"))
+  }
+
+  /** (query_id, doc_id, score, rank ≤ k) through the bounded top-k
+    * aggregate — scores sum exactly per document, then one `topk_agg`
+    * whose partials carry ≤ k pairs per query per task. The BIGINT
+    * score round-trips the aggregate's DOUBLE slot losslessly (< 2^53).
+    */
+  private def bm25TopK(docs: DataFrame, terms: Seq[(Long, String)],
+      k: Int)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val qterms = terms.toDF("query_id", "term")
+    bm25Partials(docs, qterms, terms.map(_._2).distinct)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("partial")).as("score"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_agg(cast(score as double), doc_id, $k)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.payload").as("doc_id"), col("col.score").cast("long").as("score"))
+  }
+
+  /** BM25 ranked retrieval: top-10 documents per query with the scaled
+    * integer score. See [[bm25Partials]] for the exact formula and
+    * the object scaladoc for the plan shape.
+    */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    val docs = Engine.table(spark, dir, "documents")
+    bm25TopK(docs, Bm25Terms, TopK)(spark)
+      .orderBy("query_id", "rk")
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion: for each of the 8
+    * hybrid queries, the BM25 top-20 (lexical arm) and the cosine
+    * top-20 (vector arm, self excluded) fuse by
+    * `rrf1e6 = Σ_arms 1e6 div (60 + rank)` — an id missing from an arm
+    * contributes 0 (the full-outer join keeps it rankable from the
+    * other arm). Emits the fused top-10 with both arm ranks (NULL where
+    * the arm missed the id).
+    *
+    * Scale shape: both arms end in bounded `topk_agg`s, so the fusion
+    * join and the final ranking window see ≤ 2·20 rows per query BY
+    * CONSTRUCTION — the window is ranking a constant-sized frame, not
+    * the corpus. The vector arm's crossJoin is the exact-scoring
+    * baseline shape shared with q_knn_topk_agg (the IVF/LSH stores are
+    * the at-scale variant; fusion is indifferent to which arm feeds it).
+    */
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.register(spark)
+    val docs = Engine.table(spark, dir, "documents")
+    val lex = bm25TopK(docs, HybridTerms, ArmK)(spark)
+      .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
+
+    val e = SimilarityQueries.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < NHybridQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val vec = queries
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        call_function("vec_dot", col("q_emb"), col("n_emb")) /
+          (col("q_nrm") * col("n_nrm")))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_agg(cos, neighbor_id, $ArmK)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("vec_rk"),
+        col("col.payload").as("doc_id"))
+
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf1e6",
+        coalesce(expr("1000000 div (60 + lex_rk)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + vec_rk)"), lit(0L)))
+    // ≤ 40 candidates per query reach this window — constant frame.
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf1e6").desc, col("doc_id"))
+    fused
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf1e6"),
+        col("lex_rk"), col("vec_rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (qBm25 _),
+    "q_hybrid_rrf" -> (qHybridRrf _)
+  )
+
+  private def duckValues(terms: Seq[(Long, String)]): String =
+    terms.map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")
+
+  /** The BM25 pipeline in DuckDB SQL up to a `ranked` CTE of
+    * (query_id, doc_id, score, rk) — shared by both oracles. `//`
+    * floors where Spark's `div` truncates: identical on the
+    * all-positive operands throughout.
+    */
+  private def duckBm25(terms: Seq[(Long, String)], k: Int): String =
+    s"""qt(query_id, term) AS (VALUES ${duckValues(terms)}),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+       |          FROM documents),
+       |s2 AS (SELECT n_docs, (10 * n_toks) // n_docs AS avg10 FROM stats),
+       |tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |               unnest(string_split(text, ' ')) AS tok
+       |        FROM documents),
+       |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM tok
+       |       WHERE tok IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |scored AS (
+       |  SELECT q.query_id, t.doc_id,
+       |         ((2 * n_docs - 2 * df + 1) * 1000) // (2 * df + 1) AS idf1000,
+       |         (22 * tf * 1000000) // (10 * tf + 3 + (90 * dl) // avg10) AS tf1e6
+       |  FROM tf t JOIN dfreq USING (tok) JOIN qt q ON t.tok = q.term
+       |  CROSS JOIN s2),
+       |agg AS (SELECT query_id, doc_id,
+       |               CAST(sum((idf1000 * tf1e6) // 1000) AS BIGINT) AS score
+       |        FROM scored GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, doc_id, score,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY score DESC, doc_id) AS rk
+       |           FROM agg)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_bm25" ->
+      s"""WITH ${duckBm25(Bm25Terms, TopK)}
+         |SELECT query_id, rk, doc_id, score FROM ranked
+         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH ${duckBm25(HybridTerms, ArmK)},
+         |lex AS (SELECT query_id, doc_id, rk AS lex_rk FROM ranked
+         |        WHERE rk <= $ArmK),
+         |qv AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |       WHERE vec_id < $NHybridQueries),
+         |vs AS (SELECT query_id, e.vec_id AS doc_id,
+         |              list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+         |                                     CAST(e.embedding AS DOUBLE[])) AS cos
+         |       FROM qv JOIN embeddings e ON query_id <> e.vec_id),
+         |vr AS (SELECT query_id, doc_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, doc_id) AS vec_rk
+         |       FROM vs),
+         |vec AS (SELECT query_id, doc_id, vec_rk FROM vr WHERE vec_rk <= $ArmK),
+         |fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |                 coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |                 l.lex_rk, v.vec_rk,
+         |                 coalesce(1000000 // (60 + l.lex_rk), 0)
+         |                   + coalesce(1000000 // (60 + v.vec_rk), 0) AS rrf1e6
+         |          FROM lex l FULL OUTER JOIN vec v
+         |            ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+         |rr AS (SELECT query_id, doc_id, rrf1e6, lex_rk, vec_rk,
+         |              row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY rrf1e6 DESC, doc_id) AS rk
+         |       FROM fused)
+         |SELECT query_id, rk, doc_id, rrf1e6, lex_rk, vec_rk FROM rr
+         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+  )
+}
