@@ -1118,14 +1118,33 @@ object StreamingQueries {
     */
   private[operators] def commitMvBatch(
       ss: SparkSession, delta: DataFrame, mvBase: String, batchId: Long): Boolean = {
+    import graft.sources.IndexCatalog
+    if (delta.isEmpty ||
+        IndexCatalog.committedTags(mvBase).contains(s"mv-batch=$batchId"))
+      return false
+    commitMvDelta(ss, delta
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("d_n"), sum(col("vec_id")).cast("long").as("d_sum")),
+      mvBase, batchId)
+  }
+
+  /** The SIGNED-delta fold under the same `mv-batch=<id>` replay guard:
+    * `dAggIn` is the already-aggregated per-bucket delta (bucket, d_n,
+    * d_sum) where counts/sums may be NEGATIVE — the CDC case, where
+    * deletes and update preimages subtract while inserts and update
+    * postimages add. A merged bucket whose count lands on ZERO drops
+    * out of the view entirely (group-with-no-rows semantics: its
+    * partition key is replaced with no files). Everything else is the
+    * [[commitMvBatch]] contract: O(touched buckets) per fold, replay
+    * no-op by tag, rebase-or-re-derive on concurrent commits.
+    */
+  private[operators] def commitMvDelta(
+      ss: SparkSession, dAggIn: DataFrame, mvBase: String, batchId: Long): Boolean = {
     import graft.sources.{IndexCatalog, StagedWrite}
     val tag = s"mv-batch=$batchId"
-    if (delta.isEmpty || IndexCatalog.committedTags(mvBase).contains(tag))
-      return false
-    val dAgg = delta
-      .groupBy(col("bucket").cast("long").as("bucket"))
-      .agg(count(lit(1)).as("d_n"), sum(col("vec_id")).cast("long").as("d_sum"))
-      .localCheckpoint()
+    if (IndexCatalog.committedTags(mvBase).contains(tag)) return false
+    val dAgg = dAggIn.localCheckpoint()
+    if (dAgg.isEmpty) return false
     val touchedKeys = dAgg.select("bucket").collect()
       .map(r => s"bucket=${r.getLong(0)}").toSet
     var attempts = 0
@@ -1150,6 +1169,7 @@ object StreamingQueries {
             .as("n_rows"),
           (coalesce(col("id_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
             .as("id_sum"))
+        .filter(col("n_rows") =!= 0L) // a zeroed bucket leaves the view
       try {
         // rebasing commit: a concurrent commit into OTHER buckets
         // rebases in place; same-bucket conflicts re-derive upstairs
@@ -1219,6 +1239,98 @@ object StreamingQueries {
         throw e
     }
     lease("q_store_matview", Seq(base, mv, ckpt))
+    spark.read.option("basePath", s"$mv/agg")
+      .parquet(graft.sources.IndexCatalog.latestFiles(mv): _*)
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_rows"), col("id_sum"))
+      .orderBy("bucket")
+  }
+
+  /** Materialized view maintained THROUGH DML — incremental view
+    * maintenance from the row-level CDC stream, the composition the
+    * round's two mechanisms exist for: the source store runs
+    * `q_store_cdc`'s full lifecycle — build (v1: evens), MERGE (v2:
+    * update `% 8 == 0` to the successor's vector, insert `% 4 == 1`),
+    * row-level DELETE (v3: `% 8 == 4`) — and the view follows the
+    * `graft-store-changes` cdc feed, folding each commit's classified
+    * diff into the per-bucket (count, id-sum) aggregate as a SIGNED
+    * delta: inserts and update postimages add, deletes and update
+    * preimages subtract ([[commitMvDelta]]). An update that moves a
+    * row across buckets therefore subtracts from the OLD bucket's
+    * partition and adds to the NEW one — the case append-only view
+    * maintenance cannot express — and a bucket whose count reaches
+    * zero leaves the view. Same-bucket cancellations (a rewritten
+    * survivor) aggregate to a zero delta row and are dropped before
+    * the fold, so maintenance commits touch nothing. The gated output
+    * is the final view census, which the oracle recomputes as the
+    * direct aggregate over the post-DML store content — equality here
+    * IS the IVM correctness statement Σ(deltas) = final state.
+    *
+    * 100 TB shape: per refresh the feed carries O(touched partitions)
+    * rows (manifest diff, never the store), the classify join is
+    * keyed on (version, vec_id), the fold reads and rewrites only the
+    * buckets the signed delta touched, and both sides are
+    * crash-safe — the read side by the query checkpoint (offsets =
+    * versions), the write side by the `mv-batch=<id>` tag guard. This
+    * is how a serving-layer rollup follows a mutable table without
+    * ever re-scanning it.
+    */
+  def qStreamCdcMatview(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val base = Files.createTempDirectory("graft_cmv_store").toString
+    val mv = Files.createTempDirectory("graft_cmv_view").toString
+    val ckpt = Files.createTempDirectory("graft_cmv_ckpt").toString
+    def drain(): Unit = {
+      val q = ss.readStream.format("graft-store-changes")
+        .option("path", base).option("mode", "cdc").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val pinned = b.persist()
+          try {
+            def side(s: String) = pinned.filter(col("side") === s)
+              .select(col("version"), col("vec_id"), col("embedding"),
+                col("bucket"))
+            val signed = SimilarityQueries
+              .classifyChanges(side("old"), side("new"), Seq("version"))
+              .withColumn("w",
+                when(col("change_type").isin("insert", "update_postimage"),
+                  lit(1L)).otherwise(lit(-1L)))
+            val dAgg = signed
+              .groupBy(col("bucket").cast("long").as("bucket"))
+              .agg(sum(col("w")).as("d_n"),
+                sum(col("w") * col("vec_id")).cast("long").as("d_sum"))
+              .filter(col("d_n") =!= 0L || col("d_sum") =!= 0L)
+            commitMvDelta(ss, dAgg, mv, id)
+          } finally { pinned.unpersist(); () }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      SimilarityQueries.buildEmbedStore(ss, dir, base) // v1: evens
+      val e = SimilarityQueries.embeddings(ss, dir)
+      val inserts = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val updates = e.filter(pmod(col("vec_id"), lit(8)) === 0)
+        .select(col("vec_id"))
+        .join(e.select((col("vec_id") - 1).as("vec_id"),
+          col("embedding"), col("nrm")), Seq("vec_id"))
+      SimilarityQueries.mergeIntoEmbedStore(ss, base,
+        inserts.unionByName(updates)) // v2
+      SimilarityQueries.deleteFromEmbedStore(ss, base,
+        e.filter(pmod(col("vec_id"), lit(8)) === 4)
+          .select(col("vec_id"), col("embedding"))) // v3
+      drain() // three micro-batches: insert-fold, merge-fold, delete-fold
+      drain() // idle: no version, no commit
+    } catch {
+      case ex: Throwable =>
+        Seq(base, mv, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw ex
+    }
+    lease("q_stream_cdc_matview", Seq(base, mv, ckpt))
     spark.read.option("basePath", s"$mv/agg")
       .parquet(graft.sources.IndexCatalog.latestFiles(mv): _*)
       .select(col("bucket").cast("long").as("bucket"),
@@ -1461,6 +1573,7 @@ object StreamingQueries {
     "q_stream_store_follow" -> (qStreamStoreFollow _),
     "q_stream_store_cdc" -> (qStreamStoreCdc _),
     "q_store_matview" -> (qStoreMatview _),
+    "q_stream_cdc_matview" -> (qStreamCdcMatview _),
     "q_stream_index_append" -> (qStreamIndexAppend _),
     "q_stream_quarantine" -> (qStreamQuarantine _),
     "q_stream_cluster_append" -> (qStreamClusterAppend _),
@@ -1544,6 +1657,32 @@ object StreamingQueries {
          |  FROM embeddings e CROSS JOIN planes p
          |  WHERE e.vec_id % 2 = 0 OR e.vec_id % 4 = 1
          |  GROUP BY e.vec_id)
+         |SELECT bucket, count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum
+         |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // IVM correctness statement: the drained signed folds equal the
+    // direct aggregate over the POST-DML store content — survivors
+    // (evens minus the % 8 == 0 update targets minus the % 8 == 4
+    // deletes) with their own vectors, update targets with the
+    // successor's vector, the % 4 == 1 batch inserted; buckets from
+    // the frozen build-time planes (raw fixture — same as the store)
+    "q_stream_cdc_matview" ->
+      s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
+         |                WHERE vec_id % 2 = 0 AND vec_id < ${2 * SimilarityQueries.NPlanes}),
+         |src AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE (vec_id % 2 = 0 AND vec_id % 8 <> 0 AND vec_id % 8 <> 4)
+         |     OR vec_id % 4 = 1
+         |  UNION ALL
+         |  SELECT t.vec_id, s.embedding
+         |  FROM embeddings t JOIN embeddings s ON s.vec_id = t.vec_id + 1
+         |  WHERE t.vec_id % 8 = 0),
+         |bucketed AS (
+         |  SELECT e.vec_id,
+         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
+         |                  THEN power(2, p.plane_id // 2) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM src e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, e.embedding)
          |SELECT bucket, count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum
          |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the streamed micro-batch commits grow the store to corpus ∪ A,

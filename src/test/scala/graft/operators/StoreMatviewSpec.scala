@@ -72,4 +72,42 @@ class StoreMatviewSpec extends SparkSpec {
       graft.Fs.deleteRecursively(mv)
     }
   }
+
+  test("signed folds subtract, zero a bucket out of the view, and replay as no-ops") {
+    import spark.implicits._
+    val mv = Files.createTempDirectory("graft_mvspec_signed").toString
+    try {
+      // seed: two buckets via the positive path
+      val seed = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("vec_id", "bucket")
+      assert(StreamingQueries.commitMvBatch(spark, seed, mv, 0L))
+      assert(viewRows(mv) == Map(10L -> (2L, 3L), 20L -> (1L, 3L)))
+
+      // signed fold: move vec_id 2 from bucket 10 to bucket 20
+      // (an update's preimage subtracts, its postimage adds)
+      val move = Seq((10L, -1L, -2L), (20L, 1L, 2L))
+        .toDF("bucket", "d_n", "d_sum")
+      assert(StreamingQueries.commitMvDelta(spark, move, mv, 1L))
+      assert(viewRows(mv) == Map(10L -> (1L, 1L), 20L -> (2L, 5L)))
+
+      // signed fold that zeroes bucket 10: its partition must LEAVE
+      // the view (no zero-count rows, no files under its key)
+      val erase = Seq((10L, -1L, -1L)).toDF("bucket", "d_n", "d_sum")
+      assert(StreamingQueries.commitMvDelta(spark, erase, mv, 2L))
+      assert(viewRows(mv) == Map(20L -> (2L, 5L)))
+      assert(IndexCatalog.latestFiles(mv)
+        .forall(f => !IndexCatalog.partitionKey(f).contains("bucket=10")))
+
+      // replayed signed batchId: tag guard holds, nothing happens
+      val v = IndexCatalog.currentVersion(mv)
+      assert(!StreamingQueries.commitMvDelta(spark, erase, mv, 2L))
+      assert(IndexCatalog.currentVersion(mv) == v)
+      // fully-cancelled delta (empty after the caller's zero-filter):
+      // nothing happens
+      val none = Seq.empty[(Long, Long, Long)].toDF("bucket", "d_n", "d_sum")
+      assert(!StreamingQueries.commitMvDelta(spark, none, mv, 9L))
+      assert(IndexCatalog.currentVersion(mv) == v)
+    } finally {
+      graft.Fs.deleteRecursively(mv)
+    }
+  }
 }
