@@ -186,8 +186,142 @@ object RetrievalQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- persisted inverted index (posting-list store) --------------------
+
+  /** Corpus-statistics manifest tag (`corpus_stats=<n_docs>:<n_toks>`)
+    * — the BM25 globals ride the catalog like `stats_cols=` does
+    * (newest live version's tag wins), so a probe needs ONE manifest
+    * read, never a corpus pass, and an append supersedes the stats
+    * with one tag on the same atomic publish as its postings.
+    */
+  private val StatsTagPrefix = "corpus_stats="
+
+  private def storedStats(base: String): (Long, Long) = {
+    import graft.sources.IndexCatalog
+    IndexCatalog.liveVersions(base).sorted.reverse.iterator
+      .flatMap(v => IndexCatalog.tags(base, v))
+      .collectFirst { case t if t.startsWith(StatsTagPrefix) =>
+        val parts = t.drop(StatsTagPrefix.length).split(":")
+        (parts(0).toLong, parts(1).toLong) }
+      .getOrElse(sys.error(s"no $StatsTagPrefix tag on text index $base"))
+  }
+
+  /** One generation of the TEXT INDEX: the batch's posting lists
+    * (tok, doc_id, dl, tf) land `tok=`-partitioned — the inverted-index
+    * layout, where a probe's partition pruning IS the posting-list
+    * lookup — and the commit carries the superseding corpus-stats tag
+    * (running totals: stored + this batch). Append contract matches
+    * `writeEmbedGen`'s `assumeFresh` ingest shape: batches are NEW
+    * doc_ids (partitioned upstream), so document frequency stays
+    * `count(*)` within a term's partitions across generations and
+    * per-append cost depends on the BATCH alone — never the corpus.
+    * The stats aggregate is one 1-row driver read (catalog metadata,
+    * the repo's bounded-collect convention).
+    */
+  private[operators] def writeTextIndexGen(
+      spark: SparkSession, docs: DataFrame, base: String): Unit = {
+    import graft.sources.{IndexCatalog, StagedWrite}
+    val posts = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val agg = docs.agg(count(lit(1)).cast("long"),
+      sum(size(split(col("text"), " "))).cast("long")).collect()(0)
+    val (n0, t0) =
+      if (IndexCatalog.currentVersion(base) == 0) (0L, 0L)
+      else storedStats(base)
+    val newFiles = StagedWrite.partitioned(
+      posts.repartition(col("tok")), s"$base/postings", Seq("tok"))
+    if (newFiles.nonEmpty)
+      IndexCatalog.commitWithRetry(base)(_ =>
+        (newFiles, Seq(statsTagOf(n0 + agg.getLong(0), t0 + agg.getLong(1)))))
+  }
+
+  private def statsTagOf(nDocs: Long, nToks: Long): String =
+    s"$StatsTagPrefix$nDocs:$nToks"
+
+  /** Probe the stored index: the manifest's file list filtered to the
+    * query terms' `tok=` partitions — the probe reads ONLY those
+    * posting lists (spec-asserted census), df is `count(*)` within
+    * them, and the BM25 globals come from the stats tag; scoring and
+    * the bounded top-k are [[bm25Partials]]' exact arithmetic, so a
+    * probe of a (build ∪ appends) store is bit-equal to [[qBm25]]
+    * over the union corpus — one oracle text serves both.
+    */
+  private[operators] def probeTextIndex(spark: SparkSession, base: String,
+      terms: Seq[(Long, String)], k: Int): DataFrame = {
+    import spark.implicits._
+    import graft.sources.IndexCatalog
+    Engine.register(spark) // topk_agg on the ranking path
+    val keys = terms.map { case (_, t) => s"tok=$t" }.toSet
+    val files = IndexCatalog.latestFiles(base)
+      .filter(f => IndexCatalog.partitionKey(f).exists(keys.contains))
+    val (nDocs, nToks) = storedStats(base)
+    val avg10 = (10L * nToks) / nDocs
+    if (files.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("query_id", "rk", "doc_id", "score")
+    val posts = spark.read.option("basePath", s"$base/postings")
+      .parquet(files: _*)
+      .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+    val qterms = terms.toDF("query_id", "term")
+    val dfreq = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    posts.join(broadcast(dfreq), "tok")
+      .join(broadcast(qterms), col("tok") === col("term"))
+      .withColumn("idf1000",
+        expr(s"((2 * ${nDocs}L - 2 * df + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("tf1e6",
+        expr(s"(22 * tf * 1000000) div (10 * tf + 3 + (90 * dl) div ${avg10}L)"))
+      .withColumn("partial", expr("(idf1000 * tf1e6) div 1000"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("partial")).as("score"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_agg(cast(score as double), doc_id, $k)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.payload").as("doc_id"),
+        col("col.score").cast("long").as("score"))
+  }
+
+  /** BM25 served from the PERSISTED inverted index — the text sibling
+    * of the IVF/sign-LSH stores, through the same manifest catalog:
+    * build indexes 90% of the corpus (`doc_id % 10 <> 7`), an append
+    * lands the held-out decile as a second committed generation with
+    * a superseding stats tag, and the probe answers [[Bm25Terms]]
+    * reading ONLY the query terms' partitions. The gated output is
+    * bit-equal to [[qBm25]] over the full corpus (one oracle text),
+    * which pins the whole protocol: partition-pruned posting reads,
+    * cross-generation df, tag-carried globals.
+    *
+    * 100 TB shape: the index is built once (one corpus pass), appends
+    * cost O(batch), and a query touches |terms| partitions of
+    * posting-list rows — the inverted-index promise, delivered by
+    * catalog partition pruning instead of a bespoke index format;
+    * probes are versioned/time-travelable because the postings are a
+    * catalog store like any other.
+    */
+  def qBm25Persisted(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_textidx").toString
+    val docs = Engine.table(spark, dir, "documents")
+    try {
+      writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), base) // v1: build
+      writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7), base) // v2: append
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_bm25_persisted", Seq(base))
+    probeTextIndex(spark, base, Bm25Terms, TopK)
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
+    "q_bm25_persisted" -> (qBm25Persisted _),
     "q_hybrid_rrf" -> (qHybridRrf _)
   )
 
@@ -227,6 +361,12 @@ object RetrievalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_bm25" ->
+      s"""WITH ${duckBm25(Bm25Terms, TopK)}
+         |SELECT query_id, rk, doc_id, score FROM ranked
+         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    // the persisted probe is bit-equal to the direct ranking over the
+    // union corpus — one oracle text pins build + append + pruned probe
+    "q_bm25_persisted" ->
       s"""WITH ${duckBm25(Bm25Terms, TopK)}
          |SELECT query_id, rk, doc_id, score FROM ranked
          |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
