@@ -74,7 +74,11 @@ object PlanDump {
     "q_edit_dedup" ->
       "round 10: TWO hash-partitioned equi-joins on the 16-char blocking keys (prefix and reversed-prefix) — no cartesian or nested-loop node anywhere; the per-key df cap is a left-semi join against the under-cap key set, the length band and levenshtein verify are codegen'd map-side filters AFTER the join, and only candidate rows ever carry document text through an exchange.",
     "q_semdedup" ->
-      "round 10: the pair quadratic stays INSIDE k-means cells — the corpus-vs-corpus join is a hash-partitioned equi-join on centroid_id (no cartesian; the only nested-loop nodes are the NList-row centroid table broadcast into assignment), so comparison volume is sum(cell^2) and cells parallelize independently; the keeper ranking window partitions per removed vector over its in-cell qualifying set only.")
+      "round 10: the pair quadratic stays INSIDE k-means cells — the corpus-vs-corpus join is a hash-partitioned equi-join on centroid_id (no cartesian; the only nested-loop nodes are the NList-row centroid table broadcast into assignment), so comparison volume is sum(cell^2) and cells parallelize independently; the keeper ranking window partitions per removed vector over its in-cell qualifying set only.",
+    "q_bm25" ->
+      "round 11: the query-vocabulary Filter sits DIRECTLY over the exploded token stream — only posting-list rows reach the (doc, tok) aggregate's exchange; df and the query map are broadcast; the final top-k is the bounded topk_agg (no ranking window).",
+    "q_hybrid_rrf" ->
+      "round 11: both retrieval arms END in two-phase topk_agg ObjectHashAggregates, so the fusion full-outer SortMergeJoin and the final rank Window operate on <= 2 x 20 rows per query — constant frames; corpus-sized work exists only inside the arms.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"

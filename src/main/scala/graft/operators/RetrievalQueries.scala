@@ -82,6 +82,10 @@ object RetrievalQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " "))).cast("long").as("n_toks"))
       .withColumn("avg10", expr("(10 * n_toks) div n_docs"))
+    // cached: dfreq forks from tf and Spark does not share subplans
+    // across DataFrame forks — without this the corpus is exploded and
+    // aggregated twice (the qTfidf precedent). Lazy; session owners
+    // clearCache per query (Bench/Verify).
     val tf = docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("dl"),
@@ -89,6 +93,7 @@ object RetrievalQueries {
       .filter(col("tok").isin(termList: _*)) // posting lists only cross the shuffle
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      .cache()
     // df derives from the pruned tf frame: each (doc, tok) row is one
     // containing document. ≤ |terms| rows — broadcast.
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -227,8 +232,12 @@ object RetrievalQueries {
         explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+    // coalesce: an all-NULL-text (or empty) batch sums to NULL, and an
+    // empty batch must be a no-op append, not a driver NPE
     val agg = docs.agg(count(lit(1)).cast("long"),
-      sum(size(split(col("text"), " "))).cast("long")).collect()(0)
+      coalesce(sum(size(split(col("text"), " "))).cast("long"), lit(0L)))
+      .collect()(0)
+    if (agg.getLong(0) == 0L) return
     val (n0, t0) =
       if (IndexCatalog.currentVersion(base) == 0) (0L, 0L)
       else storedStats(base)
@@ -263,9 +272,13 @@ object RetrievalQueries {
     if (files.isEmpty)
       return Seq.empty[(Long, Long, Long, Long)]
         .toDF("query_id", "rk", "doc_id", "score")
+    // cached for the same fork reason as bm25Partials' tf frame —
+    // though here the double-read would only re-touch the PRUNED
+    // posting lists, not a corpus
     val posts = spark.read.option("basePath", s"$base/postings")
       .parquet(files: _*)
       .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+      .cache()
     val qterms = terms.toDF("query_id", "term")
     val dfreq = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     posts.join(broadcast(dfreq), "tok")

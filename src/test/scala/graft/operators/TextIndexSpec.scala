@@ -44,6 +44,10 @@ class TextIndexSpec extends SparkSpec {
       val direct = docs.agg(count(lit(1)),
         sum(size(split(col("text"), " "))).cast("long")).collect()(0)
       assert(n.toLong == direct.getLong(0) && t.toLong == direct.getLong(1))
+
+      // an empty append batch is a no-op, not a new version or an NPE
+      RetrievalQueries.writeTextIndexGen(spark, docs.limit(0), base)
+      assert(IndexCatalog.currentVersion(base) == 2)
     } finally graft.Fs.deleteRecursively(base)
   }
 
