@@ -198,4 +198,29 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     val shuffles = collectAll(anti.get).collect { case x: ShuffleExchangeExec => x }
     assert(shuffles.isEmpty, s"base side must not shuffle:\n$p")
   }
+
+  test("q_bm25 reads the corpus once (cached tf fork), prunes pre-shuffle, no window") {
+    spark.catalog.clearCache()
+    val p = plan(RetrievalQueries.qBm25(spark, dir))
+    val s = p.toString
+    // the tf fork must come from the cache, not a second corpus explode
+    val scans = collectAll(p).count(_.nodeName.contains("Scan parquet"))
+    assert(scans == 1, s"BM25 must read the corpus exactly once, got $scans:\n$p")
+    // bounded top-k, not a ranking window
+    assert(!s.contains("Window"), s"BM25 must rank via topk_agg, not a window:\n$p")
+    // no cartesian; the only BNLJ is the 1-row stats broadcast
+    assert(!s.contains("CartesianProduct"), s)
+    spark.catalog.clearCache()
+  }
+
+  test("q_hybrid_rrf's fusion window ranks a bounded frame: both arms end in topk_agg") {
+    spark.catalog.clearCache()
+    val p = plan(RetrievalQueries.qHybridRrf(spark, dir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    // both arms' bounded cuts exist: two topk_agg final aggregates
+    assert(s.sliding("topk_agg".length).count(_ == "topk_agg") >= 2,
+      s"expected both arms to rank through topk_agg:\n$p")
+    spark.catalog.clearCache()
+  }
 }
