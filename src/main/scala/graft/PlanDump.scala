@@ -78,7 +78,11 @@ object PlanDump {
     "q_bm25" ->
       "round 11: the query-vocabulary Filter sits DIRECTLY over the exploded token stream — only posting-list rows reach the (doc, tok) aggregate's exchange; df and the query map are broadcast; the final top-k is the bounded topk_agg (no ranking window).",
     "q_hybrid_rrf" ->
-      "round 11: both retrieval arms END in two-phase topk_agg ObjectHashAggregates, so the fusion full-outer SortMergeJoin and the final rank Window operate on <= 2 x 20 rows per query — constant frames; corpus-sized work exists only inside the arms.")
+      "round 11: both retrieval arms END in two-phase topk_agg ObjectHashAggregates, so the fusion full-outer SortMergeJoin and the final rank Window operate on <= 2 x 20 rows per query — constant frames; corpus-sized work exists only inside the arms.",
+    "q_text_delete" ->
+      "round 11: the tombstone subtraction is a BroadcastHashJoin LeftAnti directly over the pruned posting scan — postings stream, the bounded doomed-id list ships; df is counted AFTER the anti-join so the ranking is exactly the survivor corpus; delete itself shuffles nothing store-sized (one tombstone write + tag publish).",
+    "q_sketch_intersect" ->
+      "round 11: stage 2 is ONE HashAggregate over the stored day-sketch rows (conditional sketch_merge per arm + union merge in the same pass) — the raw events table appears nowhere in the plan; intersection is driver-free integer algebra on the three finalized counts.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"

@@ -208,6 +208,56 @@ object CoreQueries {
       .orderBy("month", "event_type")
   }
 
+  /** SET ALGEBRA over stored sketches — the question segment rollups
+    * exist to answer without rescanning the fact table: "how many
+    * distinct users did BOTH X and Y this month?". The day×event_type
+    * sketch table ([[qSketchRollup]]'s stage 1, here click/purchase
+    * only) is the ONLY input to stage 2: per month, each arm's
+    * cardinality is a conditional `sketch_merge` of its own segment
+    * sketches, the union merges both arms, and the intersection falls
+    * out EXACTLY by inclusion–exclusion (`|A∩B| = |A|+|B|-|A∪B|`) —
+    * exact because the sketches are exact sets, the algebra the
+    * reference's count300k state supports and an HLL cannot do
+    * losslessly (HLL unions are lossless, intersections are not; the
+    * exact-set sibling is precisely for downstream algebra like this).
+    * The STRING finalize round-trips to BIGINT for the arithmetic;
+    * empty arms coalesce to 0 so the identity holds on months where a
+    * segment is silent.
+    *
+    * Scale shape: stage 2 never touches raw events — it aggregates
+    * |days|×2 sketch rows whose state is ∝ the distinct sets being
+    * counted (the reference's own memory law); the merge is
+    * associative/commutative so partition layout is free.
+    */
+  def qSketchIntersect(spark: SparkSession, dir: String): DataFrame = {
+    Engine.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_skint").toString
+    try {
+      Engine.table(spark, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(expr("sketch_agg(cast(user_id as string))").as("sk"))
+        .write.mode("overwrite").parquet(base)
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_sketch_intersect", Seq(base))
+    spark.read.parquet(base)
+      .groupBy(trunc(col("day"), "month").as("month"))
+      .agg(
+        expr("""coalesce(cast(sketch_count(sketch_merge(
+                  CASE WHEN event_type = 'click' THEN sk END)) AS BIGINT), 0)""")
+          .as("n_click"),
+        expr("""coalesce(cast(sketch_count(sketch_merge(
+                  CASE WHEN event_type = 'purchase' THEN sk END)) AS BIGINT), 0)""")
+          .as("n_purchase"),
+        expr("coalesce(cast(sketch_count(sketch_merge(sk)) AS BIGINT), 0)")
+          .as("n_union"))
+      .withColumn("n_both", col("n_click") + col("n_purchase") - col("n_union"))
+      .orderBy("month")
+  }
+
   /** [[qSketchRollup]]'s stage 1 as an actual STREAMING ingest — the
     * two marquee surfaces joined: `sketch_agg` maintained as windowed
     * streaming-aggregation state (the state store round-trips the
@@ -367,6 +417,7 @@ object CoreQueries {
     "q_events_hourly" -> (qEventsHourly _),
     "q_stream_hourly" -> (qStreamHourly _),
     "q_sketch_rollup" -> (qSketchRollup _),
+    "q_sketch_intersect" -> (qSketchIntersect _),
     "q_stream_sketch" -> (qStreamSketch _),
     "q_hll_rollup" -> (qHllRollup _),
     "q_stream_hll" -> (qStreamHll _),
@@ -414,6 +465,22 @@ object CoreQueries {
     // the rollup-of-stored-sketches must equal the direct one-pass
     // distinct count (sketches are exact sets, not estimators)
     "q_sketch_rollup" -> sketchRollupOracle,
+    // inclusion–exclusion over the stored sketches is EXACT, so the
+    // oracle is the plain distinct-count algebra on raw events
+    "q_sketch_intersect" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+        |  CAST(count(DISTINCT CASE WHEN event_type = 'click'
+        |                           THEN user_id END) AS BIGINT) AS n_click,
+        |  CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+        |                           THEN user_id END) AS BIGINT) AS n_purchase,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_union,
+        |  CAST(count(DISTINCT CASE WHEN event_type = 'click'
+        |                           THEN user_id END)
+        |     + count(DISTINCT CASE WHEN event_type = 'purchase'
+        |                           THEN user_id END)
+        |     - count(DISTINCT user_id) AS BIGINT) AS n_both
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1 ORDER BY month""".stripMargin,
     // the streaming-ingested store must roll up to the identical
     // matrix — one oracle text, batch and incremental ingest postures
     "q_stream_sketch" -> sketchRollupOracle,

@@ -38,7 +38,7 @@ object RetrievalQueries {
     * common term with the one rare term (`dup`, df ≈ 5% of docs) so
     * the idf axis visibly reorders, query 3 is a three-term query.
     */
-  private val Bm25Terms: Seq[(Long, String)] = Seq(
+  private[operators] val Bm25Terms: Seq[(Long, String)] = Seq(
     1L -> "spark", 1L -> "join",
     2L -> "vector", 2L -> "dup",
     3L -> "hash", 3L -> "merge", 3L -> "sort")
@@ -61,7 +61,7 @@ object RetrievalQueries {
 
   private val NHybridQueries = 8
   private val ArmK = 20 // per-arm depth feeding the fusion
-  private val TopK = 10 // emitted fused/bm25 depth
+  private[operators] val TopK = 10 // emitted fused/bm25 depth
 
   /** BM25 partial scores per (query_id, doc_id, term), integer-exact.
     *
@@ -224,7 +224,8 @@ object RetrievalQueries {
     * the repo's bounded-collect convention).
     */
   private[operators] def writeTextIndexGen(
-      spark: SparkSession, docs: DataFrame, base: String): Unit = {
+      spark: SparkSession, docs: DataFrame, base: String,
+      extraTags: Seq[String] = Nil): Unit = {
     import graft.sources.{IndexCatalog, StagedWrite}
     val posts = docs
       .select(col("doc_id"),
@@ -245,11 +246,60 @@ object RetrievalQueries {
       posts.repartition(col("tok")), s"$base/postings", Seq("tok"))
     if (newFiles.nonEmpty)
       IndexCatalog.commitWithRetry(base)(_ =>
-        (newFiles, Seq(statsTagOf(n0 + agg.getLong(0), t0 + agg.getLong(1)))))
+        (newFiles,
+          statsTagOf(n0 + agg.getLong(0), t0 + agg.getLong(1)) +: extraTags))
   }
 
   private def statsTagOf(nDocs: Long, nToks: Long): String =
     s"$StatsTagPrefix$nDocs:$nToks"
+
+  /** Tombstoned DELETE from the inverted index — the deletion-vector
+    * pattern (Lucene's deleted-docs bitmap, Delta's deletion vectors):
+    * removing documents from a tok-partitioned posting store can NOT
+    * rewrite eagerly, because a document's tokens are scattered across
+    * (potentially) every partition — the one layout where row-level
+    * copy-on-write is O(store) by construction. Instead the delete
+    * commit writes the doomed doc_ids as a TOMBSTONE file under its
+    * own `del=1` partition (invisible to posting reads, which filter
+    * to `tok=` keys) plus a superseding `corpus_stats=` tag with the
+    * batch's (n_docs, n_toks) subtracted — one atomic manifest
+    * publish, cost O(deleted ids), never O(store). Probes subtract
+    * tombstones with a broadcast anti-join BEFORE document frequency
+    * is counted, so df, the globals, and the ranking are all exactly
+    * the post-delete corpus. Physical purge is compaction's job:
+    * [[compactTextIndexPartitions]] drops tombstoned rows when it
+    * rewrites a partition (the only time those bytes move anyway).
+    *
+    * The deltas come from re-tokenizing the doomed docs (the caller
+    * passes the doc rows, as every ingest call here does) — the store
+    * never needs a doc→tokens reverse index.
+    */
+  private[operators] def deleteTextDocs(
+      spark: SparkSession, docs: DataFrame, base: String): Unit = {
+    import graft.sources.{IndexCatalog, StagedWrite}
+    val agg = docs.agg(count(lit(1)).cast("long"),
+      coalesce(sum(size(split(col("text"), " "))).cast("long"), lit(0L)))
+      .collect()(0)
+    if (agg.getLong(0) == 0L) return
+    val (n0, t0) = storedStats(base)
+    val newFiles = StagedWrite.partitioned(
+      docs.select(col("doc_id"), lit(1).as("del")).repartition(1),
+      s"$base/tombstones", Seq("del"))
+    IndexCatalog.commitWithRetry(base)(_ =>
+      (newFiles,
+        Seq(statsTagOf(n0 - agg.getLong(0), t0 - agg.getLong(1)))))
+  }
+
+  /** The live tombstone set (doc_id), empty frame if none. */
+  private def tombstones(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.IndexCatalog
+    val dels = IndexCatalog.latestFiles(base)
+      .filter(f => IndexCatalog.partitionKey(f).exists(_.startsWith("del=")))
+    if (dels.isEmpty) Seq.empty[Long].toDF("doc_id")
+    else spark.read.option("basePath", s"$base/tombstones").parquet(dels: _*)
+      .select(col("doc_id"))
+  }
 
   /** Probe the stored index: the manifest's file list filtered to the
     * query terms' `tok=` partitions — the probe reads ONLY those
@@ -257,7 +307,9 @@ object RetrievalQueries {
     * them, and the BM25 globals come from the stats tag; scoring and
     * the bounded top-k are [[bm25Partials]]' exact arithmetic, so a
     * probe of a (build ∪ appends) store is bit-equal to [[qBm25]]
-    * over the union corpus — one oracle text serves both.
+    * over the union corpus — one oracle text serves both. Tombstoned
+    * documents ([[deleteTextDocs]]) are subtracted by a broadcast
+    * anti-join before df is counted.
     */
   private[operators] def probeTextIndex(spark: SparkSession, base: String,
       terms: Seq[(Long, String)], k: Int): DataFrame = {
@@ -278,6 +330,7 @@ object RetrievalQueries {
     val posts = spark.read.option("basePath", s"$base/postings")
       .parquet(files: _*)
       .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+      .join(broadcast(tombstones(spark, base)), Seq("doc_id"), "left_anti")
       .cache()
     val qterms = terms.toDF("query_id", "term")
     val dfreq = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -332,9 +385,154 @@ object RetrievalQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** PARTITION-SCOPED posting-list compaction — `OPTIMIZE ... WHERE`
+    * for the TEXT index: rewrite ONLY the named terms' live posting
+    * rows, doc-ordered (`sortWithinPartitions(doc_id)` — the classic
+    * doc-id-sorted posting-list layout, so a merged partition reads
+    * sequentially and min/max footer stats stay tight), into fresh
+    * files inside their own `tok=` partitions, published via the
+    * rebasing partition-replacement commit. Every other term's files
+    * carry forward BY PATH, byte-untouched; no stats tag is written,
+    * so the newest prior `corpus_stats=` keeps governing (compaction
+    * must not perturb the BM25 globals).
+    *
+    * 100 TB shape: continuous ingest fragments each hot term into
+    * one-file-per-generation; this rewrite is O(target partitions)
+    * while the manifest line is all the cold ones cost — the same
+    * contract as the embedding store's partition-scoped OPTIMIZE,
+    * proven here on the inverted-index layout.
+    */
+  private[operators] def compactTextIndexPartitions(
+      spark: SparkSession, base: String, toks: Seq[String]): Unit = {
+    import graft.sources.{IndexCatalog, StagedWrite}
+    val keys = toks.map(t => s"tok=$t").toSet
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val basedOn = IndexCatalog.currentVersion(base)
+      val live =
+        if (basedOn == 0) Seq.empty
+        else IndexCatalog.files(base, basedOn)
+          .filter(f => IndexCatalog.partitionKey(f).exists(keys.contains))
+      if (live.isEmpty) done = true
+      else {
+        try {
+          // tombstoned rows are PURGED here — compaction is the only
+          // time a partition's bytes move, so it is where logical
+          // deletes ([[deleteTextDocs]]) become physical; the
+          // tombstone files themselves stay live for the partitions
+          // not being rewritten (re-dropping an already-purged id is
+          // a no-op anti-join miss)
+          val rewritten = StagedWrite.partitioned(
+            spark.read.option("basePath", s"$base/postings").parquet(live: _*)
+              .select(col("tok").cast("string").as("tok"), col("doc_id"),
+                col("dl"), col("tf"))
+              .join(broadcast(tombstones(spark, base)), Seq("doc_id"), "left_anti")
+              .repartition(col("tok"))
+              .sortWithinPartitions(col("doc_id")),
+            s"$base/postings", Seq("tok"))
+          // a partition whose every row was tombstoned rewrites to NO
+          // file — its key must still supersede the old files
+          val emptied = live.flatMap(IndexCatalog.partitionKey).toSet --
+            rewritten.flatMap(IndexCatalog.partitionKey).toSet
+          IndexCatalog.commitReplacePartitionsRebasing(base, rewritten,
+            Seq(s"compaction ${keys.toSeq.sorted.mkString(",")}"), basedOn,
+            extraReplacedKeys = emptied)
+          done = true
+        } catch {
+          case e if IndexCatalog.isCommitConflict(e) && attempts < 5 => ()
+        }
+      }
+    }
+  }
+
+  /** OPTIMIZE on the persisted inverted index, gated end-to-end:
+    * build (90%) + append (held-out decile) fragment every query
+    * term's partition into one file per generation; compacting the
+    * [[Bm25Terms]] partitions must (a) leave each target partition
+    * exactly ONE live file, (b) carry every non-target file forward
+    * by path — the manifest line is all the cold partitions pay —
+    * and (c) leave the probe bit-equal to the direct full-corpus
+    * ranking (same oracle text as `q_bm25`, now pinning that
+    * compaction moved bytes without moving results). The filesystem
+    * facts fold into `optimize_ok`, which the oracle asserts TRUE.
+    */
+  def qTextOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft_topt").toString
+    val docs = Engine.table(spark, dir, "documents")
+    val toks = Bm25Terms.map(_._2).distinct
+    val keys = toks.map(t => s"tok=$t").toSet
+    val ok = try {
+      writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), base) // v1: build
+      writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7), base) // v2: append
+      val before = IndexCatalog.latestFiles(base)
+      val (tgt0, cold0) = before.partition(
+        f => IndexCatalog.partitionKey(f).exists(keys.contains))
+      compactTextIndexPartitions(spark, base, toks)
+      val after = IndexCatalog.latestFiles(base)
+      val (tgt1, cold1) = after.partition(
+        f => IndexCatalog.partitionKey(f).exists(keys.contains))
+      val onePerKey = tgt1.groupBy(IndexCatalog.partitionKey)
+        .forall(_._2.size == 1)
+      // fragmentation really dropped, cold partitions carried by path
+      tgt0.size > tgt1.size && onePerKey && cold0.toSet == cold1.toSet
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_text_optimize", Seq(base))
+    probeTextIndex(spark, base, Bm25Terms, TopK)
+      .withColumn("optimize_ok", lit(ok))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Row-level DELETE on the inverted index, gated end-to-end: index
+    * the FULL corpus, tombstone the `doc_id % 10 == 7` decile
+    * ([[deleteTextDocs]] — O(deleted ids), postings untouched), then
+    * compact the query terms' partitions so the logical delete
+    * becomes physical there; the probe must equal the direct BM25
+    * ranking over the SURVIVING 90% — document frequency, the
+    * `corpus_stats=` globals and the ranking all reflect the
+    * post-delete corpus exactly (the oracle ranks `documents WHERE
+    * doc_id % 10 <> 7` directly). `delete_ok` pins the physical
+    * purge: after compaction the rewritten partitions' files contain
+    * no tombstoned doc_id.
+    */
+  def qTextDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft_tdel").toString
+    val docs = Engine.table(spark, dir, "documents")
+    val toks = Bm25Terms.map(_._2).distinct
+    val keys = toks.map(t => s"tok=$t").toSet
+    val ok = try {
+      writeTextIndexGen(spark, docs, base) // v1: full corpus
+      deleteTextDocs(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7), base) // v2: tombstones
+      compactTextIndexPartitions(spark, base, toks) // v3: physical purge
+      val tgt = IndexCatalog.latestFiles(base)
+        .filter(f => IndexCatalog.partitionKey(f).exists(keys.contains))
+      tgt.nonEmpty &&
+        spark.read.option("basePath", s"$base/postings").parquet(tgt: _*)
+          .filter(pmod(col("doc_id"), lit(10)) === 7).isEmpty
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_text_delete", Seq(base))
+    probeTextIndex(spark, base, Bm25Terms, TopK)
+      .withColumn("delete_ok", lit(ok))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
     "q_bm25_persisted" -> (qBm25Persisted _),
+    "q_text_optimize" -> (qTextOptimize _),
+    "q_text_delete" -> (qTextDelete _),
     "q_hybrid_rrf" -> (qHybridRrf _)
   )
 
@@ -346,15 +544,16 @@ object RetrievalQueries {
     * floors where Spark's `div` truncates: identical on the
     * all-positive operands throughout.
     */
-  private def duckBm25(terms: Seq[(Long, String)], k: Int): String =
+  private def duckBm25(terms: Seq[(Long, String)], k: Int,
+      docsPred: String = "true"): String =
     s"""qt(query_id, term) AS (VALUES ${duckValues(terms)}),
        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
-       |          FROM documents),
+       |          FROM documents WHERE $docsPred),
        |s2 AS (SELECT n_docs, (10 * n_toks) // n_docs AS avg10 FROM stats),
        |tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
        |               unnest(string_split(text, ' ')) AS tok
-       |        FROM documents),
+       |        FROM documents WHERE $docsPred),
        |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM tok
        |       WHERE tok IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
@@ -382,6 +581,18 @@ object RetrievalQueries {
     "q_bm25_persisted" ->
       s"""WITH ${duckBm25(Bm25Terms, TopK)}
          |SELECT query_id, rk, doc_id, score FROM ranked
+         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    // compaction moves bytes, never results: the probe stays bit-equal
+    // to the direct ranking, and the file-census facts ride optimize_ok
+    "q_text_optimize" ->
+      s"""WITH ${duckBm25(Bm25Terms, TopK)}
+         |SELECT query_id, rk, doc_id, score, true AS optimize_ok FROM ranked
+         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    // post-delete the index must answer as if the decile never
+    // existed: the oracle ranks the surviving corpus directly
+    "q_text_delete" ->
+      s"""WITH ${duckBm25(Bm25Terms, TopK, "doc_id % 10 <> 7")}
+         |SELECT query_id, rk, doc_id, score, true AS delete_ok FROM ranked
          |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
     "q_hybrid_rrf" ->
       s"""WITH ${duckBm25(HybridTerms, ArmK)},

@@ -826,6 +826,98 @@ object StreamingQueries {
         col("vec_id") < lit(8L * SimilarityQueries.NQueries))
   }
 
+  /** One micro-batch's posting-list ingest (shared with the spec's
+    * replay test): the `ingest-batch=<batchId>` tag guard of
+    * [[commitIngestBatch]], applied to the TEXT index — a fresh batch
+    * tokenizes, aggregates its posting rows and commits them with a
+    * superseding `corpus_stats=` tag (running totals) plus the batch
+    * tag on ONE atomic manifest publish; a replayed batchId commits
+    * nothing. The stats tag riding the same publish as the guard tag
+    * is what makes the BM25 globals exactly-once too — a replay can
+    * neither double-count `n_docs`/`n_toks` nor skip them.
+    */
+  private[operators] def commitTextBatch(
+      ss: SparkSession, batch: DataFrame, base: String, batchId: Long): Boolean = {
+    val tag = s"ingest-batch=$batchId"
+    val fresh = !batch.isEmpty &&
+      !graft.sources.IndexCatalog.committedTags(base).contains(tag)
+    if (fresh) RetrievalQueries.writeTextIndexGen(ss, batch, base, Seq(tag))
+    fresh
+  }
+
+  /** Streaming ingest INTO the persisted inverted index — the TEXT
+    * sibling of [[qStreamIndexAppend]]: the posting-list store is
+    * built over 70% of the corpus, then the remaining three deciles
+    * arrive as an unbounded document feed (three staged files, one
+    * micro-batch each) and `foreachBatch` commits each micro-batch's
+    * posting lists as a manifest generation — tag-guarded
+    * exactly-once on BOTH the postings and the `corpus_stats=`
+    * globals ([[commitTextBatch]]). The probe then answers the
+    * standard BM25 queries from the grown store, bit-equal to the
+    * direct full-corpus ranking (`q_bm25`'s oracle text gates it):
+    * partition-pruned posting reads, cross-generation document
+    * frequency, tag-carried globals — now all maintained by a stream.
+    *
+    * 100 TB shape: a live retrieval index under a document firehose
+    * is this exact loop — per-batch cost is tokenize + aggregate the
+    * BATCH (the corpus is never re-read), each commit is one atomic
+    * manifest publish, and the inverted-index promise (a query reads
+    * |terms| partitions) is untouched by how many generations ingest
+    * has stacked, because pruning is manifest-side. Fragmentation is
+    * the compaction query's job (`q_text_optimize`), not the
+    * ingester's.
+    */
+  def qStreamTextIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val ss = streamSession(spark)
+    val base = Files.createTempDirectory("graft_sti_store").toString
+    val inDir = Files.createTempDirectory("graft_sti_in").toString
+    val ckpt = Files.createTempDirectory("graft_sti_ckpt").toString
+    val stage = Files.createTempDirectory("graft_sti_stage").toString
+    try {
+      val docs = Engine.table(ss, dir, "documents")
+      RetrievalQueries.writeTextIndexGen(ss,
+        docs.filter(pmod(col("doc_id"), lit(10)) < 7), base) // v1: build
+      // the three held-out deciles, one feed file each, staged in ONE
+      // pass and moved in mtime-deterministic order (the
+      // qStreamIndexAppend staging pattern)
+      docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
+        .select(col("doc_id"), col("text"),
+          (pmod(col("doc_id"), lit(10)) - 7).as("sl"))
+        .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
+      (0 until 3).foreach { s =>
+        appendOrderedAfter(inDir) {
+          graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
+            .zipWithIndex.foreach { case (f, k) =>
+              Files.move(Paths.get(f), Paths.get(inDir, s"slice-$s-$k.parquet"))
+            }
+        }
+      }
+      graft.Fs.deleteRecursively(stage)
+      val feedSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val q = ss.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          commitTextBatch(ss, batch, base, batchId); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } catch {
+      case e: Throwable =>
+        Seq(base, inDir, ckpt, stage).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+    lease("q_stream_text_index", Seq(base, inDir, ckpt))
+    RetrievalQueries.probeTextIndex(ss, base,
+      RetrievalQueries.Bm25Terms, RetrievalQueries.TopK)
+      .orderBy("query_id", "rk")
+  }
+
   /** One micro-batch's CONSTRAINT-ROUTED ingest (shared with the
     * spec's replay test): resolve the store's declared CHECK
     * constraint from its manifest tags, split the batch row-level,
@@ -1575,6 +1667,7 @@ object StreamingQueries {
     "q_store_matview" -> (qStoreMatview _),
     "q_stream_cdc_matview" -> (qStreamCdcMatview _),
     "q_stream_index_append" -> (qStreamIndexAppend _),
+    "q_stream_text_index" -> (qStreamTextIndex _),
     "q_stream_quarantine" -> (qStreamQuarantine _),
     "q_stream_cluster_append" -> (qStreamClusterAppend _),
     "q_stream_funnel" -> (qStreamFunnel _),
@@ -1692,6 +1785,10 @@ object StreamingQueries {
       batchPred = s"vec_id % 4 = 3 AND vec_id >= ${4 * SimilarityQueries.NQueries}" +
         s" AND vec_id < ${8 * SimilarityQueries.NQueries}",
       corpusPred = "(vec_id % 2 = 0 OR vec_id % 4 = 1)"),
+    // the streamed posting-list commits grow the text index to the
+    // full corpus, so the probe is bit-equal to the direct BM25
+    // ranking — q_bm25's oracle text gates build + stream + probe
+    "q_stream_text_index" -> RetrievalQueries.oracles("q_bm25"),
     // routed ingest: the store census runs the sign/bucket pipeline
     // over corpus ∪ the CLEAN feed half (vec_id % 8 == 1 — the % 8 ==
     // 5 half was poisoned upstream and must never index), the

@@ -41,6 +41,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("inclusion-exclusion over stored sketches is exact (q_sketch_intersect's algebra)") {
+    // two overlapping segments: A = {u1,u2,u3}, B = {u2,u3,u4,u5}
+    val seg = Seq(
+      ("A", "u1"), ("A", "u2"), ("A", "u3"), ("A", "u2"),
+      ("B", "u2"), ("B", "u3"), ("B", "u4"), ("B", "u5")
+    ).toDF("seg", "v")
+      .groupBy("seg").agg(expr("sketch_agg(v)").as("sk"))
+    val r = seg.agg(
+      expr("""coalesce(cast(sketch_count(sketch_merge(
+                CASE WHEN seg = 'A' THEN sk END)) AS BIGINT), 0)""").as("a"),
+      expr("""coalesce(cast(sketch_count(sketch_merge(
+                CASE WHEN seg = 'B' THEN sk END)) AS BIGINT), 0)""").as("b"),
+      expr("coalesce(cast(sketch_count(sketch_merge(sk)) AS BIGINT), 0)").as("u"))
+      .collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 4 && r.getLong(2) == 5)
+    assert(r.getLong(0) + r.getLong(1) - r.getLong(2) == 2) // |A∩B| = {u2,u3}
+  }
+
   test("sketches survive a parquet round trip") {
     val base = java.nio.file.Files.createTempDirectory("graft_sk_spec").toString
     try {

@@ -80,6 +80,111 @@ class TextIndexSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("compaction: one file per target partition, cold files byte-identical, probe unchanged") {
+    val base = Files.createTempDirectory("graft_tidx_opt").toString
+    try {
+      val docs = Engine.table(spark, dir, "documents")
+      RetrievalQueries.writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), base)
+      RetrievalQueries.writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7), base)
+      val toks = Seq("vector", "dup")
+      val keys = toks.map(t => s"tok=$t").toSet
+      val terms = Seq(2L -> "vector", 2L -> "dup")
+      val before = RetrievalQueries.probeTextIndex(spark, base, terms, 10)
+        .collect().map(_.toSeq).toSeq
+      val (tgt0, cold0) = IndexCatalog.latestFiles(base)
+        .partition(f => IndexCatalog.partitionKey(f).exists(keys.contains))
+      assert(tgt0.groupBy(IndexCatalog.partitionKey).exists(_._2.size > 1),
+        "fixture must fragment the target partitions for this test to bite")
+      val coldSums = cold0.map(f => f -> graft.TestHash.sha256(f)).toMap
+
+      RetrievalQueries.compactTextIndexPartitions(spark, base, toks)
+
+      val (tgt1, cold1) = IndexCatalog.latestFiles(base)
+        .partition(f => IndexCatalog.partitionKey(f).exists(keys.contains))
+      assert(tgt1.groupBy(IndexCatalog.partitionKey).forall(_._2.size == 1),
+        s"each compacted partition must hold ONE live file: $tgt1")
+      assert(cold1.toSet == cold0.toSet, "cold partitions must carry by path")
+      coldSums.foreach { case (f, sum) =>
+        assert(graft.TestHash.sha256(f) == sum, s"compaction mutated cold $f")
+      }
+      val after = RetrievalQueries.probeTextIndex(spark, base, terms, 10)
+        .collect().map(_.toSeq).toSeq
+      assert(after == before, "compaction moved results, not just bytes")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("delete: tombstone commit leaves postings untouched; probe equals a fresh index; compaction purges") {
+    val base = Files.createTempDirectory("graft_tidx_del").toString
+    val fresh = Files.createTempDirectory("graft_tidx_fresh").toString
+    try {
+      val docs = Engine.table(spark, dir, "documents")
+      RetrievalQueries.writeTextIndexGen(spark, docs, base)
+      val postSums = IndexCatalog.latestFiles(base)
+        .map(f => f -> graft.TestHash.sha256(f)).toMap
+
+      RetrievalQueries.deleteTextDocs(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7), base)
+
+      // O(tombstone): every pre-delete posting file is live and byte-identical;
+      // the only new file is the del=1 tombstone list
+      val nowLive = IndexCatalog.latestFiles(base)
+      postSums.foreach { case (f, sum) =>
+        assert(nowLive.contains(f) && graft.TestHash.sha256(f) == sum,
+          s"delete touched posting file $f")
+      }
+      val dels = nowLive.filterNot(postSums.contains)
+      assert(dels.nonEmpty && dels.forall(f =>
+        IndexCatalog.partitionKey(f).exists(_.startsWith("del="))),
+        s"expected only del= tombstone files to be new: $dels")
+
+      // the tombstoned probe answers as a fresh index over survivors would
+      val terms = Seq(2L -> "vector", 2L -> "dup")
+      RetrievalQueries.writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), fresh)
+      val probe = RetrievalQueries.probeTextIndex(spark, base, terms, 10)
+      // the tombstone subtraction must be a broadcast anti-join — the
+      // posting side streams, the (bounded) tombstone list ships
+      val planStr = probe.queryExecution.executedPlan.toString
+      assert(planStr.contains("BroadcastHashJoin") && planStr.contains("LeftAnti"),
+        s"tombstones must anti-join by broadcast:\n$planStr")
+      val got = probe.collect().map(_.toSeq).toSeq
+      val want = RetrievalQueries.probeTextIndex(spark, fresh, terms, 10)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, "tombstoned probe diverged from the fresh index")
+
+      // compaction makes the delete physical in the rewritten partitions
+      RetrievalQueries.compactTextIndexPartitions(spark, base, Seq("vector", "dup"))
+      val tgt = IndexCatalog.latestFiles(base).filter(f =>
+        IndexCatalog.partitionKey(f).exists(Set("tok=vector", "tok=dup").contains))
+      val purged = spark.read.option("basePath", s"$base/postings")
+        .parquet(tgt: _*).filter(pmod(col("doc_id"), lit(10)) === 7)
+      assert(purged.isEmpty, "compaction must purge tombstoned rows")
+    } finally {
+      graft.Fs.deleteRecursively(base); graft.Fs.deleteRecursively(fresh)
+    }
+  }
+
+  test("streamed text micro-batch replay commits nothing (tag guard)") {
+    val base = Files.createTempDirectory("graft_tidx_replay").toString
+    try {
+      val docs = Engine.table(spark, dir, "documents")
+      RetrievalQueries.writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) < 7), base)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+        .select(col("doc_id"), col("text"))
+      assert(StreamingQueries.commitTextBatch(spark, batch, base, 0L))
+      val v = IndexCatalog.currentVersion(base)
+      val stats = IndexCatalog.tags(base, v).find(_.startsWith("corpus_stats=")).get
+      // the at-least-once replay window: same batchId arrives again
+      assert(!StreamingQueries.commitTextBatch(spark, batch, base, 0L))
+      assert(IndexCatalog.currentVersion(base) == v, "replay must not commit")
+      assert(IndexCatalog.tags(base, v).find(_.startsWith("corpus_stats="))
+        .contains(stats), "replay must not perturb the stats tag")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("a probe of never-indexed terms returns an empty, well-typed frame") {
     val base = Files.createTempDirectory("graft_tidx_spec3").toString
     try {
