@@ -748,7 +748,7 @@ object StreamingQueries {
   /** Streaming ingest INTO the persisted sign-LSH index store — the
     * index lifecycle driven by Structured Streaming instead of batch
     * calls: build the store once over the even-id corpus, then commit
-    * an unbounded embedding feed (batch A staged as three files, one
+    * an unbounded embedding feed (batch A staged as two files, one
     * micro-batch each) INTO the store from `foreachBatch`, one
     * manifest generation per micro-batch. Exactly-once: each commit
     * carries an `ingest-batch=<batchId>` tag that rides the SAME
@@ -782,16 +782,18 @@ object StreamingQueries {
       val batchA = SimilarityQueries.embeddings(ss, dir)
         .filter(pmod(col("vec_id"), lit(4)) === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"))
-      // ONE pass over the batch stages all three feed slices: the
+      // ONE pass over the batch stages both feed slices: the
       // single-task partitionBy write lands exactly one file per
       // `sl=` dir (the slice column rides the dir name, not the
       // data), and each file then moves into the feed dir under
       // appendOrderedAfter so the slice → micro-batch (and hence
       // ingest-batch tag) mapping is mtime-deterministic even on a
-      // coarse-mtime filesystem.
-      batchA.withColumn("sl", expr("pmod(vec_id div 4, 3)"))
+      // coarse-mtime filesystem. Two micro-batches exercise the full
+      // cross-batch contract (per-batch generations, tag guard) at
+      // two engine passes of harness floor.
+      batchA.withColumn("sl", expr("pmod(vec_id div 4, 2)"))
         .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
-      (0 until 3).foreach { s =>
+      (0 until 2).foreach { s =>
         appendOrderedAfter(inDir) {
           graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
             .zipWithIndex.foreach { case (f, k) =>
@@ -839,8 +841,9 @@ object StreamingQueries {
   private[operators] def commitTextBatch(
       ss: SparkSession, batch: DataFrame, base: String, batchId: Long): Boolean = {
     val tag = s"ingest-batch=$batchId"
-    val fresh = !batch.isEmpty &&
-      !graft.sources.IndexCatalog.committedTags(base).contains(tag)
+    // tag check first (no Spark job); writeTextIndexGen's own census
+    // already no-ops an empty batch, so no isEmpty pre-pass is needed
+    val fresh = !graft.sources.IndexCatalog.committedTags(base).contains(tag)
     if (fresh) RetrievalQueries.writeTextIndexGen(ss, batch, base, Seq(tag))
     fresh
   }
@@ -848,8 +851,11 @@ object StreamingQueries {
   /** Streaming ingest INTO the persisted inverted index — the TEXT
     * sibling of [[qStreamIndexAppend]]: the posting-list store is
     * built over 70% of the corpus, then the remaining three deciles
-    * arrive as an unbounded document feed (three staged files, one
-    * micro-batch each) and `foreachBatch` commits each micro-batch's
+    * arrive as an unbounded document feed (two staged files — the 7th
+    * decile, then the 8th+9th; one micro-batch each, which exercises
+    * every cross-batch contract — replay guard, running stats,
+    * cross-generation df — at two engine passes of harness floor
+    * instead of three) and `foreachBatch` commits each micro-batch's
     * posting lists as a manifest generation — tag-guarded
     * exactly-once on BOTH the postings and the `corpus_stats=`
     * globals ([[commitTextBatch]]). The probe then answers the
@@ -883,9 +889,9 @@ object StreamingQueries {
       // qStreamIndexAppend staging pattern)
       docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
         .select(col("doc_id"), col("text"),
-          (pmod(col("doc_id"), lit(10)) - 7).as("sl"))
+          when(pmod(col("doc_id"), lit(10)) === 7, lit(0)).otherwise(1).as("sl"))
         .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
-      (0 until 3).foreach { s =>
+      (0 until 2).foreach { s =>
         appendOrderedAfter(inDir) {
           graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
             .zipWithIndex.foreach { case (f, k) =>
@@ -968,7 +974,7 @@ object StreamingQueries {
     * triage instead of poisoning the store or killing the query. The
     * feed is batch A (vec_id % 4 == 1) with its % 8 == 5 half
     * POISONED upstream (emptied vectors — rows the cosine pipeline
-    * would divide by zero on), three slices, one micro-batch each.
+    * would divide by zero on), two slices, one micro-batch each.
     * The gated censuses: the store ends at corpus ∪ the CLEAN half,
     * hashed through the bucket pipeline (the distinct-bucket count
     * proves the rows really indexed); the quarantine holds exactly
@@ -998,12 +1004,12 @@ object StreamingQueries {
             .otherwise(col("embedding")).as("embedding"),
           when(pmod(col("vec_id"), lit(8)) === 5, lit(0.0))
             .otherwise(col("nrm")).as("nrm"))
-      // same mtime-deterministic three-slice staging as
+      // same mtime-deterministic two-slice staging as
       // qStreamIndexAppend: one pass, one file per slice dir, ordered
       // moves into the feed
-      feed.withColumn("sl", expr("pmod(vec_id div 4, 3)"))
+      feed.withColumn("sl", expr("pmod(vec_id div 4, 2)"))
         .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
-      (0 until 3).foreach { s =>
+      (0 until 2).foreach { s =>
         appendOrderedAfter(inDir) {
           graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
             .zipWithIndex.foreach { case (f, k) =>
@@ -1452,7 +1458,7 @@ object StreamingQueries {
     * connected-components operator (`q_cluster_append`) driven as an
     * unbounded ingest: the even-id half's assignment is committed to
     * a manifest-versioned cluster store, then the odd half arrives in
-    * THREE micro-batches, each a file of node arrivals (`(i, NULL)`
+    * TWO micro-batches, each a file of node arrivals (`(i, NULL)`
     * rows) plus the discovered pairs whose LATEST endpoint arrived in
     * that batch — so every streamed edge touches ≥1 new node, the
     * contract [[DedupQueries.incrementalComponents]] requires.
@@ -1478,7 +1484,7 @@ object StreamingQueries {
     * would be the copy-on-write-table-rewrite anti-pattern. The store
     * is read by manifest (no listing races) and each commit is one
     * atomic manifest publish. Batch boundaries are value-derived
-    * (`pmod(doc_id div 2, 3)`), files mtime-ordered, so arrival order
+    * (`pmod(doc_id div 2, 2)`), files mtime-ordered, so arrival order
     * is deterministic.
     */
   def qStreamClusterAppend(spark: SparkSession, dir: String): DataFrame = {
@@ -1494,17 +1500,17 @@ object StreamingQueries {
       // assigned to the arrival batch of its later endpoint
       val es = DedupQueries.cappedPairs(docs).select(col("i"), col("j"))
         .withColumn("sl", greatest(
-          expr("CASE WHEN i % 2 = 0 THEN -1 ELSE pmod(i div 2, 3) END"),
-          expr("CASE WHEN j % 2 = 0 THEN -1 ELSE pmod(j div 2, 3) END")))
-        .localCheckpoint() // consumed by the base solve + 3 slice writes
+          expr("CASE WHEN i % 2 = 0 THEN -1 ELSE pmod(i div 2, 2) END"),
+          expr("CASE WHEN j % 2 = 0 THEN -1 ELSE pmod(j div 2, 2) END")))
+        .localCheckpoint() // consumed by the base solve + 2 slice writes
       val (baseLabels, _) = DedupQueries.starComponents(
         docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
         es.filter(col("sl") === -1).select(col("i"), col("j")))
       commitClusterBase(baseLabels, store)
       val oddNodes = docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id").as("i"), expr("CAST(NULL AS BIGINT)").as("j"),
-          expr("pmod(doc_id div 2, 3)").as("sl"))
-      (0 until 3).foreach { s =>
+          expr("pmod(doc_id div 2, 2)").as("sl"))
+      (0 until 2).foreach { s =>
         appendOrderedAfter(inDir) {
           oddNodes.filter(col("sl") === s).select(col("i"), col("j"))
             .unionByName(es.filter(col("sl") === s).select(col("i"), col("j")))

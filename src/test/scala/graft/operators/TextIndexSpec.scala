@@ -185,6 +185,51 @@ class TextIndexSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("two RACING appends both land and the stats tag is the true running sum") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = Files.createTempDirectory("graft_tidx_race").toString
+    try {
+      val docs = Engine.table(spark, dir, "documents")
+      RetrievalQueries.writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) < 6), base)
+      // the race: two appenders prepare against the same predecessor;
+      // the CAS loser must re-derive its superseding stats against the
+      // winner's totals or the tag silently drops a batch
+      val fs = Seq(
+        docs.filter(pmod(col("doc_id"), lit(10)).isin(6, 7)),
+        docs.filter(pmod(col("doc_id"), lit(10)).isin(8, 9))
+      ).map(b => Future(RetrievalQueries.writeTextIndexGen(spark, b, base)))
+      fs.foreach(Await.result(_, 120.seconds))
+      assert(IndexCatalog.currentVersion(base) == 3)
+      val tag = IndexCatalog.tags(base, 3)
+        .find(_.startsWith("corpus_stats=")).get
+      val Array(n, t) = tag.stripPrefix("corpus_stats=").split(":")
+      val direct = docs.agg(count(lit(1)),
+        sum(size(split(col("text"), " "))).cast("long")).collect()(0)
+      assert(n.toLong == direct.getLong(0) && t.toLong == direct.getLong(1),
+        s"racing appends lost a batch in the stats tag: $tag vs $direct")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("re-issued DELETE is idempotent: no new version, stats tag unchanged") {
+    val base = Files.createTempDirectory("graft_tidx_redel").toString
+    try {
+      val docs = Engine.table(spark, dir, "documents")
+      RetrievalQueries.writeTextIndexGen(spark, docs, base)
+      val doomed = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+      RetrievalQueries.deleteTextDocs(spark, doomed, base)
+      val v = IndexCatalog.currentVersion(base)
+      val stats = IndexCatalog.tags(base, v).find(_.startsWith("corpus_stats=")).get
+      RetrievalQueries.deleteTextDocs(spark, doomed, base) // replay
+      assert(IndexCatalog.currentVersion(base) == v,
+        "a replayed delete must not commit")
+      assert(IndexCatalog.tags(base, v).find(_.startsWith("corpus_stats="))
+        .contains(stats), "a replayed delete must not re-subtract stats")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("a probe of never-indexed terms returns an empty, well-typed frame") {
     val base = Files.createTempDirectory("graft_tidx_spec3").toString
     try {
