@@ -934,6 +934,66 @@ object SimilarityQueries {
       IndexCatalog.commitWithRetry(base)(_ => (newFiles, commitTags))
   }
 
+  /** Multi-slice BACKFILL ingest: N upstream-partitioned batches land
+    * as N separate manifest generations (same protocol facts as N
+    * [[writeEmbedGen]] calls — one commit, one tag set, one
+    * time-travelable version per slice) from ONE Spark pass: the
+    * bucket hash and the staged partitioned write run once over the
+    * union (`partitionBy(slice, bucket)`), then each slice's files
+    * move into the shared `bucket=` layout and commit in slice order.
+    * This is how a real backfill drives a snapshot store: compute
+    * cost scales with the DATA once, while commit granularity — the
+    * unit of time travel, vacuum and downstream change feeds — stays
+    * per slice. Requires the fresh-batch contract (slices disjoint
+    * from the store and each other, partitioned upstream).
+    */
+  private[operators] def writeEmbedGenSliced(
+      spark: SparkSession, vecs: DataFrame, sliceCol: Column, base: String,
+      tagOf: Long => Seq[String]): Unit = {
+    import graft.sources.{IndexCatalog, StagedWrite}
+    val target = s"$base/corpus"
+    val planes = spark.read.parquet(s"$base/planes")
+    val rows = vecs.crossJoin(planes)
+      .withColumn("bit",
+        when(dot(col("embedding"), col("p_emb")) >= 0,
+          expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(sum(col("bit")).as("bucket"))
+      .withColumn("sl", sliceCol)
+    val rootP = java.nio.file.Paths.get(target)
+    java.nio.file.Files.createDirectories(rootP.getParent)
+    val staging =
+      java.nio.file.Files.createTempDirectory(rootP.getParent, ".staging-")
+    try {
+      rows.write.mode("overwrite").partitionBy("sl", "bucket")
+        .parquet(staging.toString)
+      val bySlice = IndexCatalog.listDataFiles(staging.toString)
+        .groupBy { f =>
+          IndexCatalog.partitionKey(f).get.split("/").head
+            .stripPrefix("sl=").toLong
+        }
+      bySlice.toSeq.sortBy(_._1).foreach { case (sl, fs) =>
+        val moved = fs.map { f =>
+          val rel = staging.relativize(java.nio.file.Paths.get(f))
+          // drop the sl= segment (files land in the shared bucket=
+          // layout) but keep the slice in the FILE name: one job wrote
+          // every slice, so task-file names repeat across slices and
+          // would otherwise collide — and silently rename()-overwrite —
+          // inside a shared bucket directory
+          val inner = rel.subpath(1, rel.getNameCount)
+          val dest = rootP.resolve(inner.getParent)
+            .resolve(s"sl$sl-${inner.getFileName}")
+          java.nio.file.Files.createDirectories(dest.getParent)
+          java.nio.file.Files.move(java.nio.file.Paths.get(f), dest,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          dest.toString
+        }.sorted
+        graft.sources.FileStats.record(base, moved, Seq("vec_id"))
+        IndexCatalog.commitWithRetry(base)(_ => (moved, tagOf(sl)))
+      }
+    } finally scala.util.Try(graft.Fs.deleteRecursively(staging.toString))
+  }
+
   /** Probe the stored buckets with an ingest batch (the first
     * [[NQueries]] odd-id vectors): the batch computes its sign
     * pattern against the STORED planes, equi-joins the bucket-
@@ -2072,13 +2132,13 @@ object SimilarityQueries {
     val (n5, s5, ok) = try {
       buildEmbedStore(spark, dir, base) // v1: evens
       val e = embeddings(spark, dir)
-      (1 to 15 by 2).foreach { k => // v2..v9: odd % 16 slices
-        // the slices are disjoint by construction (an upstream-
-        // partitioned ingest), so each append skips the dedup
-        // anti-join — per-append cost is the batch's, never the store's
-        writeEmbedGen(spark, e.filter(pmod(col("vec_id"), lit(16)) === k),
-          base, Seq(s"slice=$k"), assumeFresh = true)
-      }
+      // v2..v9: odd % 16 slices — a BACKFILL, so the eight disjoint
+      // batches hash + stage in ONE pass and commit per slice
+      // ([[writeEmbedGenSliced]]): eight protocol-identical versions
+      // (one tag, one delta manifest each) at one Spark job's compute
+      writeEmbedGenSliced(spark,
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        pmod(col("vec_id"), lit(16)), base, sl => Seq(s"slice=$sl"))
       // protocol facts before the vacuum: nine commits, the periodic
       // snapshot exactly at the interval boundary, v9 a delta commit
       // (its manifest records touched keys, not the live list)
