@@ -1421,6 +1421,129 @@ object SimilarityQueries {
       pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
   }
 
+  /** Predicate-driven row-level UPDATE — the DML verb MERGE doesn't
+    * cover: MERGE is handed its change set (a batch of ids), UPDATE
+    * must FIND it, so the one extra cost is a find-phase scan over
+    * the store under the predicate. That scan is the part that must
+    * be bounded at 100 TB, and the [[graft.sources.FileStats]]
+    * sidecars bound it: the caller supplies the predicate's range on
+    * the stats column and only files whose recorded id-range
+    * intersects are read (an id-ordered ingest makes that a sliver;
+    * a fully-scattered layout degrades conservatively to the full
+    * list — correct either way, as in [[mergeIntoEmbedStore]]'s
+    * candidate step). From there the shape is MERGE's: the SET
+    * expression can change the embedding, the row's bucket is a
+    * function of the row, so updated rows re-hash against the FROZEN
+    * build-time planes and usually migrate partitions; survivors of
+    * (old ∪ new) buckets rewrite once, untouched partitions carry
+    * forward by path, and the rebasing partition-replacement commit
+    * publishes atomically with CAS + re-derive on same-partition
+    * conflict. The find phase reads the SAME version the commit
+    * validates against, so a racing writer can never make the update
+    * act on rows it didn't read.
+    */
+  private[operators] def updateEmbedStoreWhere(
+      spark: SparkSession, base: String, pred: Column,
+      statsLo: Long, statsHi: Long,
+      setEmbedding: Column => Column): Unit = {
+    import graft.sources.{FileStats, IndexCatalog, StagedWrite}
+    Engine.register(spark) // vec_dot on the re-norm path
+    val target = s"$base/corpus"
+    val planes = spark.read.parquet(s"$base/planes")
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val basedOn = IndexCatalog.currentVersion(base)
+      require(basedOn >= 1, s"nothing to update in: $base has no version")
+      val files = IndexCatalog.files(base, basedOn)
+      // FIND: stats-pruned candidate files under the predicate's
+      // declared id-range bound — the only store scan the verb runs
+      val candidates = FileStats.prune(base, files, "vec_id", statsLo, statsHi)
+      // version-dependent, so recomputed per attempt (never reused
+      // across a CAS retry); checkpointed within the attempt — it
+      // feeds the key census, the survivor anti-join and the rewrite
+      val matched =
+        if (candidates.isEmpty) null
+        else readStoreFiles(spark, candidates).filter(pred)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("bucket").cast("long").as("bucket"))
+          .localCheckpoint()
+      if (matched == null || matched.isEmpty) done = true // no match: no-op
+      else {
+        val oldKeys = matched.select(col("bucket")).distinct()
+          .collect().map(r => s"bucket=${r.getLong(0)}").toSet
+        // SET + re-norm + re-hash against the stored (frozen) planes
+        val updated = matched
+          .select(col("vec_id"), setEmbedding(col("embedding")).as("embedding"))
+          .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+          .crossJoin(planes)
+          .withColumn("bit",
+            when(dot(col("embedding"), col("p_emb")) >= 0,
+              expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
+          .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+          .agg(sum(col("bit")).as("bucket"))
+          .localCheckpoint()
+        val newKeys = updated.select(col("bucket")).distinct()
+          .collect().map(r => s"bucket=${r.getLong(0)}").toSet
+        val targetKeys = oldKeys ++ newKeys
+        val live = files
+          .filter(f => IndexCatalog.partitionKey(f).exists(targetKeys.contains))
+        val survivors = readStoreFiles(spark, live)
+          .join(matched.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("bucket").cast("long").as("bucket"))
+        try {
+          val written = StagedWrite.partitioned(
+            survivors.unionByName(
+              updated.select(col("vec_id"), col("embedding"), col("nrm"),
+                col("bucket"))).repartition(col("bucket")),
+            target, Seq("bucket"))
+          FileStats.record(base, written, Seq("vec_id"))
+          IndexCatalog.commitReplacePartitionsRebasing(base, written,
+            Seq(s"update ${targetKeys.toSeq.sorted.mkString(",")}"),
+            basedOn, extraReplacedKeys = targetKeys)
+          done = true
+        } catch {
+          case e if IndexCatalog.isCommitConflict(e) && attempts < 5 => ()
+        }
+      }
+    }
+  }
+
+  /** [[qStoreUpdate]]'s predicate range — absolute id bounds (every
+    * fixture holds vec_ids from 0), so the oracle states the same
+    * constants.
+    */
+  private val UpdLo = 100L
+  private val UpdHi = 199L
+
+  /** The gated UPDATE query: build the store over the even corpus
+    * (v1), then `UPDATE corpus SET embedding = -embedding WHERE
+    * vec_id BETWEEN 100 AND 199` (v2). Negation is the adversarial
+    * SET for a sign-partitioned store — every plane dot flips sign,
+    * so each updated row migrates to its complement bucket — while
+    * staying FP-exact in both engines (a sign-bit flip) and
+    * norm-preserving. The standard probe against the updated store
+    * must rank exactly as an ingest over a corpus where the in-range
+    * evens were always negated; everything else (including the
+    * plane rows, ids 0–6, outside the range) is untouched.
+    */
+  def qStoreUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_upd").toString
+    try {
+      buildEmbedStore(spark, dir, base) // v1: evens
+      updateEmbedStoreWhere(spark, base,
+        col("vec_id").between(UpdLo, UpdHi), UpdLo, UpdHi,
+        e => transform(e, x => -x)) // v2: in-range evens negated
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw t
+    }
+    graft.Lease.lease("q_store_update", Seq(base))
+    probeEmbedStore(spark, dir, base)
+  }
+
   /** Row-level CHANGE-DATA feed of one commit — the CDC complement to
     * the file-level follower ([[graft.sources.StoreChangeSource]]
     * streams pure appends and must skip replacement commits, because
@@ -2306,6 +2429,7 @@ object SimilarityQueries {
     "q_store_changes" -> (qStoreChanges _),
     "q_store_delete" -> (qStoreDelete _),
     "q_store_merge" -> (qStoreMerge _),
+    "q_store_update" -> (qStoreUpdate _),
     "q_store_cdc" -> (qStoreCdc _),
     "q_store_clone" -> (qStoreClone _),
     "q_store_skipping" -> (qStoreSkipping _),
@@ -2744,6 +2868,47 @@ object SimilarityQueries {
          |  SELECT t.vec_id, s.embedding
          |  FROM embeddings t JOIN embeddings s ON s.vec_id = t.vec_id + 1
          |  WHERE t.vec_id % 8 = 0),
+         |planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
+         |           WHERE vec_id % 2 = 0 AND vec_id < ${2 * NPlanes}),
+         |c AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
+         |                  THEN power(2, p.plane_id // 2) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM src e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, e.embedding),
+         |q AS (
+         |  SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+         |         CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+         |                                               CAST(p.p_emb AS DOUBLE[])) >= 0
+         |                  THEN power(2, p.plane_id // 2) ELSE 0 END) AS BIGINT) AS q_bucket
+         |  FROM embeddings e CROSS JOIN planes p
+         |  WHERE $batchPred
+         |  GROUP BY e.vec_id, e.embedding),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |         ${duckCos.format("q_emb", "c.embedding")} AS cos
+         |  FROM q JOIN c ON q.q_bucket = c.bucket),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY cos DESC, neighbor_id) AS rk
+         |           FROM scored)
+         |SELECT query_id, rk, neighbor_id FROM ranked
+         |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+    },
+    // post-update probe: rankings equal an ingest over a corpus where
+    // the in-range evens were ALWAYS negated (list_transform's -x is a
+    // float sign-bit flip — FP-exact in both engines); planes read the
+    // RAW fixture because the family is frozen and the plane ids lie
+    // outside the updated range anyway
+    "q_store_update" -> {
+      val batchPred = s"vec_id % 2 = 1 AND vec_id < ${2 * NQueries}"
+      s"""WITH src AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id BETWEEN $UpdLo AND $UpdHi
+         |              THEN list_transform(embedding, x -> -x)
+         |              ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 2 = 0),
          |planes AS (SELECT vec_id AS plane_id, embedding AS p_emb FROM embeddings
          |           WHERE vec_id % 2 = 0 AND vec_id < ${2 * NPlanes}),
          |c AS (

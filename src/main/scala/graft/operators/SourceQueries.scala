@@ -709,7 +709,51 @@ object SourceQueries {
       .orderBy("event_type")
   }
 
+  /** DYNAMIC partition pruning — the scan-time mechanism that makes a
+    * partitioned 100 TB fact table answer dimension-filtered joins
+    * without reading itself: events are laid out `partitionBy(day)`
+    * (the ingest layout every event pipeline already writes), the day
+    * dimension is filtered on an ATTRIBUTE of the day (weekend — the
+    * TPC-DS `date_dim.d_day_name` pattern), and the join key IS the
+    * partition column — so Catalyst injects a runtime
+    * `dynamicpruning` subquery into the fact scan's PartitionFilters
+    * that reuses the dimension's broadcast: the fact side lists only
+    * the ~2/7 of partitions the dimension survived, before a single
+    * fact row is read. Static pruning can't do this (the qualifying
+    * days are data, unknowable at plan time) and a filter-after-join
+    * would scan everything. PlanQualitySpec pins the mechanism
+    * (`dynamicpruning` present in the fact scan, partitions read <
+    * total); the oracle pins content (the same census straight off
+    * the raw table under the weekend predicate — the dimension is
+    * derived from the same events, so the inner join reduces to it).
+    */
+  def qDpp(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_dpp").toString
+    try {
+      Engine.table(spark, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(base)
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_dpp", Seq(base))
+    val fact = spark.read.parquet(base)
+    // the day dimension, filtered on its weekend attribute — values
+    // come from the raw table at runtime, so the optimizer cannot
+    // fold them into static partition filters
+    val dim = Engine.table(spark, dir, "events")
+      .select(to_date(col("ts")).as("day")).distinct()
+      .filter(dayofweek(col("day")).isin(1, 7)) // Spark: 1=Sun, 7=Sat
+    fact.join(broadcast(dim), Seq("day"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("val_cents"))
+      .orderBy("day", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dpp" -> (qDpp _),
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_zorder" -> (qZorder _),
@@ -724,6 +768,15 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the weekend census straight off the raw table: the partitioned
+    // rewrite + dimension join must change WHAT IS READ, never the
+    // answer (DuckDB dayofweek: 0=Sun, 6=Sat)
+    "q_dpp" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM events
+        |WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sink_roundtrip" ->
       """SELECT fmt, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
         |       min(n_name) AS first_name, max(n_name) AS last_name
