@@ -82,7 +82,9 @@ object PlanDump {
     "q_text_delete" ->
       "round 11: the tombstone subtraction is a BroadcastHashJoin LeftAnti directly over the pruned posting scan — postings stream, the bounded doomed-id list ships; df is counted AFTER the anti-join so the ranking is exactly the survivor corpus; delete itself shuffles nothing store-sized (one tombstone write + tag publish).",
     "q_sketch_intersect" ->
-      "round 11: stage 2 is ONE HashAggregate over the stored day-sketch rows (conditional sketch_merge per arm + union merge in the same pass) — the raw events table appears nowhere in the plan; intersection is driver-free integer algebra on the three finalized counts.")
+      "round 11: stage 2 is ONE HashAggregate over the stored day-sketch rows (conditional sketch_merge per arm + union merge in the same pass) — the raw events table appears nowhere in the plan; intersection is driver-free integer algebra on the three finalized counts.",
+    "q_dpp" ->
+      "round 12 (query landed round 11): the fact scan's PartitionFilters carry a runtime `dynamicpruning#` subquery reusing the weekend-dimension broadcast — only the dimension's surviving day= partitions are LISTED, before a single fact row is read; the executed numPartitions metric < partitions on disk is pinned in PlanQualitySpec.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"

@@ -722,12 +722,24 @@ object SourceQueries {
     * fact row is read. Static pruning can't do this (the qualifying
     * days are data, unknowable at plan time) and a filter-after-join
     * would scan everything. PlanQualitySpec pins the mechanism
-    * (`dynamicpruning` present in the fact scan, partitions read <
-    * total); the oracle pins content (the same census straight off
-    * the raw table under the weekend predicate — the dimension is
-    * derived from the same events, so the inner join reduces to it).
+    * (`dynamicpruning` present in the fact scan's PartitionFilters,
+    * partitions read < partitions on disk); the oracle pins content
+    * (the same census straight off the raw table under the weekend
+    * predicate — the dimension is derived from the same events, so
+    * the inner join reduces to it).
     */
   def qDpp(spark: SparkSession, dir: String): DataFrame = {
+    val (joined, base, _) = dppJoined(spark, dir)
+    graft.Lease.lease("q_dpp", Seq(base))
+    joined
+  }
+
+  /** [[qDpp]]'s body, with the partitioned layout's path and a cleanup
+    * exposed so PlanQualitySpec can count partitions read vs written.
+    * The caller owns the directory: qDpp leases it, the spec deletes.
+    */
+  def dppJoined(
+      spark: SparkSession, dir: String): (DataFrame, String, () => Unit) = {
     val base = Files.createTempDirectory("graft_dpp").toString
     try {
       Engine.table(spark, dir, "events")
@@ -737,7 +749,6 @@ object SourceQueries {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
     }
-    graft.Lease.lease("q_dpp", Seq(base))
     val fact = spark.read.parquet(base)
     // the day dimension, filtered on its weekend attribute — values
     // come from the raw table at runtime, so the optimizer cannot
@@ -745,11 +756,12 @@ object SourceQueries {
     val dim = Engine.table(spark, dir, "events")
       .select(to_date(col("ts")).as("day")).distinct()
       .filter(dayofweek(col("day")).isin(1, 7)) // Spark: 1=Sun, 7=Sat
-    fact.join(broadcast(dim), Seq("day"))
+    val joined = fact.join(broadcast(dim), Seq("day"))
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("val_cents"))
       .orderBy("day", "event_type")
+    (joined, base, () => { graft.Fs.deleteRecursively(base); () })
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -213,6 +213,32 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("q_dpp injects dynamicpruning into the fact scan; partitions read < partitions on disk") {
+    val (joined, base, cleanup) = SourceQueries.dppJoined(spark, dir)
+    try {
+      val p = plan(joined)
+      // the runtime subquery must sit in the FACT scan's partition
+      // filters — that is the mechanism, not a post-scan filter
+      val factScan = collectAll(p).collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(base)) => f
+      }
+      assert(factScan.isDefined, s"no fact scan over $base:\n$p")
+      assert(factScan.get.partitionFilters.exists(
+        _.toString.contains("dynamicpruning")),
+        s"fact scan's PartitionFilters carry no dynamicpruning subquery:\n${factScan.get}")
+      // execute, then compare the scan's partitions-read metric to the
+      // day= directories actually on disk: only the dimension's
+      // surviving weekend days may be listed
+      joined.collect()
+      val read = factScan.get.metrics("numPartitions").value
+      val onDisk = new java.io.File(base).listFiles()
+        .count(_.getName.startsWith("day="))
+      assert(read > 0 && read < onDisk,
+        s"expected a pruned read, got $read of $onDisk partitions:\n$p")
+    } finally cleanup()
+  }
+
   test("q_hybrid_rrf's fusion window ranks a bounded frame: both arms end in topk_agg") {
     spark.catalog.clearCache()
     val p = plan(RetrievalQueries.qHybridRrf(spark, dir))
