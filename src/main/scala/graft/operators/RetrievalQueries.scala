@@ -76,8 +76,15 @@ object RetrievalQueries {
     * a corpus past ~10^12 docs would move this to DECIMAL(38,0), same
     * plan.
     */
-  private def bm25Partials(docs: DataFrame, qterms: DataFrame,
+  private def bm25Partials(rawDocs: DataFrame, qterms: DataFrame,
       termList: Seq[String]): DataFrame = {
+    // a NULL-text row is not a document of the retrieval corpus: it
+    // contributes no postings (explode of NULL yields nothing), so
+    // counting it in n_docs would skew idf/avgdl — and would let the
+    // persisted index's running stats diverge from this direct
+    // ranking on feeds that carry NULL rows (the ingest side filters
+    // identically in writeTextIndexGen)
+    val docs = rawDocs.filter(col("text").isNotNull)
     val stats = docs
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " "))).cast("long").as("n_toks"))
@@ -201,15 +208,15 @@ object RetrievalQueries {
     */
   private val StatsTagPrefix = "corpus_stats="
 
-  private def storedStats(base: String): (Long, Long) = {
-    import graft.sources.IndexCatalog
-    IndexCatalog.liveVersions(base).sorted.reverse.iterator
-      .flatMap(v => IndexCatalog.tags(base, v))
-      .collectFirst { case t if t.startsWith(StatsTagPrefix) =>
+  private def storedStats(base: String): (Long, Long) =
+    graft.sources.IndexCatalog.newestTag(base, StatsTagPrefix)
+      // newestTag resolves vacuum-carried tags too, so compaction
+      // chains + retention past the last stats-bearing commit cannot
+      // un-declare the globals while postings survive
+      .map { t =>
         val parts = t.drop(StatsTagPrefix.length).split(":")
         (parts(0).toLong, parts(1).toLong) }
       .getOrElse(sys.error(s"no $StatsTagPrefix tag on text index $base"))
-  }
 
   /** One generation of the TEXT INDEX: the batch's posting lists
     * (tok, doc_id, dl, tf) land `tok=`-partitioned — the inverted-index
@@ -224,9 +231,16 @@ object RetrievalQueries {
     * the repo's bounded-collect convention).
     */
   private[operators] def writeTextIndexGen(
-      spark: SparkSession, docs: DataFrame, base: String,
+      spark: SparkSession, rawDocs: DataFrame, base: String,
       extraTags: Seq[String] = Nil): Unit = {
     import graft.sources.{IndexCatalog, StagedWrite}
+    // corpus = non-NULL-text docs, exactly as [[bm25Partials]] counts
+    // them: a NULL row stages no postings, so counting it in the
+    // stats census would bump n_docs with no commit to carry the tag
+    // when a batch is ALL NULLs (the commit below is skipped when no
+    // posting files staged) — filtered here, the no-op is total and
+    // the running stats never diverge from the direct ranking
+    val docs = rawDocs.filter(col("text").isNotNull)
     val posts = docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("dl"),
@@ -278,33 +292,46 @@ object RetrievalQueries {
     * never needs a doc→tokens reverse index. Re-issued deletes are
     * idempotent: already-tombstoned ids are anti-joined away before
     * the deltas are computed, so a replay neither re-subtracts the
-    * stats nor publishes a version. Contract: the rows passed must be
-    * documents currently in the index (deleting a never-indexed doc
-    * would subtract counts that were never added — same caller
-    * contract as the append side's fresh-batch requirement).
+    * stats nor publishes a version — and the recheck runs INSIDE the
+    * CAS retry, so two CONCURRENT deletes of the same ids serialize
+    * correctly: the loser re-derives against the winner's tombstones,
+    * its overlap drops out, and the stats are subtracted exactly once
+    * (a fully-overlapped loser becomes a version-less no-op).
+    * Contract: the rows passed must be documents currently in the
+    * index (deleting a never-indexed doc would subtract counts that
+    * were never added — same caller contract as the append side's
+    * fresh-batch requirement).
     */
   private[operators] def deleteTextDocs(
-      spark: SparkSession, docs: DataFrame, base: String): Unit = {
+      spark: SparkSession, rawDocs: DataFrame, base: String): Unit = {
     import graft.sources.{IndexCatalog, StagedWrite}
-    // drop already-tombstoned ids first: a re-issued DELETE must be
-    // idempotent — without this, replaying a delete would subtract its
-    // (n_docs, n_toks) from the stats tag twice
-    val fresh = docs.join(broadcast(tombstones(spark, base)),
-      Seq("doc_id"), "left_anti")
-    val agg = fresh.agg(count(lit(1)).cast("long"),
-      coalesce(sum(size(split(col("text"), " "))).cast("long"), lit(0L)))
-      .collect()(0)
-    if (agg.getLong(0) == 0L) return
-    val newFiles = StagedWrite.partitioned(
-      fresh.select(col("doc_id"), lit(1).as("del")).repartition(1),
-      s"$base/tombstones", Seq("del"))
-    // predecessor stats inside prepare, as in [[writeTextIndexGen]]:
-    // a delete racing an append re-derives against the winner's totals
-    IndexCatalog.commitWithRetry(base)(_ =>
-      (newFiles, {
+    // same corpus-membership rule as the append side: a NULL-text row
+    // was never indexed or counted, so it must not subtract either
+    val docs = rawDocs.filter(col("text").isNotNull)
+    // the whole delta — tombstone recheck, census, staged file — is
+    // derived inside prepare, against the exact version the CAS
+    // validates: a lost race re-runs all of it on the winner's state.
+    // (A loser's abandoned staged file is crash debris for vacuum's
+    // orphan GC, like any torn write.)
+    object NothingFresh extends Exception
+    try {
+      IndexCatalog.commitWithRetry(base) { _ =>
+        // drop already-tombstoned ids: a replayed OR racing DELETE
+        // must not subtract its (n_docs, n_toks) twice
+        val fresh = docs.join(broadcast(tombstones(spark, base)),
+          Seq("doc_id"), "left_anti")
+        val agg = fresh.agg(count(lit(1)).cast("long"),
+          coalesce(sum(size(split(col("text"), " "))).cast("long"), lit(0L)))
+          .collect()(0)
+        if (agg.getLong(0) == 0L) throw NothingFresh
+        val newFiles = StagedWrite.partitioned(
+          fresh.select(col("doc_id"), lit(1).as("del")).repartition(1),
+          s"$base/tombstones", Seq("del"))
         val (n0, t0) = storedStats(base)
-        Seq(statsTagOf(n0 - agg.getLong(0), t0 - agg.getLong(1)))
-      }))
+        (newFiles, Seq(statsTagOf(n0 - agg.getLong(0), t0 - agg.getLong(1))))
+      }
+      ()
+    } catch { case NothingFresh => () }
   }
 
   /** The live tombstone set (doc_id), empty frame if none. */

@@ -1437,10 +1437,16 @@ object SimilarityQueries {
     * build-time planes and usually migrate partitions; survivors of
     * (old ∪ new) buckets rewrite once, untouched partitions carry
     * forward by path, and the rebasing partition-replacement commit
-    * publishes atomically with CAS + re-derive on same-partition
-    * conflict. The find phase reads the SAME version the commit
-    * validates against, so a racing writer can never make the update
-    * act on rows it didn't read.
+    * publishes atomically with CAS + re-derive on conflict. Conflict
+    * detection here is STRICTER than MERGE/DELETE's key-level rule,
+    * because the verb is predicate-driven — the find phase must have
+    * READ every row the commit claims to govern: an intervening
+    * append whose recorded `vec_id` stats range intersects
+    * [statsLo, statsHi] (or carries no sidecar — conservative) may
+    * hold predicate-matching rows in buckets outside the target keys,
+    * so it re-raises as a content conflict and the whole
+    * find+set+rewrite re-derives against the winner's state. That
+    * closes the write-skew a pure key-level check permits.
     */
   private[operators] def updateEmbedStoreWhere(
       spark: SparkSession, base: String, pred: Column,
@@ -1502,7 +1508,15 @@ object SimilarityQueries {
           FileStats.record(base, written, Seq("vec_id"))
           IndexCatalog.commitReplacePartitionsRebasing(base, written,
             Seq(s"update ${targetKeys.toSeq.sorted.mkString(",")}"),
-            basedOn, extraReplacedKeys = targetKeys)
+            basedOn, extraReplacedKeys = targetKeys,
+            addConflicts = adds => {
+              // an intervening add may hold predicate-matching rows
+              // the find phase never read: intersecting (or
+              // unstated) id range ⇒ content conflict, re-derive
+              val rs = FileStats.ranges(base, adds, "vec_id")
+              adds.exists(f => rs.get(f).forall {
+                case (lo, hi) => lo <= statsHi && hi >= statsLo })
+            })
           done = true
         } catch {
           case e if IndexCatalog.isCommitConflict(e) && attempts < 5 => ()

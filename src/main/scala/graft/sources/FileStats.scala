@@ -129,10 +129,10 @@ object FileStats {
     */
   def declaredCols(base: String,
       catalog: IndexCatalogOps = IndexCatalog): Seq[String] =
-    catalog.liveVersions(base).sorted.reverse.iterator
-      .flatMap(v => catalog.tags(base, v))
-      .collectFirst { case t if t.startsWith(TagPrefix) =>
-        t.drop(TagPrefix.length).split(",").toSeq.filter(_.nonEmpty) }
+    catalog.newestTag(base, TagPrefix)
+      // vacuum-carried tags resolve too: retention past the declaring
+      // commit must not silently degrade recordDeclared to a no-op
+      .map(_.drop(TagPrefix.length).split(",").toSeq.filter(_.nonEmpty))
       .getOrElse(Seq.empty)
 
   /** [[record]] over the store's DECLARED column list — what a writer

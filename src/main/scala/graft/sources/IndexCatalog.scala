@@ -86,7 +86,23 @@ class IndexCatalogOps(val fs: CatalogFs) {
   private def ckptPath(base: String, v: Int): String =
     Paths.get(manifestsDir(base), s"v$v.ckpt").toString
 
+  private def tagsPath(base: String, v: Int): String =
+    Paths.get(manifestsDir(base), s"v$v.tags").toString
+
   private val ManifestName = raw"v(\d+)\.txt".r
+
+  /** Tags with a `key=` shape (no whitespace in the key) form a
+    * FAMILY where the newest instance governs — `corpus_stats=`,
+    * `stats_cols=`, `check=`, `schema=`. [[vacuum]] re-carries the
+    * newest instance of each family that would otherwise expire with
+    * the pre-horizon chain, because these are load-bearing store
+    * metadata, not per-commit history: losing the last `corpus_stats=`
+    * to retention would brick every text-index probe even though the
+    * postings themselves survive. Free-form commit notes ("merge
+    * bucket=3") don't match the shape and expire with their version,
+    * as history should.
+    */
+  private val CarriedTagFamily = raw"([A-Za-z0-9_.-]+=).*".r
 
   /** Highest committed version, 0 if the store has none. */
   def currentVersion(base: String): Int =
@@ -169,14 +185,41 @@ class IndexCatalogOps(val fs: CatalogFs) {
     */
   def tags(base: String, v: Int): Seq[String] = readManifest(base, v).tags
 
-  /** Every tag on a still-live manifest. The streaming ingest path
-    * keys its exactly-once guard on this set: a replayed micro-batch
-    * whose tag is already committed must not commit again. (Retention
-    * must therefore exceed the replay horizon — [[vacuum]] dropping a
-    * manifest forgets its tags, as in any snapshot-committed format.)
+  /** The tags [[vacuum]] re-carried at version `v`'s horizon snapshot
+    * — newest-per-family survivors of the expired pre-`v` chain.
+    * Empty when no vacuum ever expired a chain below `v`.
+    */
+  private[sources] def carriedTags(base: String, v: Int): Seq[String] = {
+    val p = tagsPath(base, v)
+    if (!fs.exists(p)) Seq.empty
+    else fs.readString(p).split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** The newest governing tag starting with `prefix` — resolved over
+    * live manifests AND the carried-tag snapshots vacuum leaves at
+    * expired chains' horizons, newest first (a version's own manifest
+    * tags supersede tags carried AT it, which are older by
+    * construction). The lookup every newest-wins tag family
+    * (`corpus_stats=`, `stats_cols=`, `check=`) goes through, so
+    * retention can never silently un-declare store metadata.
+    */
+  def newestTag(base: String, prefix: String): Option[String] =
+    liveVersions(base).sorted.reverse.iterator.flatMap { v =>
+      tags(base, v).reverseIterator.filter(_.startsWith(prefix)) ++
+        carriedTags(base, v).iterator.filter(_.startsWith(prefix))
+    }.nextOption()
+
+  /** Every tag on a still-live manifest, plus vacuum-carried tags. The
+    * streaming ingest path keys its exactly-once guard on this set: a
+    * replayed micro-batch whose tag is already committed must not
+    * commit again. (Retention must still exceed the replay horizon —
+    * [[vacuum]] carries forward only the NEWEST tag per `key=` family,
+    * so older replay-guard tags expire with their manifests, as in any
+    * snapshot-committed format.)
     */
   def committedTags(base: String): Set[String] =
-    liveVersions(base).iterator.flatMap(tags(base, _)).toSet
+    liveVersions(base).iterator
+      .flatMap(v => tags(base, v) ++ carriedTags(base, v)).toSet
 
   /** Versions whose manifest is still present — committed and not yet
     * expired by [[vacuum]]. The catalog's readable history.
@@ -308,11 +351,21 @@ class IndexCatalogOps(val fs: CatalogFs) {
     * documents. This is the commit-level conflict detection
     * production snapshot formats run so that logically-independent
     * writers never serialize on re-derivation.
+    *
+    * `addConflicts` extends conflict detection beyond keys for
+    * PREDICATE-DRIVEN writers (UPDATE, which must FIND its change
+    * set): it sees each key-disjoint intervening commit's ADDED
+    * files and returns true when their content could have matched
+    * the caller's predicate — rows the find phase never read, the
+    * write-skew key-level detection alone cannot see. Default
+    * `_ => false` keeps the pure key-level rule for writers whose
+    * change set is handed in (MERGE / DELETE / compaction).
     */
   def commitReplacePartitionsRebasing(base: String, newFiles: Seq[String],
       commitTags: Seq[String], basedOn: Int,
       extraReplacedKeys: Set[String] = Set.empty,
-      maxAttempts: Int = 16): Int = {
+      maxAttempts: Int = 16,
+      addConflicts: Seq[String] => Boolean = _ => false): Int = {
     val myKeys = newFiles.flatMap(partitionKey).toSet ++ extraReplacedKeys
     var bo = basedOn
     var n = 0
@@ -324,9 +377,12 @@ class IndexCatalogOps(val fs: CatalogFs) {
         case e if isCommitConflict(e) && n < maxAttempts =>
           val head = currentVersion(base)
           val conflicting = (bo + 1 to head).exists { v =>
-            touchedKeys(base, v) match {
-              case None => true // full rewrite: content conflict
-              case Some(ks) => ks.exists(myKeys.contains)
+            val m = readManifest(base, v)
+            if (m.full) true // full rewrite: content conflict
+            else {
+              val ks = m.adds.flatMap(partitionKey).toSet ++ m.removeKeys
+              ks.exists(myKeys.contains) ||
+                (m.adds.nonEmpty && addConflicts(m.adds))
             }
           }
           if (conflicting) throw e // caller must re-derive
@@ -547,6 +603,25 @@ class IndexCatalogOps(val fs: CatalogFs) {
     if (horizon > 1 && fs.exists(manifestPath(base, horizon)) &&
         !readManifest(base, horizon).full)
       checkpoint(base, horizon)
+    // governing tags that would expire with the pre-horizon chain:
+    // the newest instance per `key=` family among versions < horizon
+    // (their manifest tags and any earlier vacuum's carried snapshot,
+    // folded oldest-first so later instances win) is re-published at
+    // the horizon — content is determined by the immutable chain, so
+    // create-if-absent makes racing vacuums agree
+    if (horizon > 1) {
+      val carried = scala.collection.mutable.LinkedHashMap[String, String]()
+      (1 until horizon).foreach { v =>
+        if (fs.exists(manifestPath(base, v)))
+          (carriedTags(base, v) ++ readManifest(base, v).tags).foreach {
+            case t @ CarriedTagFamily(fam) => carried(fam) = t
+            case _ => ()
+          }
+      }
+      if (carried.nonEmpty)
+        fs.publishIfAbsent(tagsPath(base, horizon),
+          carried.values.mkString("\n"))
+    }
     // ONE resolution per live version; live/ever-committed/roots all
     // derive from this map — on a remote CatalogFs each manifest is a
     // metadata round-trip, so re-listing per derived set would triple
@@ -593,6 +668,7 @@ class IndexCatalogOps(val fs: CatalogFs) {
     (1 until horizon).foreach { v =>
       fs.delete(manifestPath(base, v))
       fs.delete(ckptPath(base, v)) // a pre-horizon snapshot dies with its chain
+      fs.delete(tagsPath(base, v)) // its families were folded into the new one
     }
     deleted
   }

@@ -41,10 +41,7 @@ object StoreConstraints {
     */
   def constraintOf(base: String,
       catalog: IndexCatalogOps = IndexCatalog): Option[String] =
-    catalog.liveVersions(base).sorted.reverse.iterator
-      .flatMap(v => catalog.tags(base, v))
-      .collectFirst { case t if t.startsWith(TagPrefix) =>
-        t.drop(TagPrefix.length) }
+    catalog.newestTag(base, TagPrefix).map(_.drop(TagPrefix.length))
 
   /** The commit tag declaring `predicate` as the store's constraint. */
   def declareTag(predicate: String): String = {

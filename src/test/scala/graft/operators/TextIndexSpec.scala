@@ -230,6 +230,139 @@ class TextIndexSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("two CONCURRENT deletes of overlapping ids subtract the stats exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = Files.createTempDirectory("graft_tidx_delrace").toString
+    try {
+      val docs = Engine.table(spark, dir, "documents")
+      RetrievalQueries.writeTextIndexGen(spark, docs, base)
+      // overlapping doom sets: mod-10 {7} and {7, 8} — the CAS loser's
+      // prepare re-runs against the winner's tombstones, so the
+      // overlap must drop out of its census instead of double-
+      // subtracting from the stats tag
+      val dooms = Seq(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7),
+        docs.filter(pmod(col("doc_id"), lit(10)).isin(7, 8)))
+      dooms.map(d => Future(RetrievalQueries.deleteTextDocs(spark, d, base)))
+        .foreach(Await.result(_, 120.seconds))
+      val v = IndexCatalog.currentVersion(base)
+      val tag = IndexCatalog.tags(base, v)
+        .find(_.startsWith("corpus_stats=")).get
+      val Array(n, t) = tag.stripPrefix("corpus_stats=").split(":")
+      val direct = docs.filter(!pmod(col("doc_id"), lit(10)).isin(7, 8))
+        .agg(count(lit(1)),
+          sum(size(split(col("text"), " "))).cast("long")).collect()(0)
+      assert(n.toLong == direct.getLong(0) && t.toLong == direct.getLong(1),
+        s"overlapping concurrent deletes corrupted the stats tag: $tag")
+      // and the live tombstone set holds each doomed id exactly once
+      val dels = IndexCatalog.latestFiles(base)
+        .filter(f => IndexCatalog.partitionKey(f).exists(_.startsWith("del=")))
+      val ids = spark.read.option("basePath", s"$base/tombstones")
+        .parquet(dels: _*).select("doc_id").collect().map(_.getLong(0))
+      assert(ids.length == ids.distinct.length,
+        "duplicate tombstone rows committed")
+      val expected = docs.filter(pmod(col("doc_id"), lit(10)).isin(7, 8))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.toSet == expected)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("NULL-text rows neither index nor count: all-NULL batch is a total no-op") {
+    val base = Files.createTempDirectory("graft_tidx_null").toString
+    try {
+      val docs = Engine.table(spark, dir, "documents")
+      val half = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      RetrievalQueries.writeTextIndexGen(spark, half, base)
+      val v1 = IndexCatalog.currentVersion(base)
+      val stats1 = IndexCatalog.tags(base, v1)
+        .find(_.startsWith("corpus_stats=")).get
+      // an ALL-NULL-text micro-batch must be a version-less no-op —
+      // before round 12 it skipped the commit but would have counted
+      // its rows, so a later commit's running stats would diverge
+      val nulls = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumn("text", lit(null).cast("string"))
+      RetrievalQueries.writeTextIndexGen(spark, nulls, base)
+      assert(IndexCatalog.currentVersion(base) == v1, "all-NULL batch committed")
+      // a MIXED batch indexes and counts only its non-NULL rows
+      val mixed = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+          .withColumn("text", lit(null).cast("string")))
+      RetrievalQueries.writeTextIndexGen(spark, mixed, base)
+      val v2 = IndexCatalog.currentVersion(base)
+      assert(v2 == v1 + 1)
+      val tag = IndexCatalog.tags(base, v2)
+        .find(_.startsWith("corpus_stats=")).get
+      val Array(n, t) = tag.stripPrefix("corpus_stats=").split(":")
+      val direct = half.unionByName(docs.filter(pmod(col("doc_id"), lit(4)) === 1))
+        .agg(count(lit(1)),
+          sum(size(split(col("text"), " "))).cast("long")).collect()(0)
+      assert(n.toLong == direct.getLong(0) && t.toLong == direct.getLong(1),
+        s"mixed-batch stats counted NULL rows: $tag vs $direct")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("DELETE interleaved with a streamed ingest replay: tag guard holds, stats stay the true sum") {
+    val base = Files.createTempDirectory("graft_tidx_interleave").toString
+    try {
+      val docs = Engine.table(spark, dir, "documents")
+      RetrievalQueries.writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) < 7), base)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+        .select(col("doc_id"), col("text"))
+      assert(StreamingQueries.commitTextBatch(spark, batch, base, 0L))
+      // tombstone docs FROM THE STREAMED BATCH, then replay the batch
+      // (the at-least-once window): the ingest-batch tag guard must
+      // still skip it — the batch WAS committed; its docs being
+      // deleted afterwards is history, not grounds to re-append
+      val doomed = docs.filter(pmod(col("doc_id"), lit(20)) === 7)
+      RetrievalQueries.deleteTextDocs(spark, doomed, base)
+      val v = IndexCatalog.currentVersion(base)
+      val stats = IndexCatalog.tags(base, v)
+        .find(_.startsWith("corpus_stats=")).get
+      assert(!StreamingQueries.commitTextBatch(spark, batch, base, 0L),
+        "replay after delete re-committed the batch")
+      assert(IndexCatalog.currentVersion(base) == v)
+      assert(IndexCatalog.tags(base, v).find(_.startsWith("corpus_stats="))
+        .contains(stats), "replay after delete perturbed the stats tag")
+      // the stats tag equals the whole surviving corpus census
+      val Array(n, t) = stats.stripPrefix("corpus_stats=").split(":")
+      val direct = docs.filter(pmod(col("doc_id"), lit(10)) <= 7)
+        .filter(pmod(col("doc_id"), lit(20)) =!= 7)
+        .agg(count(lit(1)),
+          sum(size(split(col("text"), " "))).cast("long")).collect()(0)
+      assert(n.toLong == direct.getLong(0) && t.toLong == direct.getLong(1),
+        s"stats tag drifted under delete+replay: $stats vs $direct")
+      // and a re-issued delete of the SAME docs after the replay stays
+      // a no-op — the tag mechanisms compose
+      RetrievalQueries.deleteTextDocs(spark, doomed, base)
+      assert(IndexCatalog.currentVersion(base) == v)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("compactions + vacuum past the stats-bearing commit: the carried tag still serves probes") {
+    val base = Files.createTempDirectory("graft_tidx_vactag").toString
+    try {
+      val docs = Engine.table(spark, dir, "documents")
+      RetrievalQueries.writeTextIndexGen(spark, docs, base) // v1: the only stats-bearing commit
+      val direct = RetrievalQueries.probeTextIndex(spark, base,
+        Seq(1L -> "vector", 2L -> "data"), 10).collect().toSeq
+      // two tagless compaction commits push v1 out of a retain=1 window
+      RetrievalQueries.compactTextIndexPartitions(spark, base, Seq("vector"))
+      RetrievalQueries.compactTextIndexPartitions(spark, base, Seq("data"))
+      assert(IndexCatalog.currentVersion(base) == 3)
+      IndexCatalog.vacuum(base, retain = 1, orphanGraceMs = 0L)
+      assert(IndexCatalog.liveVersions(base) == Seq(3))
+      // before round 12 this sys.errored: no live manifest carried
+      // corpus_stats=, though every posting byte survived
+      val after = RetrievalQueries.probeTextIndex(spark, base,
+        Seq(1L -> "vector", 2L -> "data"), 10).collect().toSeq
+      assert(after == direct,
+        "probe after compaction+vacuum diverged from the pre-vacuum ranking")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("a probe of never-indexed terms returns an empty, well-typed frame") {
     val base = Files.createTempDirectory("graft_tidx_spec3").toString
     try {

@@ -244,6 +244,31 @@ class IndexCatalogSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("addConflicts: a key-disjoint intervening add can still force re-derivation (predicate writers)") {
+    val base = store()
+    try {
+      val f1 = fakePart(base, 1, "a.parquet")
+      IndexCatalog.commitFiles(base, Seq(f1)) // v1
+      // interleaved append into a DIFFERENT partition before our commit
+      val f2 = fakePart(base, 2, "b.parquet")
+      IndexCatalog.commitFiles(base, Seq(f2)) // v2
+      val mine = fakePart(base, 1, "c.parquet")
+      // content-aware conflict: the callback flags the intervening add
+      val flagged = intercept[IllegalStateException] {
+        IndexCatalog.commitReplacePartitionsRebasing(
+          base, Seq(mine), Nil, basedOn = 1,
+          addConflicts = adds => { assert(adds == Seq(f2)); true })
+      }
+      assert(IndexCatalog.isCommitConflict(flagged))
+      // same interleaving, callback clears it: rebases and lands
+      val v = IndexCatalog.commitReplacePartitionsRebasing(
+        base, Seq(mine), Nil, basedOn = 1,
+        addConflicts = _ => false)
+      assert(v == 3)
+      assert(IndexCatalog.files(base, 3).toSet == Set(mine, f2))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("racing replacement vs disjoint-partition appends: all land, none re-derives its content") {
     val base = store()
     try {
@@ -287,6 +312,48 @@ class IndexCatalogSpec extends AnyFunSuite {
       // concurrent append survived
       assert(latest == Set(a0, r1) ++
         (2 to 4).map(b => s"$base/corpus/bucket=$b/part-app$b.parquet"))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("vacuum re-carries newest-per-family key= tags past the expired chain; free-form tags expire") {
+    val base = store()
+    try {
+      val f1 = fakeGen(base, "gen-v00001")
+      IndexCatalog.commitRewrite(base, Seq(f1), Seq(
+        "corpus_stats=10:100", "stats_cols=doc_id", "merge bucket=3"), 0)
+      val f2 = fakeGen(base, "gen-v00002")
+      IndexCatalog.commitFiles(base, Seq(f2), Seq("corpus_stats=12:140"))
+      // tagless compactions push the stats-bearing commits past any
+      // small retention window — the ADVICE failure shape
+      (3 to 6).foreach { i =>
+        val f = fakeGen(base, f"gen-v$i%05d")
+        IndexCatalog.commitRewrite(base, Seq(f), Nil,
+          IndexCatalog.currentVersion(base))
+      }
+      IndexCatalog.vacuum(base, retain = 1)
+      assert(IndexCatalog.liveVersions(base) == Seq(6))
+      // newest instance per family survives retention
+      assert(IndexCatalog.newestTag(base, "corpus_stats=")
+        .contains("corpus_stats=12:140"))
+      assert(IndexCatalog.newestTag(base, "stats_cols=")
+        .contains("stats_cols=doc_id"))
+      // free-form per-commit history expires with its manifest
+      assert(!IndexCatalog.committedTags(base).contains("merge bucket=3"))
+      // a LATER declaration on a live manifest supersedes the carried one
+      val f7 = fakeGen(base, "gen-v00007")
+      IndexCatalog.commitFiles(base, Seq(f7), Seq("corpus_stats=20:300"))
+      assert(IndexCatalog.newestTag(base, "corpus_stats=")
+        .contains("corpus_stats=20:300"))
+      // a second vacuum folds the first's carried snapshot forward
+      val f8 = fakeGen(base, "gen-v00008")
+      IndexCatalog.commitRewrite(base, Seq(f8), Nil,
+        IndexCatalog.currentVersion(base))
+      IndexCatalog.vacuum(base, retain = 1)
+      assert(IndexCatalog.liveVersions(base) == Seq(8))
+      assert(IndexCatalog.newestTag(base, "corpus_stats=")
+        .contains("corpus_stats=20:300"))
+      assert(IndexCatalog.newestTag(base, "stats_cols=")
+        .contains("stats_cols=doc_id"))
     } finally graft.Fs.deleteRecursively(base)
   }
 
