@@ -69,7 +69,13 @@ object Bench {
     // Deterministic name order: Map iteration order shifts whenever a
     // query is added, which changes each query's JVM/GC neighborhood
     // and makes rounds incomparable.
+    // Local-iteration knob (never set by the driver): a comma list of
+    // query names restricts the run so a single query's cost can be
+    // measured in isolation while optimizing it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Untimed throwaway of the alphabetically-first query: the range()
     // warm-up above doesn't touch the parquet read stack (footer
     // decode, FileSourceStrategy, vectorized reader codegen), so the

@@ -94,15 +94,27 @@ class IndexCatalogOps(val fs: CatalogFs) {
   /** Tags with a `key=` shape (no whitespace in the key) form a
     * FAMILY where the newest instance governs — `corpus_stats=`,
     * `stats_cols=`, `check=`, `schema=`. [[vacuum]] re-carries the
-    * newest instance of each family that would otherwise expire with
-    * the pre-horizon chain, because these are load-bearing store
-    * metadata, not per-commit history: losing the last `corpus_stats=`
-    * to retention would brick every text-index probe even though the
-    * postings themselves survive. Free-form commit notes ("merge
-    * bucket=3") don't match the shape and expire with their version,
-    * as history should.
+    * newest instance of each GOVERNING family that would otherwise
+    * expire with the pre-horizon chain, because these are load-bearing
+    * store metadata, not per-commit history: losing the last
+    * `corpus_stats=` to retention would brick every text-index probe
+    * even though the postings themselves survive.
     */
   private val CarriedTagFamily = raw"([A-Za-z0-9_.-]+=).*".r
+
+  /** The families vacuum's carry applies to. Per-commit GUARD/HISTORY
+    * tags (`ingest-batch=`, `slice=`, `mv-batch=`, `restore-of=`) are
+    * deliberately NOT governing: each instance is a fact about one
+    * commit, so "newest instance wins" is the wrong algebra — carrying
+    * batch 7's guard while batch 0's expires would give the
+    * exactly-once replay guards inconsistent memory. Those expire with
+    * their manifests (retention must exceed the replay horizon, as in
+    * any snapshot-committed format) and the content-level backstops
+    * take over — spec-pinned in StreamIndexAppendSpec /
+    * StreamClusterAppendSpec.
+    */
+  private val GoverningTagFamilies =
+    Set("corpus_stats=", "stats_cols=", "check=", "schema=")
 
   /** Highest committed version, 0 if the store has none. */
   def currentVersion(base: String): Int =
@@ -614,7 +626,8 @@ class IndexCatalogOps(val fs: CatalogFs) {
       (1 until horizon).foreach { v =>
         if (fs.exists(manifestPath(base, v)))
           (carriedTags(base, v) ++ readManifest(base, v).tags).foreach {
-            case t @ CarriedTagFamily(fam) => carried(fam) = t
+            case t @ CarriedTagFamily(fam) if GoverningTagFamilies(fam) =>
+              carried(fam) = t
             case _ => ()
           }
       }
