@@ -450,10 +450,15 @@ object DedupQueries {
     * and the cluster builder [[qDedupClusters]]).
     */
   private[operators] def cappedPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+    // cached: the shingle explode feeds the df census AND the kept
+    // set, and kept feeds THREE consumers (both self-join sides and
+    // the size census) — Spark shares no subplans across forks, so
+    // uncached this plan re-tokenizes the corpus ~6×. Lazy; session
+    // owners clearCache per query (the bm25Partials precedent).
+    val sh = shingles(docs).cache()
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf).select(col("s"))
-    val kept = sh.join(rare, "s")
+    val kept = sh.join(rare, "s").cache()
     val pairs = kept.as("a")
       .join(kept.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
@@ -529,16 +534,17 @@ object DedupQueries {
       iter += 1
       val nb = edges.join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("comp")).as("nb_comp"))
+      // the change flag rides the same join that computes the new
+      // label, so convergence is one filter over the checkpointed
+      // round — not a second full node-set join per round
       val next = labels.join(nb, labels("node") === nb("a"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"),
+          (col("nb_comp").isNotNull && col("nb_comp") < col("comp")).as("chg"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .isEmpty
-      freeLocalCheckpoint(labels) // convergence check was its last consumer
-      labels = next
+      converged = next.filter(col("chg")).isEmpty
+      freeLocalCheckpoint(labels) // the label join was its last consumer
+      labels = next.select(col("node"), col("comp"))
     }
     freeLocalCheckpoint(edges) // the final labels snapshot doesn't read it
     if (!converged)
@@ -557,9 +563,12 @@ object DedupQueries {
   /** Alternating large-star/small-star connected components (the
     * MapReduce CC construction of Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14) — the 100 TB
-    * variant [[qDedupClusters]]'s doc promises: each round is one
-    * groupBy + one join over the EDGE list (same shuffle shape as a
-    * propagation round), but the round count is O(log² n) worst-case
+    * variant [[qDedupClusters]]'s doc promises: each star step is ONE
+    * exchange of the edge list (the per-endpoint minimum is an
+    * unbounded window frame over the key-partitioned stream, so the
+    * min and the re-attachment read the same shuffle — a groupBy +
+    * self-join form moves the edge list twice per step for the same
+    * result), and the round count is O(log² n) worst-case
     * instead of O(diameter), so chain-shaped adversarial graphs
     * converge in ~10 rounds where propagation needs one round per hop
     * (DedupSpec measures exactly that contrast).
@@ -581,33 +590,43 @@ object DedupQueries {
     */
   private[operators] def starComponents(
       nodes: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
     var edges = pairs
       .select(greatest(col("i"), col("j")).as("hi"),
         least(col("i"), col("j")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
       .localCheckpoint() // runs pair generation ONCE; frees its lineage
+    // carried across rounds: this round's |small| is next round's
+    // |edges|, so the convergence count check costs one job, not two
+    var nEdges = edges.count()
     var rounds = 0
     var converged = false
     while (!converged && rounds < MaxStarIters) {
       rounds += 1
+      // per-group minima as unbounded window frames over the already
+      // key-partitioned edge stream: one exchange per star step,
+      // where the groupBy + self-join form pays a second full-edge
+      // exchange per step to move the same rows to the same keys
       val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
         .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
-      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
       // v > u >= m and m != v: emitted edges stay canonical (hi > lo)
-      val large = sym.join(mins, "u").filter(col("v") > col("u"))
+      val large = sym
+        .withColumn("m", least(min(col("v")).over(Window.partitionBy(col("u"))),
+          col("u")))
+        .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo")).distinct()
-      val sm = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      val withM = large.join(sm, "hi")
+      val withM = large
+        .withColumn("m", min(col("lo")).over(Window.partitionBy(col("hi"))))
       val small = withM.select(col("hi"), col("m").as("lo"))
         .unionByName(withM.filter(col("lo") =!= col("m"))
           .select(col("lo").as("hi"), col("m").as("lo")))
         .distinct()
         .localCheckpoint()
-      converged = small.count() == edges.count() &&
-        small.exceptAll(edges).isEmpty
+      val nSmall = small.count()
+      converged = nSmall == nEdges && small.exceptAll(edges).isEmpty
       freeLocalCheckpoint(edges) // the equality check was its last read
       edges = small
+      nEdges = nSmall
     }
     if (!converged)
       sys.error(s"star contraction did not converge in $MaxStarIters rounds")
