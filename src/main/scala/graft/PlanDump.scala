@@ -84,7 +84,9 @@ object PlanDump {
     "q_sketch_intersect" ->
       "round 11: stage 2 is ONE HashAggregate over the stored day-sketch rows (conditional sketch_merge per arm + union merge in the same pass) — the raw events table appears nowhere in the plan; intersection is driver-free integer algebra on the three finalized counts.",
     "q_dpp" ->
-      "round 12 (query landed round 11): the fact scan's PartitionFilters carry a runtime `dynamicpruning#` subquery reusing the weekend-dimension broadcast — only the dimension's surviving day= partitions are LISTED, before a single fact row is read; the executed numPartitions metric < partitions on disk is pinned in PlanQualitySpec.")
+      "round 12 (query landed round 11): the fact scan's PartitionFilters carry a runtime `dynamicpruning#` subquery reusing the weekend-dimension broadcast — only the dimension's surviving day= partitions are LISTED, before a single fact row is read; the executed numPartitions metric < partitions on disk is pinned in PlanQualitySpec.",
+    "q_phrase" ->
+      "round 12: the probe's parquet scans read ONLY the phrase terms' tok= partitions (the manifest prune happens before the plan exists — each scan's file list IS the posting-list lookup) and ReadSchema carries the pos array only here, never in the BM25 probe; per phrase, |terms|-1 doc_id equi-joins over posting-list-sized frames with the start-position filter/array_contains kernels map-side; the final top-k is the bounded topk_agg (no window).")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"

@@ -208,6 +208,14 @@ object RetrievalQueries {
     */
   private val StatsTagPrefix = "corpus_stats="
 
+  /** Batch-df threshold above which [[writeTextIndexGen]] splits a
+    * token's posting build across `ceil(df/hotDf)` salted tasks. The
+    * default keeps every fixture token on the single-task path (no
+    * plan change below web scale); TextIndexSpec drives the guard
+    * with a low cap over a synthetic hot token.
+    */
+  private[operators] val DefaultHotTokenDf = 2000000L
+
   private def storedStats(base: String): (Long, Long) =
     graft.sources.IndexCatalog.newestTag(base, StatsTagPrefix)
       // newestTag resolves vacuum-carried tags too, so compaction
@@ -219,20 +227,39 @@ object RetrievalQueries {
       .getOrElse(sys.error(s"no $StatsTagPrefix tag on text index $base"))
 
   /** One generation of the TEXT INDEX: the batch's posting lists
-    * (tok, doc_id, dl, tf) land `tok=`-partitioned — the inverted-index
-    * layout, where a probe's partition pruning IS the posting-list
-    * lookup — and the commit carries the superseding corpus-stats tag
-    * (running totals: stored + this batch). Append contract matches
-    * `writeEmbedGen`'s `assumeFresh` ingest shape: batches are NEW
-    * doc_ids (partitioned upstream), so document frequency stays
-    * `count(*)` within a term's partitions across generations and
-    * per-append cost depends on the BATCH alone — never the corpus.
-    * The stats aggregate is one 1-row driver read (catalog metadata,
-    * the repo's bounded-collect convention).
+    * (tok, doc_id, dl, tf, pos) land `tok=`-partitioned — the
+    * inverted-index layout, where a probe's partition pruning IS the
+    * posting-list lookup — and the commit carries the superseding
+    * corpus-stats tag (running totals: stored + this batch). `pos` is
+    * the POSITIONAL payload (1-based token ordinals, ascending): it
+    * rides every posting row so [[probePhrase]] can answer exact-phrase
+    * queries, while BM25 probes never pay for it — [[probeTextIndex]]
+    * selects (tok, doc_id, dl, tf) and parquet column pruning leaves
+    * the position bytes on disk (PLANS.md `q_text_delete`'s posting
+    * scan reads `struct<doc_id,dl,tf>`; only `q_phrase`'s reads
+    * `pos`). Append contract matches `writeEmbedGen`'s
+    * `assumeFresh` ingest shape: batches are NEW doc_ids (partitioned
+    * upstream), so document frequency stays `count(*)` within a term's
+    * partitions across generations and per-append cost depends on the
+    * BATCH alone — never the corpus. The stats aggregate is one 1-row
+    * driver read (catalog metadata, the repo's bounded-collect
+    * convention).
+    *
+    * SKEW GUARD (`hotDf`): `repartition(tok)` alone puts a stopword's
+    * ENTIRE posting list in one shuffle task — fine for a query-vocab
+    * probe store, a straggler when building over a web corpus where
+    * "the" is 5% of all tokens. Tokens whose batch df exceeds `hotDf`
+    * are repartitioned on `(tok, salt)` with `ceil(df/hotDf)` salts,
+    * so a hot term's list is built by many tasks and lands as several
+    * files inside its one `tok=` partition — which the manifest and
+    * every probe already treat as the normal multi-generation layout
+    * (probes union a partition's files; df is `count(*)` across them).
+    * The census that finds hot tokens is one aggregate over the
+    * BATCH's postings, and the hot set is stopword-sized → broadcast.
     */
   private[operators] def writeTextIndexGen(
       spark: SparkSession, rawDocs: DataFrame, base: String,
-      extraTags: Seq[String] = Nil): Unit = {
+      extraTags: Seq[String] = Nil, hotDf: Long = DefaultHotTokenDf): Unit = {
     import graft.sources.{IndexCatalog, StagedWrite}
     // corpus = non-NULL-text docs, exactly as [[bm25Partials]] counts
     // them: a NULL row stages no postings, so counting it in the
@@ -244,17 +271,36 @@ object RetrievalQueries {
     val posts = docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("dl"),
-        explode(split(col("text"), " ")).as("tok"))
+        posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
       .groupBy(col("tok"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      // collect_list order within a group is the scan order of an
+      // already doc-local stream, but sort_array makes ascending
+      // positions a CONTRACT, not an artifact of the plan
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list((col("p0") + 1).cast("int"))).as("pos"))
     // coalesce: an all-NULL-text (or empty) batch sums to NULL, and an
     // empty batch must be a no-op append, not a driver NPE
     val agg = docs.agg(count(lit(1)).cast("long"),
       coalesce(sum(size(split(col("text"), " "))).cast("long"), lit(0L)))
       .collect()(0)
     if (agg.getLong(0) == 0L) return
-    val newFiles = StagedWrite.partitioned(
-      posts.repartition(col("tok")), s"$base/postings", Seq("tok"))
+    // cached: the batch postings feed the hot census (a broadcast
+    // subplan) AND the write — uncached the explode+groupBy runs twice
+    // in the one write job; O(batch) rows, freed right after
+    posts.cache()
+    val newFiles = try {
+      val hot = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > lit(hotDf))
+        .select(col("tok"),
+          ceil(col("df").cast("double") / lit(hotDf.toDouble)).cast("int")
+            .as("nsplit"))
+      val salted = posts.join(broadcast(hot), Seq("tok"), "left")
+        .withColumn("salt", when(col("nsplit").isNotNull,
+          pmod(hash(col("doc_id")), col("nsplit"))).otherwise(lit(0)))
+      StagedWrite.partitioned(
+        salted.repartition(col("tok"), col("salt")).drop("nsplit", "salt"),
+        s"$base/postings", Seq("tok"))
+    } finally posts.unpersist()
     // the predecessor stats are read INSIDE prepare: on a lost CAS the
     // retry re-reads the winner's totals, so two RACING appenders both
     // land with the true running sum — reading them once up front
@@ -429,6 +475,104 @@ object RetrievalQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Phrase queries over the positional index — query 1 and 2 are
+    * common bigrams of the fixture vocabulary, query 3 is a REPEATED
+    * token ("table table"), which pins the self-overlap path: one
+    * `tok=` partition read, the position list intersected with its
+    * own shift.
+    */
+  private[operators] val PhraseTerms: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("fast", "spark"),
+    2L -> Seq("sort", "order"),
+    3L -> Seq("table", "table"))
+
+  /** Exact-phrase ranked retrieval from the PERSISTED positional
+    * index — the contamination-probe upgrade over bag-of-words BM25:
+    * "did this exact benchmark sentence leak into the corpus" needs
+    * adjacency, not co-occurrence.
+    *
+    * Plan per phrase: the manifest's file list pruned to the phrase
+    * terms' `tok=` partitions (the posting-list lookup), tombstones
+    * subtracted, then one doc_id join per successive term where the
+    * accumulator is the array of START positions whose prefix still
+    * matches — step i keeps start s iff `s+i` is in term i's position
+    * list (`filter` + `array_contains`, codegen'd array kernels, no
+    * explode). The candidate set only SHRINKS along the chain, every
+    * frame is posting-list-sized (never corpus-sized), and phrase tf
+    * = the surviving start count — integer-exact, so the ranking
+    * (ptf DESC, doc_id — `topk_agg`'s native tie order) is
+    * bit-reproducible against the oracle's lambda recount over the
+    * raw text. 100 TB shape: |terms| pruned partition reads + |terms|-1
+    * joins keyed on doc_id + a bounded top-k; the corpus and its
+    * token stream are never touched.
+    */
+  private[operators] def probePhrase(spark: SparkSession, base: String,
+      phrases: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    import spark.implicits._
+    import graft.sources.IndexCatalog
+    Engine.register(spark) // topk_agg on the ranking path
+    val dead = tombstones(spark, base)
+    val perQuery = phrases.map { case (qid, terms) =>
+      val keys = terms.map(t => s"tok=$t").toSet
+      val files = IndexCatalog.latestFiles(base)
+        .filter(f => IndexCatalog.partitionKey(f).exists(keys.contains))
+      if (files.isEmpty)
+        Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "ptf")
+      else {
+        val posts = spark.read.option("basePath", s"$base/postings")
+          .parquet(files: _*)
+          .select(col("tok"), col("doc_id"), col("pos"))
+          .join(broadcast(dead), Seq("doc_id"), "left_anti")
+        val head = posts.filter(col("tok") === terms.head)
+          .select(col("doc_id"), col("pos").as("acc"))
+        val matched = terms.zipWithIndex.drop(1).foldLeft(head) {
+          case (cur, (t, i)) =>
+            val next = posts.filter(col("tok") === t)
+              .select(col("doc_id"), col("pos").as(s"p$i"))
+            cur.join(next, "doc_id")
+              .withColumn("acc", filter(col("acc"),
+                s => array_contains(col(s"p$i"), s + lit(i))))
+              .drop(s"p$i")
+              .filter(size(col("acc")) > 0)
+        }
+        matched.select(lit(qid).as("query_id"), col("doc_id"),
+          size(col("acc")).cast("long").as("ptf"))
+      }
+    }
+    perQuery.reduce(_ unionByName _)
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_agg(cast(ptf as double), doc_id, $k)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.payload").as("doc_id"),
+        col("col.score").cast("long").as("ptf"))
+  }
+
+  /** Phrase search gated end-to-end: build (90%) + append (held-out
+    * decile) commit two positional generations, and the pruned probe
+    * must rank exactly as the oracle's from-scratch adjacency count
+    * over the full raw corpus — one oracle text pins the positional
+    * payload through the write, the append union, and the
+    * start-position intersection. (Tombstone and compaction
+    * interaction with positions is TextIndexSpec's contract.)
+    */
+  def qPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_phrase").toString
+    val docs = Engine.table(spark, dir, "documents")
+    try {
+      writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), base) // v1: build
+      writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7), base) // v2: append
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_phrase", Seq(base))
+    probePhrase(spark, base, PhraseTerms, TopK)
+      .orderBy("query_id", "rk")
+  }
+
   /** PARTITION-SCOPED posting-list compaction — `OPTIMIZE ... WHERE`
     * for the TEXT index: rewrite ONLY the named terms' live posting
     * rows, doc-ordered (`sortWithinPartitions(doc_id)` — the classic
@@ -471,7 +615,7 @@ object RetrievalQueries {
           val rewritten = StagedWrite.partitioned(
             spark.read.option("basePath", s"$base/postings").parquet(live: _*)
               .select(col("tok").cast("string").as("tok"), col("doc_id"),
-                col("dl"), col("tf"))
+                col("dl"), col("tf"), col("pos"))
               .join(broadcast(tombstones(spark, base)), Seq("doc_id"), "left_anti")
               .repartition(col("tok"))
               .sortWithinPartitions(col("doc_id")),
@@ -577,8 +721,23 @@ object RetrievalQueries {
     "q_bm25_persisted" -> (qBm25Persisted _),
     "q_text_optimize" -> (qTextOptimize _),
     "q_text_delete" -> (qTextDelete _),
-    "q_hybrid_rrf" -> (qHybridRrf _)
+    "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_phrase" -> (qPhrase _)
   )
+
+  /** DuckDB phrase-tf recount for one phrase: count the start indices
+    * whose window matches, via a list lambda over the split token
+    * array — the from-scratch formulation of what the probe computes
+    * by intersecting stored position lists.
+    */
+  private def duckPhrase(qid: Long, terms: Seq[String]): String = {
+    val n = terms.size
+    val cond = terms.zipWithIndex
+      .map { case (t, j) => s"toks[i + $j] = '$t'" }.mkString(" AND ")
+    s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+       |       CAST(len(list_filter(range(1, len(toks) - ${n - 2}),
+       |                            i -> $cond)) AS BIGINT) AS ptf FROM t""".stripMargin
+  }
 
   private def duckValues(terms: Seq[(Long, String)]): String =
     terms.map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")
@@ -665,6 +824,20 @@ object RetrievalQueries {
          |                                 ORDER BY rrf1e6 DESC, doc_id) AS rk
          |       FROM fused)
          |SELECT query_id, rk, doc_id, rrf1e6, lex_rk, vec_rk FROM rr
+         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    // the pruned positional probe is bit-equal to a from-scratch
+    // adjacency recount over the raw corpus — one text pins write,
+    // append union, and start-position intersection
+    "q_phrase" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents WHERE text IS NOT NULL),
+         |p AS (${PhraseTerms.map { case (q, ts) => duckPhrase(q, ts) }
+             .mkString("\n UNION ALL ")}),
+         |ranked AS (SELECT query_id, doc_id, ptf,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY ptf DESC, doc_id) AS rk
+         |           FROM p WHERE ptf > 0)
+         |SELECT query_id, rk, doc_id, ptf FROM ranked
          |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
   )
 }

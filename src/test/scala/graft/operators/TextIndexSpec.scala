@@ -374,4 +374,136 @@ class TextIndexSpec extends SparkSpec {
       assert(out.count() == 0)
     } finally graft.Fs.deleteRecursively(base)
   }
+
+  /** Brute-force phrase tf straight off the raw text (1-based
+    * element_at, start index i matches iff every term j sits at i+j) —
+    * the spec-side mirror of the DuckDB oracle lambda.
+    */
+  private def brutePhrase(docs: org.apache.spark.sql.DataFrame,
+      qid: Long, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val cond = terms.zipWithIndex
+      .map { case (t, j) => s"element_at(toks, cast(i + $j as int)) = '$t'" }
+      .mkString(" AND ")
+    docs.filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      // if-guard: sequence(1, n) DESCENDS when n < 1 (a doc shorter
+      // than the phrase), which would probe out-of-bounds ordinals
+      .withColumn("ptf", expr(
+        s"""if(size(toks) < ${terms.size}, 0L,
+           |size(filter(sequence(1L, size(toks) - ${terms.size - 1}L),
+           |            i -> $cond)))""".stripMargin)
+        .cast("long"))
+      .filter(col("ptf") > 0)
+      .select(lit(qid).as("query_id"), col("doc_id"), col("ptf"))
+  }
+
+  test("phrase probe equals the brute-force adjacency recount, incl. a repeated-token phrase") {
+    val base = Files.createTempDirectory("graft_tidx_phrase").toString
+    try {
+      val docs = Engine.table(spark, dir, "documents")
+      RetrievalQueries.writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), base)
+      RetrievalQueries.writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7), base)
+      val phrases = Seq(1L -> Seq("fast", "spark"), 2L -> Seq("table", "table"),
+        3L -> Seq("hash", "merge", "sort"))
+      val got = RetrievalQueries.probePhrase(spark, base, phrases, 10)
+        .orderBy("query_id", "rk").collect().toSeq
+      import org.apache.spark.sql.expressions.Window
+      val want = phrases.map { case (q, ts) => brutePhrase(docs, q, ts) }
+        .reduce(_ unionByName _)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("ptf").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("rk"), col("doc_id"), col("ptf"))
+        .orderBy("query_id", "rk").collect().toSeq
+      assert(got == want, "phrase probe diverged from brute-force recount")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("positions survive DELETE and compaction: tombstoned docs leave the phrase ranking; purge keeps it") {
+    val base = Files.createTempDirectory("graft_tidx_phrase2").toString
+    try {
+      val docs = Engine.table(spark, dir, "documents")
+      RetrievalQueries.writeTextIndexGen(spark, docs, base)
+      val phrases = Seq(1L -> Seq("fast", "spark"))
+      val before = RetrievalQueries.probePhrase(spark, base, phrases, 10)
+        .orderBy("query_id", "rk").collect().toSeq
+      assert(before.nonEmpty)
+      // tombstone the top-ranked doc: the phrase probe must drop it
+      val doomedId = before.head.getLong(2)
+      RetrievalQueries.deleteTextDocs(spark,
+        docs.filter(col("doc_id") === doomedId), base)
+      val after = RetrievalQueries.probePhrase(spark, base, phrases, 10)
+        .orderBy("query_id", "rk").collect().toSeq
+      assert(!after.exists(_.getLong(2) == doomedId),
+        "tombstoned doc still in the phrase ranking")
+      import org.apache.spark.sql.expressions.Window
+      val want = brutePhrase(docs.filter(col("doc_id") =!= doomedId),
+        1L, Seq("fast", "spark"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("ptf").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("rk"), col("doc_id"), col("ptf"))
+        .orderBy("query_id", "rk").collect().toSeq
+      assert(after == want, "post-delete phrase ranking diverged")
+      // compaction rewrites the phrase partitions (purging the
+      // tombstoned rows) and must carry the positional payload
+      RetrievalQueries.compactTextIndexPartitions(spark, base,
+        Seq("fast", "spark"))
+      val purged = RetrievalQueries.probePhrase(spark, base, phrases, 10)
+        .orderBy("query_id", "rk").collect().toSeq
+      assert(purged == want, "phrase ranking changed across compaction")
+      // byte-level: the rewritten files really dropped the doomed rows
+      val tgt = IndexCatalog.latestFiles(base).filter(f =>
+        IndexCatalog.partitionKey(f).exists(Set("tok=fast", "tok=spark")))
+      val rows = spark.read.option("basePath", s"$base/postings")
+        .parquet(tgt: _*).filter(col("doc_id") === doomedId)
+      assert(rows.count() == 0, "compaction kept tombstoned posting rows")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("hot-token build splits across salted files; BM25 and phrase probes are unchanged") {
+    val salted = Files.createTempDirectory("graft_tidx_salt").toString
+    val plain = Files.createTempDirectory("graft_tidx_plain").toString
+    try {
+      val docs = Engine.table(spark, dir, "documents")
+      // df('table') ≈ 380 at this fixture: a 100-df cap forces
+      // ceil(df/100) ≥ 2 salts for the common tokens. AQE's partition
+      // coalescing is off for the salted build ONLY because the whole
+      // fixture fits one coalesced task at this size — at real scale
+      // the salted groups exceed the coalesce target and split anyway;
+      // the file census below observes the exchange AQE would keep.
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prev = spark.conf.get(coalesceKey)
+      try {
+        spark.conf.set(coalesceKey, "false")
+        RetrievalQueries.writeTextIndexGen(spark, docs, salted, hotDf = 100L)
+      } finally spark.conf.set(coalesceKey, prev)
+      RetrievalQueries.writeTextIndexGen(spark, docs, plain)
+      val hotFiles = IndexCatalog.latestFiles(salted)
+        .filter(f => IndexCatalog.partitionKey(f).contains("tok=table"))
+      assert(hotFiles.size > 1,
+        s"hot token built ${hotFiles.size} file(s); expected a salted split")
+      // rare tokens stay single-file: no blowup on the cold path
+      val coldFiles = IndexCatalog.latestFiles(salted)
+        .filter(f => IndexCatalog.partitionKey(f).contains("tok=dup"))
+      assert(coldFiles.size == 1, "cold token fragmented by the salt guard")
+      val terms = Seq(1L -> "table", 2L -> "dup")
+      val a = RetrievalQueries.probeTextIndex(spark, salted, terms, 10)
+        .orderBy("query_id", "rk").collect().toSeq
+      val b = RetrievalQueries.probeTextIndex(spark, plain, terms, 10)
+        .orderBy("query_id", "rk").collect().toSeq
+      assert(a == b, "salted build changed the BM25 ranking")
+      val pa = RetrievalQueries.probePhrase(spark, salted,
+        Seq(1L -> Seq("table", "table")), 10)
+        .orderBy("query_id", "rk").collect().toSeq
+      val pb = RetrievalQueries.probePhrase(spark, plain,
+        Seq(1L -> Seq("table", "table")), 10)
+        .orderBy("query_id", "rk").collect().toSeq
+      assert(pa == pb, "salted build changed the phrase ranking")
+    } finally {
+      graft.Fs.deleteRecursively(salted); graft.Fs.deleteRecursively(plain)
+    }
+  }
 }
