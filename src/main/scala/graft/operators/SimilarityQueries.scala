@@ -680,9 +680,16 @@ object SimilarityQueries {
 
   /** Probe the PQ store with an external query batch — the
     * ASYMMETRIC-DISTANCE two-stage read every production IVF-PQ
-    * serves:
+    * serves. `nprobe` is the RECALL/COST dial (the knob every IVF
+    * deployment tunes): candidate volume — and therefore ADC bytes
+    * streamed — scales linearly with probed cells while recall rises
+    * toward the pool ceiling; PqStoreSpec measures recall@5 at
+    * nprobe ∈ {1, 3, default} against the exact brute baseline on
+    * one shared store, composing PQ's 13× byte cut with cell
+    * pruning's candidate cut at every dial setting.
     *  1. each query ranks the stored cells (an [[NList]]-row
-    *     broadcast) and probes its [[PqProbe]] nearest;
+    *     broadcast) and probes its `nprobe` ([[PqProbe]] default)
+    *     nearest;
     *  2. FIRST PASS on codes only: the per-query LUT (query-slice ·
     *     codeword, [[PqM]]×[[PqKs]] entries — tiny, broadcast) is
     *     summed over each candidate's codes, so per candidate the
@@ -699,7 +706,8 @@ object SimilarityQueries {
     */
   private[operators] def probePqStore(
       spark: SparkSession, dir: String, base: String,
-      batchFilter: Column = col("vec_id") < NQueries): DataFrame = {
+      batchFilter: Column = col("vec_id") < NQueries,
+      nprobe: Int = PqProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Engine.register(spark)
     val cent = spark.read.parquet(s"$base/centroids")
@@ -718,7 +726,7 @@ object SimilarityQueries {
       .withColumn("c_cos",
         dot(col("qd"), col("c_emb")) / (col("nrm") * col("c_nrm")))
       .withColumn("c_rk", row_number().over(cw))
-      .filter(col("c_rk") <= PqProbe)
+      .filter(col("c_rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("qd"),
         col("nrm").as("q_nrm"), col("centroid_id").as("q_cent"),
         // fixed-point query·centroid term of the ADC score

@@ -35,6 +35,35 @@ class PqStoreSpec extends SparkSpec {
         "no longer clears the recall gate")
   }
 
+  test("nprobe is the recall/cost dial: recall@5 measured at 1/3/default probes on one store") {
+    val base = Files.createTempDirectory("graft_pqdial").toString
+    try {
+      SimilarityQueries.buildPqStore(spark, dir, base)
+      val brute = SimilarityQueries.qKnnBrute(spark, dir)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallAt(np: Int): Double = {
+        val got = SimilarityQueries.probePqStore(spark, dir, base, nprobe = np)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        brute.intersect(got).size.toDouble / brute.size
+      }
+      val r1 = recallAt(1)
+      val r3 = recallAt(3)
+      val rd = recallAt(SimilarityQueries.PqProbe)
+      info(f"recall@5: nprobe=1 $r1%.3f, nprobe=3 $r3%.3f, " +
+        f"nprobe=${SimilarityQueries.PqProbe} $rd%.3f")
+      // candidate sets grow with the dial, so recall must not
+      // systematically degrade (2% slack covers ADC pool-cut noise)
+      assert(r3 >= r1 - 0.02 && rd >= r3 - 0.02,
+        f"recall fell as nprobe grew: $r1%.3f -> $r3%.3f -> $rd%.3f")
+      assert(rd >= 0.9, f"default-dial recall $rd%.3f under the 0.9 gate")
+      assert(r1 < rd,
+        "nprobe=1 recall already equals the default dial — the dial is " +
+          "not exercising cell pruning at this geometry")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("appends freeze centroids and codebooks; old generations byte-untouched; batch becomes searchable") {
     val base = Files.createTempDirectory("graft_pqappend").toString
     try {
