@@ -32,7 +32,7 @@ object SimilarityQueries {
   private[operators] val NQueries = 20
 
   /** Codegen'd sequential-order double dot product (graft `vec_dot`). */
-  private def dot(a: Column, b: Column): Column =
+  private[operators] def dot(a: Column, b: Column): Column =
     call_function("vec_dot", a, b)
 
   /** Corpus with the L2 norm materialized once per vector — every pair

@@ -1373,40 +1373,54 @@ object StreamingQueries {
     * is how a serving-layer rollup follows a mutable table without
     * ever re-scanning it.
     */
+  /** One AvailableNow drain of the CDC→matview loop — the production
+    * fold [[qStreamCdcMatview]] runs, shared with StoreMatviewSpec so
+    * the spec's schema-evolution boundary exercises THIS code, not a
+    * re-implementation. The fold consumes the cdc feed's FIXED
+    * projection (version, side, vec_id, embedding, bucket) — the
+    * change reader decodes store files by FIELD NAME, so a base-store
+    * generation that ADDED columns streams through unchanged (the
+    * extra bytes never leave the footer), which is what lets the view
+    * survive `q_store_schema`-style evolution mid-stream.
+    */
+  private[operators] def drainCdcMatview(
+      ss: SparkSession, base: String, mv: String, ckpt: String): Unit = {
+    val q = ss.readStream.format("graft-store-changes")
+      .option("path", base).option("mode", "cdc").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val pinned = b.persist()
+        try {
+          def side(s: String) = pinned.filter(col("side") === s)
+            .select(col("version"), col("vec_id"), col("embedding"),
+              col("bucket"))
+          val signed = SimilarityQueries
+            .classifyChanges(side("old"), side("new"), Seq("version"))
+            .withColumn("w",
+              when(col("change_type").isin("insert", "update_postimage"),
+                lit(1L)).otherwise(lit(-1L)))
+          val dAgg = signed
+            .groupBy(col("bucket").cast("long").as("bucket"))
+            .agg(sum(col("w")).as("d_n"),
+              sum(col("w") * col("vec_id")).cast("long").as("d_sum"))
+            .filter(col("d_n") =!= 0L || col("d_sum") =!= 0L)
+          commitMvDelta(ss, dAgg, mv, id)
+        } finally { pinned.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def qStreamCdcMatview(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
     val base = Files.createTempDirectory("graft_cmv_store").toString
     val mv = Files.createTempDirectory("graft_cmv_view").toString
     val ckpt = Files.createTempDirectory("graft_cmv_ckpt").toString
-    def drain(): Unit = {
-      val q = ss.readStream.format("graft-store-changes")
-        .option("path", base).option("mode", "cdc").load()
-        .writeStream
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          val pinned = b.persist()
-          try {
-            def side(s: String) = pinned.filter(col("side") === s)
-              .select(col("version"), col("vec_id"), col("embedding"),
-                col("bucket"))
-            val signed = SimilarityQueries
-              .classifyChanges(side("old"), side("new"), Seq("version"))
-              .withColumn("w",
-                when(col("change_type").isin("insert", "update_postimage"),
-                  lit(1L)).otherwise(lit(-1L)))
-            val dAgg = signed
-              .groupBy(col("bucket").cast("long").as("bucket"))
-              .agg(sum(col("w")).as("d_n"),
-                sum(col("w") * col("vec_id")).cast("long").as("d_sum"))
-              .filter(col("d_n") =!= 0L || col("d_sum") =!= 0L)
-            commitMvDelta(ss, dAgg, mv, id)
-          } finally { pinned.unpersist(); () }
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    def drain(): Unit =
+      drainCdcMatview(ss, base, mv, ckpt)
     try {
       SimilarityQueries.buildEmbedStore(ss, dir, base) // v1: evens
       val e = SimilarityQueries.embeddings(ss, dir)

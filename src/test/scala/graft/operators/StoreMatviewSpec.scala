@@ -110,4 +110,56 @@ class StoreMatviewSpec extends SparkSpec {
       graft.Fs.deleteRecursively(mv)
     }
   }
+
+  test("CDC matview fold survives a base-store column addition mid-stream") {
+    import graft.sources.StagedWrite
+    val base = Files.createTempDirectory("graft_mvevo_store").toString
+    val mv = Files.createTempDirectory("graft_mvevo_view").toString
+    val ckpt = Files.createTempDirectory("graft_mvevo_ckpt").toString
+    try {
+      SimilarityQueries.buildEmbedStore(spark, dir, base) // v1: evens
+      StreamingQueries.drainCdcMatview(spark, base, mv, ckpt)
+
+      // EVOLVE the base store mid-stream, q_store_schema-style: a
+      // generation of odd vec_ids WITH an added nullable `src` column,
+      // bucketed by the store's frozen planes (writeEmbedGen's exact
+      // sign formula) so the files land in the normal layout
+      val planes = spark.read.parquet(s"$base/planes")
+      val evolved = SimilarityQueries.embeddings(spark, dir)
+        .filter(pmod(col("vec_id"), lit(2)) === 1)
+        .crossJoin(planes)
+        .withColumn("bit",
+          when(SimilarityQueries.dot(col("embedding"), col("p_emb")) >= 0,
+            expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
+        .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+        .agg(sum(col("bit")).as("bucket"))
+        .withColumn("src", concat(lit("batch-"), col("vec_id") % 3))
+      val newFiles = StagedWrite.partitioned(
+        evolved.repartition(col("bucket")), s"$base/corpus", Seq("bucket"))
+      IndexCatalog.commitFiles(base, newFiles,
+        Seq("schema=vec_id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, src STRING"))
+
+      // the evolution is real: the new generation's files carry `src`
+      assert(spark.read.parquet(newFiles.head).columns.contains("src"))
+
+      // the follower's next drain crosses the evolution boundary: the
+      // cdc reader decodes by field name, so the widened files stream
+      // through the FIXED projection and the fold commits normally
+      StreamingQueries.drainCdcMatview(spark, base, mv, ckpt)
+
+      // view == direct aggregate over the evolved store (mergeSchema
+      // read: pre-evolution files NULL-fill src, which the fold and
+      // this census never touch)
+      val direct = spark.read.option("mergeSchema", "true")
+        .option("basePath", s"$base/corpus")
+        .parquet(IndexCatalog.latestFiles(base): _*)
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("vec_id").cast("long").as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(viewRows(mv) == direct,
+        "view diverged from the direct aggregate across the schema evolution")
+    } finally {
+      Seq(base, mv, ckpt).foreach(graft.Fs.deleteRecursively)
+    }
+  }
 }
