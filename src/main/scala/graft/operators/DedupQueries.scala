@@ -989,9 +989,19 @@ object DedupQueries {
     * banded candidate + exact-verify pipeline in SQL, restricted to
     * (incoming odd) x (corpus even) pairs.
     */
+  /** [[buildLshStore]] through the process-wide fixture cache
+    * ([[graft.sources.StoreFixtures]]): qNeardupIngest and
+    * qNeardupAppend both open with the identical even-corpus band
+    * store; their proof value is the probe / append that follows.
+    */
+  private def buildLshStoreCached(
+      spark: SparkSession, dir: String, base: String): Unit =
+    graft.sources.StoreFixtures.cloneInto("lsh_bands", dir, base)(
+      d => buildLshStore(spark, dir, d))
+
   def qNeardupIngest(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_lshstore").toString
-    try staged("store.build")(buildLshStore(spark, dir, base))
+    try staged("store.build")(buildLshStoreCached(spark, dir, base))
     catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
@@ -1016,7 +1026,7 @@ object DedupQueries {
   def qNeardupAppend(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_lshappend").toString
     try {
-      staged("store.build")(buildLshStore(spark, dir, base))
+      staged("store.build")(buildLshStoreCached(spark, dir, base))
       staged("store.append")(appendLshStore(spark,
         Engine.table(spark, dir, "documents").filter(col("doc_id") % 4 === 1),
         base))

@@ -458,15 +458,48 @@ object RetrievalQueries {
     * probes are versioned/time-travelable because the postings are a
     * catalog store like any other.
     */
+  /** The standard two-generation fixture index — build 90%
+    * (`doc_id % 10 <> 7`) then append the held-out decile — through
+    * the process-wide fixture cache ([[graft.sources.StoreFixtures]]):
+    * qBm25Persisted / qPhrase / qTextOptimize all OPEN with this
+    * identical store and differ only in what they do to their copy
+    * next, so each receives a byte-copy of one template instead of
+    * re-tokenizing the corpus (the build path stays exercised by the
+    * template build and the uncached TextIndexSpec suites).
+    */
+  private def textIndexBuildAppendCached(
+      spark: SparkSession, dir: String, base: String): Unit =
+    graft.sources.StoreFixtures.cloneInto("text_ba", dir, base) { d =>
+      val docs = Engine.table(spark, dir, "documents")
+      writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), d) // v1: build
+      writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7), d) // v2: append
+    }
+
+  /** Full-corpus single-generation fixture index via the same cache
+    * (qTextDelete's starting point).
+    */
+  private def textIndexFullCached(
+      spark: SparkSession, dir: String, base: String): Unit =
+    graft.sources.StoreFixtures.cloneInto("text_full", dir, base) { d =>
+      writeTextIndexGen(spark, Engine.table(spark, dir, "documents"), d)
+    }
+
+  /** 70%-corpus build (`doc_id % 10 < 7`) via the same cache —
+    * qStreamTextIndex's starting point before its streamed deciles.
+    */
+  private[operators] def textIndex70Cached(
+      spark: SparkSession, dir: String, base: String): Unit =
+    graft.sources.StoreFixtures.cloneInto("text_70", dir, base) { d =>
+      writeTextIndexGen(spark, Engine.table(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) < 7), d)
+    }
+
   def qBm25Persisted(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_textidx").toString
-    val docs = Engine.table(spark, dir, "documents")
-    try {
-      writeTextIndexGen(spark,
-        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), base) // v1: build
-      writeTextIndexGen(spark,
-        docs.filter(pmod(col("doc_id"), lit(10)) === 7), base) // v2: append
-    } catch {
+    try textIndexBuildAppendCached(spark, dir, base)
+    catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
     }
@@ -558,13 +591,8 @@ object RetrievalQueries {
     */
   def qPhrase(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_phrase").toString
-    val docs = Engine.table(spark, dir, "documents")
-    try {
-      writeTextIndexGen(spark,
-        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), base) // v1: build
-      writeTextIndexGen(spark,
-        docs.filter(pmod(col("doc_id"), lit(10)) === 7), base) // v2: append
-    } catch {
+    try textIndexBuildAppendCached(spark, dir, base)
+    catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
     }
@@ -653,10 +681,7 @@ object RetrievalQueries {
     val toks = Bm25Terms.map(_._2).distinct
     val keys = toks.map(t => s"tok=$t").toSet
     val ok = try {
-      writeTextIndexGen(spark,
-        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), base) // v1: build
-      writeTextIndexGen(spark,
-        docs.filter(pmod(col("doc_id"), lit(10)) === 7), base) // v2: append
+      textIndexBuildAppendCached(spark, dir, base) // v1: build, v2: append
       val before = IndexCatalog.latestFiles(base)
       val (tgt0, cold0) = before.partition(
         f => IndexCatalog.partitionKey(f).exists(keys.contains))
@@ -698,7 +723,7 @@ object RetrievalQueries {
     val base = java.nio.file.Files.createTempDirectory("graft_tdel").toString
     val docs = Engine.table(spark, dir, "documents")
     val ok = try {
-      writeTextIndexGen(spark, docs, base) // v1: full corpus
+      textIndexFullCached(spark, dir, base) // v1: full corpus
       val before = IndexCatalog.latestFiles(base).toSet
       deleteTextDocs(spark,
         docs.filter(pmod(col("doc_id"), lit(10)) === 7), base) // v2: tombstones

@@ -463,7 +463,10 @@ object SimilarityQueries {
     */
   def qIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-    try buildIvfIndex(spark, dir, base)
+    // fixture-cached full-corpus IVF template (StoreFixtures): the
+    // probe is this query's work, the build is qIvfAppend's shared base
+    try graft.sources.StoreFixtures.cloneInto("ivf_full", dir, base)(
+      d => buildIvfIndex(spark, dir, d))
     catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
@@ -521,9 +524,13 @@ object SimilarityQueries {
   def qIvfAppend(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_ivfappend").toString
     try {
-      val even = embeddings(spark, dir)
-        .filter(pmod(col("vec_id"), lit(2)) === 0)
-      buildIvfStore(spark, base, even, even, col("vec_id") < 2 * NList)
+      // fixture-cached even-corpus IVF template; the APPEND + probe
+      // are this query's own work
+      graft.sources.StoreFixtures.cloneInto("ivf_evens", dir, base) { d =>
+        val even = embeddings(spark, dir)
+          .filter(pmod(col("vec_id"), lit(2)) === 0)
+        buildIvfStore(spark, d, even, even, col("vec_id") < 2 * NList)
+      }
       appendIvfStore(spark,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1), base)
     } catch {
@@ -786,7 +793,10 @@ object SimilarityQueries {
     */
   def qIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_pq").toString
-    try buildPqStore(spark, dir, base)
+    // fixture-cached: the full-corpus PQ template (cells + codebooks +
+    // codes) builds once per process; the probe is this query's work
+    try graft.sources.StoreFixtures.cloneInto("pq_full", dir, base)(
+      d => buildPqStore(spark, dir, d))
     catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
@@ -856,6 +866,27 @@ object SimilarityQueries {
     planes.coalesce(1).write.mode("overwrite").parquet(s"$base/planes")
     writeEmbedGen(spark, e, base)
   }
+
+  /** [[buildEmbedStore]] through the process-wide fixture cache
+    * ([[graft.sources.StoreFixtures]]): the ~17 gated queries whose
+    * lifecycle STARTS from the identical even-id store receive a
+    * byte-copy of one template build instead of re-encoding the
+    * corpus each — their proof value is the DML/stream/maintenance
+    * choreography that FOLLOWS, and the build path stays exercised
+    * by the template build plus the uncached spec suites.
+    */
+  private[operators] def buildEmbedStoreCached(
+      spark: SparkSession, dir: String, base: String): Unit =
+    graft.sources.StoreFixtures.cloneInto("embed_evens", dir, base)(
+      d => buildEmbedStore(spark, dir, d))
+
+  /** [[buildEmbedStoreChecked]] through the fixture cache — same
+    * rationale, `check=` tag rides the copied v1 manifest.
+    */
+  private[operators] def buildEmbedStoreCheckedCached(
+      spark: SparkSession, dir: String, base: String): Unit =
+    graft.sources.StoreFixtures.cloneInto("embed_evens_checked", dir, base)(
+      d => buildEmbedStoreChecked(spark, dir, d))
 
   /** Read a manifest-resolved store file list that may span MULTIPLE
     * corpus roots: a shallow clone's ([[cloneEmbedStore]]) early
@@ -1060,7 +1091,7 @@ object SimilarityQueries {
     */
   def qEmbedIngest(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_embstore").toString
-    try buildEmbedStore(spark, dir, base)
+    try buildEmbedStoreCached(spark, dir, base)
     catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
@@ -1081,7 +1112,7 @@ object SimilarityQueries {
   def qEmbedAppend(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_embappend").toString
     try {
-      buildEmbedStore(spark, dir, base)
+      buildEmbedStoreCached(spark, dir, base)
       appendEmbedStore(spark,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
         base)
@@ -1111,7 +1142,7 @@ object SimilarityQueries {
   def qStoreAsof(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_asof").toString
     try {
-      buildEmbedStore(spark, dir, base)
+      buildEmbedStoreCached(spark, dir, base)
       appendEmbedStore(spark,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
         base)
@@ -1159,7 +1190,7 @@ object SimilarityQueries {
     import graft.sources.IndexCatalog
     val base = java.nio.file.Files.createTempDirectory("graft_restore").toString
     val ok = try {
-      buildEmbedStore(spark, dir, base) // v1: evens
+      buildEmbedStoreCached(spark, dir, base) // v1: evens
       appendEmbedStore(spark,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
         base) // v2: + the batch later judged bad
@@ -1200,7 +1231,7 @@ object SimilarityQueries {
     import graft.sources.IndexCatalog
     val base = java.nio.file.Files.createTempDirectory("graft_changes").toString
     try {
-      buildEmbedStore(spark, dir, base) // v1
+      buildEmbedStoreCached(spark, dir, base) // v1
       appendEmbedStore(spark,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
         base) // v2
@@ -1292,7 +1323,7 @@ object SimilarityQueries {
   def qStoreDelete(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_storedel").toString
     try {
-      buildEmbedStore(spark, dir, base) // v1: evens
+      buildEmbedStoreCached(spark, dir, base) // v1: evens
       deleteFromEmbedStore(spark, base,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 0)
           .select(col("vec_id"), col("embedding"))) // v2: odd-half of evens gone
@@ -1410,7 +1441,7 @@ object SimilarityQueries {
   def qStoreMerge(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_merge").toString
     try {
-      buildEmbedStore(spark, dir, base) // v1: evens
+      buildEmbedStoreCached(spark, dir, base) // v1: evens
       val e = embeddings(spark, dir)
       val inserts = e.filter(pmod(col("vec_id"), lit(4)) === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"))
@@ -1554,7 +1585,7 @@ object SimilarityQueries {
   def qStoreUpdate(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_upd").toString
     try {
-      buildEmbedStore(spark, dir, base) // v1: evens
+      buildEmbedStoreCached(spark, dir, base) // v1: evens
       updateEmbedStoreWhere(spark, base,
         col("vec_id").between(UpdLo, UpdHi), UpdLo, UpdHi,
         e => transform(e, x => -x)) // v2: in-range evens negated
@@ -1658,7 +1689,7 @@ object SimilarityQueries {
   def qStoreCdc(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
     try {
-      buildEmbedStore(spark, dir, base) // v1: evens
+      buildEmbedStoreCached(spark, dir, base) // v1: evens
       val e = embeddings(spark, dir)
       val inserts = e.filter(pmod(col("vec_id"), lit(4)) === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"))
@@ -1746,7 +1777,7 @@ object SimilarityQueries {
     val src = java.nio.file.Files.createTempDirectory("graft_clonesrc").toString
     val dst = java.nio.file.Files.createTempDirectory("graft_clonedst").toString
     val ok = try {
-      buildEmbedStore(spark, dir, src) // source v1: evens
+      buildEmbedStoreCached(spark, dir, src) // source v1: evens
       val srcFiles = IndexCatalog.latestFiles(src)
       cloneEmbedStore(src, dst) // clone v1: borrowed paths, zero copy
       appendEmbedStore(spark,
@@ -1879,7 +1910,7 @@ object SimilarityQueries {
     import graft.sources.{FileBloom, IndexCatalog}
     val base = java.nio.file.Files.createTempDirectory("graft_lookup").toString
     val (kept, ok) = try {
-      buildEmbedStore(spark, dir, base) // v1: evens
+      buildEmbedStoreCached(spark, dir, base) // v1: evens
       appendEmbedStore(spark,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
         base) // v2: + batch A — lookups span both generations
@@ -1945,7 +1976,7 @@ object SimilarityQueries {
     val base = java.nio.file.Files.createTempDirectory("graft_chk").toString
     val ok = try {
       // build: the v1 commit declares the constraint on the store
-      buildEmbedStoreChecked(spark, dir, base)
+      buildEmbedStoreCheckedCached(spark, dir, base)
 
       val batchA =
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1)
@@ -2078,7 +2109,7 @@ object SimilarityQueries {
     import graft.sources.{FileStats, IndexCatalog}
     val base = java.nio.file.Files.createTempDirectory("graft_opt").toString
     val (pruned, ok) = try {
-      buildEmbedStore(spark, dir, base) // v1: one full-range generation
+      buildEmbedStoreCached(spark, dir, base) // v1: one full-range generation
       val all1 = IndexCatalog.latestFiles(base)
       val kept1 = FileStats.prune(base, all1, "vec_id", SkipLo, SkipHi)
       compactEmbedStoreSorted(spark, base) // v2: tight id slices
@@ -2169,7 +2200,7 @@ object SimilarityQueries {
     import graft.sources.IndexCatalog
     val base = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
     val ok = try {
-      buildEmbedStore(spark, dir, base)
+      buildEmbedStoreCached(spark, dir, base)
       appendEmbedStore(spark,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1), base)
       compactEmbedStore(spark, base)
@@ -2224,7 +2255,7 @@ object SimilarityQueries {
     import graft.sources.IndexCatalog
     val base = java.nio.file.Files.createTempDirectory("graft_storehist").toString
     try {
-      buildEmbedStore(spark, dir, base) // v1
+      buildEmbedStoreCached(spark, dir, base) // v1
       writeEmbedGen(spark,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
         base, Seq("ingest-batch=0")) // v2
@@ -2275,7 +2306,7 @@ object SimilarityQueries {
     import graft.sources.IndexCatalog
     val base = java.nio.file.Files.createTempDirectory("graft_inc").toString
     val (n5, s5, ok) = try {
-      buildEmbedStore(spark, dir, base) // v1: evens
+      buildEmbedStoreCached(spark, dir, base) // v1: evens
       val e = embeddings(spark, dir)
       // v2..v9: odd % 16 slices — a BACKFILL, so the eight disjoint
       // batches hash + stage in ONE pass and commit per slice
