@@ -601,6 +601,89 @@ object RetrievalQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Proximity queries over the positional index — (anchor, follower,
+    * window): query 3 pairs a common anchor with the RAREST fixture
+    * token ("dup", df ≈ 3% of the common terms'), pinning the
+    * asymmetric-posting-list path where one side of the doc_id join
+    * is tiny.
+    */
+  private[operators] val ProximityTerms: Seq[(Long, String, String, Int)] =
+    Seq((1L, "hash", "join", 5), (2L, "scan", "filter", 3),
+      (3L, "data", "dup", 6))
+
+  /** WITHIN-k PROXIMITY ranked retrieval from the positional index —
+    * the relaxation between bag-of-words BM25 (any distance) and
+    * exact phrase (distance exactly 1): "anchor followed by follower
+    * within w tokens". Proximity tf = the count of ORDERED position
+    * pairs (s ∈ pos(a), p ∈ pos(b)) with s < p ≤ s + w — integer-
+    * exact, so the ranking (ptf DESC, doc_id) is bit-reproducible
+    * against the oracle's from-scratch pair recount over the raw
+    * text.
+    *
+    * Plan per query: the manifest's file list pruned to the TWO
+    * terms' `tok=` partitions, tombstones subtracted, ONE doc_id join
+    * between the two posting lists, then the pair count as nested
+    * array kernels — `aggregate` over the anchor's positions of
+    * `size(filter(follower positions within (s, s+w]))` — no explode,
+    * map-side, codegen'd. 100 TB shape: two pruned partition reads +
+    * one posting-list-sized equi-join + a bounded top-k; the corpus
+    * token stream is never touched (same law as the phrase probe,
+    * with the |terms|-chain replaced by one pair join).
+    */
+  private[operators] def probeProximity(spark: SparkSession, base: String,
+      queries: Seq[(Long, String, String, Int)], k: Int): DataFrame = {
+    import spark.implicits._
+    import graft.sources.IndexCatalog
+    Engine.register(spark) // topk_agg on the ranking path
+    val dead = tombstones(spark, base)
+    val perQuery = queries.map { case (qid, a, b, w) =>
+      val keys = Set(s"tok=$a", s"tok=$b")
+      val files = IndexCatalog.latestFiles(base)
+        .filter(f => IndexCatalog.partitionKey(f).exists(keys.contains))
+      if (files.isEmpty)
+        Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "ptf")
+      else {
+        val posts = spark.read.option("basePath", s"$base/postings")
+          .parquet(files: _*)
+          .select(col("tok"), col("doc_id"), col("pos"))
+          .join(broadcast(dead), Seq("doc_id"), "left_anti")
+        posts.filter(col("tok") === a).select(col("doc_id"), col("pos").as("pa"))
+          .join(posts.filter(col("tok") === b)
+            .select(col("doc_id"), col("pos").as("pb")), "doc_id")
+          .select(lit(qid).as("query_id"), col("doc_id"),
+            aggregate(col("pa"), lit(0L), (acc, s) =>
+              acc + size(filter(col("pb"),
+                p => p > s && p <= s + lit(w))).cast("long")).as("ptf"))
+          .filter(col("ptf") > 0)
+      }
+    }
+    perQuery.reduce(_ unionByName _)
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_agg(cast(ptf as double), doc_id, $k)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.payload").as("doc_id"),
+        col("col.score").cast("long").as("ptf"))
+  }
+
+  /** Proximity search gated end-to-end over the SAME two-generation
+    * fixture index as the phrase probe (cached — the marginal bench
+    * cost is the probe alone): the pruned within-window pair count
+    * must rank exactly as the oracle's lambda recount over the raw
+    * corpus. (Tombstone interaction is TextIndexSpec's contract.)
+    */
+  def qProximity(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_prox").toString
+    try textIndexBuildAppendCached(spark, dir, base)
+    catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_proximity", Seq(base))
+    probeProximity(spark, base, ProximityTerms, TopK)
+      .orderBy("query_id", "rk")
+  }
+
   /** PARTITION-SCOPED posting-list compaction — `OPTIMIZE ... WHERE`
     * for the TEXT index: rewrite ONLY the named terms' live posting
     * rows, doc-ordered (`sortWithinPartitions(doc_id)` — the classic
@@ -747,7 +830,8 @@ object RetrievalQueries {
     "q_text_optimize" -> (qTextOptimize _),
     "q_text_delete" -> (qTextDelete _),
     "q_hybrid_rrf" -> (qHybridRrf _),
-    "q_phrase" -> (qPhrase _)
+    "q_phrase" -> (qPhrase _),
+    "q_proximity" -> (qProximity _)
   )
 
   /** DuckDB phrase-tf recount for one phrase: count the start indices
@@ -763,6 +847,22 @@ object RetrievalQueries {
        |       CAST(len(list_filter(range(1, len(toks) - ${n - 2}),
        |                            i -> $cond)) AS BIGINT) AS ptf FROM t""".stripMargin
   }
+
+  /** DuckDB proximity-tf recount for one (anchor, follower, window):
+    * positions from the split token array via list lambdas, pair
+    * count = Σ over anchor positions of the follower positions in
+    * (s, s+w] — the from-scratch formulation of what the probe
+    * computes from the stored position lists.
+    */
+  private def duckProximity(qid: Long, a: String, b: String, w: Int): String =
+    s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+       |       CAST(coalesce(list_sum(list_transform(
+       |              list_filter(range(1, len(toks) + 1), i -> toks[i] = '$a'),
+       |              s -> len(list_filter(
+       |                     list_filter(range(1, len(toks) + 1),
+       |                                 i -> toks[i] = '$b'),
+       |                     p -> p > s AND p <= s + $w)))), 0)
+       |            AS BIGINT) AS ptf FROM t""".stripMargin
 
   private def duckValues(terms: Seq[(Long, String)]): String =
     terms.map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")
@@ -858,6 +958,21 @@ object RetrievalQueries {
          |           FROM documents WHERE text IS NOT NULL),
          |p AS (${PhraseTerms.map { case (q, ts) => duckPhrase(q, ts) }
              .mkString("\n UNION ALL ")}),
+         |ranked AS (SELECT query_id, doc_id, ptf,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY ptf DESC, doc_id) AS rk
+         |           FROM p WHERE ptf > 0)
+         |SELECT query_id, rk, doc_id, ptf FROM ranked
+         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    // the pruned within-window pair count is bit-equal to a
+    // from-scratch recount over the raw corpus — one text pins the
+    // positional payload through build + append and the ordered-pair
+    // window algebra
+    "q_proximity" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents WHERE text IS NOT NULL),
+         |p AS (${ProximityTerms.map { case (q, a, b, w) =>
+               duckProximity(q, a, b, w) }.mkString("\n UNION ALL ")}),
          |ranked AS (SELECT query_id, doc_id, ptf,
          |                  row_number() OVER (PARTITION BY query_id
          |                                     ORDER BY ptf DESC, doc_id) AS rk

@@ -463,6 +463,64 @@ class TextIndexSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  /** Brute-force proximity tf straight off the raw text: the count of
+    * ordered position pairs (s ∈ pos(a), p ∈ pos(b)) with
+    * s < p ≤ s + w — the spec-side mirror of the DuckDB oracle lambda.
+    */
+  private def bruteProximity(docs: org.apache.spark.sql.DataFrame,
+      qid: Long, a: String, b: String, w: Int): org.apache.spark.sql.DataFrame = {
+    def positions(t: String) =
+      s"""filter(sequence(1L, cast(size(toks) as long)),
+         |       i -> element_at(toks, cast(i as int)) = '$t')""".stripMargin
+    docs.filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("ptf", expr(
+        s"""aggregate(${positions(a)}, 0L,
+           |  (acc, s) -> acc + size(filter(${positions(b)},
+           |                               p -> p > s AND p <= s + $w)))""".stripMargin)
+        .cast("long"))
+      .filter(col("ptf") > 0)
+      .select(lit(qid).as("query_id"), col("doc_id"), col("ptf"))
+  }
+
+  test("proximity probe equals the brute-force pair recount; tombstoned docs leave the ranking") {
+    val base = Files.createTempDirectory("graft_tidx_prox").toString
+    try {
+      val docs = Engine.table(spark, dir, "documents")
+      RetrievalQueries.writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), base)
+      RetrievalQueries.writeTextIndexGen(spark,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7), base)
+      // incl. the asymmetric pair (rare "dup": one side of the doc_id
+      // join is a posting list ~3% the other's size)
+      val qs = Seq((1L, "hash", "join", 5), (2L, "data", "dup", 6))
+      import org.apache.spark.sql.expressions.Window
+      def want(d: org.apache.spark.sql.DataFrame) =
+        qs.map { case (q, a, b, w) => bruteProximity(d, q, a, b, w) }
+          .reduce(_ unionByName _)
+          .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("ptf").desc, col("doc_id"))).cast("long"))
+          .filter(col("rk") <= 10)
+          .select(col("query_id"), col("rk"), col("doc_id"), col("ptf"))
+          .orderBy("query_id", "rk").collect().toSeq
+      val got = RetrievalQueries.probeProximity(spark, base, qs, 10)
+        .orderBy("query_id", "rk").collect().toSeq
+      assert(got.nonEmpty && got == want(docs),
+        "proximity probe diverged from brute-force pair recount")
+      // tombstone the top-ranked doc: the probe must re-rank as if the
+      // doc never existed
+      val doomedId = got.head.getLong(2)
+      RetrievalQueries.deleteTextDocs(spark,
+        docs.filter(col("doc_id") === doomedId), base)
+      val after = RetrievalQueries.probeProximity(spark, base, qs, 10)
+        .orderBy("query_id", "rk").collect().toSeq
+      assert(!after.exists(_.getLong(2) == doomedId),
+        "tombstoned doc still in the proximity ranking")
+      assert(after == want(docs.filter(col("doc_id") =!= doomedId)),
+        "post-delete proximity ranking diverged")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("hot-token build splits across salted files; BM25 and phrase probes are unchanged") {
     val salted = Files.createTempDirectory("graft_tidx_salt").toString
     val plain = Files.createTempDirectory("graft_tidx_plain").toString
