@@ -539,39 +539,34 @@ object RetrievalQueries {
     * joins keyed on doc_id + a bounded top-k; the corpus and its
     * token stream are never touched.
     */
-  private[operators] def probePhrase(spark: SparkSession, base: String,
-      phrases: Seq[(Long, Seq[String])], k: Int): DataFrame = {
-    import spark.implicits._
+  /** The shared scaffolding of BOTH positional probes (phrase and
+    * proximity): the manifest's file list pruned to `keys`' `tok=`
+    * partitions — the posting-list lookup — read with the positional
+    * payload, tombstones subtracted. None when no live partition
+    * holds any key (a probe for never-indexed terms).
+    */
+  private def prunedPostings(spark: SparkSession, base: String,
+      keys: Set[String], dead: DataFrame): Option[DataFrame] = {
     import graft.sources.IndexCatalog
-    Engine.register(spark) // topk_agg on the ranking path
-    val dead = tombstones(spark, base)
-    val perQuery = phrases.map { case (qid, terms) =>
-      val keys = terms.map(t => s"tok=$t").toSet
-      val files = IndexCatalog.latestFiles(base)
-        .filter(f => IndexCatalog.partitionKey(f).exists(keys.contains))
-      if (files.isEmpty)
-        Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "ptf")
-      else {
-        val posts = spark.read.option("basePath", s"$base/postings")
-          .parquet(files: _*)
-          .select(col("tok"), col("doc_id"), col("pos"))
-          .join(broadcast(dead), Seq("doc_id"), "left_anti")
-        val head = posts.filter(col("tok") === terms.head)
-          .select(col("doc_id"), col("pos").as("acc"))
-        val matched = terms.zipWithIndex.drop(1).foldLeft(head) {
-          case (cur, (t, i)) =>
-            val next = posts.filter(col("tok") === t)
-              .select(col("doc_id"), col("pos").as(s"p$i"))
-            cur.join(next, "doc_id")
-              .withColumn("acc", filter(col("acc"),
-                s => array_contains(col(s"p$i"), s + lit(i))))
-              .drop(s"p$i")
-              .filter(size(col("acc")) > 0)
-        }
-        matched.select(lit(qid).as("query_id"), col("doc_id"),
-          size(col("acc")).cast("long").as("ptf"))
-      }
-    }
+    val files = IndexCatalog.latestFiles(base)
+      .filter(f => IndexCatalog.partitionKey(f).exists(keys.contains))
+    if (files.isEmpty) None
+    else Some(spark.read.option("basePath", s"$base/postings")
+      .parquet(files: _*)
+      .select(col("tok"), col("doc_id"), col("pos"))
+      .join(broadcast(dead), Seq("doc_id"), "left_anti"))
+  }
+
+  private def emptyPtf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "ptf")
+  }
+
+  /** The shared ranking tail of both positional probes: per-query
+    * (doc_id, ptf) frames → the bounded `topk_agg` top-k (ptf DESC,
+    * doc_id — the aggregate's native tie order), 1-based rank.
+    */
+  private def rankPtf(perQuery: Seq[DataFrame], k: Int): DataFrame =
     perQuery.reduce(_ unionByName _)
       .groupBy(col("query_id"))
       .agg(expr(s"topk_agg(cast(ptf as double), doc_id, $k)").as("tk"))
@@ -579,6 +574,31 @@ object RetrievalQueries {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
         col("col.payload").as("doc_id"),
         col("col.score").cast("long").as("ptf"))
+
+  private[operators] def probePhrase(spark: SparkSession, base: String,
+      phrases: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    Engine.register(spark) // topk_agg on the ranking path
+    val dead = tombstones(spark, base)
+    val perQuery = phrases.map { case (qid, terms) =>
+      prunedPostings(spark, base, terms.map(t => s"tok=$t").toSet, dead)
+        .map { posts =>
+          val head = posts.filter(col("tok") === terms.head)
+            .select(col("doc_id"), col("pos").as("acc"))
+          val matched = terms.zipWithIndex.drop(1).foldLeft(head) {
+            case (cur, (t, i)) =>
+              val next = posts.filter(col("tok") === t)
+                .select(col("doc_id"), col("pos").as(s"p$i"))
+              cur.join(next, "doc_id")
+                .withColumn("acc", filter(col("acc"),
+                  s => array_contains(col(s"p$i"), s + lit(i))))
+                .drop(s"p$i")
+                .filter(size(col("acc")) > 0)
+          }
+          matched.select(lit(qid).as("query_id"), col("doc_id"),
+            size(col("acc")).cast("long").as("ptf"))
+        }.getOrElse(emptyPtf(spark))
+    }
+    rankPtf(perQuery, k)
   }
 
   /** Phrase search gated end-to-end: build (90%) + append (held-out
@@ -632,38 +652,22 @@ object RetrievalQueries {
     */
   private[operators] def probeProximity(spark: SparkSession, base: String,
       queries: Seq[(Long, String, String, Int)], k: Int): DataFrame = {
-    import spark.implicits._
-    import graft.sources.IndexCatalog
     Engine.register(spark) // topk_agg on the ranking path
     val dead = tombstones(spark, base)
     val perQuery = queries.map { case (qid, a, b, w) =>
-      val keys = Set(s"tok=$a", s"tok=$b")
-      val files = IndexCatalog.latestFiles(base)
-        .filter(f => IndexCatalog.partitionKey(f).exists(keys.contains))
-      if (files.isEmpty)
-        Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "ptf")
-      else {
-        val posts = spark.read.option("basePath", s"$base/postings")
-          .parquet(files: _*)
-          .select(col("tok"), col("doc_id"), col("pos"))
-          .join(broadcast(dead), Seq("doc_id"), "left_anti")
-        posts.filter(col("tok") === a).select(col("doc_id"), col("pos").as("pa"))
-          .join(posts.filter(col("tok") === b)
-            .select(col("doc_id"), col("pos").as("pb")), "doc_id")
-          .select(lit(qid).as("query_id"), col("doc_id"),
-            aggregate(col("pa"), lit(0L), (acc, s) =>
-              acc + size(filter(col("pb"),
-                p => p > s && p <= s + lit(w))).cast("long")).as("ptf"))
-          .filter(col("ptf") > 0)
-      }
+      prunedPostings(spark, base, Set(s"tok=$a", s"tok=$b"), dead)
+        .map { posts =>
+          posts.filter(col("tok") === a).select(col("doc_id"), col("pos").as("pa"))
+            .join(posts.filter(col("tok") === b)
+              .select(col("doc_id"), col("pos").as("pb")), "doc_id")
+            .select(lit(qid).as("query_id"), col("doc_id"),
+              aggregate(col("pa"), lit(0L), (acc, s) =>
+                acc + size(filter(col("pb"),
+                  p => p > s && p <= s + lit(w))).cast("long")).as("ptf"))
+            .filter(col("ptf") > 0)
+        }.getOrElse(emptyPtf(spark))
     }
-    perQuery.reduce(_ unionByName _)
-      .groupBy(col("query_id"))
-      .agg(expr(s"topk_agg(cast(ptf as double), doc_id, $k)").as("tk"))
-      .select(col("query_id"), posexplode(col("tk")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
-        col("col.payload").as("doc_id"),
-        col("col.score").cast("long").as("ptf"))
+    rankPtf(perQuery, k)
   }
 
   /** Proximity search gated end-to-end over the SAME two-generation
@@ -874,14 +878,20 @@ object RetrievalQueries {
     */
   private def duckBm25(terms: Seq[(Long, String)], k: Int,
       docsPred: String = "true"): String =
+    // text IS NOT NULL mirrors the engine's NULL-corpus rule (a
+    // NULL-text row contributes no postings, so it is not a document
+    // of the retrieval corpus — bm25Partials/writeTextIndexGen filter
+    // identically); without it n_docs would diverge on NULL-bearing
+    // feeds. The current fixtures carry no NULL rows, so this changes
+    // nothing there — it pins the DEFINITION, not today's numbers.
     s"""qt(query_id, term) AS (VALUES ${duckValues(terms)}),
        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
-       |          FROM documents WHERE $docsPred),
+       |          FROM documents WHERE text IS NOT NULL AND ($docsPred)),
        |s2 AS (SELECT n_docs, (10 * n_toks) // n_docs AS avg10 FROM stats),
        |tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
        |               unnest(string_split(text, ' ')) AS tok
-       |        FROM documents WHERE $docsPred),
+       |        FROM documents WHERE text IS NOT NULL AND ($docsPred)),
        |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM tok
        |       WHERE tok IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
