@@ -26,6 +26,10 @@ class StoreFixturesSpec extends SparkSpec {
         StoreFixtures.cloneInto("spec_embed_evens", dir, dest) { d =>
           builds += 1
           SimilarityQueries.buildEmbedStore(spark, dir, d)
+          // blooms on the TEMPLATE exercise copyStore's second
+          // sidecar-re-key branch (embed builds record stats only)
+          graft.sources.FileBloom.record(spark, d,
+            IndexCatalog.latestFiles(d), "vec_id")
         }
       cloneTo(a)
       cloneTo(b)
@@ -43,6 +47,12 @@ class StoreFixturesSpec extends SparkSpec {
       assert(ranges.size == filesA.size,
         s"clone resolves ${ranges.size}/${filesA.size} stats sidecars; " +
           "copy must re-key sidecars to the clone's paths")
+      // bloom sidecars re-key the same way: a point probe for a value
+      // no file holds must prune (orphaned sidecars would keep all)
+      val keptNone = graft.sources.FileBloom.prunePoint(spark, a, filesA,
+        "vec_id", Seq(-987654321L))
+      assert(keptNone.size < filesA.size,
+        "clone's bloom sidecars did not re-key: point prune kept every file")
 
       // both clones read identically
       def census(base: String) = SimilarityQueries.readStoreFiles(spark,
