@@ -249,4 +249,53 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
       s"expected both arms to rank through topk_agg:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("positional probes scan only query-term tok= partitions WITH pos; BM25's scans never read pos") {
+    val base = Files.createTempDirectory("graft_pqs_pos").toString
+    try {
+      RetrievalQueries.writeTextIndexGen(spark,
+        graft.Engine.table(spark, dir, "documents"), base)
+      // descend through cached relations too: probeTextIndex caches its
+      // posts fork, which hides the file scan behind InMemoryTableScan
+      def scansOf(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        collectAll(p).flatMap {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            scansOf(im.relation.cachedPlan)
+          case _ => Nil
+        }
+      def postingScans(p: SparkPlan) = scansOf(p)
+        .filter(_.relation.location.inputFiles.exists(_.contains("/postings/")))
+      // phrase and proximity: every scan reads the posting store only
+      // (the corpus is never touched), restricted to the query terms'
+      // tok= partitions, and CARRIES the positional payload; ranking
+      // is topk_agg (no window), joins are keyed (no cartesian)
+      for ((p, terms) <- Seq(
+          plan(RetrievalQueries.probePhrase(spark, base,
+            Seq(1L -> Seq("fast", "spark")), 10)) -> Set("fast", "spark"),
+          plan(RetrievalQueries.probeProximity(spark, base,
+            Seq((1L, "hash", "join", 5)), 10)) -> Set("hash", "join"))) {
+        val s = p.toString
+        assert(!s.contains("CartesianProduct") && !s.contains("Window"), s)
+        val post = postingScans(p)
+        assert(post.nonEmpty && post.size == scansOf(p).size,
+          s"a positional probe scanned something besides the posting store:\n$p")
+        post.foreach { f =>
+          assert(f.schema.fieldNames.contains("pos"),
+            s"positional scan lost the pos payload: ${f.schema}")
+          val files = f.relation.location.inputFiles
+          assert(files.nonEmpty && files.forall(path =>
+            terms.exists(t => path.contains(s"/tok=$t/"))),
+            s"scan read a partition outside the query vocabulary:\n${files.mkString("\n")}")
+        }
+      }
+      // the BM25 probe over the SAME store: column pruning leaves the
+      // position bytes on disk — no scan's ReadSchema carries pos
+      val bm = postingScans(plan(
+        RetrievalQueries.probeTextIndex(spark, base, Seq(1L -> "spark"), 10)))
+      assert(bm.nonEmpty)
+      bm.foreach(f => assert(!f.schema.fieldNames.contains("pos"),
+        s"BM25 probe paid for the positional payload: ${f.schema}"))
+    } finally graft.Fs.deleteRecursively(base)
+  }
 }
