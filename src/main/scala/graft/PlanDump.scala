@@ -88,7 +88,9 @@ object PlanDump {
     "q_phrase" ->
       "round 12: the probe's parquet scans read ONLY the phrase terms' tok= partitions (the manifest prune happens before the plan exists — each scan's file list IS the posting-list lookup) and ReadSchema carries the pos array only here, never in the BM25 probe; per phrase, |terms|-1 doc_id equi-joins over posting-list-sized frames with the start-position filter/array_contains kernels map-side; the final top-k is the bounded topk_agg (no window).",
     "q_proximity" ->
-      "round 12: the phrase plan's within-window relaxation — per query ONE doc_id equi-join between the two terms' pruned posting lists (the asymmetric rare-token side is a tiny frame), the ordered-pair count as nested aggregate/filter array kernels map-side (no explode), then the bounded topk_agg; the corpus token stream is never touched.")
+      "round 12: the phrase plan's within-window relaxation — per query ONE doc_id equi-join between the two terms' pruned posting lists (the asymmetric rare-token side is a tiny frame), the ordered-pair count as nested aggregate/filter array kernels map-side (no explode), then the bounded topk_agg; the corpus token stream is never touched.",
+    "q_mmr" ->
+      "round 12: the ONLY corpus-sized stage is the relevance pool's two-phase topk_agg ObjectHashAggregate (≤ 10 rows per query per task on its exchange); everything after — the pool-member pairwise-sim join and the three unrolled greedy steps' windows — ranks constant per-query frames (≤ pool² rows), so the diversity re-rank adds no corpus-sized shuffle or window.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"

@@ -178,6 +178,96 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- MMR diversity re-rank ----------------------------------------------
+
+  private[operators] val NMmrQ = 8   // MMR queries: vec_id < 8
+  private[operators] val MmrPool = 10 // relevance pool per query (bounded)
+  private[operators] val MmrK = 3     // greedy selections per query
+
+  /** Diversity-aware top-k — Maximal Marginal Relevance (Carbonell &
+    * Goldstein, SIGIR'98) re-rank: pure-relevance top-k hands a RAG
+    * prompt or a sampling batch three copies of the same passage;
+    * MMR greedily selects argmax of `λ·rel(c) − (1−λ)·max_{s∈S}
+    * sim(c, s)` so each pick is penalized by its similarity to what
+    * is ALREADY selected (λ = 0.7, cleared to the integer weights
+    * 7/3 — monotone ×10).
+    *
+    * Exactness across engines: rel and sim are the same
+    * `dot / (nrm·nrm)` expression on both sides (`vec_dot` here,
+    * `list_inner_product` in the oracle — the pair q_knn_quantized
+    * already pins hash-exact), so `7·rel − 3·maxsim` is bit-identical
+    * and the greedy argmax (ties on cand_id) is deterministic; the
+    * emitted columns are ids and ranks, never floats.
+    *
+    * 100 TB shape: the ONLY corpus-sized stage is the relevance pool,
+    * and it ends in a bounded `topk_agg` (≤ [[MmrPool]] per query per
+    * task on the exchange — at scale the pool would come from the
+    * persisted IVF/PQ probe instead, same bounded frame). Everything
+    * after — pool-member pairwise sims (≤ pool² rows per query) and
+    * the [[MmrK]] unrolled greedy steps — operates on constant
+    * per-query frames; the greedy windows rank ≤ pool rows each.
+    */
+  def qMmr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.register(spark)
+    val e = embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < NMmrQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val corpus = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    // stage 1 (the only corpus-sized one): bounded relevance pool
+    val pool = queries.crossJoin(corpus)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("rel",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_agg(rel, cand_id, $MmrPool)").as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("c.payload").as("cand_id"),
+        col("c.score").as("rel"))
+    // pool members' pairwise sims: ≤ MmrPool² rows per query
+    val cands = pool.join(corpus, "cand_id")
+    val sims = cands
+      .select(col("query_id"), col("cand_id").as("ca"),
+        col("c_emb").as("ea"), col("c_nrm").as("na"))
+      .join(cands.select(col("query_id"), col("cand_id").as("cb"),
+        col("c_emb").as("eb"), col("c_nrm").as("nb")), Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+    def top1(df: DataFrame, score: Column, as: String): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(score.desc, col("cand_id"))
+      df.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("query_id"), col("cand_id").as(as))
+    }
+    // greedy, unrolled to MmrK = 3: step 1 is pure relevance
+    val s1 = top1(pool, col("rel"), "s1")
+    val s2 = top1(
+      pool.join(s1, "query_id").filter(col("cand_id") =!= col("s1"))
+        .join(sims, Seq("query_id"))
+        .filter(col("ca") === col("cand_id") && col("cb") === col("s1"))
+        .withColumn("mmr", lit(7) * col("rel") - lit(3) * col("sim")),
+      col("mmr"), "s2")
+    val s3 = top1(
+      pool.join(s1, "query_id").join(s2, "query_id")
+        .filter(col("cand_id") =!= col("s1") && col("cand_id") =!= col("s2"))
+        .join(sims, Seq("query_id"))
+        .filter(col("ca") === col("cand_id") &&
+          (col("cb") === col("s1") || col("cb") === col("s2")))
+        .groupBy(col("query_id"), col("cand_id"), col("rel"))
+        .agg(max(col("sim")).as("maxsim"))
+        .withColumn("mmr", lit(7) * col("rel") - lit(3) * col("maxsim")),
+      col("mmr"), "s3")
+    s1.select(col("query_id"), lit(1L).as("rk"), col("s1").as("neighbor_id"))
+      .unionByName(s2.select(col("query_id"), lit(2L).as("rk"),
+        col("s2").as("neighbor_id")))
+      .unionByName(s3.select(col("query_id"), lit(3L).as("rk"),
+        col("s3").as("neighbor_id")))
+      .orderBy("query_id", "rk")
+  }
+
   // --- IVF-style clustered ANN ------------------------------------------
 
   /** Probe count for [[qIvfMultiprobe]]: each query searches its
@@ -2465,6 +2555,7 @@ object SimilarityQueries {
     "q_knn_brute" -> (qKnnBrute _),
     "q_knn_topk_agg" -> (qKnnTopkAgg _),
     "q_knn_quantized" -> (qKnnQuantized _),
+    "q_mmr" -> (qMmr _),
     "q_ivf_knn" -> (qIvfKnn _),
     "q_ivf_multiprobe" -> (qIvfMultiprobe _),
     "q_ivf_kmeans" -> (qIvfKmeans _),
@@ -2616,6 +2707,55 @@ object SimilarityQueries {
     // pipeline in SQL; the approximate scores are integer-exact sums
     // in double arithmetic on both engines (codes ≤ 127²·dims ≪ 2⁵³),
     // so candidate sets — not just final ranks — coincide exactly
+    // the greedy MMR unroll in SQL — rel/sim use the identical
+    // dot/(nrm·nrm) formulation as the engine (the list_inner_product
+    // pair q_knn_quantized pins hash-exact), so 7·rel − 3·maxsim is
+    // bit-identical and the per-step argmax (ties on cand_id) selects
+    // the same ids
+    "q_mmr" ->
+      s"""WITH en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |m AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) AS nrm FROM en),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM m
+         |      WHERE vec_id < $NMmrQ),
+         |relv AS (SELECT query_id, c.vec_id AS cand_id, c.emb AS c_emb,
+         |                c.nrm AS c_nrm,
+         |                list_inner_product(q_emb, c.emb) / (q_nrm * c.nrm) AS rel
+         |         FROM q JOIN m c ON query_id <> c.vec_id),
+         |pool AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |             PARTITION BY query_id ORDER BY rel DESC, cand_id) AS prk
+         |           FROM relv) t WHERE prk <= $MmrPool),
+         |sims AS (SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+         |                list_inner_product(a.c_emb, b.c_emb)
+         |                  / (a.c_nrm * b.c_nrm) AS sim
+         |         FROM pool a JOIN pool b ON a.query_id = b.query_id
+         |                               AND a.cand_id <> b.cand_id),
+         |s1 AS (SELECT query_id, cand_id AS s1 FROM (
+         |         SELECT query_id, cand_id, row_number() OVER (
+         |             PARTITION BY query_id ORDER BY rel DESC, cand_id) r
+         |         FROM pool) t WHERE r = 1),
+         |c2 AS (SELECT p.query_id, p.cand_id, 7 * p.rel - 3 * s.sim AS mmr
+         |       FROM pool p JOIN s1 USING (query_id)
+         |       JOIN sims s ON s.query_id = p.query_id AND s.ca = p.cand_id
+         |                  AND s.cb = s1.s1
+         |       WHERE p.cand_id <> s1.s1),
+         |s2 AS (SELECT query_id, cand_id AS s2 FROM (
+         |         SELECT query_id, cand_id, row_number() OVER (
+         |             PARTITION BY query_id ORDER BY mmr DESC, cand_id) r
+         |         FROM c2) t WHERE r = 1),
+         |c3 AS (SELECT p.query_id, p.cand_id, 7 * p.rel - 3 * max(s.sim) AS mmr
+         |       FROM pool p JOIN s1 USING (query_id) JOIN s2 USING (query_id)
+         |       JOIN sims s ON s.query_id = p.query_id AND s.ca = p.cand_id
+         |                  AND (s.cb = s1.s1 OR s.cb = s2.s2)
+         |       WHERE p.cand_id <> s1.s1 AND p.cand_id <> s2.s2
+         |       GROUP BY p.query_id, p.cand_id, p.rel),
+         |s3 AS (SELECT query_id, cand_id AS s3 FROM (
+         |         SELECT query_id, cand_id, row_number() OVER (
+         |             PARTITION BY query_id ORDER BY mmr DESC, cand_id) r
+         |         FROM c3) t WHERE r = 1)
+         |SELECT query_id, CAST(1 AS BIGINT) AS rk, s1 AS neighbor_id FROM s1
+         |UNION ALL SELECT query_id, CAST(2 AS BIGINT), s2 FROM s2
+         |UNION ALL SELECT query_id, CAST(3 AS BIGINT), s3 FROM s3
+         |ORDER BY query_id, rk""".stripMargin,
     "q_knn_quantized" ->
       s"""WITH en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |m AS (SELECT vec_id, emb,

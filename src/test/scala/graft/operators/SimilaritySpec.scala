@@ -228,4 +228,66 @@ class SimilaritySpec extends SparkSpec {
       assert(pairs(SimilarityQueries.qKnnQuantized(spark, dir)) == sqPairs)
     } finally spark.conf.set("spark.sql.shuffle.partitions", n)
   }
+
+  test("MMR re-rank matches an independent in-memory greedy and strictly diversifies vs pure relevance") {
+    import org.apache.spark.sql.functions._
+    val got = SimilarityQueries.qMmr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._2).map(_._3).toSeq
+      }
+    assert(got.size == SimilarityQueries.NMmrQ)
+
+    // independent mirror: collect the raw embeddings and run the greedy
+    // selection in plain Scala over the same pool/weights/tie-break
+    val emb = SimilarityQueries.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val mirror = (0L until SimilarityQueries.NMmrQ).map { q =>
+      val rel = emb.keys.filter(_ != q).toSeq
+        .map(c => c -> cos(emb(q), emb(c)))
+        .sortBy { case (c, r) => (-r, c) }.take(SimilarityQueries.MmrPool)
+      val relOf = rel.toMap
+      var selected = Seq.empty[Long]
+      while (selected.size < SimilarityQueries.MmrK) {
+        val pick = rel.map(_._1).filterNot(selected.contains)
+          .map { c =>
+            val maxsim =
+              if (selected.isEmpty) 0.0
+              else selected.map(s => cos(emb(c), emb(s))).max
+            c -> (7 * relOf(c) - 3 * maxsim)
+          }.minBy { case (c, m) => (-m, c) }._1
+        selected = selected :+ pick
+      }
+      q -> selected
+    }.toMap
+    assert(got == mirror, s"MMR diverged from the in-memory greedy:\n$got\nvs\n$mirror")
+
+    // the diversity effect is real on the fixture: for at least one
+    // query the selection differs from pure-relevance top-3, and over
+    // the queries where it differs, the selected set's max pairwise
+    // sim is strictly below the pure-relevance set's
+    val changed = (0L until SimilarityQueries.NMmrQ).filter { q =>
+      val top3 = emb.keys.filter(_ != q).toSeq
+        .map(c => c -> cos(emb(q), emb(c)))
+        .sortBy { case (c, r) => (-r, c) }.take(3).map(_._1)
+      top3.toSet != got(q).toSet
+    }
+    assert(changed.nonEmpty, "MMR never diverged from pure relevance on the fixture")
+    changed.foreach { q =>
+      def maxPair(ids: Seq[Long]) =
+        ids.combinations(2).map { case Seq(a, b) => cos(emb(a), emb(b)) }.max
+      val top3 = emb.keys.filter(_ != q).toSeq
+        .map(c => c -> cos(emb(q), emb(c)))
+        .sortBy { case (c, r) => (-r, c) }.take(3).map(_._1)
+      assert(maxPair(got(q)) < maxPair(top3),
+        s"query $q: MMR changed the set without reducing its max pairwise sim")
+    }
+  }
 }
