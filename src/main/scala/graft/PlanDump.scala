@@ -90,7 +90,9 @@ object PlanDump {
     "q_proximity" ->
       "round 12: the phrase plan's within-window relaxation — per query ONE doc_id equi-join between the two terms' pruned posting lists (the asymmetric rare-token side is a tiny frame), the ordered-pair count as nested aggregate/filter array kernels map-side (no explode), then the bounded topk_agg; the corpus token stream is never touched.",
     "q_mmr" ->
-      "round 12: the ONLY corpus-sized stage is the relevance pool's two-phase topk_agg ObjectHashAggregate (≤ 10 rows per query per task on its exchange); everything after — the pool-member pairwise-sim join and the three unrolled greedy steps' windows — ranks constant per-query frames (≤ pool² rows), so the diversity re-rank adds no corpus-sized shuffle or window.")
+      "round 12: the ONLY corpus-sized stage is the relevance pool's two-phase topk_agg ObjectHashAggregate (≤ 10 rows per query per task on its exchange); everything after — the pool-member pairwise-sim join and the three unrolled greedy steps' windows — ranks constant per-query frames (≤ pool² rows), so the diversity re-rank adds no corpus-sized shuffle or window.",
+    "q_txn_stores" ->
+      "round 12: six phase censuses, each a scan of an eagerly-captured manifest-resolved file list feeding one per-lang HashAggregate — the transaction itself is INVISIBLE to the plan (prepares are ordinary parquet writes; the atomic flip is one driver-side metadata CAS), which is the point: cross-store atomicity costs no Spark-side work at any scale.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"

@@ -764,8 +764,122 @@ object SourceQueries {
     (joined, base, () => { graft.Fs.deleteRecursively(base); () })
   }
 
+  /** MULTI-STORE ATOMIC TRANSACTION — the cross-store commit a
+    * derived-data pipeline needs when two catalog stores must never
+    * disagree (here: a document store and its per-lang stats store,
+    * the base-table/aggregate pair behind every "the index and the
+    * table drifted" incident). Mechanism
+    * ([[graft.sources.IndexCatalogOps.prepareTxn]]): each store's
+    * batch commits as a PREPARED manifest naming one shared decision
+    * file; readers resolve past undecided prepares, and the
+    * coordinator's single create-if-absent of the decision flips every
+    * participant visible AT ONCE — the cross-store analogue of the
+    * one-manifest commit, same CAS primitive, so it ports to any DFS/
+    * object store the catalog runs on. Abort (coordinator's, or a
+    * FENCE by any writer that lands after an undecided prepare) makes
+    * every participant a permanent no-op — a crashed coordinator can
+    * never wedge a store or leak a half-transaction.
+    *
+    * The query drives the full lifecycle and censuses both stores at
+    * three phases: `prepared` (txn 1 prepared in BOTH stores, decision
+    * unpublished — both censuses must still show only the base build),
+    * `committed` (one decision CAS later — both show base + batch 1),
+    * and `final` (txn 2 prepared, then FENCED to abort by an ordinary
+    * single-store append of the batch's vetted even half — the docs
+    * store gains exactly that vetted slice, the stats store stays at
+    * batch 1, and txn 2's rows appear NOWHERE). The in-line
+    * `require(decideTxn(..) == "abort")` pins that the coordinator
+    * learns the fence's verdict, not its own wish. File lists are
+    * captured at phase time (immutable files make the phase censuses
+    * stable however late they materialize). At 100 TB the txn costs
+    * what its batches cost plus ONE metadata CAS — no store-sized
+    * work anywhere; TxnCatalogSpec pins the protocol (atomic flip,
+    * fencing, rebasing over aborted slots, vacuum of dead prepares).
+    */
+  def qTxnStores(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val root = Files.createTempDirectory("graft_txnstores").toString
+    val (docsBase, statsBase) = (s"$root/docs", s"$root/stats")
+
+    def stage(pred: Column, base: String, stats: Boolean): Seq[String] = {
+      val gen = IndexCatalog.newGenDir(base)
+      val slice = Engine.table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang")).filter(pred)
+      val out =
+        if (stats) slice.groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+        else slice
+      // one small file per store batch: this query's data is tiny and
+      // its subject is the commit protocol, not write parallelism
+      out.coalesce(1).write.mode("overwrite").parquet(gen)
+      IndexCatalog.listDataFiles(gen)
+    }
+
+    // phase censuses capture the LIVE FILE LIST eagerly — immutable
+    // data files make the phase's content stable no matter when the
+    // returned (lazy) frame materializes
+    def census(base: String, store: String, phase: String): DataFrame = {
+      val live = IndexCatalog.latestFiles(base)
+      val df = spark.read.parquet(live: _*)
+      val counted =
+        if (store == "stats")
+          df.groupBy("lang").agg(sum("n_docs").cast("long").as("n_docs"))
+        else df.groupBy("lang").agg(count(lit(1)).cast("long").as("n_docs"))
+      counted.select(lit(phase).as("phase"), lit(store).as("store"),
+        col("lang"), col("n_docs"))
+    }
+
+    try {
+      // base build: plain single-store commits (doc_id % 3 == 0)
+      IndexCatalog.commitFiles(docsBase,
+        stage(col("doc_id") % 3 === 0, docsBase, stats = false))
+      IndexCatalog.commitFiles(statsBase,
+        stage(col("doc_id") % 3 === 0, statsBase, stats = true))
+
+      // txn 1: batch (doc_id % 3 == 1) prepared into BOTH stores
+      val m1 = s"$root/txn/t1.decision"
+      IndexCatalog.prepareTxn(docsBase,
+        stage(col("doc_id") % 3 === 1, docsBase, stats = false),
+        Seq("txn-batch=1"), m1)
+      IndexCatalog.prepareTxn(statsBase,
+        stage(col("doc_id") % 3 === 1, statsBase, stats = true),
+        Seq("txn-batch=1"), m1)
+      val prepared = census(docsBase, "docs", "prepared")
+        .unionAll(census(statsBase, "stats", "prepared"))
+
+      require(IndexCatalog.decideTxn(m1, "commit") == "commit",
+        "txn 1 lost its decision to a concurrent fence")
+      val committed = census(docsBase, "docs", "committed")
+        .unionAll(census(statsBase, "stats", "committed"))
+
+      // txn 2: batch (doc_id % 3 == 2) prepared into both — then an
+      // ordinary append of the batch's vetted even half lands on the
+      // docs store and FENCES the undecided txn to abort
+      val m2 = s"$root/txn/t2.decision"
+      IndexCatalog.prepareTxn(docsBase,
+        stage(col("doc_id") % 3 === 2, docsBase, stats = false), Nil, m2)
+      IndexCatalog.prepareTxn(statsBase,
+        stage(col("doc_id") % 3 === 2, statsBase, stats = true), Nil, m2)
+      IndexCatalog.commitFiles(docsBase,
+        stage(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0,
+          docsBase, stats = false))
+      require(IndexCatalog.decideTxn(m2, "commit") == "abort",
+        "the single-store append must have fenced txn 2 to abort")
+      val fin = census(docsBase, "docs", "final")
+        .unionAll(census(statsBase, "stats", "final"))
+
+      graft.Lease.lease("q_txn_stores", Seq(root))
+      prepared.unionAll(committed).unionAll(fin)
+        .orderBy("phase", "store", "lang")
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(root)); throw e
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dpp" -> (qDpp _),
+    "q_txn_stores" -> (qTxnStores _),
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_zorder" -> (qZorder _),
@@ -780,6 +894,27 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // pure slice arithmetic off the documents table: base = thirds-0,
+    // txn 1 (committed) adds thirds-1 to BOTH stores, txn 2 (fenced to
+    // abort) adds NOTHING anywhere, and the fencing single-store
+    // append adds only thirds-2's even half to docs. A langless zero
+    // row never exists on either side (empty groups don't emit).
+    "q_txn_stores" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |         count(*) FILTER (WHERE doc_id % 3 = 0) AS c0,
+        |         count(*) FILTER (WHERE doc_id % 3 = 1) AS c1,
+        |         count(*) FILTER (WHERE doc_id % 3 = 2 AND doc_id % 2 = 0) AS c2e
+        |  FROM documents GROUP BY lang)
+        |SELECT phase, store, lang, CAST(n AS BIGINT) AS n_docs FROM (
+        |  SELECT 'prepared' AS phase, 'docs' AS store, lang, c0 AS n FROM per
+        |  UNION ALL SELECT 'prepared', 'stats', lang, c0 FROM per
+        |  UNION ALL SELECT 'committed', 'docs', lang, c0 + c1 FROM per
+        |  UNION ALL SELECT 'committed', 'stats', lang, c0 + c1 FROM per
+        |  UNION ALL SELECT 'final', 'docs', lang, c0 + c1 + c2e FROM per
+        |  UNION ALL SELECT 'final', 'stats', lang, c0 + c1 FROM per)
+        |WHERE n > 0
+        |ORDER BY phase, store, lang""".stripMargin,
     // the weekend census straight off the raw table: the partitioned
     // rewrite + dimension join must change WHAT IS READ, never the
     // answer (DuckDB dayofweek: 0=Sun, 6=Sat)

@@ -116,7 +116,12 @@ class IndexCatalogOps(val fs: CatalogFs) {
   private val GoverningTagFamilies =
     Set("corpus_stats=", "stats_cols=", "check=", "schema=")
 
-  /** Highest committed version, 0 if the store has none. */
+  /** Highest OCCUPIED version slot, 0 if the store has none — the
+    * writer-side counter (the next commit targets this + 1). Readers
+    * that must not observe an in-doubt multi-store txn prepare use
+    * [[readableVersion]]; for a store no transaction ever touches the
+    * two are identical.
+    */
   def currentVersion(base: String): Int =
     fs.listNames(manifestsDir(base))
       .collect { case ManifestName(n) => n.toInt }
@@ -124,10 +129,16 @@ class IndexCatalogOps(val fs: CatalogFs) {
 
   /** One commit's parsed manifest: `#` lines are [[tags]], `!full`
     * marks a snapshot (adds = the complete live list), `+` lines are
-    * added files, `~` lines are replaced partition keys.
+    * added files, `~` lines are replaced partition keys. A `?txn:`
+    * line marks a PREPARED multi-store transaction participant: the
+    * delta applies only once the named decision file says `commit`
+    * (see [[txnDecision]]) — until then the slot is reserved but the
+    * content is invisible, and a decision of `abort` makes it a
+    * permanent no-op.
     */
   private[sources] case class Manifest(tags: Seq[String], full: Boolean,
-      adds: Seq[String], removeKeys: Set[String])
+      adds: Seq[String], removeKeys: Set[String],
+      pendingTxn: Option[String] = None)
 
   private[sources] def readManifest(base: String, v: Int): Manifest = {
     val lines = fs.readString(manifestPath(base, v))
@@ -137,7 +148,51 @@ class IndexCatalogOps(val fs: CatalogFs) {
       full = lines.contains("!full"),
       adds = lines.collect { case l if l.startsWith("+") => l.drop(1) },
       removeKeys =
-        lines.collect { case l if l.startsWith("~") => l.drop(1) }.toSet)
+        lines.collect { case l if l.startsWith("~") => l.drop(1) }.toSet,
+      pendingTxn =
+        lines.collectFirst { case l if l.startsWith("?txn:") => l.drop(5) })
+  }
+
+  /** The decision of the multi-store transaction whose decision file
+    * is `marker`: `Some("commit")` / `Some("abort")` once decided,
+    * `None` while in doubt. The decision is a SINGLE create-if-absent
+    * file whose content is the verdict — one CAS, so a commit/abort
+    * race has exactly one winner and every reader agrees forever.
+    */
+  def txnDecision(marker: String): Option[String] =
+    if (fs.exists(marker)) Some(fs.readString(marker).trim) else None
+
+  /** Decide the transaction at `marker` with `verdict` ("commit" or
+    * "abort") and return the ACTUAL decision — the first writer's, if
+    * a racing decider got there first. Idempotent; losing the CAS is
+    * not an error, it is how the protocol serializes the decision.
+    */
+  def decideTxn(marker: String, verdict: String): String = {
+    require(verdict == "commit" || verdict == "abort", verdict)
+    val parent = Paths.get(marker).getParent
+    if (parent != null) fs.mkdirs(parent.toString)
+    fs.publishIfAbsent(marker, verdict)
+    fs.readString(marker).trim
+  }
+
+  /** Whether version `v`'s manifest content APPLIES to resolution —
+    * true for ordinary commits and decided-commit txn participants,
+    * false for aborted ones. An undecided participant throws when
+    * `strict` (resolution must not guess) and reads as not-applied
+    * otherwise (tag lookups see a snapshot without the in-doubt txn).
+    */
+  private def manifestApplies(m: Manifest, at: String,
+      strict: Boolean): Boolean = m.pendingTxn match {
+    case None => true
+    case Some(marker) => txnDecision(marker) match {
+      case Some("commit") => true
+      case Some(_) => false
+      case None if strict => throw new IllegalStateException(
+        s"$at is a prepared multi-store transaction participant whose " +
+          s"decision ($marker) is still in doubt; commit or abort the " +
+          "transaction (any later writer to this store fences it to abort)")
+      case None => false
+    }
   }
 
   /** The partition keys a committed version TOUCHED — added files'
@@ -149,7 +204,9 @@ class IndexCatalogOps(val fs: CatalogFs) {
     */
   private[graft] def touchedKeys(base: String, v: Int): Option[Set[String]] = {
     val m = readManifest(base, v)
-    if (m.full) None
+    if (!manifestApplies(m, s"version $v of $base", strict = true))
+      Some(Set.empty) // aborted txn participant: a permanent no-op
+    else if (m.full) None
     else Some(m.adds.flatMap(partitionKey).toSet ++ m.removeKeys)
   }
 
@@ -168,14 +225,19 @@ class IndexCatalogOps(val fs: CatalogFs) {
     var full: Seq[String] = null
     while (full == null) {
       val m = readManifest(base, cursor) // absent manifest: expired, fail fast
-      if (m.full) full = m.adds
+      // an aborted txn participant is a permanent no-op delta; an
+      // undecided one throws (strict) — resolution must never guess a
+      // transaction's outcome. Only the raw head can be in doubt: any
+      // writer publishing PAST a prepared slot fences it first.
+      val applies = manifestApplies(m, s"version $cursor of $base", strict = true)
+      if (applies && m.full) full = m.adds
       else if (fs.exists(ckptPath(base, cursor)))
         // a checkpoint is the POST-commit state of its version: use it
         // as the base and do not re-apply that version's delta
         full = fs.readString(ckptPath(base, cursor))
           .split("\n").toSeq.filter(_.nonEmpty)
       else {
-        deltas = m :: deltas
+        if (applies) deltas = m :: deltas
         cursor -= 1
         if (cursor == 0) full = Seq.empty
       }
@@ -217,9 +279,21 @@ class IndexCatalogOps(val fs: CatalogFs) {
     */
   def newestTag(base: String, prefix: String): Option[String] =
     liveVersions(base).sorted.reverse.iterator.flatMap { v =>
-      tags(base, v).reverseIterator.filter(_.startsWith(prefix)) ++
+      appliedTags(base, v).reverseIterator.filter(_.startsWith(prefix)) ++
         carriedTags(base, v).iterator.filter(_.startsWith(prefix))
     }.nextOption()
+
+  /** Version `v`'s manifest tags IF its content applies — empty for
+    * an aborted txn participant (its tags were never committed) and
+    * for an in-doubt one (a tag snapshot must not include a
+    * transaction whose outcome is unknown). Tag lookups go through
+    * this so `corpus_stats=` et al. never leak from a dead prepare.
+    */
+  private def appliedTags(base: String, v: Int): Seq[String] = {
+    val m = readManifest(base, v)
+    if (manifestApplies(m, s"version $v of $base", strict = false)) m.tags
+    else Seq.empty
+  }
 
   /** Every tag on a still-live manifest, plus vacuum-carried tags. The
     * streaming ingest path keys its exactly-once guard on this set: a
@@ -231,7 +305,7 @@ class IndexCatalogOps(val fs: CatalogFs) {
     */
   def committedTags(base: String): Set[String] =
     liveVersions(base).iterator
-      .flatMap(v => tags(base, v) ++ carriedTags(base, v)).toSet
+      .flatMap(v => appliedTags(base, v) ++ carriedTags(base, v)).toSet
 
   /** Versions whose manifest is still present — committed and not yet
     * expired by [[vacuum]]. The catalog's readable history.
@@ -239,9 +313,23 @@ class IndexCatalogOps(val fs: CatalogFs) {
   def liveVersions(base: String): Seq[Int] =
     (1 to currentVersion(base)).filter(v => fs.exists(manifestPath(base, v)))
 
-  /** The current version's files; empty for an empty store. */
+  /** The newest version a READER may resolve: the raw head, unless
+    * the head is a prepared txn participant still in doubt — then the
+    * slot below it (an in-doubt txn is invisible until decided, and
+    * the fencing rule keeps at most the head undecided). Decided slots
+    * — committed or aborted — resolve normally.
+    */
+  def readableVersion(base: String): Int = {
+    var v = currentVersion(base) // the head manifest always exists
+    while (v >= 1 &&
+        readManifest(base, v).pendingTxn.exists(txnDecision(_).isEmpty))
+      v -= 1
+    v
+  }
+
+  /** The current readable version's files; empty for an empty store. */
   def latestFiles(base: String): Seq[String] = {
-    val v = currentVersion(base)
+    val v = readableVersion(base)
     if (v == 0) Seq.empty else files(base, v)
   }
 
@@ -390,7 +478,16 @@ class IndexCatalogOps(val fs: CatalogFs) {
           val head = currentVersion(base)
           val conflicting = (bo + 1 to head).exists { v =>
             val m = readManifest(base, v)
-            if (m.full) true // full rewrite: content conflict
+            // an intervening PREPARED txn participant: fence an
+            // undecided one to abort (the writer rule — our commit
+            // would fence it at publish anyway), then judge by the
+            // actual decision; an aborted slot touched nothing
+            val applies = m.pendingTxn match {
+              case Some(marker) => decideTxn(marker, "abort") == "commit"
+              case None => true
+            }
+            if (!applies) false
+            else if (m.full) true // full rewrite: content conflict
             else {
               val ks = m.adds.flatMap(partitionKey).toSet ++ m.removeKeys
               ks.exists(myKeys.contains) ||
@@ -506,16 +603,75 @@ class IndexCatalogOps(val fs: CatalogFs) {
       writeDeltaAt(base, cur + 1, newFiles.sorted, Set.empty, commitTags)
     }
 
+  /** Phase 1 of a MULTI-STORE TRANSACTION: publish an append delta in
+    * this store that is INVISIBLE until the transaction at `marker`
+    * decides. The prepare occupies the next version slot through the
+    * normal CAS (so single-store writers and other txns serialize
+    * against it), but readers resolve past it ([[readableVersion]]),
+    * its tags stay out of [[committedTags]]/[[newestTag]], and its
+    * delta applies only on a `commit` decision — `abort` makes the
+    * slot a permanent no-op that later resolution skips.
+    *
+    * The decision file is the ATOMICITY point: N stores' prepares all
+    * name the same `marker`, so the coordinator's single
+    * [[decideTxn]]("commit") CAS flips every participant visible at
+    * once — the cross-store analogue of the one-manifest commit, with
+    * the same create-if-absent primitive underneath. Failure handling
+    * is optimistic: any writer that lands AFTER an undecided prepare
+    * (including vacuum) fences the transaction to `abort`, so a
+    * crashed coordinator can never wedge a store and the in-doubt
+    * window is exactly the coordinator's prepare→decide span. A
+    * coordinator must therefore treat "my commit CAS lost to an abort"
+    * as a clean transaction failure and retry from fresh prepares —
+    * the same rule every optimistic-2PC table format imposes. One
+    * prepare per store per transaction.
+    */
+  def prepareTxn(base: String, newFiles: Seq[String],
+      commitTags: Seq[String], marker: String): Int = {
+    require(newFiles.nonEmpty, "no parquet files to prepare")
+    retryingCommit() {
+      writeDeltaAt(base, currentVersion(base) + 1,
+        newFiles.sorted, Set.empty, commitTags, pendingTxn = Some(marker))
+    }
+  }
+
+  /** Run a whole multi-store transaction: prepare every participant
+    * (`(base, newFiles, commitTags)`, in order), then attempt the
+    * commit decision. Returns the participants' committed versions,
+    * or None when the transaction aborted — a concurrent writer
+    * fenced an undecided prepare, or a prepare failed outright (the
+    * marker is then decided `abort` so no participant can ever become
+    * visible). Either way every store is left consistent: all
+    * participants visible, or none.
+    */
+  def commitTxn(marker: String,
+      parts: Seq[(String, Seq[String], Seq[String])]): Option[Seq[Int]] = {
+    val prepared =
+      try parts.map { case (base, newFiles, tags) =>
+        prepareTxn(base, newFiles, tags, marker)
+      }
+      catch {
+        case e: Throwable =>
+          decideTxn(marker, "abort") // no participant may ever apply
+          throw e
+      }
+    if (decideTxn(marker, "commit") == "commit") Some(prepared) else None
+  }
+
   private def writeDeltaAt(base: String, v: Int, adds: Seq[String],
-      removeKeys: Set[String], commitTags: Seq[String]): Int = {
+      removeKeys: Set[String], commitTags: Seq[String],
+      pendingTxn: Option[String] = None): Int = {
     publishManifest(base, v, commitTags.map("#" + _) ++
+      pendingTxn.map("?txn:" + _).toSeq ++
       removeKeys.toSeq.sorted.map("~" + _) ++ adds.map("+" + _))
     // periodic checkpoint: a derived, idempotent snapshot so later
     // resolutions replay at most CheckpointInterval deltas. Written
     // AFTER the commit succeeded — a crash here loses nothing (the
     // next resolution just replays further), and create-if-absent
-    // makes a replayed writer's re-attempt a no-op.
-    if (v % CheckpointInterval == 0) checkpoint(base, v)
+    // makes a replayed writer's re-attempt a no-op. A PREPARED txn
+    // slot skips it: its resolution is undefined until the decision,
+    // and any later checkpoint() call materializes it decided.
+    if (v % CheckpointInterval == 0 && pendingTxn.isEmpty) checkpoint(base, v)
     v
   }
 
@@ -543,6 +699,19 @@ class IndexCatalogOps(val fs: CatalogFs) {
   private def publishManifest(base: String, v: Int, lines: Seq[String]): Int = {
     require(lines.forall(l => !l.contains("\n")),
       "manifest entries are single-line")
+    // FENCE: before occupying slot v, decide any still-in-doubt txn
+    // prepare at v-1 — to abort (the coordinator that meant to commit
+    // has lost the race; it learns so at its own marker CAS). This is
+    // what makes "a version with a successor is decided" an invariant,
+    // so resolution of interior versions never meets an undecided txn
+    // and an orphaned prepare (crashed coordinator) cannot wedge the
+    // store: the next writer clears it. One extra manifest read per
+    // commit — the same read-the-log-tail cost every snapshot format's
+    // commit pays.
+    if (v > 1 && fs.exists(manifestPath(base, v - 1)))
+      readManifest(base, v - 1).pendingTxn.foreach { marker =>
+        if (txnDecision(marker).isEmpty) decideTxn(marker, "abort")
+      }
     fs.mkdirs(manifestsDir(base))
     val target = manifestPath(base, v)
     // publishIfAbsent is an atomic create-IF-ABSENT: a racing committer
@@ -607,6 +776,13 @@ class IndexCatalogOps(val fs: CatalogFs) {
       orphanGraceMs: Long = DefaultOrphanGraceMs): Seq[String] = {
     require(retain >= 1, "must retain at least the current version")
     val cur = currentVersion(base)
+    // vacuum is a writer: an in-doubt txn prepare at the head is
+    // fenced to abort (same rule as any commit landing after it), so
+    // every resolution below is over decided slots only
+    if (cur >= 1)
+      readManifest(base, cur).pendingTxn.foreach { marker =>
+        if (txnDecision(marker).isEmpty) decideTxn(marker, "abort")
+      }
     val horizon = math.max(1, cur - retain + 1)
     // the horizon version must stay resolvable once its predecessor
     // delta chain expires: materialize its snapshot first (idempotent;
@@ -625,7 +801,9 @@ class IndexCatalogOps(val fs: CatalogFs) {
       val carried = scala.collection.mutable.LinkedHashMap[String, String]()
       (1 until horizon).foreach { v =>
         if (fs.exists(manifestPath(base, v)))
-          (carriedTags(base, v) ++ readManifest(base, v).tags).foreach {
+          // appliedTags: an aborted txn participant's tags were never
+          // committed, so the carry must not resurrect them
+          (carriedTags(base, v) ++ appliedTags(base, v)).foreach {
             case t @ CarriedTagFamily(fam) if GoverningTagFamilies(fam) =>
               carried(fam) = t
             case _ => ()

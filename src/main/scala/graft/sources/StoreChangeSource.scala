@@ -167,16 +167,20 @@ private[sources] class StoreChangeStream(base: String, startingVersion: String,
   // the versions committed before it started, then terminates
   private var cap: Int = -1
 
+  // readableVersion, not currentVersion: an in-doubt multi-store txn
+  // prepare at the head is invisible to readers until decided, and a
+  // follower must not plan a batch over an undecidable resolution.
+  // (A decided-abort slot inside a planned range diffs to nothing.)
   override def prepareForTriggerAvailableNow(): Unit =
-    cap = IndexCatalog.currentVersion(base)
+    cap = IndexCatalog.readableVersion(base)
 
   override def initialOffset(): Offset = startingVersion match {
-    case "latest" => V(IndexCatalog.currentVersion(base))
+    case "latest" => V(IndexCatalog.readableVersion(base))
     case v => V(v.trim.toInt)
   }
 
   override def latestOffset(): Offset =
-    V(if (cap >= 0) cap else IndexCatalog.currentVersion(base))
+    V(if (cap >= 0) cap else IndexCatalog.readableVersion(base))
 
   // SupportsTriggerAvailableNow extends SupportsAdmissionControl; the
   // store has no rate knob — a version is all-or-nothing — so every
