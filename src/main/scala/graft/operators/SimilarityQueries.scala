@@ -632,6 +632,96 @@ object SimilarityQueries {
       pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
   }
 
+  // --- FILTERED ANN: metadata predicates inside the index ---------------
+
+  /** Build the LABEL-CARRYING IVF store: same frozen k-means cell
+    * family as [[buildIvfStore]], but every stored row keeps its
+    * metadata label and files land under TWO-LEVEL
+    * `centroid_id=/label=` partitions. That layout is what makes a
+    * metadata filter a PARTITION decision instead of a row
+    * post-filter: a fixed-label probe prunes `label=` directories
+    * before a byte is read, and a per-query label becomes part of the
+    * candidate JOIN KEY, so candidate volume shrinks by the label's
+    * selectivity at zero extra plan cost. Sub-partitioning is safe
+    * here because the metadata domain is small (10 labels); a
+    * high-cardinality attribute would ride [[graft.sources.FileStats]]
+    * min/max sidecars instead — same prune, different axis.
+    */
+  private[operators] def buildLabeledIvfStore(
+      spark: SparkSession, dir: String, base: String): Unit = {
+    import graft.sources.{IndexCatalog, StagedWrite}
+    val e = embeddings(spark, dir)
+    val cent = kmeansCentroids(e, KmIters, col("vec_id") < NList).cache()
+    try {
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+      // assignment drops non-core columns; the label rides back in on
+      // vec_id — a build-time-only join, never paid at probe time
+      val rows = assignToCentroids(e,
+          cent.select(col("centroid_id"), col("c_emb")))
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("centroid_id"), col("label"))
+      val newFiles =
+        StagedWrite.partitioned(rows, s"$base/corpus", Seq("centroid_id", "label"))
+      IndexCatalog.commitWithRetry(base)(_ => (newFiles, Nil))
+    } finally cent.unpersist()
+  }
+
+  /** Probe the labeled store with a PER-QUERY metadata filter:
+    * same-label nearest neighbors ("more items in this category" — the
+    * metadata-filtered search every production vector store exposes).
+    * The label equality joins INTO the candidate key alongside the
+    * cell, so the only corpus-sized stage is a (cell, label)-keyed
+    * equi-join — never a post-filter over unfiltered candidates, and
+    * never a second scan. Filtered recall is the usual caveat (a
+    * selective filter thins each cell's candidates); the `nprobe`
+    * dial ([[qIvfMultiprobe]], PQ's `probePqStore`) composes with
+    * this join unchanged when more candidates are needed.
+    */
+  private[operators] def probeIvfFiltered(
+      spark: SparkSession, base: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.register(spark) // vec_dot on the scoring path
+    val corpus = spark.read.option("basePath", s"$base/corpus")
+      .parquet(graft.sources.IndexCatalog.latestFiles(base): _*)
+    val queries = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("centroid_id").as("q_cent"),
+        col("label").as("q_label"))
+    val neighbors = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"),
+      col("centroid_id").as("n_cent"), col("label").as("n_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    queries
+      .join(neighbors, col("q_cent") === col("n_cent") &&
+        col("q_label") === col("n_label") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Gated form: fixture-cached labeled store build, then the filtered
+    * probe. Short result lists are correct behavior — a (cell, label)
+    * slice can hold fewer than K candidates, and widening is the
+    * nprobe dial's job, not silent unfiltered backfill.
+    */
+  def qIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivflabel").toString
+    try graft.sources.StoreFixtures.cloneInto("ivf_labeled", dir, base)(
+      d => buildLabeledIvfStore(spark, dir, d))
+    catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_ivf_filtered", Seq(base))
+    probeIvfFiltered(spark, base)
+  }
+
   // --- IVF-PQ: product-quantized residual codes in the IVF store --------
 
   /** PQ geometry over the 64-dim fixture embeddings: [[PqM]] subspaces
@@ -2561,6 +2651,7 @@ object SimilarityQueries {
     "q_ivf_kmeans" -> (qIvfKmeans _),
     "q_ivf_pq" -> (qIvfPq _),
     "q_ivf_persisted" -> (qIvfPersisted _),
+    "q_ivf_filtered" -> (qIvfFiltered _),
     "q_ivf_append" -> (qIvfAppend _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_ingest" -> (qEmbedIngest _),
@@ -2646,7 +2737,16 @@ object SimilarityQueries {
     * [[buildIvfStore]]/[[writeIvfGen]] across both.
     */
   private def duckIvfSql(seedPred: String, trainPred: String,
-      memberPred: String, queryPred: String): String =
+      memberPred: String, queryPred: String,
+      labelFiltered: Boolean = false): String = {
+    // the per-query metadata filter (q_ivf_filtered): the label is a
+    // function of vec_id, so the oracle joins it back from the raw
+    // table — the Spark side reads it off the store's label= partition
+    val labelJoin =
+      if (labelFiltered)
+        "\n       JOIN embeddings ql ON ql.vec_id = q.query_id" +
+          "\n       JOIN embeddings nl ON nl.vec_id = a.vec_id AND nl.label = ql.label"
+      else ""
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |en AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) AS nrm FROM e),
        |tr AS (SELECT * FROM en WHERE $trainPred),
@@ -2665,16 +2765,21 @@ object SimilarityQueries {
        |scored AS (
        |  SELECT query_id, a.vec_id AS neighbor_id,
        |         list_inner_product(qe, a.emb) / (qn * a.nrm) AS cos
-       |  FROM q JOIN cps a ON q.qc = a.centroid_id AND q.query_id <> a.vec_id),
+       |  FROM q JOIN cps a ON q.qc = a.centroid_id AND q.query_id <> a.vec_id$labelJoin),
        |ranked AS (SELECT query_id, neighbor_id,
        |                  row_number() OVER (PARTITION BY query_id
        |                                     ORDER BY cos DESC, neighbor_id) AS rk
        |           FROM scored)
        |SELECT query_id, rk, neighbor_id FROM ranked
        |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+  }
 
   private lazy val duckIvfKmeansSql: String =
     duckIvfSql(s"vec_id < $NList", "TRUE", "TRUE", s"vec_id < $NQueries")
+
+  private lazy val duckIvfFilteredSql: String =
+    duckIvfSql(s"vec_id < $NList", "TRUE", "TRUE", s"vec_id < $NQueries",
+      labelFiltered = true)
 
   val oracles: Map[String, String] = Map(
     "q_knn_brute" ->
@@ -2911,6 +3016,9 @@ object SimilarityQueries {
     // (same centroids, same assignment, same rank) — one oracle text,
     // two execution postures (recompute-inline vs write-once/probe-many)
     "q_ivf_persisted" -> duckIvfKmeansSql,
+    // the same replica with the per-query label equality joined into
+    // the candidate set — the Spark side's (cell, label) join key
+    "q_ivf_filtered" -> duckIvfFilteredSql,
     // append form: centroids seeded+trained on the even-id build corpus
     // only (frozen at build), members = build corpus ∪ appended batch A,
     // queries = batch B assigned to the same frozen centroids

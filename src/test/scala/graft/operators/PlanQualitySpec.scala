@@ -104,6 +104,26 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(pairJoin.isDefined, s"expected a centroid_id-keyed pair join:\n$p")
   }
 
+  test("q_ivf_filtered's candidate join is keyed on (cell, label); no cartesian") {
+    val base = Files.createTempDirectory("graft_fltplan").toString
+    try {
+      graft.sources.StoreFixtures.cloneInto("ivf_labeled", dir, base)(
+        d => SimilarityQueries.buildLabeledIvfStore(spark, dir, d))
+      val p = plan(SimilarityQueries.probeIvfFiltered(spark, base))
+      val s = p.toString
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"), s)
+      // the ONE corpus-sized join must carry BOTH keys: the metadata
+      // filter rides the join key, never a post-filter of unfiltered
+      // candidates
+      val candJoin = collectAll(p).find(n =>
+        (n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("HashJoin")) &&
+          n.toString.contains("cent") && n.toString.contains("label"))
+      assert(candJoin.isDefined,
+        s"expected a (cell, label)-keyed candidate join:\n$p")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("q_ivf_pq's candidate pass is cell-keyed; no cartesian; codes join the LUT by key") {
     val base = Files.createTempDirectory("graft_pqplan").toString
     try {

@@ -290,4 +290,67 @@ class SimilaritySpec extends SparkSpec {
         s"query $q: MMR changed the set without reducing its max pairwise sim")
     }
   }
+
+  test("filtered ANN: every neighbor carries its query's label, ranking is the filtered-brute subset within the cell") {
+    import org.apache.spark.sql.functions._
+    val res = SimilarityQueries.qIvfFiltered(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.nonEmpty)
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the metadata contract: NO neighbor with a foreign label, ever —
+    // a post-filter that slipped below the rank would break this
+    res.foreach { case (q, _, n) =>
+      assert(labels(q) == labels(n),
+        s"query $q (label ${labels(q)}) got neighbor $n (label ${labels(n)})")
+    }
+    // per-query lists are dense rank prefixes (1..m, m <= K): a short
+    // list is correct when the (cell, label) slice is thin
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq, s"query $q ranks")
+      assert(rows.length <= 5)
+    }
+    // recall vs the LABEL-FILTERED brute-force top-5 (the right
+    // baseline: unfiltered brute ranks neighbors the filter excludes)
+    val brute = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2)))
+      def cos(a: Array[Double], b: Array[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      emb.filter(_._1 < SimilarityQueries.NQueries).flatMap { case (q, qe, ql) =>
+        emb.filter(c => c._1 != q && c._3 == ql)
+          .map(c => (q, c._1, cos(qe, c._2)))
+          .sortBy { case (_, n, s) => (-s, n) }.take(5)
+          .map { case (qq, n, _) => (qq, n) }
+      }.toSet
+    }
+    val got = res.map { case (q, _, n) => (q, n) }.toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    info(f"filtered recall@5 vs label-filtered brute: $recall%.2f")
+    assert(recall > 0.2, f"filtered recall collapsed: $recall%.2f")
+  }
+
+  test("filtered ANN: a FIXED-label read prunes label= partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_flt_spec").toString
+    try {
+      graft.sources.StoreFixtures.cloneInto("ivf_labeled", dir, base)(
+        d => SimilarityQueries.buildLabeledIvfStore(spark, dir, d))
+      val files = graft.sources.IndexCatalog.latestFiles(base)
+      val scan = spark.read.option("basePath", s"$base/corpus")
+        .parquet(files: _*).filter(col("label") === 3)
+      scan.collect()
+      val scanNode = scan.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      val read = scanNode.metrics("numFiles").value
+      assert(read > 0 && read < files.size,
+        s"expected a label-pruned read, got $read of ${files.size} files")
+      assert(scan.filter(col("label") =!= 3).count() == 0)
+    } finally graft.Fs.deleteRecursively(base)
+  }
 }
