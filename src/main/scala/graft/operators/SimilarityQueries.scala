@@ -654,13 +654,25 @@ object SimilarityQueries {
     val cent = kmeansCentroids(e, KmIters, col("vec_id") < NList).cache()
     try {
       cent.coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
-      // assignment drops non-core columns; the label rides back in on
-      // vec_id — a build-time-only join, never paid at probe time
-      val rows = assignToCentroids(e,
-          cent.select(col("centroid_id"), col("c_emb")))
-        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      // label-carrying assignment (same argmax/tie-break contract as
+      // assignToCentroids, with the metadata column riding through).
+      // Repartition on the partition columns before staging: without
+      // it every shuffle task fans out across all cells × labels dirs
+      // (tasks × dirs tiny files); with it each (cell, label) lands in
+      // one task → one file per partition per generation
+      val cNorm = cent.select(col("centroid_id"), col("c_emb"))
+        .withColumn("c_nrm", sqrt(expr("vec_dot(c_emb, c_emb)")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("centroid_id"))
+      val rows = e.crossJoin(cNorm)
+        .withColumn("c_cos",
+          dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .withColumn("c_rk", row_number().over(w))
+        .filter(col("c_rk") === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("centroid_id"), col("label"))
+        .repartition(col("centroid_id"), col("label"))
       val newFiles =
         StagedWrite.partitioned(rows, s"$base/corpus", Seq("centroid_id", "label"))
       IndexCatalog.commitWithRetry(base)(_ => (newFiles, Nil))
