@@ -658,6 +658,43 @@ class IndexCatalogOps(val fs: CatalogFs) {
     if (decideTxn(marker, "commit") == "commit") Some(prepared) else None
   }
 
+  /** A CONSISTENT multi-store read snapshot: one readable version per
+    * base, guaranteed to contain every multi-store transaction's
+    * effects in ALL of the listed stores or in NONE — the read-side
+    * complement of [[commitTxn]] (whose single decision CAS makes the
+    * write atomic, but a reader capturing store versions one at a time
+    * could still straddle it). The guarantee is the seqlock rule:
+    * capture every base's [[readableVersion]], then re-read them all —
+    * if every version is unchanged, no commit (txn or otherwise)
+    * landed in any listed store between its first and second read, so
+    * the captured vector is a cut no transaction crosses; otherwise
+    * retry. Cost is two KB-sized metadata reads per store per attempt,
+    * no locks, no writer coordination; under sustained write pressure
+    * the loop gives up loudly after `maxAttempts` (read-only callers
+    * can fall back to per-store reads, which are each individually
+    * consistent). Use the returned vector with [[files]] for as-of
+    * scans — versions stay resolvable until [[vacuum]] expires them,
+    * so the snapshot outlives the loop by the retention window.
+    *
+    * `beforeValidate` is a test seam (defaults to nothing): it runs
+    * between capture and validation, exactly the window a racing
+    * transaction must be caught in.
+    */
+  def consistentSnapshot(bases: Seq[String], maxAttempts: Int = 16,
+      beforeValidate: () => Unit = () => ()): Seq[Int] = {
+    require(bases.nonEmpty, "no stores to snapshot")
+    var n = 0
+    while (n < maxAttempts) {
+      n += 1
+      val captured = bases.map(readableVersion)
+      beforeValidate()
+      if (bases.map(readableVersion) == captured) return captured
+    }
+    throw new IllegalStateException(
+      s"no stable multi-store snapshot in $maxAttempts attempts — " +
+        "sustained commit pressure on the listed stores")
+  }
+
   private def writeDeltaAt(base: String, v: Int, adds: Seq[String],
       removeKeys: Set[String], commitTags: Seq[String],
       pendingTxn: Option[String] = None): Int = {

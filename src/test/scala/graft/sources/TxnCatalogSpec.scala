@@ -207,6 +207,44 @@ class TxnCatalogSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(root)
   }
 
+  test("consistentSnapshot never returns a torn cut across a racing transaction") {
+    val root = tmp()
+    val (a, b) = (s"$root/docs", s"$root/stats")
+    try {
+      IndexCatalog.commitFiles(a, Seq(fakeFile(a, "g1/lang=en/p0.parquet")))
+      IndexCatalog.commitFiles(b, Seq(fakeFile(b, "g1/lang=en/s0.parquet")))
+      // quiescent: the snapshot is just the readable heads
+      assert(IndexCatalog.consistentSnapshot(Seq(a, b)) == Seq(1, 1))
+      // a txn lands EXACTLY in the capture→validate window: the first
+      // attempt is invalidated and the retry returns the post-txn cut
+      // in BOTH stores — never (pre, post)
+      var fired = false
+      val got = IndexCatalog.consistentSnapshot(Seq(a, b), beforeValidate = () => {
+        if (!fired) {
+          fired = true
+          val m = s"$root/txn/snap.decision"
+          IndexCatalog.commitTxn(m, Seq(
+            (a, Seq(fakeFile(a, "g2/lang=de/p1.parquet")), Nil),
+            (b, Seq(fakeFile(b, "g2/lang=de/s1.parquet")), Nil)))
+        }
+      })
+      assert(got == Seq(2, 2), s"torn or stale cut: $got")
+      // both sides of the cut resolve to the same transaction set
+      assert(IndexCatalog.files(a, got(0)).size == 2)
+      assert(IndexCatalog.files(b, got(1)).size == 2)
+      // sustained pressure gives up loudly instead of spinning forever
+      var i = 0
+      val e = intercept[IllegalStateException] {
+        IndexCatalog.consistentSnapshot(Seq(a), maxAttempts = 3,
+          beforeValidate = () => {
+            i += 1
+            IndexCatalog.commitFiles(a, Seq(fakeFile(a, s"g9$i/lang=en/x$i.parquet")))
+          })
+      }
+      assert(e.getMessage.contains("no stable multi-store snapshot"))
+    } finally graft.Fs.deleteRecursively(root)
+  }
+
   test("resolution across a checkpoint boundary replays aborted slots as no-ops") {
     val root = tmp()
     val a = s"$root/store"
