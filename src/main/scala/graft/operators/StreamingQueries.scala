@@ -828,6 +828,98 @@ object StreamingQueries {
         col("vec_id") < lit(8L * SimilarityQueries.NQueries))
   }
 
+  /** Streaming exactly-once ATOMIC FAN-OUT — one unbounded document
+    * feed maintaining TWO derived stores (the raw doc store and its
+    * per-lang stats aggregate) that must never disagree: each
+    * micro-batch's two slices commit through ONE multi-store
+    * transaction ([[commitTxnBatch]] — prepared generations in both
+    * stores, a single decision CAS, `ingest-batch=` tags riding every
+    * participant for the replay guard). This is the composition the
+    * round's txn protocol exists for: `q_stream_index_append` proves
+    * exactly-once into ONE store; a real pipeline's batch usually
+    * fans out (table + secondary index, corpus + stats, store +
+    * matview), and without the txn a crash between the two commits
+    * leaks a version where they disagree — the classic
+    * index-drifted-from-table incident. StreamTxnSpec pins the crash
+    * interleavings (replayed batchId, a crashed coordinator's
+    * in-doubt prepare fenced by the replay, a pre-aborted attempt);
+    * the oracle pins the totals (a double- or half-committed batch
+    * would shift a census).
+    *
+    * 100 TB shape: per batch, each store pays exactly its slice's
+    * write plus ONE KB-sized metadata CAS shared across stores — no
+    * coordination reads the stores' content, so the fan-out cost is
+    * the sum of the slices at any store count or size.
+    */
+  def qStreamTxn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val ss = streamSession(spark)
+    val root = Files.createTempDirectory("graft_stxn").toString
+    val (docsBase, statsBase) = (s"$root/docs", s"$root/stats")
+    val markerDir = s"$root/txn"
+    val inDir = Files.createTempDirectory("graft_stxn_in").toString
+    val ckpt = Files.createTempDirectory("graft_stxn_ckpt").toString
+    val stage = Files.createTempDirectory("graft_stxn_stage").toString
+    try {
+      val docs = graft.Engine.table(ss, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      // base build (doc_id % 3 == 0): plain single-store commits
+      Seq(docsBase -> false, statsBase -> true).foreach { case (b, agg) =>
+        val gen = graft.sources.IndexCatalog.newGenDir(b)
+        val slice = docs.filter(col("doc_id") % 3 === 0)
+        val out = if (agg) slice.groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs")) else slice
+        out.coalesce(1).write.mode("overwrite").parquet(gen)
+        graft.sources.IndexCatalog.commitFiles(
+          b, graft.sources.IndexCatalog.listDataFiles(gen))
+      }
+      // the feed (doc_id % 3 == 1) arrives in two micro-batches,
+      // slice → file → batch mapping mtime-deterministic
+      docs.filter(col("doc_id") % 3 === 1)
+        .withColumn("sl", expr("pmod(doc_id div 3, 2)"))
+        .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
+      (0 until 2).foreach { s =>
+        appendOrderedAfter(inDir) {
+          graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
+            .zipWithIndex.foreach { case (f, k) =>
+              Files.move(Paths.get(f), Paths.get(inDir, s"slice-$s-$k.parquet"))
+            }
+        }
+      }
+      graft.Fs.deleteRecursively(stage)
+      val feedSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType)))
+      val q = ss.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          commitTxnBatch(ss, batchId, markerDir, Seq(
+            docsBase -> batch.select(col("doc_id"), col("lang")),
+            statsBase -> batch.groupBy("lang")
+              .agg(count(lit(1)).cast("long").as("n_docs"))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lease("q_stream_txn", Seq(root, inDir, ckpt))
+      val readDocs = ss.read
+        .parquet(graft.sources.IndexCatalog.latestFiles(docsBase): _*)
+        .groupBy("lang").agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(lit("docs").as("store"), col("lang"), col("n_docs"))
+      val readStats = ss.read
+        .parquet(graft.sources.IndexCatalog.latestFiles(statsBase): _*)
+        .groupBy("lang").agg(sum("n_docs").cast("long").as("n_docs"))
+        .select(lit("stats").as("store"), col("lang"), col("n_docs"))
+      readDocs.unionAll(readStats).orderBy("store", "lang")
+    } catch {
+      case e: Throwable =>
+        Seq(root, inDir, ckpt, stage).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+  }
+
   /** One micro-batch's posting-list ingest (shared with the spec's
     * replay test): the `ingest-batch=<batchId>` tag guard of
     * [[commitIngestBatch]], applied to the TEXT index — a fresh batch
@@ -1471,6 +1563,65 @@ object StreamingQueries {
     fresh
   }
 
+  /** Exactly-once ATOMIC FAN-OUT of one micro-batch to N stores — the
+    * [[commitIngestBatch]] contract lifted onto the multi-store
+    * transaction ([[graft.sources.IndexCatalogOps.commitTxn]]): every
+    * store's slice of the batch becomes one prepared generation, and a
+    * single decision CAS flips them all visible, so a stream
+    * maintaining a base table AND its derived aggregate can never leak
+    * a state where one saw batch k and the other didn't — under crash
+    * replay, concurrent replay, or a fence from an unrelated writer.
+    *
+    * Exactly-once composition: the `ingest-batch=<id>` tag rides every
+    * participant's prepared manifest; txn atomicity makes the tag
+    * all-stores-or-none, so ANY store carrying it means this batch
+    * committed — the replay guard checks before staging a byte.
+    * Markers are attempt-scoped (`batch-<id>-a<k>`): a fenced attempt
+    * (a racing replay's prepare, vacuum, an unrelated single-store
+    * writer — each aborts an undecided predecessor by protocol) is
+    * permanent, so the retry takes a FRESH marker; a marker found
+    * decided `commit` means a racing replay of THIS batch won and the
+    * current caller commits nothing. Staged files of lost attempts are
+    * unreferenced orphans — [[graft.sources.IndexCatalogOps.vacuum]]'s
+    * grace-window reclaim owns them. Bounded attempts: replay
+    * contention is a handful of racers, not a thundering herd.
+    */
+  private[operators] def commitTxnBatch(ss: SparkSession, batchId: Long,
+      markerDir: String, parts: Seq[(String, DataFrame)],
+      maxAttempts: Int = 16): Boolean = {
+    import graft.sources.IndexCatalog
+    val tag = s"ingest-batch=$batchId"
+    if (parts.exists { case (b, _) =>
+        IndexCatalog.committedTags(b).contains(tag) }) return false
+    if (parts.head._2.isEmpty) return false // empty batch: derived slices are too
+    val staged = parts.map { case (base, df) =>
+      val gen = IndexCatalog.newGenDir(base)
+      df.write.mode("overwrite").parquet(gen)
+      (base, IndexCatalog.listDataFiles(gen), Seq(tag))
+    }
+    var k = 0
+    while (k < maxAttempts) {
+      val marker = java.nio.file.Paths
+        .get(markerDir, s"batch-$batchId-a$k.decision").toString
+      IndexCatalog.txnDecision(marker) match {
+        case Some("commit") => return false // a racing replay of this batch won
+        case Some("abort") => k += 1 // fenced attempt is permanent: fresh marker
+        case None =>
+          try {
+            if (IndexCatalog.commitTxn(marker, staged).isDefined) return true
+            else k += 1 // fenced between our prepares: retry fresh
+          } catch {
+            // the decision landed between our read and the prepare —
+            // re-read it on the same k (commit ⇒ done, abort ⇒ advance)
+            case e: IllegalArgumentException
+                if e.getMessage.contains("already decided") => ()
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"batch $batchId: no txn attempt decided in $maxAttempts markers")
+  }
+
   /** Streaming CLUSTER-ASSIGNMENT maintenance — the incremental
     * connected-components operator (`q_cluster_append`) driven as an
     * unbounded ingest: the even-id half's assignment is committed to
@@ -1690,6 +1841,7 @@ object StreamingQueries {
     "q_store_matview" -> (qStoreMatview _),
     "q_stream_cdc_matview" -> (qStreamCdcMatview _),
     "q_stream_index_append" -> (qStreamIndexAppend _),
+    "q_stream_txn" -> (qStreamTxn _),
     "q_stream_text_index" -> (qStreamTextIndex _),
     "q_stream_quarantine" -> (qStreamQuarantine _),
     "q_stream_cluster_append" -> (qStreamClusterAppend _),
@@ -1801,6 +1953,20 @@ object StreamingQueries {
          |  GROUP BY e.vec_id, e.embedding)
          |SELECT bucket, count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum
          |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // two stores fed by one stream through atomic per-batch txns must
+    // BOTH census to base + streamed slices — a half-committed batch
+    // would shift one store's counts, a double-committed (replayed)
+    // batch both; empty groups emit no row on either side
+    "q_stream_txn" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |         count(*) FILTER (WHERE doc_id % 3 = 0) AS c0,
+        |         count(*) FILTER (WHERE doc_id % 3 = 1) AS c1
+        |  FROM documents GROUP BY lang)
+        |SELECT store, lang, CAST(c0 + c1 AS BIGINT) AS n_docs
+        |FROM per CROSS JOIN (SELECT unnest(['docs', 'stats']) AS store) s
+        |WHERE c0 + c1 > 0
+        |ORDER BY store, lang""".stripMargin,
     // the streamed micro-batch commits grow the store to corpus ∪ A,
     // so batch B' ranks against the same algebra as q_embed_append —
     // one parameterized SQL text shared across the store's lifecycle

@@ -629,6 +629,14 @@ class IndexCatalogOps(val fs: CatalogFs) {
   def prepareTxn(base: String, newFiles: Seq[String],
       commitTags: Seq[String], marker: String): Int = {
     require(newFiles.nonEmpty, "no parquet files to prepare")
+    // a decided marker must never be reused: a prepare against it
+    // would be born-decided — instantly visible with no atomicity.
+    // (A coordinator retrying after a fence uses a FRESH marker.) The
+    // check is best-effort against misuse, not a race-free gate: a
+    // decision landing after it is exactly the atomic flip working.
+    require(txnDecision(marker).isEmpty,
+      s"transaction marker $marker is already decided " +
+        s"(${txnDecision(marker).get}); use a fresh marker per attempt")
     retryingCommit() {
       writeDeltaAt(base, currentVersion(base) + 1,
         newFiles.sorted, Set.empty, commitTags, pendingTxn = Some(marker))
@@ -656,6 +664,30 @@ class IndexCatalogOps(val fs: CatalogFs) {
           throw e
       }
     if (decideTxn(marker, "commit") == "commit") Some(prepared) else None
+  }
+
+  /** Reclaim DECIDED transaction markers no live manifest references —
+    * the decision-file GC paired with [[vacuum]]. A marker must outlive
+    * every manifest whose `?txn:` line names it (deleting it early
+    * would flip a committed participant back to in-doubt — content
+    * corruption), so deletion requires BOTH: the marker is decided,
+    * and none of `bases`' still-live manifests reference it. The
+    * caller names every store the marker directory's transactions
+    * could have touched — the same scoping contract vacuum has with
+    * its directory roots. Undecided markers are kept regardless (an
+    * in-flight coordinator owns them; its participants' manifests may
+    * not exist yet). Returns the deleted marker paths.
+    */
+  def vacuumTxnMarkers(markerDir: String, bases: Seq[String]): Seq[String] = {
+    val referenced: Set[String] = bases.flatMap { b =>
+      liveVersions(b).flatMap(v => readManifest(b, v).pendingTxn)
+    }.toSet
+    fs.listNames(markerDir).flatMap { n =>
+      val p = Paths.get(markerDir, n).toString
+      if (!referenced.contains(p) && txnDecision(p).isDefined) {
+        fs.delete(p); Some(p)
+      } else None
+    }.sorted
   }
 
   /** A CONSISTENT multi-store read snapshot: one readable version per

@@ -207,6 +207,52 @@ class TxnCatalogSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(root)
   }
 
+  test("marker hygiene: decided markers refuse reuse, and the marker GC deletes only unreferenced decided ones") {
+    val root = tmp()
+    val (a, b) = (s"$root/docs", s"$root/stats")
+    val mdir = s"$root/txn"
+    try {
+      IndexCatalog.commitFiles(a, Seq(fakeFile(a, "g1/lang=en/p0.parquet")))
+      IndexCatalog.commitFiles(b, Seq(fakeFile(b, "g1/lang=en/s0.parquet")))
+      // committed txn: its marker is REFERENCED by live manifests
+      val mLive = s"$mdir/live.decision"
+      IndexCatalog.commitTxn(mLive, Seq(
+        (a, Seq(fakeFile(a, "g2/lang=de/p1.parquet")), Nil),
+        (b, Seq(fakeFile(b, "g2/lang=de/s1.parquet")), Nil)))
+      // a decided marker refuses reuse (a prepare against it would be
+      // born-decided — no atomicity)
+      val e = intercept[IllegalArgumentException] {
+        IndexCatalog.prepareTxn(a, Seq(fakeFile(a, "g3/lang=fr/p9.parquet")), Nil, mLive)
+      }
+      assert(e.getMessage.contains("already decided"))
+      // an aborted txn whose slot is still live: marker stays too
+      val mAbort = s"$mdir/aborted.decision"
+      IndexCatalog.prepareTxn(a, Seq(fakeFile(a, "g4/lang=zh/dead.parquet")), Nil, mAbort)
+      IndexCatalog.decideTxn(mAbort, "abort")
+      // an orphaned decided marker (its store chain was vacuumed away)
+      val mGone = s"$mdir/gone.decision"
+      IndexCatalog.decideTxn(mGone, "abort")
+      // an in-flight marker: undecided, kept no matter what
+      val mDoubt = s"$mdir/indoubt.decision"
+
+      val deleted = IndexCatalog.vacuumTxnMarkers(mdir, Seq(a, b))
+      assert(deleted == Seq(mGone), s"wrong GC set: $deleted")
+      assert(IndexCatalog.txnDecision(mLive) == Some("commit")) // survives
+      assert(IndexCatalog.txnDecision(mAbort) == Some("abort")) // survives
+      assert(!IndexCatalog.fs.exists(mGone))
+      assert(!IndexCatalog.fs.exists(mDoubt)) // never existed; name reserved
+      // once vacuum expires the aborted slot's manifest, its marker
+      // becomes unreferenced and the next GC takes it
+      (1 to 4).foreach { i =>
+        IndexCatalog.commitFiles(a, Seq(fakeFile(a, s"g5$i/lang=en/x$i.parquet")))
+      }
+      IndexCatalog.vacuum(a, retain = 2, orphanGraceMs = 0L)
+      val deleted2 = IndexCatalog.vacuumTxnMarkers(mdir, Seq(a, b))
+      assert(deleted2 == Seq(mAbort), s"wrong second GC set: $deleted2")
+      assert(IndexCatalog.txnDecision(mLive) == Some("commit")) // still referenced by b
+    } finally graft.Fs.deleteRecursively(root)
+  }
+
   test("consistentSnapshot never returns a torn cut across a racing transaction") {
     val root = tmp()
     val (a, b) = (s"$root/docs", s"$root/stats")
