@@ -22,6 +22,59 @@ object CurationQueries {
   private val EmailRe = "[a-z0-9]+@[a-z]+[.][a-z]+"
   private val PhoneRe = "555-[0-9]+"
 
+  /** Shard count for [[qEpochShuffle]] — the loader-visible unit of
+    * the shuffled corpus (a worker reads one shard, a shard's rows
+    * arrive in the epoch's deterministic order).
+    */
+  private val NEpochShards = 8
+
+  /** EPOCH SHUFFLE — the deterministic reshuffle a training loader
+    * applies between epochs, as an engine operator: each (epoch, doc)
+    * gets a key `fnv64('e<epoch>:<doc_id>')` (the reference's own hash,
+    * bit-parity proven by `q_fnv_bucket`), the SHARD is the key mod
+    * [[NEpochShards]], and the within-shard ORDER is the key itself.
+    * Changing the epoch changes every key, so both the shard placement
+    * and the order reshuffle; replaying an epoch reproduces them
+    * bit-identically (resumable training without persisting an order).
+    *
+    * The 100 TB point is what ISN'T here: no global sort. Sharding is
+    * a hash mod (map-side), ordering is WITHIN-shard — one exchange on
+    * (epoch, shard) and a shard-local sort, the hash-sharded layout
+    * production loaders use precisely because a corpus-wide order-by
+    * would funnel everything through one range boundary negotiation.
+    * The census emits an order-sensitive integer signature per shard
+    * (Σ (rank mod 7)·doc_id) so the oracle pins the ORDER, not just
+    * membership — plus each shard's first-in-order doc and size
+    * balance. Two epochs run here to pin the cross-epoch reshuffle; a
+    * real loader streams one epoch at a time at no extra cost.
+    */
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.register(spark) // fnv64
+    val docs = Engine.table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val epochs = spark.range(2).select(col("id").as("epoch"))
+    val keyed = docs.crossJoin(epochs)
+      .withColumn("h", expr("fnv64(concat('e', epoch, ':', doc_id))"))
+      // unsigned view of the signed 64-bit hash — same DECIMAL(38)
+      // bridge q_fnv_bucket pins hash-exact against DuckDB's UHUGEINT
+      .withColumn("hu", expr(
+        """CAST(h AS DECIMAL(38,0)) +
+          |CASE WHEN h < 0 THEN CAST(18446744073709551616 AS DECIMAL(38,0))
+          |     ELSE CAST(0 AS DECIMAL(38,0)) END""".stripMargin))
+      .withColumn("shard", expr(s"CAST(hu % $NEpochShards AS BIGINT)"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("hu"), col("doc_id"))
+    keyed
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_sum"),
+        sum(pmod(col("rk"), lit(7)) * col("doc_id")).cast("long").as("order_sig"),
+        min(when(col("rk") === 1, col("doc_id"))).as("first_doc"))
+      .orderBy("epoch", "shard")
+  }
+
   /** PII scrub census. The fixture vocabulary contains no emails or
     * digits, so deterministic PII is INJECTED first (docs ≡ 0 mod 5
     * get an email, ≡ 1 mod 5 a phone number — both derived from
@@ -242,6 +295,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_gate" -> (qQualityGate _),
+    "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_contamination" -> (qContamination _),
     "q_repetition" -> (qRepetition _),
@@ -253,6 +307,37 @@ object CurationQueries {
     // the threshold definition (smallest v with 2*count(<=v) >= n) is
     // spelled out identically on both sides — no quantile-function
     // tie-semantics are trusted across engines
+    // the identical fnv64/shard/rank pipeline in SQL — UHUGEINT
+    // list_reduce for the hash (the q_fnv_bucket bridge), the same
+    // (hu, doc_id) tie-break, the same order-sensitive signature; a
+    // placement, order, or balance divergence shifts a row
+    "q_epoch_shuffle" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars, epoch,
+        |         concat('e', epoch, ':', doc_id) AS s
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e),
+        |keyed AS (
+        |  SELECT doc_id, n_chars, epoch,
+        |         list_reduce(
+        |           list_prepend(CAST(14695981039346656037 AS UHUGEINT),
+        |             list_transform(range(1, length(s)+1),
+        |                            i -> CAST(ord(s[i]) AS UHUGEINT))),
+        |           (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616
+        |         ) AS hu
+        |  FROM base),
+        |sharded AS (
+        |  SELECT epoch, doc_id, n_chars, hu,
+        |         CAST(hu % 8 AS BIGINT) AS shard,
+        |         row_number() OVER (PARTITION BY epoch, hu % 8
+        |                            ORDER BY hu, doc_id) AS rk
+        |  FROM keyed)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |       CAST(sum((rk % 7) * doc_id) AS BIGINT) AS order_sig,
+        |       min(CASE WHEN rk = 1 THEN doc_id END) AS first_doc
+        |FROM sharded GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin,
     "q_quality_gate" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -654,6 +654,10 @@ class IndexCatalogOps(val fs: CatalogFs) {
     */
   def commitTxn(marker: String,
       parts: Seq[(String, Seq[String], Seq[String])]): Option[Seq[Int]] = {
+    // one prepare per store: a second prepare in the same store would
+    // fence the first — the transaction would abort itself
+    require(parts.map(_._1).distinct.size == parts.size,
+      s"duplicate store in transaction parts: ${parts.map(_._1)}")
     val prepared =
       try parts.map { case (base, newFiles, tags) =>
         prepareTxn(base, newFiles, tags, marker)
@@ -752,7 +756,9 @@ class IndexCatalogOps(val fs: CatalogFs) {
   /** Materialize version `v`'s resolved file list as a `v<N>.ckpt`
     * snapshot (idempotent; no-op when present). Safe to call from any
     * process at any time — the content is fully determined by the
-    * committed chain.
+    * committed chain. (Exception: an in-doubt txn prepare has no
+    * resolved state yet — resolution throws until the decision, like
+    * any read of that version.)
     */
   def checkpoint(base: String, v: Int): Unit = {
     val p = ckptPath(base, v)

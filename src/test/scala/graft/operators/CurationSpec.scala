@@ -95,4 +95,31 @@ class CurationSpec extends SparkSpec {
     val b = CurationQueries.qDomainMix(spark, dir).collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("epoch shuffle: complete per epoch, reshuffled across epochs, replay-deterministic, no degenerate shard") {
+    val rows = CurationQueries.qEpochShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    byEpoch.values.foreach { shards =>
+      // every doc lands in exactly one shard: per-epoch counts resum
+      assert(shards.map(_._3).sum == nDocs)
+      // hash sharding must not collapse: every shard non-empty, and no
+      // shard holds more than half the corpus (uniform hash, 8 shards)
+      assert(shards.length == 8)
+      assert(shards.forall(_._3 > 0))
+      assert(shards.map(_._3).max <= nDocs / 2)
+    }
+    // the reshuffle is real: epoch 1's order signatures differ from
+    // epoch 0's on at least one shard (hash keys all changed)
+    val sig = (e: Long) => byEpoch(e).sortBy(_._2).map(_._5).toSeq
+    assert(sig(0L) != sig(1L), "epochs produced identical shard orders")
+    // replay determinism: the whole census is bit-stable
+    val again = CurationQueries.qEpochShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
