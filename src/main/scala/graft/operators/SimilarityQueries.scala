@@ -691,15 +691,32 @@ object SimilarityQueries {
     * this join unchanged when more candidates are needed.
     */
   private[operators] def probeIvfFiltered(
-      spark: SparkSession, base: String): DataFrame = {
+      spark: SparkSession, base: String, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Engine.register(spark) // vec_dot on the scoring path
     val corpus = spark.read.option("basePath", s"$base/corpus")
       .parquet(graft.sources.IndexCatalog.latestFiles(base): _*)
-    val queries = corpus.filter(col("vec_id") < NQueries)
+    val stored = corpus.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("centroid_id").as("q_cent"),
         col("label").as("q_label"))
+    // the recall/cost dial composes with the label key unchanged: for
+    // nprobe > 1 each query fans out to its nprobe nearest STORED
+    // centroids (an NList-row broadcast), and the candidate join below
+    // is still (cell, label)-keyed — only the query side widened
+    val queries = if (nprobe <= 1) stored else {
+      val cent = spark.read.parquet(s"$base/centroids")
+        .withColumn("c_nrm", sqrt(expr("vec_dot(c_emb, c_emb)")))
+      val cw = Window.partitionBy(col("query_id"))
+        .orderBy(col("c_cos").desc, col("centroid_id"))
+      stored.drop("q_cent").crossJoin(cent)
+        .withColumn("c_cos",
+          dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("c_rk", row_number().over(cw))
+        .filter(col("c_rk") <= nprobe)
+        .select(col("query_id"), col("q_emb"), col("q_nrm"),
+          col("centroid_id").as("q_cent"), col("q_label"))
+    }
     val neighbors = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("n_emb"), col("nrm").as("n_nrm"),
       col("centroid_id").as("n_cent"), col("label").as("n_label"))

@@ -334,6 +334,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, f"filtered recall collapsed: $recall%.2f")
   }
 
+  test("filtered ANN: the nprobe dial composes with the label key — recall rises monotonically") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_flt_np").toString
+    try {
+      graft.sources.StoreFixtures.cloneInto("ivf_labeled", dir, base)(
+        d => SimilarityQueries.buildLabeledIvfStore(spark, dir, d))
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2)))
+      def cos(a: Array[Double], b: Array[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val brute = emb.filter(_._1 < SimilarityQueries.NQueries)
+        .flatMap { case (q, qe, ql) =>
+          emb.filter(c => c._1 != q && c._3 == ql)
+            .map(c => (q, c._1, cos(qe, c._2)))
+            .sortBy { case (_, n, s) => (-s, n) }.take(5)
+            .map { case (qq, n, _) => (qq, n) }
+        }.toSet
+      def recall(nprobe: Int): Double = {
+        val got = SimilarityQueries.probeIvfFiltered(spark, base, nprobe)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (got & brute).size.toDouble / brute.size
+      }
+      val (r1, r3, r8) = (recall(1), recall(3), recall(8))
+      info(f"filtered recall@5: nprobe=1 $r1%.2f, 3 $r3%.2f, 8 $r8%.2f")
+      assert(r3 >= r1 && r8 >= r3, f"dial not monotone: $r1%.2f $r3%.2f $r8%.2f")
+      assert(r3 > r1, "widening the probe bought no filtered recall on the fixture")
+      // all 8 cells probed = exact label-filtered search
+      assert(r8 == 1.0, f"full-probe filtered recall must be exact, got $r8%.2f")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("filtered ANN: a FIXED-label read prunes label= partitions at the scan") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_flt_spec").toString
