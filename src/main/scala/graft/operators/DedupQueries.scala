@@ -750,26 +750,23 @@ object DedupQueries {
     * `q_dedup_star`/`q_dedup_clusters`, which solve the full corpus
     * uncached every run.
     */
-  private[operators] def cloneClusterBase(spark: SparkSession, dir: String,
-      store: String, partitioned: Boolean): Unit = {
-    val kind = if (partitioned) "cluster_base_part" else "cluster_base_flat"
-    graft.sources.StoreFixtures.cloneInto(kind, dir, store) { d =>
+  private[operators] def cloneClusterBase(
+      spark: SparkSession, dir: String, store: String): Unit =
+    // ONE template serves both consumers: the store is written in the
+    // part= layout q_stream_cluster_append's rebasing commits need,
+    // and q_cluster_append's direct leaf-file read sees exactly the
+    // (node, label) data columns — the partition value lives in the
+    // directory names it doesn't read
+    graft.sources.StoreFixtures.cloneInto("cluster_base", dir, store) { d =>
       val docs = Engine.table(spark, dir, "documents")
       val basePairs = cappedPairs(docs).select(col("i"), col("j"))
         .filter(col("i") % 2 === 0 && col("j") % 2 === 0)
       val (baseLabels, _) = starComponents(
         docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
         basePairs)
-      if (partitioned)
-        graft.operators.StreamingQueries.commitClusterBase(baseLabels, d)
-      else {
-        val gen = graft.sources.IndexCatalog.newGenDir(d)
-        baseLabels.write.mode("overwrite").parquet(gen)
-        graft.sources.IndexCatalog.commit(d, gen)
-      }
+      graft.operators.StreamingQueries.commitClusterBase(baseLabels, d)
       ()
     }
-  }
 
   def qClusterAppend(spark: SparkSession, dir: String): DataFrame = {
     val docs = Engine.table(spark, dir, "documents")
@@ -780,7 +777,7 @@ object DedupQueries {
     // BACK — the incremental step consumes stored state, never the
     // in-memory lineage
     val store = java.nio.file.Files.createTempDirectory("graft_ccstore").toString
-    try cloneClusterBase(spark, dir, store, partitioned = false)
+    try cloneClusterBase(spark, dir, store)
     catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(store)); throw e

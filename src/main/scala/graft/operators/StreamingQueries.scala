@@ -1674,7 +1674,7 @@ object StreamingQueries {
       // the even-corpus base store comes from the fixture cache (same
       // template q_cluster_append opens on, in this query's part=
       // layout); the streamed merges that follow are this query's work
-      DedupQueries.cloneClusterBase(ss, dir, store, partitioned = true)
+      DedupQueries.cloneClusterBase(ss, dir, store)
       val oddNodes = docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id").as("i"), expr("CAST(NULL AS BIGINT)").as("j"),
           expr("pmod(doc_id div 2, 2)").as("sl"))
