@@ -95,6 +95,8 @@ object PlanDump {
       "round 12: six phase censuses, each a scan of an eagerly-captured manifest-resolved file list feeding one per-lang HashAggregate — the transaction itself is INVISIBLE to the plan (prepares are ordinary parquet writes; the atomic flip is one driver-side metadata CAS), which is the point: cross-store atomicity costs no Spark-side work at any scale.",
     "q_epoch_shuffle" ->
       "round 12: no global Sort node anywhere — the shard is a codegen'd hash-mod projection, the ONE exchange hashes on (epoch, shard), and the rank window sorts only within its shard partition; the shape that survives a corpus-wide epoch reshuffle where an ORDER BY over the whole table would not.",
+    "q_pq_filtered" ->
+      "round 12: q_ivf_pq's two-stage plan with the label equality folded into the candidate join's key — candidates thin BEFORE the code explode feeds the ADC LUT join, so the filter's selectivity multiplies the 13× code-byte cut; the pool topk_agg and exact re-rank frames shrink by the same factor.",
     "q_ivf_filtered" ->
       "round 12: ONE corpus-sized join, keyed on (centroid_id, label) — the metadata filter is part of the join key, so the candidate frame is the label-thinned cell occupancy and no post-filter of unfiltered candidates exists anywhere; the per-query ranking window sees only that thinned frame. A fixed-label probe instead prunes label= partitions at the scan (SimilaritySpec measures files read < files live).")
 

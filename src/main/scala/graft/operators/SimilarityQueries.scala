@@ -885,9 +885,13 @@ object SimilarityQueries {
       val ids = readStoreFiles(spark, stored).select(col("vec_id")).distinct()
       vecs.join(ids, Seq("vec_id"), "left_anti")
     } else vecs
+    // the metadata label rides every stored row (joined back by id —
+    // encodePq's assignment drops non-core columns), so the PQ store
+    // serves label-filtered probes with no side lookup
     val rows = encodePq(spark, fresh, cent, cb)
+      .join(fresh.select(col("vec_id"), col("label")), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("codes"),
-        col("centroid_id"))
+        col("label"), col("centroid_id"))
     val newFiles = StagedWrite.partitioned(rows, s"$base/corpus",
       Seq("centroid_id"))
     if (newFiles.nonEmpty)
@@ -920,10 +924,19 @@ object SimilarityQueries {
     *     (`topk_agg` bounds the exchange) against the stored
     *     full-precision vectors.
     */
+  /** `sameLabel = true` adds the metadata filter INSIDE the candidate
+    * stage: candidates drop on the stored label BEFORE a code byte
+    * streams, so the filter's selectivity multiplies PQ's 13× byte cut
+    * and cell pruning's candidate cut — the three levers a production
+    * filtered vector search composes. (Here the label is a data
+    * column under the cell partitioning; a deployment whose filter is
+    * the DOMINANT axis would sub-partition on it instead, as the
+    * labeled IVF store does.)
+    */
   private[operators] def probePqStore(
       spark: SparkSession, dir: String, base: String,
       batchFilter: Column = col("vec_id") < NQueries,
-      nprobe: Int = PqProbe): DataFrame = {
+      nprobe: Int = PqProbe, sameLabel: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Engine.register(spark)
     val cent = spark.read.parquet(s"$base/centroids")
@@ -931,7 +944,7 @@ object SimilarityQueries {
     val corpus = spark.read.option("basePath", s"$base/corpus")
       .parquet(graft.sources.IndexCatalog.latestFiles(base): _*)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
-        col("nrm").as("n_nrm"), col("codes"),
+        col("nrm").as("n_nrm"), col("codes"), col("label").as("n_label"),
         col("centroid_id").as("n_cent"))
     val cw = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("centroid_id"))
@@ -945,6 +958,7 @@ object SimilarityQueries {
       .filter(col("c_rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("qd"),
         col("nrm").as("q_nrm"), col("centroid_id").as("q_cent"),
+        col("label").as("q_label"),
         // fixed-point query·centroid term of the ADC score
         floor(dot(col("qd"), col("c_emb")) * lit(1000000.0)).cast("long")
           .as("qc_fx"))
@@ -955,9 +969,12 @@ object SimilarityQueries {
       .select(col("query_id"), col("m"), col("cw_id"),
         floor(dot(expr(s"slice(qd, m * $PqSub + 1, $PqSub)"), col("cw"))
           * lit(1000000.0)).cast("long").as("qdot_fx"))
+    val baseCond = col("q_cent") === col("n_cent") &&
+      col("query_id") =!= col("neighbor_id")
     val cand = probes
-      .join(corpus, col("q_cent") === col("n_cent") &&
-        col("query_id") =!= col("neighbor_id"))
+      .join(corpus,
+        if (sameLabel) baseCond && col("q_label") === col("n_label")
+        else baseCond)
       .select(col("query_id"), col("q_nrm"), col("qc_fx"),
         col("neighbor_id"), col("n_nrm"), col("codes"))
     // first pass reads CODES only: explode each candidate's PqM codes,
@@ -1012,6 +1029,26 @@ object SimilarityQueries {
     }
     graft.Lease.lease("q_ivf_pq", Seq(base))
     probePqStore(spark, dir, base)
+  }
+
+  /** FILTERED IVF-PQ: the same-label constraint composed with the
+    * compressed two-stage probe — the configuration a production
+    * filtered vector search actually runs (filter selectivity ×
+    * cell pruning × 13× PQ bytes, all before the exact re-rank).
+    * Shares `q_ivf_pq`'s store (the label is a stored column) and
+    * its oracle replica with the label equality joined into the
+    * candidate CTE.
+    */
+  def qPqFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_pqflt").toString
+    try graft.sources.StoreFixtures.cloneInto("pq_full", dir, base)(
+      d => buildPqStore(spark, dir, d))
+    catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_pq_filtered", Seq(base))
+    probePqStore(spark, dir, base, sameLabel = true)
   }
 
   // --- LSH-bucketed ANN (random-hyperplane signs) -----------------------
@@ -2679,6 +2716,7 @@ object SimilarityQueries {
     "q_ivf_multiprobe" -> (qIvfMultiprobe _),
     "q_ivf_kmeans" -> (qIvfKmeans _),
     "q_ivf_pq" -> (qIvfPq _),
+    "q_pq_filtered" -> (qPqFiltered _),
     "q_ivf_persisted" -> (qIvfPersisted _),
     "q_ivf_filtered" -> (qIvfFiltered _),
     "q_ivf_append" -> (qIvfAppend _),
@@ -2809,6 +2847,85 @@ object SimilarityQueries {
   private lazy val duckIvfFilteredSql: String =
     duckIvfSql(s"vec_id < $NList", "TRUE", "TRUE", s"vec_id < $NQueries",
       labelFiltered = true)
+
+  /** The full IVF-PQ two-stage replica (assignment → residual
+    * codebooks → codes → fixed-point ADC → bounded exact re-rank) —
+    * shared by `q_ivf_pq` and, with the label equality joined into the
+    * candidate CTE (pre-ADC, exactly where the Spark probe filters),
+    * `q_pq_filtered`.
+    */
+  private def duckPqSql(labelFiltered: Boolean): String = {
+    val labelJoin =
+      if (labelFiltered)
+        "\n           JOIN embeddings ql ON ql.vec_id = p.qid" +
+          "\n           JOIN embeddings nl ON nl.vec_id = mbr.vec_id AND nl.label = ql.label"
+      else ""
+    s"""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+       |             FROM embeddings WHERE vec_id < $NList),
+       |en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |       sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                               CAST(embedding AS DOUBLE[]))) AS nrm
+       |       FROM embeddings),
+       |a AS (SELECT vec_id, emb, nrm, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY
+       |        list_inner_product(emb, c) / (nrm * sqrt(list_inner_product(c, c))) DESC,
+       |        cid) AS rk
+       |      FROM en CROSS JOIN cent),
+       |asg AS (SELECT vec_id, emb, nrm, cid FROM a WHERE rk = 1),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |res AS (SELECT s.vec_id, s.nrm, s.cid, ms.m,
+       |        list_transform(generate_series(1, $PqSub),
+       |          i -> s.emb[ms.m * $PqSub + i] - c.c[ms.m * $PqSub + i]) AS sr
+       |        FROM asg s JOIN cent c ON s.cid = c.cid CROSS JOIN ms),
+       |cb0 AS (SELECT m, vec_id AS cw_id, sr AS cw FROM res WHERE vec_id < $PqKs),
+       |a1 AS (SELECT r.vec_id, r.m, r.sr, cb.cw_id,
+       |       row_number() OVER (PARTITION BY r.vec_id, r.m ORDER BY
+       |         list_inner_product(cb.cw, cb.cw) - 2 * list_inner_product(r.sr, cb.cw) ASC,
+       |         cb.cw_id) AS ark
+       |       FROM res r JOIN cb0 cb ON r.m = cb.m),
+       |m1 AS (SELECT vec_id, m, sr, cw_id FROM a1 WHERE ark = 1),
+       |u1 AS (SELECT m, cw_id, i AS p, CAST(floor(sr[i] * 1000000) AS BIGINT) AS fx
+       |       FROM m1, unnest(generate_series(1, $PqSub)) AS t(i)),
+       |s1 AS (SELECT m, cw_id, p, CAST(sum(fx) AS DOUBLE) / (count(*) * 1000000.0) AS cx
+       |       FROM u1 GROUP BY 1, 2, 3),
+       |cb1 AS (SELECT m, cw_id, list(cx ORDER BY p) AS cw FROM s1 GROUP BY 1, 2),
+       |a2 AS (SELECT r.vec_id, r.m, cb.cw_id,
+       |       row_number() OVER (PARTITION BY r.vec_id, r.m ORDER BY
+       |         list_inner_product(cb.cw, cb.cw) - 2 * list_inner_product(r.sr, cb.cw) ASC,
+       |         cb.cw_id) AS ark
+       |       FROM res r JOIN cb1 cb ON r.m = cb.m),
+       |codes AS (SELECT vec_id, m, cw_id FROM a2 WHERE ark = 1),
+       |probes AS (SELECT a.vec_id AS qid, a.emb AS qe, a.nrm AS qn, a.cid,
+       |           CAST(floor(list_inner_product(a.emb, c.c) * 1000000) AS BIGINT) AS qc_fx
+       |           FROM a JOIN cent c ON a.cid = c.cid
+       |           WHERE a.vec_id < $NQueries AND a.rk <= $PqProbe),
+       |lut AS (SELECT p.qid, cb.m, cb.cw_id,
+       |        CAST(floor(list_inner_product(
+       |          list_transform(generate_series(1, $PqSub), i -> p.qe[cb.m * $PqSub + i]),
+       |          cb.cw) * 1000000) AS BIGINT) AS qdot_fx
+       |        FROM (SELECT DISTINCT qid, qe FROM probes) p CROSS JOIN cb1 cb),
+       |cand AS (SELECT p.qid, p.qn, p.qc_fx, mbr.vec_id AS nid, mbr.nrm AS n_nrm
+       |         FROM probes p JOIN asg mbr
+       |           ON p.cid = mbr.cid AND p.qid <> mbr.vec_id$labelJoin),
+       |adc AS (SELECT c.qid, c.nid,
+       |        CAST(c.qc_fx + sum(l.qdot_fx) AS DOUBLE) / (c.qn * c.n_nrm) AS ascore
+       |        FROM cand c
+       |        JOIN codes cd ON cd.vec_id = c.nid
+       |        JOIN lut l ON l.qid = c.qid AND l.m = cd.m AND l.cw_id = cd.cw_id
+       |        GROUP BY c.qid, c.nid, c.qc_fx, c.qn, c.n_nrm),
+       |pool AS (SELECT qid, nid FROM (
+       |           SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |             ORDER BY ascore DESC, nid) AS ark FROM adc)
+       |         WHERE ark <= $PqPool),
+       |exact AS (SELECT p.qid, p.nid,
+       |          row_number() OVER (PARTITION BY p.qid ORDER BY
+       |            list_inner_product(q.emb, e.emb) / (q.nrm * e.nrm) DESC, p.nid) AS rk
+       |          FROM pool p
+       |          JOIN en q ON q.vec_id = p.qid
+       |          JOIN en e ON e.vec_id = p.nid)
+       |SELECT qid AS query_id, CAST(rk AS BIGINT) AS rk, nid AS neighbor_id
+       |FROM exact WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_knn_brute" ->
@@ -2975,72 +3092,11 @@ object SimilarityQueries {
     // as an exact integer LUT sum (order-free on both engines),
     // bounded exact re-rank — candidate sets, not just final ranks,
     // coincide exactly
-    "q_ivf_pq" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
-         |             FROM embeddings WHERE vec_id < $NList),
-         |en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         |       sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-         |                               CAST(embedding AS DOUBLE[]))) AS nrm
-         |       FROM embeddings),
-         |a AS (SELECT vec_id, emb, nrm, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY
-         |        list_inner_product(emb, c) / (nrm * sqrt(list_inner_product(c, c))) DESC,
-         |        cid) AS rk
-         |      FROM en CROSS JOIN cent),
-         |asg AS (SELECT vec_id, emb, nrm, cid FROM a WHERE rk = 1),
-         |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
-         |res AS (SELECT s.vec_id, s.nrm, s.cid, ms.m,
-         |        list_transform(generate_series(1, $PqSub),
-         |          i -> s.emb[ms.m * $PqSub + i] - c.c[ms.m * $PqSub + i]) AS sr
-         |        FROM asg s JOIN cent c ON s.cid = c.cid CROSS JOIN ms),
-         |cb0 AS (SELECT m, vec_id AS cw_id, sr AS cw FROM res WHERE vec_id < $PqKs),
-         |a1 AS (SELECT r.vec_id, r.m, r.sr, cb.cw_id,
-         |       row_number() OVER (PARTITION BY r.vec_id, r.m ORDER BY
-         |         list_inner_product(cb.cw, cb.cw) - 2 * list_inner_product(r.sr, cb.cw) ASC,
-         |         cb.cw_id) AS ark
-         |       FROM res r JOIN cb0 cb ON r.m = cb.m),
-         |m1 AS (SELECT vec_id, m, sr, cw_id FROM a1 WHERE ark = 1),
-         |u1 AS (SELECT m, cw_id, i AS p, CAST(floor(sr[i] * 1000000) AS BIGINT) AS fx
-         |       FROM m1, unnest(generate_series(1, $PqSub)) AS t(i)),
-         |s1 AS (SELECT m, cw_id, p, CAST(sum(fx) AS DOUBLE) / (count(*) * 1000000.0) AS cx
-         |       FROM u1 GROUP BY 1, 2, 3),
-         |cb1 AS (SELECT m, cw_id, list(cx ORDER BY p) AS cw FROM s1 GROUP BY 1, 2),
-         |a2 AS (SELECT r.vec_id, r.m, cb.cw_id,
-         |       row_number() OVER (PARTITION BY r.vec_id, r.m ORDER BY
-         |         list_inner_product(cb.cw, cb.cw) - 2 * list_inner_product(r.sr, cb.cw) ASC,
-         |         cb.cw_id) AS ark
-         |       FROM res r JOIN cb1 cb ON r.m = cb.m),
-         |codes AS (SELECT vec_id, m, cw_id FROM a2 WHERE ark = 1),
-         |probes AS (SELECT a.vec_id AS qid, a.emb AS qe, a.nrm AS qn, a.cid,
-         |           CAST(floor(list_inner_product(a.emb, c.c) * 1000000) AS BIGINT) AS qc_fx
-         |           FROM a JOIN cent c ON a.cid = c.cid
-         |           WHERE a.vec_id < $NQueries AND a.rk <= $PqProbe),
-         |lut AS (SELECT p.qid, cb.m, cb.cw_id,
-         |        CAST(floor(list_inner_product(
-         |          list_transform(generate_series(1, $PqSub), i -> p.qe[cb.m * $PqSub + i]),
-         |          cb.cw) * 1000000) AS BIGINT) AS qdot_fx
-         |        FROM (SELECT DISTINCT qid, qe FROM probes) p CROSS JOIN cb1 cb),
-         |cand AS (SELECT p.qid, p.qn, p.qc_fx, mbr.vec_id AS nid, mbr.nrm AS n_nrm
-         |         FROM probes p JOIN asg mbr
-         |           ON p.cid = mbr.cid AND p.qid <> mbr.vec_id),
-         |adc AS (SELECT c.qid, c.nid,
-         |        CAST(c.qc_fx + sum(l.qdot_fx) AS DOUBLE) / (c.qn * c.n_nrm) AS ascore
-         |        FROM cand c
-         |        JOIN codes cd ON cd.vec_id = c.nid
-         |        JOIN lut l ON l.qid = c.qid AND l.m = cd.m AND l.cw_id = cd.cw_id
-         |        GROUP BY c.qid, c.nid, c.qc_fx, c.qn, c.n_nrm),
-         |pool AS (SELECT qid, nid FROM (
-         |           SELECT qid, nid, row_number() OVER (PARTITION BY qid
-         |             ORDER BY ascore DESC, nid) AS ark FROM adc)
-         |         WHERE ark <= $PqPool),
-         |exact AS (SELECT p.qid, p.nid,
-         |          row_number() OVER (PARTITION BY p.qid ORDER BY
-         |            list_inner_product(q.emb, e.emb) / (q.nrm * e.nrm) DESC, p.nid) AS rk
-         |          FROM pool p
-         |          JOIN en q ON q.vec_id = p.qid
-         |          JOIN en e ON e.vec_id = p.nid)
-         |SELECT qid AS query_id, CAST(rk AS BIGINT) AS rk, nid AS neighbor_id
-         |FROM exact WHERE rk <= $K ORDER BY query_id, rk""".stripMargin,
+    "q_ivf_pq" -> duckPqSql(labelFiltered = false),
+    // the same two-stage PQ replica with the label equality joined
+    // into the candidate CTE — candidates thin BEFORE the ADC stage,
+    // exactly where the Spark probe applies the filter
+    "q_pq_filtered" -> duckPqSql(labelFiltered = true),
     // the stored-index probe is row-identical to the inline pipeline
     // (same centroids, same assignment, same rank) — one oracle text,
     // two execution postures (recompute-inline vs write-once/probe-many)

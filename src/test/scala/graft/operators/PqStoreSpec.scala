@@ -122,4 +122,48 @@ class PqStoreSpec extends SparkSpec {
       assert(IndexCatalog.latestFiles(base) == before)
     } finally graft.Fs.deleteRecursively(base)
   }
+
+  test("label-filtered PQ probe: zero foreign-label neighbors, recall vs label-filtered brute, candidates thin pre-ADC") {
+    val base = Files.createTempDirectory("graft_pq_flt").toString
+    try {
+      SimilarityQueries.buildPqStore(spark, dir, base)
+      val res = SimilarityQueries
+        .probePqStore(spark, dir, base, sameLabel = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(res.nonEmpty)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2)))
+      val labels = emb.map(e => e._1 -> e._3).toMap
+      // the metadata contract holds through BOTH stages (ADC pool and
+      // exact re-rank): no foreign-label neighbor can surface
+      res.foreach { case (q, _, n) =>
+        assert(labels(q) == labels(n),
+          s"query $q (label ${labels(q)}) got neighbor $n (label ${labels(n)})")
+      }
+      // recall against the LABEL-FILTERED exact baseline
+      def cos(a: Array[Double], b: Array[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val brute = emb.filter(_._1 < SimilarityQueries.NQueries)
+        .flatMap { case (q, qe, ql) =>
+          emb.filter(c => c._1 != q && c._3 == ql)
+            .map(c => (q, c._1, cos(qe, c._2)))
+            .sortBy { case (_, n, s) => (-s, n) }.take(5)
+            .map { case (qq, n, _) => (qq, n) }
+        }.toSet
+      val got = res.map { case (q, _, n) => (q, n) }.toSet
+      val recall = (got & brute).size.toDouble / brute.size
+      info(f"filtered PQ recall@5 vs label-filtered brute: $recall%.2f")
+      // 6-of-8 cells probed and a 45-candidate pool over ~10%-selective
+      // slices: the compressed filtered probe must stay useful
+      assert(recall >= 0.5, f"filtered PQ recall collapsed: $recall%.2f")
+      // the unfiltered probe at the same dial DOES return foreign
+      // labels — i.e. the filter is doing the thinning, not the data
+      val unfiltered = SimilarityQueries.probePqStore(spark, dir, base)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(unfiltered.exists { case (q, n) => labels(q) != labels(n) })
+    } finally graft.Fs.deleteRecursively(base)
+  }
 }
