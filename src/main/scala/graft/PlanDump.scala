@@ -93,6 +93,8 @@ object PlanDump {
       "round 12: the ONLY corpus-sized stage is the relevance pool's two-phase topk_agg ObjectHashAggregate (≤ 10 rows per query per task on its exchange); everything after — the pool-member pairwise-sim join and the three unrolled greedy steps' windows — ranks constant per-query frames (≤ pool² rows), so the diversity re-rank adds no corpus-sized shuffle or window.",
     "q_txn_stores" ->
       "round 12: six phase censuses, each a scan of an eagerly-captured manifest-resolved file list feeding one per-lang HashAggregate — the transaction itself is INVISIBLE to the plan (prepares are ordinary parquet writes; the atomic flip is one driver-side metadata CAS), which is the point: cross-store atomicity costs no Spark-side work at any scale.",
+    "q_token_budget" ->
+      "round 12: the BPE token count and the quality score are codegen'd map-side projections; ONE exchange partitions by source for the rank window, and the census HashAggregate reuses that partitioning — no second shuffle, no global rank.",
     "q_epoch_shuffle" ->
       "round 12: no global Sort node anywhere — the shard is a codegen'd hash-mod projection, the ONE exchange hashes on (epoch, shard), and the rank window sorts only within its shard partition; the shape that survives a corpus-wide epoch reshuffle where an ORDER BY over the whole table would not.",
     "q_pq_filtered" ->

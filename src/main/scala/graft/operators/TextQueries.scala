@@ -396,6 +396,56 @@ object TextQueries {
       .orderBy("lang", "pack_id")
   }
 
+  /** Per-source token budget for [[qTokenBudget]], in BPE subword
+    * units — a few context windows per source, so at every SF some
+    * sources exhaust it (the cut is exercised) while the mechanics
+    * stay fixture-independent.
+    */
+  private val SourceTokenBudget = 16L * 256L
+
+  /** TOKEN-BUDGET curation — real data mixes are specified in TOKENS,
+    * not document counts (the number the training run actually
+    * consumes), so the selection operator is: within each source,
+    * rank documents by quality and keep greedily while the cumulative
+    * SUBWORD count stays inside the source's token budget. Quality
+    * here is the distinct-token percentage (the repetition axis —
+    * integer, engine-portable), ties to the lower doc_id; token
+    * counts are the same deterministic BPE units as `q_pack_tokens`
+    * ([[bpeSql]] — one shared replace-chain text with the oracle).
+    * A document is kept iff the budget was not already spent when it
+    * arrived (`cum - n_tok < budget`), the greedy prefix rule whose
+    * boundary document may overflow the budget — exactly how loaders
+    * fill a token quota. One rank shuffle per source stratum (the
+    * census aggregate reuses the partitioning); the tokenizer pass is
+    * a narrow codegen'd map. 100 TB shape: strata select in parallel,
+    * nothing global, no driver-side state.
+    */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Engine.table(spark, dir, "documents")
+      .withColumn("n_tok",
+        length(regexp_replace(expr(bpeSql("text")), " ", "")).cast("long"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("quality",
+        floor(lit(100.0) * size(array_distinct(col("toks"))) / size(col("toks")))
+          .cast("long"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("keep", col("cum_tok") - col("n_tok") < SourceTokenBudget)
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).cast("long")
+          .as("tokens_kept"),
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tok")).cast("long").as("tokens_total"),
+        min(when(col("keep"), col("quality"))).cast("long").as("min_kept_quality"))
+      .orderBy("source")
+  }
+
   /** Merge candidates to emit from [[qBpeLearn]]. */
   private val BpeLearnTopK = 10
 
@@ -525,6 +575,7 @@ object TextQueries {
     "q_pack" -> (qPack _),
     "q_bpe_tokens" -> (qBpeTokens _),
     "q_pack_tokens" -> (qPackTokens _),
+    "q_token_budget" -> (qTokenBudget _),
     "q_bpe_learn" -> (qBpeLearn _)
   )
 
@@ -726,6 +777,33 @@ object TextQueries {
          |         AS n_ctx_windows
          |FROM m ORDER BY doc_id""".stripMargin,
     // same merge chain, same per-lang running-sum layout as q_pack —
+    // the greedy quality-ranked token-budget cut, recomputed with the
+    // same shared BPE replace chain and the same (quality DESC,
+    // doc_id) rank — a one-document disagreement at the budget
+    // boundary shifts n_kept/tokens_kept/min_kept_quality
+    "q_token_budget" ->
+      s"""WITH m AS (
+         |  SELECT source, doc_id,
+         |         length(replace(${bpeSql("text")}, ' ', '')) AS n_tok,
+         |         CAST(floor(100.0 * len(list_distinct(string_split(text, ' ')))
+         |              / len(string_split(text, ' '))) AS BIGINT) AS quality
+         |  FROM documents),
+         |cum AS (
+         |  SELECT source, n_tok, quality,
+         |         sum(n_tok) OVER (PARTITION BY source
+         |                          ORDER BY quality DESC, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+         |  FROM m)
+         |SELECT source,
+         |       CAST(sum(CASE WHEN cum_tok - n_tok < $SourceTokenBudget
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN cum_tok - n_tok < $SourceTokenBudget
+         |                     THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+         |       CAST(min(CASE WHEN cum_tok - n_tok < $SourceTokenBudget
+         |                     THEN quality END) AS BIGINT) AS min_kept_quality
+         |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     // pack boundaries in subword units
     "q_pack_tokens" ->
       s"""WITH m AS (

@@ -96,6 +96,43 @@ class CurationSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("token budget: census equals an independent in-memory greedy recount; the prefix rule holds") {
+    val got = TextQueries.qTokenBudget(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // independent recount in plain Scala: same BPE merge chain, same
+    // quality formula, same (quality desc, doc_id) greedy order
+    val merges = Seq("th" -> "0", "he" -> "1", "in" -> "2", "er" -> "3",
+      "an" -> "4", "re" -> "5", "on" -> "6", "at" -> "7",
+      "0e" -> "8", "4d" -> "9")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "doc_id", "text").collect()
+      .map { r =>
+        val text = r.getString(2)
+        val merged = merges.foldLeft(text) { case (s, (a, b)) => s.replace(a, b) }
+        val toks = text.split(" ", -1)
+        val quality = math.floor(100.0 * toks.distinct.length / toks.length).toLong
+        (r.getString(0), r.getLong(1),
+          merged.count(_ != ' ').toLong, quality)
+      }
+    val budget = 16L * 256L
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val ordered = rows.sortBy { case (_, id, _, q) => (-q, id) }
+      var cum = 0L; var nKept = 0L; var tokKept = 0L
+      ordered.foreach { case (_, _, nTok, _) =>
+        if (cum < budget) { nKept += 1; tokKept += nTok } // prefix rule
+        cum += nTok
+      }
+      val (gKept, gTok, gDocs, gTotal) = got(src)
+      assert(gKept == nKept && gTok == tokKept,
+        s"$src: engine ($gKept, $gTok) vs recount ($nKept, $tokKept)")
+      assert(gDocs == rows.length && gTotal == rows.map(_._3).sum)
+      // the prefix rule's budget bound: everything kept strictly under
+      // budget BEFORE the boundary doc, so kept tokens < budget + max doc
+      assert(gTok < budget + rows.map(_._3).max)
+    }
+  }
+
   test("epoch shuffle: complete per epoch, reshuffled across epochs, replay-deterministic, no degenerate shard") {
     val rows = CurationQueries.qEpochShuffle(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
