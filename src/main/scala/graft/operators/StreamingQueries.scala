@@ -1612,9 +1612,11 @@ object StreamingQueries {
             else k += 1 // fenced between our prepares: retry fresh
           } catch {
             // the decision landed between our read and the prepare —
-            // re-read it on the same k (commit ⇒ done, abort ⇒ advance)
-            case e: IllegalArgumentException
-                if e.getMessage.contains("already decided") => ()
+            // re-read it on the same k (commit ⇒ done, abort ⇒ advance).
+            // A dedicated exception type, not a message match: the
+            // handled race must not silently become an uncaught error
+            // if the prepare's wording ever changes.
+            case _: graft.sources.TxnMarkerDecidedException => ()
           }
       }
     }

@@ -59,6 +59,18 @@ import scala.jdk.CollectionConverters._
   * write-to-commit latency, the same rule every table format's
   * orphan-file cleanup imposes.
   */
+/** Thrown by [[IndexCatalogOps.prepareTxn]] when the named marker is
+  * already decided — the caller must take a FRESH marker per attempt.
+  * A dedicated type (not a bare require message) so the streaming
+  * coordinator's prepare/decide-race handling catches the PROTOCOL
+  * condition, not a string that a doc rewording would silently break.
+  * Extends IllegalArgumentException to keep the misuse classification.
+  */
+class TxnMarkerDecidedException(val marker: String, val decision: String)
+  extends IllegalArgumentException(
+    s"transaction marker $marker is already decided ($decision); " +
+      "use a fresh marker per attempt")
+
 class IndexCatalogOps(val fs: CatalogFs) {
 
   /** Default orphan grace for [[vacuum]]: files not referenced by any
@@ -156,41 +168,93 @@ class IndexCatalogOps(val fs: CatalogFs) {
   /** The decision of the multi-store transaction whose decision file
     * is `marker`: `Some("commit")` / `Some("abort")` once decided,
     * `None` while in doubt. The decision is a SINGLE create-if-absent
-    * file whose content is the verdict — one CAS, so a commit/abort
-    * race has exactly one winner and every reader agrees forever.
+    * file whose FIRST line is the verdict — one CAS, so a commit/abort
+    * race has exactly one winner and every reader agrees forever. A
+    * commit written by [[commitTxn]] also ENUMERATES its participants
+    * (`<version>@<base>` lines, see [[txnParticipants]]); the verdict
+    * line alone answers this lookup.
     */
   def txnDecision(marker: String): Option[String] =
-    if (fs.exists(marker)) Some(fs.readString(marker).trim) else None
+    if (fs.exists(marker))
+      Some(fs.readString(marker).trim.linesIterator.next().trim)
+    else None
+
+  /** The `(base, version)` participants a COMMIT decision enumerates,
+    * or None when the decision carries no list (abort verdicts, and
+    * commits written by a direct [[decideTxn]] call without
+    * participants — those apply to every prepare naming the marker,
+    * the pre-enumeration semantics). [[commitTxn]] always enumerates,
+    * which is what closes the late-prepare race: a prepare PUBLISHED
+    * after the decision can never be in the list, so it can never
+    * become visible (see [[manifestApplies]]).
+    */
+  def txnParticipants(marker: String): Option[Set[(String, Int)]] = {
+    if (!fs.exists(marker)) return None
+    val lines = fs.readString(marker).trim.linesIterator.toSeq
+    val parts = lines.drop(1).filter(_.contains("@")).map { l =>
+      val i = l.indexOf('@')
+      (normBase(l.substring(i + 1)), l.substring(0, i).toInt)
+    }
+    if (parts.isEmpty) None else Some(parts.toSet)
+  }
+
+  /** Canonical store identity for participant membership: prepare-side
+    * and read-side base strings must agree even when one is relative
+    * or carries redundant path segments.
+    */
+  private def normBase(base: String): String =
+    Paths.get(base).toAbsolutePath.normalize.toString
 
   /** Decide the transaction at `marker` with `verdict` ("commit" or
     * "abort") and return the ACTUAL decision — the first writer's, if
     * a racing decider got there first. Idempotent; losing the CAS is
     * not an error, it is how the protocol serializes the decision.
+    *
+    * `participants` (commit only) enumerates the prepared slots this
+    * decision covers as `(base, version)` pairs; when present, ONLY
+    * those slots apply ([[manifestApplies]]) — a prepare against the
+    * same marker that published after the decision (a racing replay
+    * that passed [[prepareTxn]]'s in-doubt check before the decision
+    * landed) is then a permanent no-op instead of a born-visible
+    * duplicate. [[commitTxn]] always passes its participant list.
     */
-  def decideTxn(marker: String, verdict: String): String = {
+  def decideTxn(marker: String, verdict: String,
+      participants: Seq[(String, Int)] = Seq.empty): String = {
     require(verdict == "commit" || verdict == "abort", verdict)
+    require(participants.isEmpty || verdict == "commit",
+      "participants enumerate a COMMIT's covered slots; an abort covers none")
     val parent = Paths.get(marker).getParent
     if (parent != null) fs.mkdirs(parent.toString)
-    fs.publishIfAbsent(marker, verdict)
-    fs.readString(marker).trim
+    val content = (verdict +: participants.map { case (b, v) =>
+      s"$v@${normBase(b)}" }).mkString("\n")
+    fs.publishIfAbsent(marker, content)
+    fs.readString(marker).trim.linesIterator.next().trim
   }
 
   /** Whether version `v`'s manifest content APPLIES to resolution —
     * true for ordinary commits and decided-commit txn participants,
-    * false for aborted ones. An undecided participant throws when
+    * false for aborted ones. A commit decision that ENUMERATES its
+    * participants ([[txnParticipants]]) applies only to listed
+    * `(base, version)` slots: a prepare against the same marker that
+    * published AFTER the decision landed (the racing-replay TOCTOU —
+    * it passed [[prepareTxn]]'s in-doubt check before the decision)
+    * is outside the list and reads as a permanent no-op, never a
+    * born-visible duplicate. An undecided participant throws when
     * `strict` (resolution must not guess) and reads as not-applied
     * otherwise (tag lookups see a snapshot without the in-doubt txn).
     */
-  private def manifestApplies(m: Manifest, at: String,
+  private def manifestApplies(base: String, v: Int, m: Manifest,
       strict: Boolean): Boolean = m.pendingTxn match {
     case None => true
     case Some(marker) => txnDecision(marker) match {
-      case Some("commit") => true
+      case Some("commit") =>
+        txnParticipants(marker).forall(_.contains((normBase(base), v)))
       case Some(_) => false
       case None if strict => throw new IllegalStateException(
-        s"$at is a prepared multi-store transaction participant whose " +
-          s"decision ($marker) is still in doubt; commit or abort the " +
-          "transaction (any later writer to this store fences it to abort)")
+        s"version $v of $base is a prepared multi-store transaction " +
+          s"participant whose decision ($marker) is still in doubt; " +
+          "commit or abort the transaction (any later writer to this " +
+          "store fences it to abort)")
       case None => false
     }
   }
@@ -204,7 +268,7 @@ class IndexCatalogOps(val fs: CatalogFs) {
     */
   private[graft] def touchedKeys(base: String, v: Int): Option[Set[String]] = {
     val m = readManifest(base, v)
-    if (!manifestApplies(m, s"version $v of $base", strict = true))
+    if (!manifestApplies(base, v, m, strict = true))
       Some(Set.empty) // aborted txn participant: a permanent no-op
     else if (m.full) None
     else Some(m.adds.flatMap(partitionKey).toSet ++ m.removeKeys)
@@ -229,7 +293,7 @@ class IndexCatalogOps(val fs: CatalogFs) {
       // undecided one throws (strict) — resolution must never guess a
       // transaction's outcome. Only the raw head can be in doubt: any
       // writer publishing PAST a prepared slot fences it first.
-      val applies = manifestApplies(m, s"version $cursor of $base", strict = true)
+      val applies = manifestApplies(base, cursor, m, strict = true)
       if (applies && m.full) full = m.adds
       else if (fs.exists(ckptPath(base, cursor)))
         // a checkpoint is the POST-commit state of its version: use it
@@ -291,7 +355,7 @@ class IndexCatalogOps(val fs: CatalogFs) {
     */
   private def appliedTags(base: String, v: Int): Seq[String] = {
     val m = readManifest(base, v)
-    if (manifestApplies(m, s"version $v of $base", strict = false)) m.tags
+    if (manifestApplies(base, v, m, strict = false)) m.tags
     else Seq.empty
   }
 
@@ -481,9 +545,13 @@ class IndexCatalogOps(val fs: CatalogFs) {
             // an intervening PREPARED txn participant: fence an
             // undecided one to abort (the writer rule — our commit
             // would fence it at publish anyway), then judge by the
-            // actual decision; an aborted slot touched nothing
+            // actual decision; an aborted slot touched nothing, and a
+            // decided-commit slot OUTSIDE the decision's participant
+            // list (a late prepare the enumeration fenced) is the
+            // same permanent no-op resolution sees
             val applies = m.pendingTxn match {
-              case Some(marker) => decideTxn(marker, "abort") == "commit"
+              case Some(marker) => decideTxn(marker, "abort") == "commit" &&
+                txnParticipants(marker).forall(_.contains((normBase(base), v)))
               case None => true
             }
             if (!applies) false
@@ -633,10 +701,13 @@ class IndexCatalogOps(val fs: CatalogFs) {
     // would be born-decided — instantly visible with no atomicity.
     // (A coordinator retrying after a fence uses a FRESH marker.) The
     // check is best-effort against misuse, not a race-free gate: a
-    // decision landing after it is exactly the atomic flip working.
-    require(txnDecision(marker).isEmpty,
-      s"transaction marker $marker is already decided " +
-        s"(${txnDecision(marker).get}); use a fresh marker per attempt")
+    // decision landing after it is the atomic flip working, and the
+    // prepare that slipped past is fenced STRUCTURALLY — [[commitTxn]]
+    // enumerates its participants in the decision file, and
+    // [[manifestApplies]] rejects any same-marker slot outside the
+    // list, so a late prepare is a permanent no-op, never a duplicate.
+    txnDecision(marker).foreach(d =>
+      throw new TxnMarkerDecidedException(marker, d))
     retryingCommit() {
       writeDeltaAt(base, currentVersion(base) + 1,
         newFiles.sorted, Set.empty, commitTags, pendingTxn = Some(marker))
@@ -667,7 +738,13 @@ class IndexCatalogOps(val fs: CatalogFs) {
           decideTxn(marker, "abort") // no participant may ever apply
           throw e
       }
-    if (decideTxn(marker, "commit") == "commit") Some(prepared) else None
+    // the commit decision ENUMERATES its participants: only these
+    // (base, version) slots ever apply under this marker, so a racing
+    // same-marker prepare that publishes after this CAS is structurally
+    // fenced (manifestApplies membership) instead of born-visible
+    val participants = parts.map(_._1).zip(prepared)
+    if (decideTxn(marker, "commit", participants) == "commit") Some(prepared)
+    else None
   }
 
   /** Reclaim DECIDED transaction markers no live manifest references —
@@ -681,14 +758,28 @@ class IndexCatalogOps(val fs: CatalogFs) {
     * its directory roots. Undecided markers are kept regardless (an
     * in-flight coordinator owns them; its participants' manifests may
     * not exist yet). Returns the deleted marker paths.
+    *
+    * Decided markers are additionally kept within `graceMs` of their
+    * decision (mtime), DEFAULT [[DefaultOrphanGraceMs]]: after
+    * compaction + vacuum expire a streaming batch's `ingest-batch=`
+    * tag manifests, the decided marker is the LAST exactly-once guard
+    * a late replay of that batch meets (StreamTxnSpec's marker
+    * backstop) — GC'ing it while replays are still possible re-opens
+    * the double-commit window. Keep the grace above the stream's
+    * replay horizon; pass `graceMs <= 0` only for a known-quiescent
+    * marker directory (no source can re-deliver its batches).
     */
-  def vacuumTxnMarkers(markerDir: String, bases: Seq[String]): Seq[String] = {
+  def vacuumTxnMarkers(markerDir: String, bases: Seq[String],
+      graceMs: Long = DefaultOrphanGraceMs): Seq[String] = {
     val referenced: Set[String] = bases.flatMap { b =>
       liveVersions(b).flatMap(v => readManifest(b, v).pendingTxn)
     }.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     fs.listNames(markerDir).flatMap { n =>
       val p = Paths.get(markerDir, n).toString
-      if (!referenced.contains(p) && txnDecision(p).isDefined) {
+      val pastGrace = graceMs <= 0 ||
+        fs.mtimeMillis(p).exists(_ < cutoff) // vanished = racing GC won
+      if (!referenced.contains(p) && pastGrace && txnDecision(p).isDefined) {
         fs.delete(p); Some(p)
       } else None
     }.sorted

@@ -139,6 +139,45 @@ class TxnCatalogSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(root)
   }
 
+  test("a same-marker prepare published AFTER the commit decision is a permanent no-op — participant enumeration closes the replay TOCTOU") {
+    val root = tmp()
+    val (a, b) = (s"$root/docs", s"$root/stats")
+    val marker = s"$root/txn/toctou.decision"
+    try {
+      val base0 = fakeFile(a, "g1/lang=en/p0.parquet")
+      IndexCatalog.commitFiles(a, Seq(base0))
+      IndexCatalog.commitFiles(b, Seq(fakeFile(b, "g1/lang=en/s0.parquet")))
+      val fa = fakeFile(a, "g2/lang=de/p1.parquet")
+      val fb = fakeFile(b, "g2/lang=de/s1.parquet")
+      // coordinator ONE commits the batch; the decision file now
+      // ENUMERATES exactly (a,2) and (b,2)
+      assert(IndexCatalog.commitTxn(marker, Seq(
+        (a, Seq(fa), Seq("ingest-batch=3")),
+        (b, Seq(fb), Seq("ingest-batch=3")))) == Some(Seq(2, 2)))
+      assert(IndexCatalog.txnParticipants(marker)
+        .exists(_.map(_._2) == Set(2)))
+      // coordinator TWO — a concurrent replay of the SAME batch — read
+      // the marker as undecided (passing prepareTxn's check), then its
+      // manifest publish landed after the decision: simulate the late
+      // publish directly. publishManifest's fence can't help (it only
+      // aborts UNDECIDED predecessors), so before enumeration this slot
+      // was born-decided-commit — an instantly visible duplicate.
+      val dup = fakeFile(a, "g3/lang=de/dup.parquet")
+      assert(IndexCatalog.fs.publishIfAbsent(s"$a/manifests/v3.txt",
+        Seq("#ingest-batch=3", s"?txn:$marker", s"+$dup").mkString("\n")))
+      // (a,3) is outside the decision's participant list: a permanent
+      // no-op everywhere — resolution, latest reads, tags, time travel
+      assert(IndexCatalog.readableVersion(a) == 3)
+      assert(IndexCatalog.files(a, 3) == IndexCatalog.files(a, 2))
+      assert(!IndexCatalog.latestFiles(a).contains(dup))
+      assert(IndexCatalog.files(a, 2).contains(fa)) // the real commit holds
+      // later commits build past the dead slot without resurrecting it
+      val f4 = fakeFile(a, "g4/lang=fr/p4.parquet")
+      assert(IndexCatalog.commitFiles(a, Seq(f4)) == 4)
+      assert(IndexCatalog.latestFiles(a).toSet == Set(base0, fa, f4))
+    } finally graft.Fs.deleteRecursively(root)
+  }
+
   test("racing commit and abort deciders: exactly one verdict, both observers agree") {
     val root = tmp()
     val marker = s"$root/txn/race.decision"
@@ -220,8 +259,9 @@ class TxnCatalogSpec extends AnyFunSuite {
         (a, Seq(fakeFile(a, "g2/lang=de/p1.parquet")), Nil),
         (b, Seq(fakeFile(b, "g2/lang=de/s1.parquet")), Nil)))
       // a decided marker refuses reuse (a prepare against it would be
-      // born-decided — no atomicity)
-      val e = intercept[IllegalArgumentException] {
+      // born-decided — no atomicity); the dedicated type is the
+      // contract the streaming coordinator's race handling catches
+      val e = intercept[TxnMarkerDecidedException] {
         IndexCatalog.prepareTxn(a, Seq(fakeFile(a, "g3/lang=fr/p9.parquet")), Nil, mLive)
       }
       assert(e.getMessage.contains("already decided"))
@@ -235,7 +275,13 @@ class TxnCatalogSpec extends AnyFunSuite {
       // an in-flight marker: undecided, kept no matter what
       val mDoubt = s"$mdir/indoubt.decision"
 
-      val deleted = IndexCatalog.vacuumTxnMarkers(mdir, Seq(a, b))
+      // under the DEFAULT grace every decided marker here is too fresh
+      // to reclaim — the replay-horizon guard (a decided-commit marker
+      // can be the LAST exactly-once guard once vacuum expires its
+      // ingest-batch tag manifests)
+      assert(IndexCatalog.vacuumTxnMarkers(mdir, Seq(a, b)).isEmpty)
+      // graceMs = 0: the caller asserts the marker dir is quiescent
+      val deleted = IndexCatalog.vacuumTxnMarkers(mdir, Seq(a, b), graceMs = 0L)
       assert(deleted == Seq(mGone), s"wrong GC set: $deleted")
       assert(IndexCatalog.txnDecision(mLive) == Some("commit")) // survives
       assert(IndexCatalog.txnDecision(mAbort) == Some("abort")) // survives
@@ -247,7 +293,7 @@ class TxnCatalogSpec extends AnyFunSuite {
         IndexCatalog.commitFiles(a, Seq(fakeFile(a, s"g5$i/lang=en/x$i.parquet")))
       }
       IndexCatalog.vacuum(a, retain = 2, orphanGraceMs = 0L)
-      val deleted2 = IndexCatalog.vacuumTxnMarkers(mdir, Seq(a, b))
+      val deleted2 = IndexCatalog.vacuumTxnMarkers(mdir, Seq(a, b), graceMs = 0L)
       assert(deleted2 == Seq(mAbort), s"wrong second GC set: $deleted2")
       assert(IndexCatalog.txnDecision(mLive) == Some("commit")) // still referenced by b
     } finally graft.Fs.deleteRecursively(root)
