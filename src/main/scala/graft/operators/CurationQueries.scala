@@ -293,7 +293,85 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** The TRAINING-LOADER dataflow as ONE gated composition — token-
+    * budget selection → context packing in subword units → epoch
+    * shuffle, each stage's algebra individually oracle-pinned
+    * elsewhere ([[TextQueries.qTokenBudget]], [[TextQueries.qPackTokens]],
+    * [[qEpochShuffle]]); this query gates their COMPOSITION, which is
+    * where loaders actually break:
+    *  - pack boundaries are computed over the SELECTED docs only — a
+    *    dropped document must not shift any later boundary (packing
+    *    the raw corpus and filtering after gives different packs);
+    *  - the shuffle's unit is the PACK, not the document (the loader
+    *    ships context windows), keyed `fnv64('e0:<source>:<pack_id>')`
+    *    so placement and order derive from the pack's identity;
+    *  - the census pins every stage at once: `n_tokens` re-counts the
+    *    budget cut, `n_packs`/`n_docs` pin the boundaries, `order_sig`
+    *    (Σ (rank mod 7)·first_doc) pins the within-shard ORDER, and
+    *    `first_pack_doc` pins each shard's head — a one-document
+    *    disagreement anywhere in the chain shifts a row.
+    *
+    * 100 TB shape = the sum of its stages, all strata-parallel: one
+    * rank window per source for the budget cut, one running sum per
+    * source for packing, then a hash-mod shard (map-side) + within-
+    * shard sort — no global pass anywhere; the corpus text leaves the
+    * map side only as subword COUNTS.
+    */
+  def qLoaderPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Engine.register(spark) // fnv64
+    // stage 1: per-source greedy token-budget cut (q_token_budget's algebra)
+    val docs = Engine.table(spark, dir, "documents")
+      .withColumn("n_tok",
+        length(regexp_replace(expr(TextQueries.bpeSql("text")), " ", ""))
+          .cast("long"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("quality",
+        floor(lit(100.0) * size(array_distinct(col("toks"))) / size(col("toks")))
+          .cast("long"))
+    val wSel = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = docs
+      .withColumn("cum_sel", sum(col("n_tok")).over(wSel))
+      .filter(col("cum_sel") - col("n_tok") < TextQueries.SourceTokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tok"))
+    // stage 2: pack boundaries over the kept docs only (q_pack_tokens'
+    // algebra, source-stratified to reuse stage 1's partitioning)
+    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packs = kept
+      .withColumn("cum_pack", sum(col("n_tok")).over(wPack))
+      .withColumn("pack_id",
+        expr(s"(cum_pack - n_tok) div ${TextQueries.CtxTokens}"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("p_docs"),
+        sum(col("n_tok")).cast("long").as("p_tokens"),
+        min(col("doc_id")).as("first_doc"))
+    // stage 3: epoch-0 shuffle of the packs (q_epoch_shuffle's algebra)
+    val keyed = packs
+      .withColumn("h", expr("fnv64(concat('e0:', source, ':', pack_id))"))
+      .withColumn("hu", expr(
+        """CAST(h AS DECIMAL(38,0)) +
+          |CASE WHEN h < 0 THEN CAST(18446744073709551616 AS DECIMAL(38,0))
+          |     ELSE CAST(0 AS DECIMAL(38,0)) END""".stripMargin))
+      .withColumn("shard", expr(s"CAST(hu % $NEpochShards AS BIGINT)"))
+    val wShard = Window.partitionBy(col("shard"))
+      .orderBy(col("hu"), col("first_doc"))
+    keyed
+      .withColumn("rk", row_number().over(wShard).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("p_docs")).cast("long").as("n_docs"),
+        sum(col("p_tokens")).cast("long").as("n_tokens"),
+        sum(pmod(col("rk"), lit(7)) * col("first_doc")).cast("long")
+          .as("order_sig"),
+        min(when(col("rk") === 1, col("first_doc"))).as("first_pack_doc"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_loader_pipeline" -> (qLoaderPipeline _),
     "q_quality_gate" -> (qQualityGate _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_pii_scrub" -> (qPiiScrub _),
@@ -304,6 +382,57 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the three loader stages as staged CTEs — the same BPE replace
+    // chain, the same greedy budget rule, pack boundaries over kept
+    // docs only, the same fnv64 UHUGEINT bridge and (hu, first_doc)
+    // tie-break, the same order-sensitive shard signature
+    "q_loader_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         length(replace(${TextQueries.bpeSql("text")}, ' ', '')) AS n_tok,
+         |         CAST(floor(100.0 * len(list_distinct(string_split(text, ' ')))
+         |              / len(string_split(text, ' '))) AS BIGINT) AS quality
+         |  FROM documents),
+         |sel AS (
+         |  SELECT doc_id, source, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY source
+         |                          ORDER BY quality DESC, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS cum_sel
+         |  FROM t),
+         |kept AS (SELECT doc_id, source, n_tok FROM sel
+         |         WHERE cum_sel - n_tok < ${TextQueries.SourceTokenBudget}),
+         |pk AS (
+         |  SELECT doc_id, source, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS cum_pack
+         |  FROM kept),
+         |packs AS (
+         |  SELECT source, (cum_pack - n_tok) // ${TextQueries.CtxTokens} AS pack_id,
+         |         count(*) AS p_docs, sum(n_tok) AS p_tokens,
+         |         min(doc_id) AS first_doc
+         |  FROM pk GROUP BY 1, 2),
+         |keyed AS (
+         |  SELECT p_docs, p_tokens, first_doc,
+         |         list_reduce(
+         |           list_prepend(CAST(14695981039346656037 AS UHUGEINT),
+         |             list_transform(range(1, length(s)+1),
+         |                            i -> CAST(ord(s[i]) AS UHUGEINT))),
+         |           (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616
+         |         ) AS hu
+         |  FROM (SELECT *, concat('e0:', source, ':', CAST(pack_id AS VARCHAR)) AS s
+         |        FROM packs)),
+         |sharded AS (
+         |  SELECT p_docs, p_tokens, first_doc,
+         |         CAST(hu % $NEpochShards AS BIGINT) AS shard,
+         |         row_number() OVER (PARTITION BY hu % $NEpochShards
+         |                            ORDER BY hu, first_doc) AS rk
+         |  FROM keyed)
+         |SELECT shard, count(*) AS n_packs,
+         |       CAST(sum(p_docs) AS BIGINT) AS n_docs,
+         |       CAST(sum(p_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum((rk % 7) * first_doc) AS BIGINT) AS order_sig,
+         |       min(CASE WHEN rk = 1 THEN first_doc END) AS first_pack_doc
+         |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin,
     // the threshold definition (smallest v with 2*count(<=v) >= n) is
     // spelled out identically on both sides — no quantile-function
     // tie-semantics are trusted across engines

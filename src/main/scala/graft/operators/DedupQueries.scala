@@ -757,16 +757,23 @@ object DedupQueries {
     // and q_cluster_append's direct leaf-file read sees exactly the
     // (node, label) data columns — the partition value lives in the
     // directory names it doesn't read
-    graft.sources.StoreFixtures.cloneInto("cluster_base", dir, store) { d =>
-      val docs = Engine.table(spark, dir, "documents")
-      val basePairs = cappedPairs(docs).select(col("i"), col("j"))
-        .filter(col("i") % 2 === 0 && col("j") % 2 === 0)
-      val (baseLabels, _) = starComponents(
-        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
-        basePairs)
-      graft.operators.StreamingQueries.commitClusterBase(baseLabels, d)
-      ()
-    }
+    FixtureTemplates.cloneInto("cluster_base", spark, dir, store)
+
+  /** The `cluster_base` template body: solve the even-id half's
+    * connected components (pairs capped corpus-globally) and commit
+    * the assignment as the store's v1.
+    */
+  private[operators] def buildClusterBaseTemplate(
+      spark: SparkSession, dir: String, d: String): Unit = {
+    val docs = Engine.table(spark, dir, "documents")
+    val basePairs = cappedPairs(docs).select(col("i"), col("j"))
+      .filter(col("i") % 2 === 0 && col("j") % 2 === 0)
+    val (baseLabels, _) = starComponents(
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
+      basePairs)
+    graft.operators.StreamingQueries.commitClusterBase(baseLabels, d)
+    ()
+  }
 
   def qClusterAppend(spark: SparkSession, dir: String): DataFrame = {
     val docs = Engine.table(spark, dir, "documents")
@@ -1017,8 +1024,7 @@ object DedupQueries {
     */
   private def buildLshStoreCached(
       spark: SparkSession, dir: String, base: String): Unit =
-    graft.sources.StoreFixtures.cloneInto("lsh_bands", dir, base)(
-      d => buildLshStore(spark, dir, d))
+    FixtureTemplates.cloneInto("lsh_bands", spark, dir, base)
 
   def qNeardupIngest(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_lshstore").toString
@@ -1184,7 +1190,105 @@ object DedupQueries {
     editPairs(incoming, base)
   }
 
+  /** Window width (tokens), injected span length, and per-window-hash
+    * doc-frequency cap for [[qSubstringDedup]] — shared verbatim with
+    * the oracle text.
+    */
+  private[operators] val SubW = 8
+  private[operators] val SubSpan = 12
+  private[operators] val SubCap = 64
+
+  /** EXACT SUBSTRING-level dedup — the token-window duplicate-span
+    * census of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (the suffix-array 50-token-window standard,
+    * re-expressed relationally): every other dedup family here is
+    * DOCUMENT-granular (shingle sets, MinHash bands, SimHash,
+    * edit-distance blocks, embedding cells) and cannot find a long
+    * VERBATIM span shared by two otherwise-different documents — the
+    * dominant contamination/memorization vector in real corpora.
+    *
+    * Pipeline: tokenize → hash every [[SubW]]-token window (md5 of the
+    * space-joined window, the same cross-engine-deterministic hash
+    * trick as MinHash) → df-cap window hashes hotter than [[SubCap]]
+    * docs (the boilerplate guard, as in `q_ngram_capped`) → cross-doc
+    * equi-join on the window hash → collapse matched positions into
+    * maximal shared runs per (i, j, diagonal) with the gaps-and-islands
+    * window trick (`pa − row_number()` is constant exactly on
+    * consecutive positions). A run of r windows is a shared span of
+    * r + [[SubW]] − 1 tokens; output per (i, j): the longest shared
+    * span and the total matched-window count.
+    *
+    * The fixture corpus has no natural [[SubW]]-token cross-doc
+    * repeats (random-ish short texts), so `doc_id % 10 == 3` docs
+    * deterministically carry a [[SubSpan]]-token span of their
+    * predecessor's text appended to their own — a join-produced
+    * verbatim overlap both engines construct identically (donors
+    * shorter than [[SubSpan]] + 1 tokens inject nothing, so the slice
+    * never clamps differently across engines).
+    *
+    * 100 TB shape: window hashing is map-side and linear (one row per
+    * window, no all-pairs step anywhere); the only shuffles are the
+    * df census (map-side combined) and the hash-equi self-join whose
+    * per-key fan-out the df cap bounds — the suffix-array algorithm's
+    * O(corpus) work distributed as a group-by, with the run collapse
+    * a window function over per-(i,j,diagonal) frames whose size is
+    * bounded by document length, never corpus size.
+    */
+  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Engine.table(spark, dir, "documents")
+    val donors = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    val corpus = docs
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 10 === 3, col("doc_id") - 1).as("donor_id"))
+      .join(donors, col("donor_id") === col("b_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("b_text").isNotNull &&
+            size(split(col("b_text"), " ")) >= SubSpan + 1,
+          concat(col("text"), lit(" "),
+            array_join(slice(split(col("b_text"), " "), 2, SubSpan), " ")))
+          .otherwise(col("text")).as("text"))
+    substringSpans(corpus)
+  }
+
+  /** The duplicate-span census over an arbitrary `(doc_id, text)`
+    * frame — separated so the spec can drive it with planted verbatim
+    * spans, no-overlap controls, and over-cap hot windows.
+    */
+  private[operators] def substringSpans(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one row per window: position + md5 of the joined window tokens.
+    // slice/array_join/md5 are codegen'd builtins (no interpreted HOF
+    // lambda in the per-window path)
+    val toks = corpus.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= SubW)
+    val wins = toks
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - (SubW - 1))).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(array_join(slice(col("tk"), col("p"), lit(SubW)), " ")).as("wh"))
+    val cool = wins.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= SubCap).select(col("wh"))
+    val kept = wins.join(cool, Seq("wh"), "left_semi")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+      .distinct()
+    val w = Window.partitionBy(col("i"), col("j"), col("dg")).orderBy(col("pa"))
+    pairs.withColumn("dg", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("i"), col("j"), col("dg"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("i"), col("j"))
+      .agg((max(col("run")) + (SubW - 1)).cast("long").as("max_span"),
+        sum(col("run")).cast("long").as("n_matches"))
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_substring_dedup" -> (qSubstringDedup _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_edit_dedup" -> (qEditDedup _),
@@ -1231,6 +1335,37 @@ object DedupQueries {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // the identical window-hash construction: injected spans, md5'd
+    // token windows, df cap, cross-doc join, gaps-and-islands runs
+    "q_substring_dedup" ->
+      s"""WITH base AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN dn.b_text IS NOT NULL
+         |                   AND len(string_split(dn.b_text, ' ')) >= ${SubSpan + 1}
+         |              THEN d.text || ' ' ||
+         |                   array_to_string(string_split(dn.b_text, ' ')[2:${SubSpan + 1}], ' ')
+         |              ELSE d.text END AS text
+         |  FROM documents d
+         |  LEFT JOIN (SELECT doc_id AS b_id, text AS b_text FROM documents) dn
+         |    ON d.doc_id % 10 = 3 AND d.doc_id - 1 = dn.b_id),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base
+         |         WHERE len(string_split(text, ' ')) >= $SubW),
+         |wins AS (SELECT doc_id, i AS p,
+         |                md5(array_to_string(tk[i:i+${SubW - 1}], ' ')) AS wh
+         |         FROM toks, unnest(generate_series(1, len(tk) - ${SubW - 1})) AS u(i)),
+         |cool AS (SELECT wh FROM wins GROUP BY wh
+         |         HAVING count(DISTINCT doc_id) <= $SubCap),
+         |kept AS (SELECT w.doc_id, w.p, w.wh FROM wins w JOIN cool USING (wh)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.p AS pa, b.p AS pb
+         |          FROM kept a JOIN kept b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+         |runs AS (SELECT i, j, pa - pb AS dg,
+         |                pa - row_number() OVER (PARTITION BY i, j, pa - pb ORDER BY pa) AS isl
+         |         FROM pairs),
+         |rl AS (SELECT i, j, dg, isl, count(*) AS run FROM runs GROUP BY 1, 2, 3, 4)
+         |SELECT i, j,
+         |       CAST(max(run) + ${SubW - 1} AS BIGINT) AS max_span,
+         |       CAST(sum(run) AS BIGINT) AS n_matches
+         |FROM rl GROUP BY i, j ORDER BY i, j""".stripMargin,
     "q_minhash_lsh" ->
       s"""WITH ws AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          |sigs AS (SELECT doc_id,

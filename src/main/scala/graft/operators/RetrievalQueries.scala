@@ -469,32 +469,44 @@ object RetrievalQueries {
     */
   private def textIndexBuildAppendCached(
       spark: SparkSession, dir: String, base: String): Unit =
-    graft.sources.StoreFixtures.cloneInto("text_ba", dir, base) { d =>
-      val docs = Engine.table(spark, dir, "documents")
-      writeTextIndexGen(spark,
-        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), d) // v1: build
-      writeTextIndexGen(spark,
-        docs.filter(pmod(col("doc_id"), lit(10)) === 7), d) // v2: append
-    }
+    FixtureTemplates.cloneInto("text_ba", spark, dir, base)
+
+  /** The `text_ba` template body: build 90% (v1), append the held-out
+    * decile (v2).
+    */
+  private[operators] def buildTextBaTemplate(
+      spark: SparkSession, dir: String, d: String): Unit = {
+    val docs = Engine.table(spark, dir, "documents")
+    writeTextIndexGen(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), d) // v1: build
+    writeTextIndexGen(spark,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 7), d) // v2: append
+  }
 
   /** Full-corpus single-generation fixture index via the same cache
     * (qTextDelete's starting point).
     */
   private def textIndexFullCached(
       spark: SparkSession, dir: String, base: String): Unit =
-    graft.sources.StoreFixtures.cloneInto("text_full", dir, base) { d =>
-      writeTextIndexGen(spark, Engine.table(spark, dir, "documents"), d)
-    }
+    FixtureTemplates.cloneInto("text_full", spark, dir, base)
+
+  /** The `text_full` template body. */
+  private[operators] def buildTextFullTemplate(
+      spark: SparkSession, dir: String, d: String): Unit =
+    writeTextIndexGen(spark, Engine.table(spark, dir, "documents"), d)
 
   /** 70%-corpus build (`doc_id % 10 < 7`) via the same cache —
     * qStreamTextIndex's starting point before its streamed deciles.
     */
   private[operators] def textIndex70Cached(
       spark: SparkSession, dir: String, base: String): Unit =
-    graft.sources.StoreFixtures.cloneInto("text_70", dir, base) { d =>
-      writeTextIndexGen(spark, Engine.table(spark, dir, "documents")
-        .filter(pmod(col("doc_id"), lit(10)) < 7), d)
-    }
+    FixtureTemplates.cloneInto("text_70", spark, dir, base)
+
+  /** The `text_70` template body. */
+  private[operators] def buildText70Template(
+      spark: SparkSession, dir: String, d: String): Unit =
+    writeTextIndexGen(spark, Engine.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) < 7), d)
 
   def qBm25Persisted(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_textidx").toString

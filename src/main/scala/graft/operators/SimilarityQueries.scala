@@ -449,6 +449,16 @@ object SimilarityQueries {
     buildIvfStore(spark, base, e, e, col("vec_id") < NList)
   }
 
+  /** The even-id-corpus IVF template (`ivf_evens`): centroids trained
+    * on — and frozen at — the even half, the base [[qIvfAppend]] grows.
+    */
+  private[operators] def buildIvfEvensTemplate(
+      spark: SparkSession, dir: String, base: String): Unit = {
+    val even = embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(2)) === 0)
+    buildIvfStore(spark, base, even, even, col("vec_id") < 2 * NList)
+  }
+
   /** Core IVF store builder with the train/corpus roles split: k-means
     * runs over `train` (seeded by `seed`), and `corpus` is what gets
     * cell-assigned and stored. [[buildIvfIndex]] is the train = corpus
@@ -553,10 +563,9 @@ object SimilarityQueries {
     */
   def qIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-    // fixture-cached full-corpus IVF template (StoreFixtures): the
+    // fixture-cached full-corpus IVF template (FixtureTemplates): the
     // probe is this query's work, the build is qIvfAppend's shared base
-    try graft.sources.StoreFixtures.cloneInto("ivf_full", dir, base)(
-      d => buildIvfIndex(spark, dir, d))
+    try FixtureTemplates.cloneInto("ivf_full", spark, dir, base)
     catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
@@ -616,11 +625,7 @@ object SimilarityQueries {
     try {
       // fixture-cached even-corpus IVF template; the APPEND + probe
       // are this query's own work
-      graft.sources.StoreFixtures.cloneInto("ivf_evens", dir, base) { d =>
-        val even = embeddings(spark, dir)
-          .filter(pmod(col("vec_id"), lit(2)) === 0)
-        buildIvfStore(spark, d, even, even, col("vec_id") < 2 * NList)
-      }
+      FixtureTemplates.cloneInto("ivf_evens", spark, dir, base)
       appendIvfStore(spark,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1), base)
     } catch {
@@ -741,8 +746,7 @@ object SimilarityQueries {
     */
   def qIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_ivflabel").toString
-    try graft.sources.StoreFixtures.cloneInto("ivf_labeled", dir, base)(
-      d => buildLabeledIvfStore(spark, dir, d))
+    try FixtureTemplates.cloneInto("ivf_labeled", spark, dir, base)
     catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
@@ -1021,8 +1025,7 @@ object SimilarityQueries {
     val base = java.nio.file.Files.createTempDirectory("graft_pq").toString
     // fixture-cached: the full-corpus PQ template (cells + codebooks +
     // codes) builds once per process; the probe is this query's work
-    try graft.sources.StoreFixtures.cloneInto("pq_full", dir, base)(
-      d => buildPqStore(spark, dir, d))
+    try FixtureTemplates.cloneInto("pq_full", spark, dir, base)
     catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
@@ -1041,8 +1044,7 @@ object SimilarityQueries {
     */
   def qPqFiltered(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_pqflt").toString
-    try graft.sources.StoreFixtures.cloneInto("pq_full", dir, base)(
-      d => buildPqStore(spark, dir, d))
+    try FixtureTemplates.cloneInto("pq_full", spark, dir, base)
     catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
@@ -1123,16 +1125,14 @@ object SimilarityQueries {
     */
   private[operators] def buildEmbedStoreCached(
       spark: SparkSession, dir: String, base: String): Unit =
-    graft.sources.StoreFixtures.cloneInto("embed_evens", dir, base)(
-      d => buildEmbedStore(spark, dir, d))
+    FixtureTemplates.cloneInto("embed_evens", spark, dir, base)
 
   /** [[buildEmbedStoreChecked]] through the fixture cache — same
     * rationale, `check=` tag rides the copied v1 manifest.
     */
   private[operators] def buildEmbedStoreCheckedCached(
       spark: SparkSession, dir: String, base: String): Unit =
-    graft.sources.StoreFixtures.cloneInto("embed_evens_checked", dir, base)(
-      d => buildEmbedStoreChecked(spark, dir, d))
+    FixtureTemplates.cloneInto("embed_evens_checked", spark, dir, base)
 
   /** Read a manifest-resolved store file list that may span MULTIPLE
     * corpus roots: a shallow clone's ([[cloneEmbedStore]]) early
@@ -1932,25 +1932,41 @@ object SimilarityQueries {
     * the same ids, v3 = deletes; the rewritten SURVIVORS sharing
     * files with real changes must contribute NOTHING.
     */
+  /** The `embed_dml` template: the identical three-commit DML
+    * lifecycle `q_store_cdc`, `q_stream_store_cdc` and
+    * `q_stream_cdc_matview` all OPEN with — build (v1: evens), MERGE
+    * (v2: update the `% 8 == 0` rows to their successor's vector,
+    * insert the `% 4 == 1` batch), row-level DELETE (v3: the
+    * never-updated `% 8 == 4` rows). Those queries' proof value is
+    * what they READ from this history (batch diff, cdc stream, IVM
+    * fold), not the DML itself, which stays exercised by this one
+    * template build plus the uncached StoreMergeSpec / StoreDeleteSpec
+    * / StoreCdcSpec suites. The copied store carries the full
+    * manifest chain, so versions 1–3 stay individually resolvable.
+    */
+  private[operators] def buildEmbedDmlTemplate(
+      spark: SparkSession, dir: String, base: String): Unit = {
+    buildEmbedStore(spark, dir, base) // v1: evens
+    val e = embeddings(spark, dir)
+    val inserts = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val updates = e.filter(pmod(col("vec_id"), lit(8)) === 0)
+      .select(col("vec_id"))
+      .join(e.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding"), col("nrm")), Seq("vec_id"))
+    mergeIntoEmbedStore(spark, base, inserts.unionByName(updates)) // v2
+    // delete ids whose stored vector is still the fixture's (the
+    // % 8 == 4 slice was never updated), so the delete set re-hashes
+    // to the right buckets from the raw table
+    deleteFromEmbedStore(spark, base,
+      e.filter(pmod(col("vec_id"), lit(8)) === 4)
+        .select(col("vec_id"), col("embedding"))) // v3
+  }
+
   def qStoreCdc(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
-    try {
-      buildEmbedStoreCached(spark, dir, base) // v1: evens
-      val e = embeddings(spark, dir)
-      val inserts = e.filter(pmod(col("vec_id"), lit(4)) === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      val updates = e.filter(pmod(col("vec_id"), lit(8)) === 0)
-        .select(col("vec_id"))
-        .join(e.select((col("vec_id") - 1).as("vec_id"),
-          col("embedding"), col("nrm")), Seq("vec_id"))
-      mergeIntoEmbedStore(spark, base, inserts.unionByName(updates)) // v2
-      // delete ids whose stored vector is still the fixture's (the
-      // % 8 == 4 slice was never updated), so the delete set re-hashes
-      // to the right buckets from the raw table
-      deleteFromEmbedStore(spark, base,
-        e.filter(pmod(col("vec_id"), lit(8)) === 4)
-          .select(col("vec_id"), col("embedding"))) // v3
-    } catch {
+    try FixtureTemplates.cloneInto("embed_dml", spark, dir, base)
+    catch {
       case t: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw t
     }

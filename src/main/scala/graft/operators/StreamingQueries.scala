@@ -1248,19 +1248,10 @@ object StreamingQueries {
     val ckpt = Files.createTempDirectory("graft_scdc_ckpt").toString
     val sink = Files.createTempDirectory("graft_scdc_sink").toString
     try {
-      SimilarityQueries.buildEmbedStoreCached(ss, dir, base) // v1: evens
-      val e = SimilarityQueries.embeddings(ss, dir)
-      val inserts = e.filter(pmod(col("vec_id"), lit(4)) === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      val updates = e.filter(pmod(col("vec_id"), lit(8)) === 0)
-        .select(col("vec_id"))
-        .join(e.select((col("vec_id") - 1).as("vec_id"),
-          col("embedding"), col("nrm")), Seq("vec_id"))
-      SimilarityQueries.mergeIntoEmbedStore(ss, base,
-        inserts.unionByName(updates)) // v2
-      SimilarityQueries.deleteFromEmbedStore(ss, base,
-        e.filter(pmod(col("vec_id"), lit(8)) === 4)
-          .select(col("vec_id"), col("embedding"))) // v3
+      // the DML history comes from the fixture cache (embed_dml: build
+      // → MERGE → DELETE, same template q_store_cdc diffs); this
+      // query's own work is the cdc DRAIN over that history
+      FixtureTemplates.cloneInto("embed_dml", ss, dir, base)
       val q = ss.readStream.format("graft-store-changes")
         .option("path", base).option("mode", "cdc").load()
         .writeStream
@@ -1516,19 +1507,10 @@ object StreamingQueries {
     def drain(): Unit =
       drainCdcMatview(ss, base, mv, ckpt)
     try {
-      SimilarityQueries.buildEmbedStoreCached(ss, dir, base) // v1: evens
-      val e = SimilarityQueries.embeddings(ss, dir)
-      val inserts = e.filter(pmod(col("vec_id"), lit(4)) === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      val updates = e.filter(pmod(col("vec_id"), lit(8)) === 0)
-        .select(col("vec_id"))
-        .join(e.select((col("vec_id") - 1).as("vec_id"),
-          col("embedding"), col("nrm")), Seq("vec_id"))
-      SimilarityQueries.mergeIntoEmbedStore(ss, base,
-        inserts.unionByName(updates)) // v2
-      SimilarityQueries.deleteFromEmbedStore(ss, base,
-        e.filter(pmod(col("vec_id"), lit(8)) === 4)
-          .select(col("vec_id"), col("embedding"))) // v3
+      // the DML history comes from the fixture cache (embed_dml — the
+      // same three-commit template q_store_cdc and q_stream_store_cdc
+      // open on); this query's own work is the IVM fold over its feed
+      FixtureTemplates.cloneInto("embed_dml", ss, dir, base)
       drain() // three micro-batches: insert-fold, merge-fold, delete-fold
       // (idle-drain no-op: proven once in q_stream_store_follow; the
       // fold's replay no-op is StoreMatviewSpec's contract)

@@ -337,14 +337,14 @@ object TextQueries {
   /** The shared replace-chain SQL — ONE text, evaluated by both
     * engines, per oracle-discipline.
     */
-  private def bpeSql(inner: String): String =
+  private[operators] def bpeSql(inner: String): String =
     BpeMerges.foldLeft(inner) { case (e, (a, b)) => s"replace($e, '$a', '$b')" }
 
   /** Tokens-per-context-window budget for [[qBpeTokens]]'s packing
     * unit (how many windows a doc fills in SUBWORD units — the measure
     * `q_pack` approximates with chars).
     */
-  private val CtxTokens = 256L
+  private[operators] val CtxTokens = 256L
 
   /** Deterministic BPE subword counts per document: each unmerged
     * character is one unit, each merged pair (or second-level merge)
@@ -401,7 +401,7 @@ object TextQueries {
     * sources exhaust it (the cut is exercised) while the mechanics
     * stay fixture-independent.
     */
-  private val SourceTokenBudget = 16L * 256L
+  private[operators] val SourceTokenBudget = 16L * 256L
 
   /** TOKEN-BUDGET curation — real data mixes are specified in TOKENS,
     * not document counts (the number the training run actually

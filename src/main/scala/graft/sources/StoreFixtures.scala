@@ -41,6 +41,24 @@ object StoreFixtures {
         { scala.util.Try(graft.Fs.deleteRecursively(d)); () })))
   }
 
+  /** Build (iff this process hasn't yet) the `(kind, sfDir)` template
+    * WITHOUT copying it anywhere — the warm-up half of [[cloneInto]],
+    * exposed so a harness ([[graft.Bench]]) can pre-build every
+    * registered template untimed: one-time template cost then never
+    * lands inside a measured query (nor, asymmetrically, only in the
+    * queries that happen to run first). Same purity contract as
+    * [[cloneInto]]: `build` must be a pure function of `(kind, sfDir)`.
+    */
+  def ensureTemplate(kind: String, sfDir: String)(
+      build: String => Unit): Unit = {
+    cache.computeIfAbsent(s"$kind|$sfDir", _ => {
+      val d = Files.createTempDirectory(s"graft_fixture_$kind").toString
+      build(d)
+      d
+    })
+    ()
+  }
+
   /** Copy the `(kind, sfDir)` fixture store into `dest`, building the
     * template first iff this process hasn't yet. `build` must be a
     * pure function of `(kind, sfDir)` — same content every time — or
@@ -48,12 +66,8 @@ object StoreFixtures {
     */
   def cloneInto(kind: String, sfDir: String, dest: String)(
       build: String => Unit): Unit = {
-    val src = cache.computeIfAbsent(s"$kind|$sfDir", _ => {
-      val d = Files.createTempDirectory(s"graft_fixture_$kind").toString
-      build(d)
-      d
-    })
-    copyStore(src, dest)
+    ensureTemplate(kind, sfDir)(build)
+    copyStore(cache.get(s"$kind|$sfDir"), dest)
   }
 
   /** Recursive copy of a store tree with metadata re-keying: manifest

@@ -150,6 +150,11 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q_substring_dedup's cross-doc pass is a window-hash equi-join: no cartesian, no nested loop") {
+    val s = plan(DedupQueries.qSubstringDedup(spark, dir)).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q_knn_brute reduces to a local top-k before the per-query ranking window") {
     // two window stages: the (query, partition)-local cut, then the
     // global per-query rank over at most K x partitions candidates

@@ -124,4 +124,61 @@ class StreamTxnSpec extends SparkSpec {
       assert(census(s"$root/docs") == batch.count())
     } finally graft.Fs.deleteRecursively(root)
   }
+
+  test("consistentSnapshot + as-of reads never straddle a racing txn ON DISK: both stores census pre or both post") {
+    val root = Files.createTempDirectory("graft_stx_snap").toString
+    val (d, s) = (s"$root/docs", s"$root/stats")
+    // an as-of census over REAL parquet at a version vector — the read
+    // path a reporting job runs against a transacted store pair
+    def asOf(vec: Seq[Int]): (Long, Long) = {
+      val nd = spark.read.parquet(IndexCatalog.files(d, vec(0)): _*).count()
+      val ns = spark.read.parquet(IndexCatalog.files(s, vec(1)): _*)
+        .agg(sum("n_docs")).collect()(0).getLong(0)
+      (nd, ns)
+    }
+    try {
+      val base = docs(col("doc_id") % 3 === 0)
+      assert(StreamingQueries.commitTxnBatch(spark, 0L, s"$root/txn",
+        parts(root, base)))
+      val n0 = base.count()
+      assert(asOf(IndexCatalog.consistentSnapshot(Seq(d, s))) == (n0, n0))
+
+      // a txn lands EXACTLY in the capture→validate window: the cut
+      // must retry and return the post-txn vector for BOTH stores —
+      // the as-of censuses agree (docs rows == stats sum), which a
+      // torn (pre, post) cut would break
+      val batch = docs(col("doc_id") % 3 === 1)
+      var fired = false
+      val cut = IndexCatalog.consistentSnapshot(Seq(d, s),
+        beforeValidate = () => {
+          if (!fired) {
+            fired = true
+            assert(StreamingQueries.commitTxnBatch(spark, 1L, s"$root/txn",
+              parts(root, batch)))
+          }
+        })
+      val (nd, ns) = asOf(cut)
+      assert(nd == ns, s"torn cut: docs=$nd stats=$ns at $cut")
+      assert(nd == n0 + batch.count(), s"stale cut: $nd at $cut")
+
+      // an in-doubt prepare at the head: the cut resolves BELOW it in
+      // both stores and its as-of census excludes the in-doubt content;
+      // after the decision a fresh cut includes it — in both
+      val m = s"$root/txn/manual.decision"
+      val late = docs(col("doc_id") % 3 === 2)
+      val staged = parts(root, late).map { case (b, df) =>
+        val gen = IndexCatalog.newGenDir(b)
+        df.write.mode("overwrite").parquet(gen)
+        (b, IndexCatalog.listDataFiles(gen))
+      }
+      staged.foreach { case (b, fs) => IndexCatalog.prepareTxn(b, fs, Nil, m) }
+      val doubt = IndexCatalog.consistentSnapshot(Seq(d, s))
+      assert(asOf(doubt) == (nd, nd), s"in-doubt content leaked at $doubt")
+      IndexCatalog.decideTxn(m, "commit",
+        staged.map(_._1).zip(doubt.map(_ + 1)))
+      val after = asOf(IndexCatalog.consistentSnapshot(Seq(d, s)))
+      assert(after == (nd + late.count(), nd + late.count()),
+        s"post-decision cut wrong: $after")
+    } finally graft.Fs.deleteRecursively(root)
+  }
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Exact substring-level dedup contracts (q_substring_dedup's
+  * mechanism, the Lee-et-al token-window census): a verbatim span
+  * planted across two otherwise-different documents is recovered at
+  * its exact length, sub-window overlaps stay invisible, two disjoint
+  * shared spans report the LONGEST (with the total window-match count
+  * separating them from one long span), the df cap really excludes a
+  * window shared by too many docs, and the gated query recovers every
+  * injected donor span from the fixture.
+  */
+class SubstringDedupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // distinct filler vocabularies, so non-span windows never collide
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("a planted verbatim span is recovered at its exact token length and position algebra") {
+    val span = words("dup", 12) // 12 tokens = 5 windows of 8
+    val a = words("alpha", 10) + " " + span + " " + words("omega", 6)
+    val b = words("beta", 20) + " " + span
+    val out = DedupQueries.substringSpans(docs(Seq((1L, a), (2L, b))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 12L, 5L)),
+      s"expected one (1,2) pair with max_span=12, n_matches=5, got ${out.toSeq}")
+  }
+
+  test("overlap shorter than the window width is invisible; different docs share nothing") {
+    val shortSpan = words("dup", DedupQueries.SubW - 1) // 7 tokens < W
+    val a = words("alpha", 12) + " " + shortSpan
+    val b = words("beta", 12) + " " + shortSpan
+    assert(DedupQueries.substringSpans(docs(Seq((1L, a), (2L, b)))).isEmpty)
+    assert(DedupQueries.substringSpans(
+      docs(Seq((1L, words("alpha", 30)), (2L, words("beta", 30))))).isEmpty)
+  }
+
+  test("two disjoint shared spans: max_span is the longest, n_matches counts both runs") {
+    val s1 = words("one", 8)  // exactly one window
+    val s2 = words("two", 10) // 3 windows, span 10
+    val a = s1 + " " + words("alpha", 9) + " " + s2
+    val b = s2 + " " + words("beta", 9) + " " + s1
+    val out = DedupQueries.substringSpans(docs(Seq((1L, a), (2L, b))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 10L, 4L)),
+      s"expected max_span=10 (longest of 8/10), n_matches=4 (1+3 windows), got ${out.toSeq}")
+  }
+
+  test("the df cap excludes a window hotter than SubCap docs; at the cap it reports") {
+    val boiler = words("hot", 8)
+    def corpus(n: Int) = docs((1 to n).map(i =>
+      (i.toLong, words(s"u$i", 10) + " " + boiler)))
+    // SubCap docs sharing the window: every pair reports
+    val atCap = DedupQueries.substringSpans(corpus(DedupQueries.SubCap))
+    assert(atCap.count() == DedupQueries.SubCap.toLong * (DedupQueries.SubCap - 1) / 2)
+    // one past the cap: the hot window is excluded, nothing reports
+    assert(DedupQueries.substringSpans(corpus(DedupQueries.SubCap + 1)).isEmpty)
+  }
+
+  test("the gated query recovers every injected donor span from the fixture") {
+    val out = DedupQueries.qSubstringDedup(spark, dir).collect()
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    import spark.implicits._
+    // expected pairs: (doc_id-1, doc_id) for doc_id % 10 == 3 whose
+    // donor has at least SubSpan + 1 tokens
+    val donorOk = docsDf.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val expected = docsDf.select(col("doc_id")).as[Long].collect()
+      .filter(id => id % 10 == 3 && donorOk.get(id - 1).exists(_ >= DedupQueries.SubSpan + 1))
+      .map(id => (id - 1, id)).toSet
+    val gotPairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(gotPairs),
+      s"missing injected pairs: ${expected -- gotPairs}")
+    // every injected pair carries at least the full planted span
+    out.filter(r => expected((r.getLong(0), r.getLong(1)))).foreach { r =>
+      assert(r.getLong(2) >= DedupQueries.SubSpan.toLong,
+        s"pair (${r.getLong(0)},${r.getLong(1)}) span ${r.getLong(2)} < planted ${DedupQueries.SubSpan}")
+    }
+  }
+}
