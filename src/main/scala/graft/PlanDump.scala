@@ -100,7 +100,11 @@ object PlanDump {
     "q_pq_filtered" ->
       "round 12: q_ivf_pq's two-stage plan with the label equality folded into the candidate join's key — candidates thin BEFORE the code explode feeds the ADC LUT join, so the filter's selectivity multiplies the 13× code-byte cut; the pool topk_agg and exact re-rank frames shrink by the same factor.",
     "q_ivf_filtered" ->
-      "round 12: ONE corpus-sized join, keyed on (centroid_id, label) — the metadata filter is part of the join key, so the candidate frame is the label-thinned cell occupancy and no post-filter of unfiltered candidates exists anywhere; the per-query ranking window sees only that thinned frame. A fixed-label probe instead prunes label= partitions at the scan (SimilaritySpec measures files read < files live).")
+      "round 12: ONE corpus-sized join, keyed on (centroid_id, label) — the metadata filter is part of the join key, so the candidate frame is the label-thinned cell occupancy and no post-filter of unfiltered candidates exists anywhere; the per-query ranking window sees only that thinned frame. A fixed-label probe instead prunes label= partitions at the scan (SimilaritySpec measures files read < files live).",
+    "q_substring_dedup" ->
+      "round 13: window hashing is one codegen'd Project (slice/array_join/md5 builtins — no interpreted HOF lambda) after the position explode; the df census is a map-side-combined HashAggregate; the cross-doc pass is a hash EQUI-join on the window hash (no cartesian/BNLJ anywhere); the gaps-and-islands run collapse is a window over per-(i, j, diagonal) frames bounded by document length — the suffix-array dedup's work expressed as group-bys.",
+    "q_loader_pipeline" ->
+      "round 13: three loader stages, all strata-parallel — the budget rank window and the pack running sum both partition by source (one exchange each, the second reuses nothing global), and the epoch shuffle of the PACKS is a codegen'd hash-mod projection + one (shard)-keyed exchange with a shard-local sort; no global Sort node and no corpus-sized frame after the pack census.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"
@@ -115,7 +119,18 @@ object PlanDump {
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans of the headline queries\n\n"
     out ++= "Generated by `sbt \"runMain graft.PlanDump\"` at sf0.001, AQE off\n"
-    out ++= "for node visibility. Evidence for ARCHITECTURE.md §3.\n"
+    out ++= "for node visibility. Evidence for ARCHITECTURE.md §3.\n\n"
+    out ++= """**Scope**: this file covers the BATCH plans whose quality is a
+single `explain`-able dataflow (scans, joins, aggregations, dedup/ANN
+probes, text retrieval). It deliberately EXCLUDES the streaming and
+store-lifecycle queries (`q_stream_*`, `q_store_update`, `q_txn_stores`'
+commit half and kin): their cost is commit choreography and micro-batch
+scheduling across SEVERAL plans, so a single plan dump would be
+misleading evidence — their quality claims are pinned instead by the
+spec suites (PlanQualitySpec for the probe halves, Store*Spec /
+StreamTxnSpec / TxnCatalogSpec for the commit protocols) and by the
+per-query scaladoc "100 TB shape" notes.
+"""
     // binary literals (the bloom sketch) render as full hex in explain
     // output — a 64 KiB sketch would put a 131 KB line in this file
     def elide(plan: String): String =

@@ -1234,11 +1234,16 @@ object DedupQueries {
     * a window function over per-(i,j,diagonal) frames whose size is
     * bounded by document length, never corpus size.
     */
-  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The fixture corpus with the deterministic injected donor spans
+    * (`doc_id % 10 == 3` docs append tokens 2..{2+[[SubSpan]]−1} of
+    * their predecessor) — shared by both substring operators and
+    * constructed identically in the oracle texts.
+    */
+  private def substringCorpus(
+      spark: SparkSession, dir: String): DataFrame = {
     val docs = Engine.table(spark, dir, "documents")
     val donors = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
-    val corpus = docs
+    docs
       .select(col("doc_id"), col("text"),
         when(col("doc_id") % 10 === 3, col("doc_id") - 1).as("donor_id"))
       .join(donors, col("donor_id") === col("b_id"), "left_outer")
@@ -1248,8 +1253,10 @@ object DedupQueries {
           concat(col("text"), lit(" "),
             array_join(slice(split(col("b_text"), " "), 2, SubSpan), " ")))
           .otherwise(col("text")).as("text"))
-    substringSpans(corpus)
   }
+
+  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringSpans(substringCorpus(spark, dir))
 
   /** The duplicate-span census over an arbitrary `(doc_id, text)`
     * frame — separated so the spec can drive it with planted verbatim
@@ -1257,20 +1264,7 @@ object DedupQueries {
     */
   private[operators] def substringSpans(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // one row per window: position + md5 of the joined window tokens.
-    // slice/array_join/md5 are codegen'd builtins (no interpreted HOF
-    // lambda in the per-window path)
-    val toks = corpus.select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= SubW)
-    val wins = toks
-      .select(col("doc_id"), col("tk"),
-        explode(sequence(lit(1), size(col("tk")) - (SubW - 1))).as("p"))
-      .select(col("doc_id"), col("p"),
-        md5(array_join(slice(col("tk"), col("p"), lit(SubW)), " ")).as("wh"))
-    val cool = wins.groupBy(col("wh"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= SubCap).select(col("wh"))
-    val kept = wins.join(cool, Seq("wh"), "left_semi")
+    val kept = substringWindows(corpus)
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
@@ -1287,8 +1281,84 @@ object DedupQueries {
       .orderBy("i", "j")
   }
 
+  /** The df-capped window frame both substring operators share: one
+    * row per (doc_id, position, window-hash), windows hotter than
+    * [[SubCap]] docs excluded. slice/array_join/md5 are codegen'd
+    * builtins (no interpreted HOF lambda in the per-window path).
+    * The frame is stage-cut with a `localCheckpoint` (the
+    * [[cappedPairs]] precedent): its consumers reference it 2-3 times
+    * (the df census plus both sides of a self-join), and without the
+    * cut the whole tokenize+hash pass re-runs per reference — same
+    * executor-loss tradeoff as every other cut in this file (the job
+    * is idempotent and resubmittable; swap for reliable checkpoint()
+    * when within-job recovery matters).
+    */
+  private def substringWindows(corpus: DataFrame): DataFrame = {
+    val toks = corpus.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= SubW)
+    val wins = toks
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - (SubW - 1))).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(array_join(slice(col("tk"), col("p"), lit(SubW)), " ")).as("wh"))
+      .localCheckpoint()
+    val cool = wins.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= SubCap).select(col("wh"))
+    wins.join(cool, Seq("wh"), "left_semi")
+  }
+
+  /** The REMOVAL half of substring dedup — what a pipeline actually
+    * APPLIES after [[qSubstringDedup]]'s census (Lee et al. keep one
+    * copy of every duplicated span): a token of document j is REMOVED
+    * iff some [[SubW]]-token window covering it also occurs in a
+    * document with a smaller doc_id (first occurrence is the keeper —
+    * the same min-id keeper rule as `q_dedup_exact`). Output: the
+    * per-document scrub census (total/removed/kept token counts) for
+    * every doc that lost at least one token; the injected donor spans
+    * make `doc_id % 10 == 3` docs lose exactly their appended span
+    * (the donor, being smaller-id, keeps its copy untouched).
+    *
+    * 100 TB shape: the duplicated-window test is ONE semi-join of the
+    * df-capped window frame against itself (fan-out bounded by the
+    * cap); coverage expansion is a per-doc position explode bounded
+    * by document length, and the census is a keyed aggregate — no
+    * all-pairs step, no per-pair state, same linear group-by shape as
+    * the census query.
+    */
+  def qSubstringScrub(spark: SparkSession, dir: String): DataFrame =
+    substringScrubCensus(substringCorpus(spark, dir))
+
+  /** The scrub census over an arbitrary `(doc_id, text)` frame —
+    * separated so the spec can drive it with planted spans and
+    * keeper-rule boundary cases.
+    */
+  private[operators] def substringScrubCensus(corpus: DataFrame): DataFrame = {
+    val kept = substringWindows(corpus)
+    // windows of doc j that ALSO occur in a smaller-id doc: the
+    // semi-join keeps one row per (j, p) however many keepers exist
+    val dup = kept.as("b").join(kept.as("a"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"),
+        "left_semi")
+      .select(col("doc_id"), col("p"))
+    // covered token positions: union of [p, p + W - 1] per dup window
+    val covered = dup
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (SubW - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+    corpus.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_removed").cast("long").as("n_removed"),
+        (col("n_tokens") - col("n_removed")).cast("long").as("n_kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_dedup" -> (qSubstringDedup _),
+    "q_substring_scrub" -> (qSubstringScrub _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_edit_dedup" -> (qEditDedup _),
@@ -1366,6 +1436,40 @@ object DedupQueries {
          |       CAST(max(run) + ${SubW - 1} AS BIGINT) AS max_span,
          |       CAST(sum(run) AS BIGINT) AS n_matches
          |FROM rl GROUP BY i, j ORDER BY i, j""".stripMargin,
+    // the removal half: same base/wins/cool construction, then the
+    // smaller-id duplicated-window semi-join, coverage expansion, and
+    // the per-doc scrub census
+    "q_substring_scrub" ->
+      s"""WITH base AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN dn.b_text IS NOT NULL
+         |                   AND len(string_split(dn.b_text, ' ')) >= ${SubSpan + 1}
+         |              THEN d.text || ' ' ||
+         |                   array_to_string(string_split(dn.b_text, ' ')[2:${SubSpan + 1}], ' ')
+         |              ELSE d.text END AS text
+         |  FROM documents d
+         |  LEFT JOIN (SELECT doc_id AS b_id, text AS b_text FROM documents) dn
+         |    ON d.doc_id % 10 = 3 AND d.doc_id - 1 = dn.b_id),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base
+         |         WHERE len(string_split(text, ' ')) >= $SubW),
+         |wins AS (SELECT doc_id, i AS p,
+         |                md5(array_to_string(tk[i:i+${SubW - 1}], ' ')) AS wh
+         |         FROM toks, unnest(generate_series(1, len(tk) - ${SubW - 1})) AS u(i)),
+         |cool AS (SELECT wh FROM wins GROUP BY wh
+         |         HAVING count(DISTINCT doc_id) <= $SubCap),
+         |kept AS (SELECT w.doc_id, w.p, w.wh FROM wins w JOIN cool USING (wh)),
+         |dup AS (SELECT DISTINCT b.doc_id, b.p FROM kept b
+         |        WHERE EXISTS (SELECT 1 FROM kept a
+         |                      WHERE a.wh = b.wh AND a.doc_id < b.doc_id)),
+         |cov AS (SELECT DISTINCT doc_id, p + o AS pos
+         |        FROM dup, unnest(generate_series(0, ${SubW - 1})) AS u(o)),
+         |rm AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |       CAST(len(string_split(b.text, ' ')) AS BIGINT) AS n_tokens,
+         |       CAST(rm.n_removed AS BIGINT) AS n_removed,
+         |       CAST(len(string_split(b.text, ' ')) - rm.n_removed AS BIGINT) AS n_kept
+         |FROM base b JOIN rm ON b.doc_id = rm.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     "q_minhash_lsh" ->
       s"""WITH ws AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          |sigs AS (SELECT doc_id,

@@ -67,6 +67,48 @@ class SubstringDedupSpec extends SparkSpec {
     assert(DedupQueries.substringSpans(corpus(DedupQueries.SubCap + 1)).isEmpty)
   }
 
+  test("scrub removes exactly the covered tokens of the LATER doc; the keeper's copy is untouched") {
+    val span = words("dup", 12)
+    val keeper = words("alpha", 10) + " " + span        // doc 1: keeps its copy
+    val loser = words("beta", 20) + " " + span          // doc 2: loses the span
+    val out = DedupQueries.substringScrubCensus(docs(Seq((1L, keeper), (2L, loser))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only doc 2 appears (doc 1 lost nothing); exactly the 12 span
+    // tokens are covered, 20 beta tokens survive
+    assert(out.toSeq == Seq((2L, 32L, 12L, 20L)),
+      s"expected doc 2 to lose exactly the 12-token span, got ${out.toSeq}")
+  }
+
+  test("scrub coverage unions overlapping duplicated windows, never double-counts") {
+    // doc 2 shares a 10-token span (3 overlapping windows) — coverage
+    // is the union [1..10], not 3 x 8
+    val span = words("dup", 10)
+    val out = DedupQueries.substringScrubCensus(docs(Seq(
+        (1L, span + " " + words("alpha", 8)),
+        (2L, span + " " + words("beta", 8)))))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 10L)),
+      s"expected union coverage of 10 tokens on doc 2 only, got ${out.toSeq}")
+  }
+
+  test("the gated scrub census: every injected doc loses at least its planted span") {
+    val out = DedupQueries.qSubstringScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    import spark.implicits._
+    val nTok = docsDf.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val injected = nTok.keys.filter(id => id % 10 == 3 &&
+      nTok.get(id - 1).exists(_ >= DedupQueries.SubSpan + 1)).toSeq
+    injected.foreach { id =>
+      val (tot, removed, kept) = out.getOrElse(id,
+        fail(s"injected doc $id missing from scrub census"))
+      assert(removed >= DedupQueries.SubSpan.toLong,
+        s"doc $id removed only $removed < planted ${DedupQueries.SubSpan}")
+      assert(tot == nTok(id) + DedupQueries.SubSpan && kept == tot - removed)
+    }
+  }
+
   test("the gated query recovers every injected donor span from the fixture") {
     val out = DedupQueries.qSubstringDedup(spark, dir).collect()
     val docsDf = spark.read.parquet(s"$dir/documents.parquet")
