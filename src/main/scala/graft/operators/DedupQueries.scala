@@ -1356,7 +1356,66 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** VERBATIM train→eval SPAN CONTAMINATION — the eval-benchmark leak
+    * gate at the Lee-et-al token-window standard, completing the
+    * substring family (census → removal → cross-split gate):
+    * `q_contamination` measures SHINGLE-set overlap ratios (a
+    * paraphrase-grade signal); this operator finds exact [[SubW]]-token
+    * spans of an EVAL document that appear verbatim in any TRAIN
+    * document — the signal that says "this benchmark item is in the
+    * training set", which no overlap ratio pins. The split is the
+    * same content-hash coin as `q_train_split` (applied to the
+    * injected corpus so both engines agree on one corpus definition);
+    * windows, df cap and run collapse are [[qSubstringDedup]]'s
+    * machinery restricted to eval × train pairs. Output per leaked
+    * EVAL doc: token count, distinct leaked token positions (union
+    * coverage), the longest verbatim leak span, and how many train
+    * docs it leaks from.
+    *
+    * 100 TB shape: identical to the census query — the split tag is
+    * a map-side column, the eval×train restriction only SHRINKS the
+    * window join's sides, and the per-eval-doc aggregates are keyed
+    * group-bys over frames bounded by document length.
+    */
+  def qSpanContamination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = substringCorpus(spark, dir)
+      .withColumn("is_train",
+        substring(md5(concat(lit("split1|"), col("text"))), 1, 1) < "d")
+    val flags = corpus.select(col("doc_id"), col("is_train"))
+    val kept = substringWindows(corpus.select(col("doc_id"), col("text")))
+    val evalW = kept.join(flags.filter(!col("is_train")), Seq("doc_id"))
+      .select(col("doc_id").as("e_id"), col("p").as("pe"), col("wh"))
+    val trainW = kept.join(flags.filter(col("is_train")), Seq("doc_id"))
+      .select(col("doc_id").as("t_id"), col("p").as("pt"), col("wh"))
+    val hits = evalW.join(trainW, Seq("wh"))
+      .select(col("e_id"), col("t_id"), col("pe"), col("pt")).distinct()
+    val w = Window.partitionBy(col("e_id"), col("t_id"), col("dg"))
+      .orderBy(col("pe"))
+    val spans = hits.withColumn("dg", col("pe") - col("pt"))
+      .withColumn("isl", col("pe") - row_number().over(w))
+      .groupBy(col("e_id"), col("t_id"), col("dg"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("e_id"))
+      .agg((max(col("run")) + (SubW - 1)).cast("long").as("max_leak_span"),
+        countDistinct(col("t_id")).cast("long").as("n_train_docs"))
+    val coverage = hits
+      .select(col("e_id"),
+        explode(sequence(col("pe"), col("pe") + (SubW - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("e_id")).agg(count(lit(1)).cast("long").as("leaked_tokens"))
+    corpus.filter(!col("is_train"))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(spans, col("doc_id") === col("e_id"))
+      .join(coverage, Seq("e_id"))
+      .select(col("doc_id"), col("n_tokens"), col("leaked_tokens"),
+        col("max_leak_span"), col("n_train_docs"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_contamination" -> (qSpanContamination _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_substring_scrub" -> (qSubstringScrub _),
     "q_minhash_lsh" -> (qMinhashLsh _),
@@ -1436,6 +1495,57 @@ object DedupQueries {
          |       CAST(max(run) + ${SubW - 1} AS BIGINT) AS max_span,
          |       CAST(sum(run) AS BIGINT) AS n_matches
          |FROM rl GROUP BY i, j ORDER BY i, j""".stripMargin,
+    // the cross-split gate: same base/wins/cool construction with the
+    // q_train_split coin, eval x train window hits, run collapse and
+    // union coverage per eval doc
+    "q_span_contamination" ->
+      s"""WITH base AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN dn.b_text IS NOT NULL
+         |                   AND len(string_split(dn.b_text, ' ')) >= ${SubSpan + 1}
+         |              THEN d.text || ' ' ||
+         |                   array_to_string(string_split(dn.b_text, ' ')[2:${SubSpan + 1}], ' ')
+         |              ELSE d.text END AS text
+         |  FROM documents d
+         |  LEFT JOIN (SELECT doc_id AS b_id, text AS b_text FROM documents) dn
+         |    ON d.doc_id % 10 = 3 AND d.doc_id - 1 = dn.b_id),
+         |sp AS (SELECT doc_id, text,
+         |              substr(md5('split1|' || text), 1, 1) < 'd' AS is_train
+         |       FROM base),
+         |toks AS (SELECT doc_id, is_train, string_split(text, ' ') AS tk FROM sp
+         |         WHERE len(string_split(text, ' ')) >= $SubW),
+         |wins AS (SELECT doc_id, is_train, i AS p,
+         |                md5(array_to_string(tk[i:i+${SubW - 1}], ' ')) AS wh
+         |         FROM toks, unnest(generate_series(1, len(tk) - ${SubW - 1})) AS u(i)),
+         |cool AS (SELECT wh FROM wins GROUP BY wh
+         |         HAVING count(DISTINCT doc_id) <= $SubCap),
+         |kept AS (SELECT w.doc_id, w.is_train, w.p, w.wh
+         |         FROM wins w JOIN cool USING (wh)),
+         |hits AS (SELECT DISTINCT e.doc_id AS e_id, t.doc_id AS t_id,
+         |                e.p AS pe, t.p AS pt
+         |         FROM kept e JOIN kept t ON e.wh = t.wh
+         |         WHERE NOT e.is_train AND t.is_train),
+         |runs AS (SELECT e_id, t_id, pe - pt AS dg,
+         |                pe - row_number() OVER (PARTITION BY e_id, t_id, pe - pt
+         |                                        ORDER BY pe) AS isl
+         |         FROM hits),
+         |rl AS (SELECT e_id, t_id, dg, isl, count(*) AS run
+         |       FROM runs GROUP BY 1, 2, 3, 4),
+         |spans AS (SELECT e_id,
+         |                 CAST(max(run) + ${SubW - 1} AS BIGINT) AS max_leak_span,
+         |                 CAST(count(DISTINCT t_id) AS BIGINT) AS n_train_docs
+         |          FROM rl GROUP BY e_id),
+         |cov AS (SELECT e_id, CAST(count(*) AS BIGINT) AS leaked_tokens
+         |        FROM (SELECT DISTINCT e_id, pe + o AS pos
+         |              FROM hits, unnest(generate_series(0, ${SubW - 1})) AS u(o)) c
+         |        GROUP BY e_id)
+         |SELECT sp.doc_id,
+         |       CAST(len(string_split(sp.text, ' ')) AS BIGINT) AS n_tokens,
+         |       cov.leaked_tokens, spans.max_leak_span, spans.n_train_docs
+         |FROM sp JOIN spans ON sp.doc_id = spans.e_id
+         |JOIN cov ON sp.doc_id = cov.e_id
+         |WHERE NOT sp.is_train
+         |ORDER BY sp.doc_id""".stripMargin,
     // the removal half: same base/wins/cool construction, then the
     // smaller-id duplicated-window semi-join, coverage expansion, and
     // the per-doc scrub census

@@ -109,6 +109,41 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("span contamination: every injected eval doc with a train donor is flagged at >= the planted span; no train doc ever appears") {
+    val out = DedupQueries.qSpanContamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    import spark.implicits._
+    val texts = docsDf.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    def injectedText(id: Long): String = {
+      val donor = texts.get(id - 1)
+      if (id % 10 == 3 && donor.exists(_.split(" ").length >= DedupQueries.SubSpan + 1))
+        texts(id) + " " + donor.get.split(" ").slice(1, 1 + DedupQueries.SubSpan).mkString(" ")
+      else texts(id)
+    }
+    def isTrain(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("split1|" + injectedText(id)).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md.charAt(0) < 'd'
+    }
+    // injected pairs whose eval/train sides cross the split
+    val mustFlag = texts.keys.filter { id =>
+      id % 10 == 3 &&
+        texts.get(id - 1).exists(_.split(" ").length >= DedupQueries.SubSpan + 1) &&
+        !isTrain(id) && isTrain(id - 1)
+    }.toSeq.sorted
+    assert(mustFlag.nonEmpty, "fixture produced no cross-split injected pair")
+    mustFlag.foreach { id =>
+      val (leaked, span) = out.getOrElse(id,
+        fail(s"cross-split injected eval doc $id not flagged"))
+      assert(span >= DedupQueries.SubSpan.toLong && leaked >= DedupQueries.SubSpan.toLong)
+    }
+    // output rows are EVAL docs only
+    out.keys.foreach(id => assert(!isTrain(id), s"train doc $id in the output"))
+  }
+
   test("the gated query recovers every injected donor span from the fixture") {
     val out = DedupQueries.qSubstringDedup(spark, dir).collect()
     val docsDf = spark.read.parquet(s"$dir/documents.parquet")
