@@ -1284,7 +1284,12 @@ object DedupQueries {
   /** The df-capped window frame both substring operators share: one
     * row per (doc_id, position, window-hash), windows hotter than
     * [[SubCap]] docs excluded. slice/array_join/md5 are codegen'd
-    * builtins (no interpreted HOF lambda in the per-window path).
+    * builtins (no interpreted HOF lambda in the per-window path). The
+    * hash key is md5 truncated to 16 hex chars (64 bits): it is
+    * join-only (never output), both engines truncate the SAME md5 so
+    * even a collision agrees cross-engine, and halving the key halves
+    * the dominant shuffle bytes of the df census and the cross-doc
+    * join.
     * The frame is stage-cut with a `localCheckpoint` (the
     * [[cappedPairs]] precedent): its consumers reference it 2-3 times
     * (the df census plus both sides of a self-join), and without the
@@ -1300,7 +1305,8 @@ object DedupQueries {
       .select(col("doc_id"), col("tk"),
         explode(sequence(lit(1), size(col("tk")) - (SubW - 1))).as("p"))
       .select(col("doc_id"), col("p"),
-        md5(array_join(slice(col("tk"), col("p"), lit(SubW)), " ")).as("wh"))
+        substring(md5(array_join(slice(col("tk"), col("p"), lit(SubW)), " ")),
+          1, 16).as("wh"))
       .localCheckpoint()
     val cool = wins.groupBy(col("wh"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -1480,7 +1486,7 @@ object DedupQueries {
          |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base
          |         WHERE len(string_split(text, ' ')) >= $SubW),
          |wins AS (SELECT doc_id, i AS p,
-         |                md5(array_to_string(tk[i:i+${SubW - 1}], ' ')) AS wh
+         |                substr(md5(array_to_string(tk[i:i+${SubW - 1}], ' ')), 1, 16) AS wh
          |         FROM toks, unnest(generate_series(1, len(tk) - ${SubW - 1})) AS u(i)),
          |cool AS (SELECT wh FROM wins GROUP BY wh
          |         HAVING count(DISTINCT doc_id) <= $SubCap),
@@ -1515,7 +1521,7 @@ object DedupQueries {
          |toks AS (SELECT doc_id, is_train, string_split(text, ' ') AS tk FROM sp
          |         WHERE len(string_split(text, ' ')) >= $SubW),
          |wins AS (SELECT doc_id, is_train, i AS p,
-         |                md5(array_to_string(tk[i:i+${SubW - 1}], ' ')) AS wh
+         |                substr(md5(array_to_string(tk[i:i+${SubW - 1}], ' ')), 1, 16) AS wh
          |         FROM toks, unnest(generate_series(1, len(tk) - ${SubW - 1})) AS u(i)),
          |cool AS (SELECT wh FROM wins GROUP BY wh
          |         HAVING count(DISTINCT doc_id) <= $SubCap),
@@ -1563,7 +1569,7 @@ object DedupQueries {
          |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base
          |         WHERE len(string_split(text, ' ')) >= $SubW),
          |wins AS (SELECT doc_id, i AS p,
-         |                md5(array_to_string(tk[i:i+${SubW - 1}], ' ')) AS wh
+         |                substr(md5(array_to_string(tk[i:i+${SubW - 1}], ' ')), 1, 16) AS wh
          |         FROM toks, unnest(generate_series(1, len(tk) - ${SubW - 1})) AS u(i)),
          |cool AS (SELECT wh FROM wins GROUP BY wh
          |         HAVING count(DISTINCT doc_id) <= $SubCap),
