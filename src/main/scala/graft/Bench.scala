@@ -92,7 +92,11 @@ object Bench {
     // total (the min-of-k asymmetry BASELINE.md disclosed). Now every
     // measured query is template-warm BY POLICY, uniformly, and the
     // build cost is its own visible number.
-    val fixtureSecs = graft.operators.FixtureTemplates.prewarm(spark, sfDir)
+    // A SPARK_GRAFT_ONLY-restricted iteration loop pre-builds only the
+    // templates its selected queries consume (registry-declared), so
+    // measuring one query never pays every other store's build.
+    val fixtureSecs =
+      graft.operators.FixtureTemplates.prewarm(spark, sfDir, only)
     // Untimed throwaway of the alphabetically-first query: the range()
     // warm-up above doesn't touch the parquet read stack (footer
     // decode, FileSourceStrategy, vectorized reader codegen), so the

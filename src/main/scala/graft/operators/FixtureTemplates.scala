@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** The CANONICAL builder per fixture-template kind — the single place
   * a `(kind, sfDir)` template's content is defined, consumed by both
@@ -20,52 +19,66 @@ import org.apache.spark.sql.functions._
   * them all, reporting template seconds as their own JSON field.
   *
   * Builders here only NAME functions owned by the operator objects
-  * (the build logic stays beside the operators it serves); the kinds
-  * and their consumers:
-  *  - `ivf_full`    — full-corpus IVF store (q_ivf_persisted)
-  *  - `ivf_evens`   — even-id-corpus IVF store, centroids frozen there
-  *                    (q_ivf_append)
-  *  - `ivf_labeled` — label-partitioned IVF store (q_ivf_filtered)
-  *  - `pq_full`     — IVF-PQ cells + codebooks + codes (q_ivf_pq,
-  *                    q_pq_filtered)
-  *  - `embed_evens[, _checked]` — even-id sign-LSH store (the ~17
-  *                    store-lifecycle queries; checked variant carries
-  *                    the `check=` tag)
-  *  - `embed_dml`   — the evens store taken through MERGE + DELETE
-  *                    (q_store_cdc, q_stream_store_cdc,
-  *                    q_stream_cdc_matview — their work is READING
-  *                    this history, not producing it)
-  *  - `cluster_base` — even-id connected-components assignment
-  *                    (q_cluster_append, q_stream_cluster_append)
-  *  - `lsh_bands`   — even-corpus MinHash band store (q_neardup_ingest,
-  *                    q_neardup_append)
-  *  - `text_ba` / `text_full` / `text_70` — positional inverted-index
-  *                    stores at 90%+decile / 100% / 70% corpus slices
-  *                    (q_bm25_persisted, q_phrase, q_text_optimize,
-  *                    q_text_delete, q_stream_text_index)
+  * (the build logic stays beside the operators it serves). Each entry
+  * also enumerates its CONSUMERS — the gated query names whose
+  * execution clones (or probes) the template — so a restricted run
+  * ([[graft.Bench]]'s `SPARK_GRAFT_ONLY` iteration loop) pre-builds
+  * only the templates its selected queries will actually open,
+  * instead of paying every store build to time one query.
   */
 object FixtureTemplates {
 
-  /** kind -> builder(spark, sfDir, templateDir). Each builder is pure
-    * in `(kind, sfDir)` — the [[graft.sources.StoreFixtures]] cache
-    * contract.
+  /** One registered template kind: its single canonical builder
+    * (pure in `(kind, sfDir)` — the [[graft.sources.StoreFixtures]]
+    * cache contract) and the gated queries that consume it.
     */
-  val all: Seq[(String, (SparkSession, String, String) => Unit)] = Seq(
-    "cluster_base" -> (DedupQueries.buildClusterBaseTemplate _),
-    "embed_dml" -> (SimilarityQueries.buildEmbedDmlTemplate _),
-    "embed_evens" -> (SimilarityQueries.buildEmbedStore _),
-    "embed_evens_checked" -> (SimilarityQueries.buildEmbedStoreChecked _),
-    "ivf_evens" -> (SimilarityQueries.buildIvfEvensTemplate _),
-    "ivf_full" -> (SimilarityQueries.buildIvfIndex _),
-    "ivf_labeled" -> (SimilarityQueries.buildLabeledIvfStore _),
-    "lsh_bands" -> (DedupQueries.buildLshStore _),
-    "pq_full" -> ((s: SparkSession, dir: String, d: String) =>
-      SimilarityQueries.buildPqStore(s, dir, d)),
-    "text_70" -> (RetrievalQueries.buildText70Template _),
-    "text_ba" -> (RetrievalQueries.buildTextBaTemplate _),
-    "text_full" -> (RetrievalQueries.buildTextFullTemplate _))
+  final case class Template(
+      kind: String,
+      consumers: Set[String],
+      build: (SparkSession, String, String) => Unit)
 
-  private val byKind = all.toMap
+  val all: Seq[Template] = Seq(
+    Template("cluster_base",
+      Set("q_cluster_append", "q_stream_cluster_append"),
+      DedupQueries.buildClusterBaseTemplate _),
+    Template("embed_dml",
+      Set("q_store_cdc", "q_stream_store_cdc", "q_stream_cdc_matview"),
+      SimilarityQueries.buildEmbedDmlTemplate _),
+    Template("embed_evens",
+      Set("q_embed_append", "q_embed_ingest", "q_store_asof",
+        "q_store_changes", "q_store_clone", "q_store_delete",
+        "q_store_history", "q_store_incremental", "q_store_lookup",
+        "q_store_matview", "q_store_merge", "q_store_optimize",
+        "q_store_restore", "q_store_update", "q_store_vacuum",
+        "q_stream_index_append", "q_stream_store_follow"),
+      SimilarityQueries.buildEmbedStore _),
+    Template("embed_evens_checked",
+      Set("q_store_constraint", "q_stream_quarantine"),
+      SimilarityQueries.buildEmbedStoreChecked _),
+    Template("ivf_evens", Set("q_ivf_append"),
+      SimilarityQueries.buildIvfEvensTemplate _),
+    Template("ivf_full", Set("q_ivf_persisted"),
+      SimilarityQueries.buildIvfIndex _),
+    Template("ivf_labeled", Set("q_ivf_filtered"),
+      SimilarityQueries.buildLabeledIvfStore _),
+    Template("lsh_bands", Set("q_neardup_append", "q_neardup_ingest"),
+      DedupQueries.buildLshStore _),
+    Template("pq_full", Set("q_ivf_pq", "q_pq_filtered"),
+      (s: SparkSession, dir: String, d: String) =>
+        SimilarityQueries.buildPqStore(s, dir, d)),
+    Template("sub_windows",
+      Set("q_substring_dedup", "q_substring_scrub", "q_span_contamination",
+        "q_stream_contamination"),
+      DedupQueries.buildSubWindowsTemplate _),
+    Template("text_70", Set("q_stream_text_index"),
+      RetrievalQueries.buildText70Template _),
+    Template("text_ba",
+      Set("q_bm25_persisted", "q_phrase", "q_proximity", "q_text_optimize"),
+      RetrievalQueries.buildTextBaTemplate _),
+    Template("text_full", Set("q_text_delete"),
+      RetrievalQueries.buildTextFullTemplate _))
+
+  private val byKind = all.map(t => t.kind -> t).toMap
 
   /** The query-side entry: copy `(kind, sfDir)`'s template into `dest`
     * (building it first iff this process hasn't), using the ONE
@@ -74,19 +87,38 @@ object FixtureTemplates {
   def cloneInto(kind: String, spark: SparkSession, sfDir: String,
       dest: String): Unit =
     graft.sources.StoreFixtures.cloneInto(kind, sfDir, dest)(
-      d => byKind(kind)(spark, sfDir, d))
+      d => byKind(kind).build(spark, sfDir, d))
 
-  /** Pre-build every registered template for `sfDir`, returning
+  /** The `(kind, sfDir)` template path for READ-ONLY consumers —
+    * probes that never commit against the store read the shared
+    * template in place ([[graft.sources.StoreFixtures.readOnlyTemplate]]'s
+    * immutability contract) instead of paying a byte-copy per query.
+    */
+  def readOnlyPath(kind: String, spark: SparkSession, sfDir: String): String =
+    graft.sources.StoreFixtures.readOnlyTemplate(kind, sfDir)(
+      d => byKind(kind).build(spark, sfDir, d))
+
+  /** Pre-build the registered templates for `sfDir`, returning
     * per-kind build seconds (0 when already cached). [[graft.Bench]]
     * runs this in its untimed warm-up and discloses the seconds as a
     * separate JSON field — template cost is real, reported, and
     * outside every per-query measurement.
+    *
+    * `selected`, when present (a `SPARK_GRAFT_ONLY`-restricted run),
+    * limits the warm-up to kinds at least one selected query
+    * consumes: a single-query optimization loop must not pay every
+    * other store's one-time build (~43 s at sf0.1 / ~126 s at sf1 of
+    * untimed wall per iteration). An unrestricted run (`None`)
+    * pre-builds everything, keeping the full bench's uniform
+    * template-warm policy.
     */
-  def prewarm(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
-    all.map { case (kind, b) =>
-      val t0 = System.nanoTime()
-      graft.sources.StoreFixtures.ensureTemplate(kind, sfDir)(
-        d => b(spark, sfDir, d))
-      (kind, (System.nanoTime() - t0) / 1e9)
-    }
+  def prewarm(spark: SparkSession, sfDir: String,
+      selected: Option[Set[String]] = None): Seq[(String, Double)] =
+    all.filter(t => selected.forall(q => (q & t.consumers).nonEmpty))
+      .map { t =>
+        val t0 = System.nanoTime()
+        graft.sources.StoreFixtures.ensureTemplate(t.kind, sfDir)(
+          d => t.build(spark, sfDir, d))
+        (t.kind, (System.nanoTime() - t0) / 1e9)
+      }
 }

@@ -1015,6 +1015,90 @@ object StreamingQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** STREAMING span-contamination gate — the live-ingest half of the
+    * persisted substring window store, mirroring [[qStreamTextIndex]]:
+    * a production eval-set firewall is exactly this loop — the train
+    * corpus's window index is BUILT ONCE (the `sub_windows` store,
+    * probed read-only here), and eval documents arrive as an unbounded
+    * feed whose every micro-batch hashes ITS OWN windows, probes the
+    * stored train windows, and commits its leak-census rows
+    * exactly-once (`ingest-batch=<id>` tag guard — a replayed batch
+    * commits nothing, [[DedupQueries.commitContamBatch]]). The eval
+    * split arrives in two doc_id-parity slices, one micro-batch each
+    * (two engine passes exercise every cross-batch contract at
+    * harness floor). Because batches partition the eval docs and the
+    * census is per-eval-doc, the drained result store reads
+    * row-identical to `q_span_contamination`'s one-shot answer —
+    * ONE oracle text gates both.
+    *
+    * 100 TB shape: per-batch cost is hash-the-BATCH + a df-capped
+    * equi-join into the stored train windows — the train corpus is
+    * never re-read, never re-hashed; that is the difference between a
+    * contamination gate that can run on every eval refresh and one
+    * that re-pays the corpus per batch.
+    */
+  def qStreamContamination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val ss = streamSession(spark)
+    // ensure the train-side store template exists BEFORE the stream
+    // starts (read-only probe; the prewarm registry builds it untimed)
+    val trainBase = graft.operators.FixtureTemplates.readOnlyPath(
+      "sub_windows", ss, dir)
+    val resBase = Files.createTempDirectory("graft_contam_store").toString
+    val inDir = Files.createTempDirectory("graft_contam_in").toString
+    val ckpt = Files.createTempDirectory("graft_contam_ckpt").toString
+    val stage = Files.createTempDirectory("graft_contam_stage").toString
+    try {
+      // the eval feed: the injected corpus's eval split, staged in ONE
+      // pass and moved in mtime-deterministic order (the
+      // qStreamTextIndex staging pattern), two parity slices
+      DedupQueries.splitFlagged(DedupQueries.substringCorpus(ss, dir))
+        .filter(!col("is_train"))
+        .select(col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(2)).cast("int").as("sl"))
+        .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
+      (0 until 2).foreach { s =>
+        appendOrderedAfter(inDir) {
+          graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
+            .zipWithIndex.foreach { case (f, k) =>
+              Files.move(Paths.get(f), Paths.get(inDir, s"slice-$s-$k.parquet"))
+            }
+        }
+      }
+      graft.Fs.deleteRecursively(stage)
+      val feedSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val q = ss.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          DedupQueries.commitContamBatch(ss, batch, trainBase, resBase, batchId)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } catch {
+      case e: Throwable =>
+        Seq(resBase, inDir, ckpt, stage).foreach(d =>
+          Try(graft.Fs.deleteRecursively(d)))
+        throw e
+    }
+    lease("q_stream_contamination", Seq(resBase, inDir, ckpt))
+    val files = graft.sources.IndexCatalog.latestFiles(resBase)
+    if (files.isEmpty) {
+      import ss.implicits._
+      Seq.empty[(Long, Long, Long, Long, Long)].toDF(
+        "doc_id", "n_tokens", "leaked_tokens", "max_leak_span", "n_train_docs")
+    } else
+      ss.read.option("basePath", s"$resBase/rows").parquet(files: _*)
+        .select(col("doc_id"), col("n_tokens"), col("leaked_tokens"),
+          col("max_leak_span"), col("n_train_docs"))
+        .orderBy("doc_id")
+  }
+
   /** One micro-batch's CONSTRAINT-ROUTED ingest (shared with the
     * spec's replay test): resolve the store's declared CHECK
     * constraint from its manifest tags, split the batch row-level,
@@ -1827,6 +1911,7 @@ object StreamingQueries {
     "q_stream_index_append" -> (qStreamIndexAppend _),
     "q_stream_txn" -> (qStreamTxn _),
     "q_stream_text_index" -> (qStreamTextIndex _),
+    "q_stream_contamination" -> (qStreamContamination _),
     "q_stream_quarantine" -> (qStreamQuarantine _),
     "q_stream_cluster_append" -> (qStreamClusterAppend _),
     "q_stream_funnel" -> (qStreamFunnel _),
@@ -1962,6 +2047,9 @@ object StreamingQueries {
     // full corpus, so the probe is bit-equal to the direct BM25
     // ranking — q_bm25's oracle text gates build + stream + probe
     "q_stream_text_index" -> RetrievalQueries.oracles("q_bm25"),
+    // the streamed gate re-answers the batch query's census from its
+    // per-micro-batch commits — one oracle text gates both
+    "q_stream_contamination" -> DedupQueries.oracles("q_span_contamination"),
     // routed ingest: the store census runs the sign/bucket pipeline
     // over corpus ∪ the CLEAN feed half (vec_id % 8 == 1 — the % 8 ==
     // 5 half was poisoned upstream and must never index), the

@@ -165,6 +165,38 @@ class IndexCatalogOps(val fs: CatalogFs) {
         lines.collectFirst { case l if l.startsWith("?txn:") => l.drop(5) })
   }
 
+  /** Once-decided markers memoized in-process: a decision is a
+    * WRITE-ONCE fact (the create-if-absent CAS is the only writer),
+    * so once a verdict has been observed the cache can never go stale
+    * — without it every resolution walk re-reads and re-parses the
+    * same immutable file twice per txn-participant version
+    * ([[txnDecision]] + [[txnParticipants]] inside
+    * [[manifestApplies]]), turning hot-path version resolution into
+    * repeated filesystem reads. Undecided (absent) markers are NEVER
+    * cached: in-doubt is the one state that changes.
+    */
+  private val decidedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Option[Set[(String, Int)]])]()
+
+  /** Read + parse + memoize a decided marker: `(verdict,
+    * participants)` once the file exists, None while in doubt.
+    */
+  private def readDecision(
+      marker: String): Option[(String, Option[Set[(String, Int)]])] = {
+    val cached = decidedCache.get(marker)
+    if (cached != null) return Some(cached)
+    if (!fs.exists(marker)) return None
+    val lines = fs.readString(marker).trim.linesIterator.toSeq
+    val verdict = lines.head.trim
+    val parts = lines.drop(1).filter(_.contains("@")).map { l =>
+      val i = l.indexOf('@')
+      (normBase(l.substring(i + 1)), l.substring(0, i).toInt)
+    }
+    val parsed = (verdict, if (parts.isEmpty) None else Some(parts.toSet))
+    decidedCache.putIfAbsent(marker, parsed)
+    Some(parsed)
+  }
+
   /** The decision of the multi-store transaction whose decision file
     * is `marker`: `Some("commit")` / `Some("abort")` once decided,
     * `None` while in doubt. The decision is a SINGLE create-if-absent
@@ -172,12 +204,11 @@ class IndexCatalogOps(val fs: CatalogFs) {
     * race has exactly one winner and every reader agrees forever. A
     * commit written by [[commitTxn]] also ENUMERATES its participants
     * (`<version>@<base>` lines, see [[txnParticipants]]); the verdict
-    * line alone answers this lookup.
+    * line alone answers this lookup. Decided lookups are memoized
+    * ([[readDecision]]) — decisions are immutable once written.
     */
   def txnDecision(marker: String): Option[String] =
-    if (fs.exists(marker))
-      Some(fs.readString(marker).trim.linesIterator.next().trim)
-    else None
+    readDecision(marker).map(_._1)
 
   /** The `(base, version)` participants a COMMIT decision enumerates,
     * or None when the decision carries no list (abort verdicts, and
@@ -188,22 +219,29 @@ class IndexCatalogOps(val fs: CatalogFs) {
     * after the decision can never be in the list, so it can never
     * become visible (see [[manifestApplies]]).
     */
-  def txnParticipants(marker: String): Option[Set[(String, Int)]] = {
-    if (!fs.exists(marker)) return None
-    val lines = fs.readString(marker).trim.linesIterator.toSeq
-    val parts = lines.drop(1).filter(_.contains("@")).map { l =>
-      val i = l.indexOf('@')
-      (normBase(l.substring(i + 1)), l.substring(0, i).toInt)
-    }
-    if (parts.isEmpty) None else Some(parts.toSet)
-  }
+  def txnParticipants(marker: String): Option[Set[(String, Int)]] =
+    readDecision(marker).flatMap(_._2)
 
   /** Canonical store identity for participant membership: prepare-side
-    * and read-side base strings must agree even when one is relative
-    * or carries redundant path segments.
+    * and read-side base strings must agree even when one is relative,
+    * carries redundant segments, or reaches the store THROUGH A
+    * SYMLINK. Lexical normalization alone is not enough for the last
+    * case — a symlinked store root normalizes to the link's spelling
+    * on one side and the target's on the other, and a committed
+    * participant would then silently resolve as a permanent no-op
+    * (membership rejection = data invisibility). `toRealPath`
+    * resolves links against the live filesystem; a path that no
+    * longer exists falls back to lexical normalization — by then no
+    * reader can resolve manifests under it anyway. Both the write
+    * side ([[decideTxn]]) and every read side re-canonicalize through
+    * this one function, so even decision files recorded under the
+    * old lexical form compare equal once re-normalized.
     */
-  private def normBase(base: String): String =
-    Paths.get(base).toAbsolutePath.normalize.toString
+  private def normBase(base: String): String = {
+    val p = Paths.get(base)
+    try p.toRealPath().toString
+    catch { case _: java.io.IOException => p.toAbsolutePath.normalize.toString }
+  }
 
   /** Decide the transaction at `marker` with `verdict` ("commit" or
     * "abort") and return the ACTUAL decision — the first writer's, if
@@ -228,7 +266,10 @@ class IndexCatalogOps(val fs: CatalogFs) {
     val content = (verdict +: participants.map { case (b, v) =>
       s"$v@${normBase(b)}" }).mkString("\n")
     fs.publishIfAbsent(marker, content)
-    fs.readString(marker).trim.linesIterator.next().trim
+    // read back through the memoizing parse: the winner may be a
+    // RACING decider, and its (verdict, participants) is what every
+    // later lookup must see
+    readDecision(marker).get._1
   }
 
   /** Whether version `v`'s manifest content APPLIES to resolution —

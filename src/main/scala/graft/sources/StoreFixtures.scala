@@ -59,6 +59,21 @@ object StoreFixtures {
     ()
   }
 
+  /** The template directory itself, for READ-ONLY consumers: probes
+    * that never mutate the store (no commits, no vacuum, no restore)
+    * may read the shared template in place instead of paying a
+    * byte-copy per query — the copy exists to isolate MUTATION, and a
+    * pure reader of an immutable store needs no isolation. Contract:
+    * the caller must treat the returned path as immutable; a consumer
+    * that writes even one version must use [[cloneInto]] or it would
+    * poison every later consumer's template.
+    */
+  def readOnlyTemplate(kind: String, sfDir: String)(
+      build: String => Unit): String = {
+    ensureTemplate(kind, sfDir)(build)
+    cache.get(s"$kind|$sfDir")
+  }
+
   /** Copy the `(kind, sfDir)` fixture store into `dest`, building the
     * template first iff this process hasn't yet. `build` must be a
     * pure function of `(kind, sfDir)` — same content every time — or

@@ -1,0 +1,164 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted substring window store contracts: a probe of (build ∪
+  * append) is row-identical to a one-shot rebuild over the union
+  * corpus (including the df cap summing generation PARTIALS — a
+  * window pushed over the cap BY an append disappears), committed
+  * generations are byte-immutable under append, the store probes
+  * answer exactly what the inline forms compute, and the streaming
+  * gate's per-batch commit is replay-idempotent.
+  */
+class SubWindowsStoreSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_subwin_spec").toString
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  private def census(base: String): Seq[(Long, Long, Long, Long)] =
+    DedupQueries.substringSpansOf(DedupQueries.storedKeptWindows(spark, base))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("append equals rebuild: cross-generation spans are found and df partials sum exactly at the cap boundary") {
+    val span = words("dup", 12)
+    val boiler = words("hot", 8) // one window, shared by 70 docs total
+    // batch A: the span's keeper, 40 boiler carriers, a short doc
+    val a = Seq(
+      (1L, words("alpha", 10) + " " + span),
+      (2L, words("tiny", 3))) ++ // < W tokens: no windows, still a doc row
+      (100L until 140L).map(i => (i, words(s"fillA$i-", 4) + " " + boiler))
+    // batch B (disjoint ids): the span's dup + 30 more boiler carriers
+    // — 40 + 30 = 70 > SubCap(64), so the boiler window must vanish
+    // from probes ONLY once both generations are in
+    val b = Seq((51L, words("beta", 20) + " " + span)) ++
+      (200L until 230L).map(i => (i, words(s"fillB$i-", 4) + " " + boiler))
+
+    val grown = tmp()
+    val rebuilt = tmp()
+    try {
+      DedupQueries.writeSubWindowsGen(spark, docs(a), grown)
+      DedupQueries.writeSubWindowsGen(spark, docs(b), grown)
+      DedupQueries.writeSubWindowsGen(spark, docs(a ++ b), rebuilt)
+      assert(graft.sources.IndexCatalog.currentVersion(grown) == 2)
+      assert(graft.sources.IndexCatalog.currentVersion(rebuilt) == 1)
+      val g = census(grown)
+      assert(g == census(rebuilt), "grown store census != one-shot rebuild")
+      // the cross-batch span pair is present at exact span algebra;
+      // no boiler-driven pair survives the summed df cap
+      assert(g.contains((1L, 51L, 12L, 5L)), s"cross-generation span missing: $g")
+      assert(!g.exists { case (i, j, _, _) => i >= 100L || j >= 200L },
+        s"over-cap boiler window produced pairs: $g")
+      // scrub agrees too (the removal path reads the same store)
+      val scrubG = DedupQueries.substringScrubCensusOf(
+        DedupQueries.storedKeptWindows(spark, grown),
+        DedupQueries.storedDocs(spark, grown).select(col("doc_id"), col("n_tokens")))
+        .collect().map(_.toSeq)
+      val scrubR = DedupQueries.substringScrubCensusOf(
+        DedupQueries.storedKeptWindows(spark, rebuilt),
+        DedupQueries.storedDocs(spark, rebuilt).select(col("doc_id"), col("n_tokens")))
+        .collect().map(_.toSeq)
+      assert(scrubG.toSeq == scrubR.toSeq)
+      // per-doc metadata covers the window-less short doc
+      val meta = DedupQueries.storedDocs(spark, grown)
+        .filter(col("doc_id") === 2L).collect()
+      assert(meta.length == 1 && meta(0).getLong(1) == 3L,
+        "short (window-less) doc missing from the stored doc metadata")
+    } finally Seq(grown, rebuilt).foreach(graft.Fs.deleteRecursively)
+  }
+
+  test("committed generations are byte-immutable under append") {
+    val base = tmp()
+    try {
+      DedupQueries.writeSubWindowsGen(spark,
+        docs(Seq((1L, words("alpha", 30)), (2L, words("beta", 30)))), base)
+      val v1 = graft.sources.IndexCatalog.files(base, 1)
+      val before = v1.map(f => f -> Files.readAllBytes(Paths.get(f)).toSeq).toMap
+      DedupQueries.writeSubWindowsGen(spark,
+        docs(Seq((3L, words("gamma", 30)))), base)
+      // v1 resolves to the same paths, and every byte is unchanged
+      assert(graft.sources.IndexCatalog.files(base, 1) == v1)
+      v1.foreach { f =>
+        assert(Files.readAllBytes(Paths.get(f)).toSeq == before(f),
+          s"append rewrote committed file $f")
+      }
+      // v2 is a strict superset: old files all still live
+      val v2 = graft.sources.IndexCatalog.files(base, 2)
+      assert(v1.toSet.subsetOf(v2.toSet))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("store probes equal the inline forms on the injected fixture corpus") {
+    val base = tmp()
+    try {
+      val corpus = DedupQueries.substringCorpus(spark, "/root/testdata/sf0.001")
+      DedupQueries.writeSubWindowsGen(spark, corpus, base)
+      val inline = DedupQueries.substringSpans(corpus).collect().map(_.toSeq)
+      assert(census(base).map(t => Seq(t._1, t._2, t._3, t._4)) == inline.toSeq,
+        "store census != inline census")
+      val inlineScrub = DedupQueries.substringScrubCensus(corpus)
+        .collect().map(_.toSeq)
+      val storeScrub = DedupQueries.substringScrubCensusOf(
+        DedupQueries.storedKeptWindows(spark, base),
+        DedupQueries.storedDocs(spark, base).select(col("doc_id"), col("n_tokens")))
+        .collect().map(_.toSeq)
+      assert(storeScrub.toSeq == inlineScrub.toSeq, "store scrub != inline scrub")
+      val inlineContam = DedupQueries.spanContamination(corpus)
+        .collect().map(_.toSeq)
+      val kept = DedupQueries.storedKeptWindows(spark, base)
+      val storeContam = DedupQueries.spanLeakCensus(
+        kept.filter(!col("is_train"))
+          .select(col("doc_id").as("e_id"), col("p").as("pe"), col("wh")),
+        kept.filter(col("is_train"))
+          .select(col("doc_id").as("t_id"), col("p").as("pt"), col("wh")),
+        DedupQueries.storedDocs(spark, base).filter(!col("is_train"))
+          .select(col("doc_id"), col("n_tokens")))
+        .collect().map(_.toSeq)
+      assert(storeContam.toSeq == inlineContam.toSeq,
+        "store contamination != inline contamination")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("the streaming gate's batch commit is exactly-once: a replayed batchId is a no-op") {
+    val trainBase = tmp()
+    val resBase = tmp()
+    try {
+      val span = words("dup", 12)
+      // the donor text's content hash puts it TRAIN-side (md5("split1|
+      // alpha0 … dup11") leads with '7' < 'd') — deterministic, so the
+      // probe must flag the eval doc
+      DedupQueries.writeSubWindowsGen(spark, docs(Seq(
+        (1L, words("alpha", 10) + " " + span),
+        (2L, words("beta", 40)))), trainBase)
+      val donorTrain = DedupQueries.storedDocs(spark, trainBase)
+        .filter(col("doc_id") === 1L).collect()(0).getBoolean(2)
+      assert(donorTrain, "fixture drift: the donor text no longer hashes train-side")
+      val evalBatch = docs(Seq((900L, words("omega", 15) + " " + span)))
+      assert(DedupQueries.commitContamBatch(spark, evalBatch, trainBase, resBase, 0L))
+      val v1 = graft.sources.IndexCatalog.currentVersion(resBase)
+      val rows1 = spark.read
+        .parquet(graft.sources.IndexCatalog.latestFiles(resBase): _*)
+        .collect().map(_.toSeq).toSeq
+      assert(rows1.nonEmpty, "train-side donor span produced no leak row")
+      // replay: same batchId → no new version, no duplicate rows
+      assert(!DedupQueries.commitContamBatch(spark, evalBatch, trainBase, resBase, 0L))
+      assert(graft.sources.IndexCatalog.currentVersion(resBase) == v1)
+      val rows2 = spark.read
+        .parquet(graft.sources.IndexCatalog.latestFiles(resBase): _*)
+        .collect().map(_.toSeq).toSeq
+      assert(rows2 == rows1, "replayed batch changed the result store")
+    } finally Seq(trainBase, resBase).foreach(graft.Fs.deleteRecursively)
+  }
+}

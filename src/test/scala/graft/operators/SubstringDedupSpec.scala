@@ -91,6 +91,25 @@ class SubstringDedupSpec extends SparkSpec {
       s"expected union coverage of 10 tokens on doc 2 only, got ${out.toSeq}")
   }
 
+  test("the Lee-et-al 50-token-window standard: a planted 60-token span on long documents is recovered at exactly (60, 11)") {
+    // the fixture's short docs fit W=8; the OPERATOR claims the
+    // 50-token standard, so pin it on synthetic long documents — a
+    // 60-token verbatim span yields 60-50+1 = 11 windows of width 50
+    val w = 50
+    val span = words("dup", 60)
+    val a = words("alpha", 120) + " " + span + " " + words("omega", 40)
+    val b = words("beta", 200) + " " + span + " " + words("gamma", 15)
+    val out = DedupQueries.substringSpans(docs(Seq((1L, a), (2L, b))), w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 60L, 11L)),
+      s"expected one (1,2) pair with max_span=60, n_matches=11 at W=50, got ${out.toSeq}")
+    // a 49-token overlap (< W) stays invisible at the 50-token grain
+    val sub = words("dup", w - 1)
+    assert(DedupQueries.substringSpans(docs(Seq(
+      (1L, words("alpha", 80) + " " + sub),
+      (2L, words("beta", 80) + " " + sub))), w).isEmpty)
+  }
+
   test("the gated scrub census: every injected doc loses at least its planted span") {
     val out = DedupQueries.qSubstringScrub(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
