@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast,
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{ExactCountDistinct, Fnv1a64, FnvGrams, HashSetCountDistinct, MisraGriesTopK, SketchAgg, SketchCount, SketchMergeAgg, SlidingMin, SortedInterAtLeast, SortedInterCount, TopKAgg, VectorDot}
+import graft.functions.{ExactCountDistinct, Fnv1a64, FnvGrams, HashSetCountDistinct, LevenshteinCapped, MisraGriesTopK, SketchAgg, SketchCount, SketchMergeAgg, SlidingMin, SortedInterAtLeast, SortedInterCount, TopKAgg, VectorDot}
 
 /** Session-level wiring for the graft engine: function registration and
   * fixture-table access. Registration is the Spark analogue of the
@@ -56,6 +56,9 @@ object Engine {
     // Threshold-gated variant with early exit (LSH verification):
     // exact count when Jaccard >= tn/td, -1 (cheaply) when below.
     temp("sorted_inter_atleast")(SortedInterAtLeast.fromExprs)
+    // Capped banded Levenshtein (edit-dedup verification): exact
+    // distance when <= cap, cap + 1 otherwise, in O(cap * L) not L^2.
+    temp("levenshtein_capped")(LevenshteinCapped.fromExprs)
     // count300k's state as a persistable column: build / roll up /
     // finalize exact distinct-set sketches (SketchWire format — the
     // same bytes the count300k shuffle carries).

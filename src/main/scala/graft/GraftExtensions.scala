@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{Fnv1a64, FnvGrams, HashSetCountDistinct, MisraGriesTopK, SketchAgg, SketchCount, SketchMergeAgg, SlidingMin, SortedInterAtLeast, SortedInterCount, TopKAgg, VectorDot}
+import graft.functions.{Fnv1a64, LevenshteinCapped, FnvGrams, HashSetCountDistinct, MisraGriesTopK, SketchAgg, SketchCount, SketchMergeAgg, SlidingMin, SortedInterAtLeast, SortedInterCount, TopKAgg, VectorDot}
 
 /** Cluster-wide injection point: set
   * `spark.sql.extensions=graft.GraftExtensions` and every session —
@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_inter_atleast"),
       new ExpressionInfo(classOf[SortedInterAtLeast].getCanonicalName, "sorted_inter_atleast"),
       (exprs: Seq[Expression]) => SortedInterAtLeast.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("levenshtein_capped"),
+      new ExpressionInfo(classOf[LevenshteinCapped].getCanonicalName, "levenshtein_capped"),
+      (exprs: Seq[Expression]) => LevenshteinCapped.fromExprs(exprs)))
     ext.injectFunction((
       FunctionIdentifier("sketch_agg"),
       new ExpressionInfo(classOf[SketchAgg].getCanonicalName, "sketch_agg"),

@@ -37,6 +37,15 @@ object dsl {
   def sorted_inter_count(a: Column, b: Column): Column =
     F.call_function("sorted_inter_count", a, b)
 
+  /** Exact edit distance when <= cap, cap + 1 beyond it — trim +
+    * banded DP, O(cap * L) per pair instead of the built-in
+    * `levenshtein`'s full O(L^2) (see
+    * [[graft.functions.LevenshteinCapped]]). The edit-dedup verify
+    * primitive.
+    */
+  def levenshtein_capped(a: Column, b: Column, cap: Int): Column =
+    F.call_function("levenshtein_capped", a, b, F.lit(cap))
+
   /** Threshold-gated [[sorted_inter_count]] with early exit: the exact
     * intersection size when the pair's Jaccard reaches `tn/td`, else
     * -1 after touching only an array prefix (see

@@ -1163,13 +1163,21 @@ object DedupQueries {
         .join(bk.join(cool, Seq("k"), "left_semi"), Seq("k"))
         .select(col("iid"), col("bid"), col("itext"), col("btext"))
     }.reduce(_.unionByName(_)).distinct()
+    graft.Engine.register(incoming.sparkSession) // levenshtein_capped
     cand
       .filter(abs(length(col("itext")) - length(col("btext"))) <= EditD)
-      // compute the O(L²) DP once and filter on the materialized
-      // column — Catalyst does not CSE a levenshtein repeated across
-      // the Filter/Project boundary, so repeating it would run the DP
-      // twice per surviving candidate
-      .withColumn("dist", levenshtein(col("itext"), col("btext")).cast("long"))
+      // CAPPED banded verify ([[graft.functions.LevenshteinCapped]]):
+      // exact distance when <= EditD, EditD + 1 beyond — trim +
+      // Ukkonen band make the per-pair cost O(EditD·L), not the full
+      // O(L²) DP the built-in levenshtein pays, so verify cost grows
+      // LINEARLY with document length (the term that made this
+      // operator superlinear at 10× data: candidates share a 16-char
+      // block but texts are ~10× longer). Computed once and filtered
+      // on the materialized column — Catalyst does not CSE a repeated
+      // call across the Filter/Project boundary
+      .withColumn("dist",
+        graft.functions.dsl.levenshtein_capped(
+          col("itext"), col("btext"), EditD))
       .filter(col("dist") <= EditD)
       .select(col("iid").as("i"), col("bid").as("j"), col("dist"))
       .orderBy("i", "j")
