@@ -479,6 +479,132 @@ object TextQueries {
       .orderBy("rk")
   }
 
+  /** Merge rounds [[qBpeTrain]] iterates — the vocab budget. Eight
+    * rounds exhaust the '0'-'7' placeholder digits (the fixture
+    * alphabet is `[a-z ]`, so digits are free unit symbols, exactly
+    * [[BpeMerges]]' convention).
+    */
+  private[operators] val BpeTrainRounds = 8
+
+  /** ITERATED BPE training to a vocab budget — the full training loop
+    * whose single step `q_bpe_learn` demonstrates: each round counts
+    * adjacent UNIT pairs over the corpus WITH ALL PREVIOUS MERGES
+    * APPLIED, promotes the top pair (count desc, pair asc — the
+    * deterministic tie) to a new single-character unit, and repeats —
+    * so later rounds learn SECOND-LEVEL merges whose halves are
+    * earlier rounds' units, exactly how a real BPE vocabulary grows
+    * ([[BpeMerges]]' "0e" → "8" shape). Output: the full merge table
+    * at exact ranks, with each round's winning pair, its count at
+    * learning time, and the unit it became.
+    *
+    * Note: [[BpeMerges]] (the APPLICATION-side fixed table) encodes
+    * common ENGLISH bigrams; the fixture corpus's vocabulary is
+    * synthetic, so training here learns the fixture's own table
+    * (BpeTrainSpec pins the mechanism — iterated counts, exact ranks,
+    * second-level merges — on a constructed English-like corpus where
+    * the expected table is derivable by hand).
+    *
+    * Scale shape (how distributed tokenizer training actually runs):
+    * ONE corpus pass builds the WORD-FREQUENCY table (the word dict
+    * every real BPE trainer iterates on — pair counts are identical
+    * per word instance, so each round needs the vocabulary and its
+    * counts, never the corpus). Training cost past that pass is
+    * corpus-INDEPENDENT. When the measured vocabulary fits the
+    * coordinator ([[BpeDriverVocabMax]], the size-guard pattern of
+    * [[DedupQueries]]' broadcast ceilings), the merge loop runs on
+    * the COLLECTED dict — production tokenizer trainers train on
+    * exactly such an in-memory word-count dict, and spending a
+    * cluster job per merge on a dict-sized problem is pure scheduling
+    * overhead. A web-scale vocabulary falls back to the distributed
+    * loop: per round, a vocab-sized map + an aggregate that collapses
+    * to ≤ |alphabet + units|² pair rows before any exchange, then a
+    * 1-row argmax read (the merge table IS coordinator state — real
+    * trainers do exactly this aggregate → argmax → broadcast loop).
+    */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Engine.table(spark, dir, "documents").select(col("text")))
+
+  /** The training loop over an arbitrary `text` frame — separated so
+    * the spec can drive it with constructed corpora whose expected
+    * merge table an independent in-JVM trainer derives.
+    */
+  /** Vocabulary-size ceiling for the collected-dict training path —
+    * 2^16 distinct words ≈ a few MB of driver heap; real corpora run
+    * 10^5-10^7, still dict-sized, but the guard is measured, never
+    * assumed (the [[DedupQueries.BroadcastVocabMaxWords]] discipline).
+    */
+  private[operators] val BpeDriverVocabMax = 1L << 16
+
+  private[operators] def bpeTrain(
+      texts: DataFrame, driverVocabMax: Long = BpeDriverVocabMax): DataFrame = {
+    val spark = texts.sparkSession
+    import spark.implicits._
+    // ONE corpus pass: the word-frequency dict (1-unit words can
+    // never pair and are dropped before the cache)
+    val vocab = texts.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("w")) >= 2)
+      .cache()
+    try {
+      if (vocab.count() <= driverVocabMax) {
+        // dict-sized vocabulary: train on the collected word counts —
+        // the in-memory loop every production tokenizer trainer runs
+        val dict = vocab.as[(String, Long)].collect()
+        var corpus = dict
+        var merges = Seq.empty[(Long, String, Long, String)]
+        var r = 0
+        var exhausted = false
+        while (r < BpeTrainRounds && !exhausted) {
+          val counts = scala.collection.mutable.Map.empty[String, Long]
+          corpus.foreach { case (w, cnt) =>
+            var i = 0
+            while (i < w.length - 1) {
+              val p = w.substring(i, i + 2)
+              counts(p) = counts.getOrElse(p, 0L) + cnt
+              i += 1
+            }
+          }
+          if (counts.isEmpty) exhausted = true
+          else {
+            val (pair, n) = counts.minBy { case (p, c) => (-c, p) }
+            merges = merges :+ ((r + 1L, pair, n, r.toString))
+            corpus = corpus.map { case (w, c) => (w.replace(pair, r.toString), c) }
+            r += 1
+          }
+        }
+        return merges.toSeq.toDF("rk", "pair", "n", "unit")
+      }
+      var merges = Seq.empty[(String, String, Long)] // (pair, unit, n)
+      var exhausted = false
+      (0 until BpeTrainRounds).foreach { r =>
+        if (!exhausted) {
+          val chain = merges.foldLeft("w") { case (e, (p, u, _)) =>
+            s"replace($e, '$p', '$u')" }
+          val top = vocab
+            .select(expr(chain).as("mw"), col("cnt"))
+            // a merged form can shrink below 2 units ("th" → "0")
+            .filter(length(col("mw")) >= 2)
+            .select(explode(
+              expr("transform(sequence(1, length(mw) - 1), i -> substring(mw, i, 2))"))
+              .as("pair"), col("cnt"))
+            .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+            // bounded 1-row driver read: the frame is ≤ |units|² rows
+            // post-combine, and only the argmax crosses to the driver
+            .orderBy(col("n").desc, col("pair")).limit(1)
+            .collect()
+          // a tiny corpus can run out of pairs before the budget: a
+          // real trainer stops at an empty census, so does this one
+          if (top.isEmpty) exhausted = true
+          else merges = merges :+
+            ((top(0).getString(0), r.toString, top(0).getLong(1)))
+        }
+      }
+      merges.zipWithIndex
+        .map { case ((p, u, n), i) => (i + 1L, p, n, u) }
+        .toDF("rk", "pair", "n", "unit")
+    } finally { vocab.unpersist(); () }
+  }
+
   // --- registry ---------------------------------------------------------
 
   /** Chunk window / stride (words): 48-word windows every 32 words ⇒
@@ -574,6 +700,7 @@ object TextQueries {
     "q_train_split" -> (qTrainSplit _),
     "q_pack" -> (qPack _),
     "q_bpe_tokens" -> (qBpeTokens _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_pack_tokens" -> (qPackTokens _),
     "q_token_budget" -> (qTokenBudget _),
     "q_bpe_learn" -> (qBpeLearn _)
@@ -819,6 +946,34 @@ object TextQueries {
          |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM cum GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
+    // the SAME loop, staged: each round's text CTE applies the
+    // previous round's winner via a scalar subquery, so the oracle
+    // derives the merge chain from the data exactly as the trainer
+    // does — no winner is ever baked into the text
+    "q_bpe_train" -> {
+      val ctes = (0 until BpeTrainRounds).map { r =>
+        val tsrc =
+          if (r == 0) "SELECT text FROM documents"
+          else s"SELECT replace(text, (SELECT pair FROM w${r - 1}), " +
+            s"'${r - 1}') AS text FROM t${r - 1}"
+        s"""t$r AS ($tsrc),
+           |c$r AS (SELECT substr(w, i, 2) AS pair, count(*) AS n
+           |        FROM (SELECT w
+           |              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM t$r) q
+           |              WHERE length(w) >= 2) t,
+           |             unnest(generate_series(1, length(w) - 1)) AS u(i)
+           |        GROUP BY 1),
+           |w$r AS (SELECT pair, n FROM c$r ORDER BY n DESC, pair LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val sel = (0 until BpeTrainRounds).map(r =>
+        s"SELECT ${r + 1} AS rk, pair, n, '$r' AS unit FROM w$r")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $ctes
+         |SELECT CAST(rk AS BIGINT) AS rk, pair, CAST(n AS BIGINT) AS n, unit
+         |FROM (
+         |  $sel
+         |) ORDER BY rk""".stripMargin
+    },
     "q_bpe_learn" ->
       s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          |p AS (SELECT substr(w, i, 2) AS pair
