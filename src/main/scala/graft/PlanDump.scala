@@ -102,13 +102,13 @@ object PlanDump {
     "q_ivf_filtered" ->
       "round 12: ONE corpus-sized join, keyed on (centroid_id, label) — the metadata filter is part of the join key, so the candidate frame is the label-thinned cell occupancy and no post-filter of unfiltered candidates exists anywhere; the per-query ranking window sees only that thinned frame. A fixed-label probe instead prunes label= partitions at the scan (SimilaritySpec measures files read < files live).",
     "q_substring_dedup" ->
-      "round 13: window hashing is one codegen'd Project (slice/array_join/md5 builtins — no interpreted HOF lambda) after the position explode; the df census is a map-side-combined HashAggregate; the cross-doc pass is a hash EQUI-join on the window hash (no cartesian/BNLJ anywhere); the gaps-and-islands run collapse is a window over per-(i, j, diagonal) frames bounded by document length — the suffix-array dedup's work expressed as group-bys.",
+      "round 14 (store probe): every scan Location points into the persisted sub_windows store — no tokenize, no md5, no position explode anywhere in the plan; the df-partial aggregate and hot-window anti-join replace the corpus census, the cross-doc pass stays a hash EQUI-join on the (full 128-bit) window hash (no cartesian/BNLJ), and the gaps-and-islands run collapse is a window over per-(i, j, diagonal) frames bounded by document length.",
     "q_loader_pipeline" ->
       "round 13: three loader stages, all strata-parallel — the budget rank window and the pack running sum both partition by source (one exchange each, the second reuses nothing global), and the epoch shuffle of the PACKS is a codegen'd hash-mod projection + one (shard)-keyed exchange with a shard-local sort; no global Sort node and no corpus-sized frame after the pack census.",
     "q_substring_scrub" ->
-      "round 13: the duplicated-window test is ONE left-semi join of the checkpointed window frame against itself (smaller-id keeper; no cartesian/BNLJ), coverage is a per-doc position explode + distinct bounded by document length, and the census is a keyed aggregate — the plan visibly contains no per-pair state and nothing corpus-quadratic.",
+      "round 14 (store probe): the duplicated-window test is ONE left-semi join of the STORED window frame against itself (smaller-id keeper; no cartesian/BNLJ; removal keyed on the full 128-bit hash), coverage is a per-doc position explode + distinct bounded by document length, and per-doc token counts come from the store's docs= rows — the documents table appears nowhere in the plan.",
     "q_span_contamination" ->
-      "round 13: the census query's join RESTRICTED to eval x train — the split coin is a codegen'd md5 projection, each side of the window-hash equi-join carries its split filter map-side (restriction only shrinks the join), and the per-eval-doc span/coverage aggregates run over frames bounded by document length.")
+      "round 14 (store probe): the census query's join RESTRICTED to eval x train — the split flag is a STORED column (filters are map-side scan predicates on the window rows; restriction only shrinks the join), and the per-eval-doc span/coverage aggregates run over frames bounded by document length; the train corpus is never re-read or re-hashed.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"
