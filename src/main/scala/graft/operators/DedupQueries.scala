@@ -1391,7 +1391,8 @@ object DedupQueries {
     * corpus).
     */
   private[operators] def writeSubWindowsGen(
-      spark: SparkSession, batch: DataFrame, base: String): Unit = {
+      spark: SparkSession, batch: DataFrame, base: String,
+      commitTags: Seq[String] = Nil): Unit = {
     import graft.sources.{IndexCatalog, StagedWrite}
     val docs = splitFlagged(batch.filter(col("text").isNotNull))
     // stage-cut: the window frame feeds the partitioned write AND the
@@ -1418,7 +1419,29 @@ object DedupQueries {
       s"$base/docs", Seq("docs"))
     val newFiles = winFiles ++ dfFiles ++ docFiles
     if (newFiles.nonEmpty)
-      IndexCatalog.commitWithRetry(base)(_ => (newFiles, Nil))
+      IndexCatalog.commitWithRetry(base)(_ => (newFiles, commitTags))
+  }
+
+  /** One micro-batch of STREAMED window-store ingest — the live train
+    * corpus half of the contamination firewall (a production train set
+    * GROWS; its window index must grow with it): the batch's windows,
+    * df partials and doc metadata commit as one generation under the
+    * `ingest-batch=<id>` tag guard, exactly-once per batch — the same
+    * cross-batch contract every other store family's streamed ingest
+    * carries (`commitTextBatch`, `commitIngestBatch`). Because df
+    * partials sum across disjoint-doc generations, a probe of the
+    * streamed store is row-identical to a one-shot build over the
+    * union corpus (SubWindowsStoreSpec pins it). Returns whether the
+    * batch was fresh.
+    */
+  private[operators] def commitWindowBatch(
+      spark: SparkSession, batch: DataFrame, base: String,
+      batchId: Long): Boolean = {
+    import graft.sources.IndexCatalog
+    val tag = s"ingest-batch=$batchId"
+    val fresh = !IndexCatalog.committedTags(base).contains(tag)
+    if (fresh) writeSubWindowsGen(spark, batch, base, Seq(tag))
+    fresh
   }
 
   /** The `sub_windows` template body: the full injected fixture

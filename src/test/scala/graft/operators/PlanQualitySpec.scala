@@ -155,6 +155,21 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("the substring trio's probe plans scan ONLY the window store — the documents table is never re-read or re-hashed") {
+    Seq(
+      DedupQueries.qSubstringDedup(spark, dir),
+      DedupQueries.qSubstringScrub(spark, dir),
+      DedupQueries.qSpanContamination(spark, dir)).foreach { df =>
+      val s = plan(df).toString
+      // every scan Location points into the persisted store: no
+      // fixture-table scan, hence no tokenize/md5 pass at probe time
+      assert(!s.contains("documents.parquet"),
+        s"probe plan reads the documents table:\n${s.take(4000)}")
+      assert(!s.contains("md5"),
+        s"probe plan re-hashes windows:\n${s.take(4000)}")
+    }
+  }
+
   test("q_knn_brute reduces to a local top-k before the per-query ranking window") {
     // two window stages: the (query, partition)-local cut, then the
     // global per-query rank over at most K x partitions candidates

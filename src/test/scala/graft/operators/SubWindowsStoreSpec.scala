@@ -131,6 +131,27 @@ class SubWindowsStoreSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("streamed per-batch window generations probe identically to a one-shot build; a replayed batchId commits nothing") {
+    val streamed = tmp()
+    val oneShot = tmp()
+    try {
+      val span = words("dup", 12)
+      val b0 = Seq((1L, words("alpha", 10) + " " + span), (2L, words("beta", 25)))
+      val b1 = Seq((51L, words("gamma", 20) + " " + span), (52L, words("tiny", 3)))
+      assert(DedupQueries.commitWindowBatch(spark, docs(b0), streamed, 0L))
+      assert(DedupQueries.commitWindowBatch(spark, docs(b1), streamed, 1L))
+      val v = graft.sources.IndexCatalog.currentVersion(streamed)
+      // replay of batch 1: tag-guarded no-op — no version, no rows
+      assert(!DedupQueries.commitWindowBatch(spark, docs(b1), streamed, 1L))
+      assert(graft.sources.IndexCatalog.currentVersion(streamed) == v)
+      DedupQueries.writeSubWindowsGen(spark, docs(b0 ++ b1), oneShot)
+      assert(census(streamed) == census(oneShot),
+        "streamed-ingest store census != one-shot build")
+      assert(census(streamed).contains((1L, 51L, 12L, 5L)),
+        "cross-batch span missing from the streamed store")
+    } finally Seq(streamed, oneShot).foreach(graft.Fs.deleteRecursively)
+  }
+
   test("the streaming gate's batch commit is exactly-once: a replayed batchId is a no-op") {
     val trainBase = tmp()
     val resBase = tmp()
