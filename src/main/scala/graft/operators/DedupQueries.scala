@@ -1600,6 +1600,52 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** The MATERIALIZED scrub — the text a pipeline actually ships after
+    * [[qSubstringScrub]]'s census: per scrubbed document, the text
+    * with every covered token REMOVED (first occurrence keeps its
+    * copy, exactly the census's keeper rule). Duplicated-span
+    * POSITIONS come from the persisted window store; the token text
+    * comes from the corpus — the honest split: the index knows where
+    * duplicates are, the rewrite step reads the text it rewrites.
+    * The removal filter is an indexed array lambda over the doc's own
+    * tokens (per-doc bounded — |covered| ≤ doc length), so the apply
+    * pass is map-side after one positions join; identical indexed
+    * lambda on the DuckDB side (1-based there, 0-based here, offset
+    * in the predicate).
+    */
+  def qSubstringRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val base = subWindowsBase(spark, dir)
+    substringRewrite(substringCorpus(spark, dir),
+      storedKeptWindows(spark, base))
+  }
+
+  /** The rewrite over an arbitrary corpus + df-capped window frame —
+    * separated so the spec can check the emitted text token-by-token
+    * against planted spans.
+    */
+  private[operators] def substringRewrite(
+      corpus: DataFrame, kept0: DataFrame, w: Int = SubW): DataFrame = {
+    val kept = kept0.select(col("doc_id"), col("p"), col("wh"))
+    val dup = kept.as("b").join(kept.as("a"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"),
+        "left_semi")
+      .select(col("doc_id"), col("p"))
+    val covered = dup
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (w - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("cov"))
+    corpus.join(covered, Seq("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"), col("cov"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        array_join(
+          expr("filter(tk, (t, i) -> NOT array_contains(cov, i + 1))"),
+          " ").as("scrubbed_text"))
+      .orderBy("doc_id")
+  }
+
   /** VERBATIM train→eval SPAN CONTAMINATION — the eval-benchmark leak
     * gate at the Lee-et-al token-window standard, completing the
     * substring family (census → removal → cross-split gate):
@@ -1691,6 +1737,7 @@ object DedupQueries {
     "q_span_contamination" -> (qSpanContamination _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_substring_scrub" -> (qSubstringScrub _),
+    "q_substring_rewrite" -> (qSubstringRewrite _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_edit_dedup" -> (qEditDedup _),
@@ -1852,6 +1899,44 @@ object DedupQueries {
          |       CAST(rm.n_removed AS BIGINT) AS n_removed,
          |       CAST(len(string_split(b.text, ' ')) - rm.n_removed AS BIGINT) AS n_kept
          |FROM base b JOIN rm ON b.doc_id = rm.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+    // the scrub APPLY: same base..cov chain, covered positions
+    // collected per doc, tokens filtered by an indexed list lambda
+    // (DuckDB's index is 1-based; Spark's is 0-based with +1 in the
+    // predicate — same kept set)
+    "q_substring_rewrite" ->
+      s"""WITH base AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN dn.b_text IS NOT NULL
+         |                   AND len(string_split(dn.b_text, ' ')) >= ${SubSpan + 1}
+         |              THEN d.text || ' ' ||
+         |                   array_to_string(string_split(dn.b_text, ' ')[2:${SubSpan + 1}], ' ')
+         |              ELSE d.text END AS text
+         |  FROM documents d
+         |  LEFT JOIN (SELECT doc_id AS b_id, text AS b_text FROM documents) dn
+         |    ON d.doc_id % 10 = 3 AND d.doc_id - 1 = dn.b_id),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base
+         |         WHERE len(string_split(text, ' ')) >= $SubW),
+         |wins AS (SELECT doc_id, i AS p,
+         |                md5(array_to_string(tk[i:i+${SubW - 1}], ' ')) AS wh
+         |         FROM toks, unnest(generate_series(1, len(tk) - ${SubW - 1})) AS u(i)),
+         |cool AS (SELECT wh FROM wins GROUP BY wh
+         |         HAVING count(DISTINCT doc_id) <= $SubCap),
+         |kept AS (SELECT w.doc_id, w.p, w.wh FROM wins w JOIN cool USING (wh)),
+         |dup AS (SELECT DISTINCT b.doc_id, b.p FROM kept b
+         |        WHERE EXISTS (SELECT 1 FROM kept a
+         |                      WHERE a.wh = b.wh AND a.doc_id < b.doc_id)),
+         |cov AS (SELECT DISTINCT doc_id, p + o AS pos
+         |        FROM dup, unnest(generate_series(0, ${SubW - 1})) AS u(o)),
+         |cl AS (SELECT doc_id, list_sort(list(pos)) AS cov FROM cov GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |       CAST(len(string_split(b.text, ' ')) AS BIGINT) AS n_tokens,
+         |       CAST(len(cl.cov) AS BIGINT) AS n_removed,
+         |       coalesce(array_to_string(list_filter(string_split(b.text, ' '),
+         |                                   (t, i) -> NOT list_contains(cl.cov, i)), ' '),
+         |                '')
+         |         AS scrubbed_text
+         |FROM base b JOIN cl ON b.doc_id = cl.doc_id
          |ORDER BY b.doc_id""".stripMargin,
     "q_minhash_lsh" ->
       s"""WITH ws AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

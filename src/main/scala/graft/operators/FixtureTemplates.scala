@@ -67,8 +67,8 @@ object FixtureTemplates {
       (s: SparkSession, dir: String, d: String) =>
         SimilarityQueries.buildPqStore(s, dir, d)),
     Template("sub_windows",
-      Set("q_substring_dedup", "q_substring_scrub", "q_span_contamination",
-        "q_stream_contamination"),
+      Set("q_substring_dedup", "q_substring_scrub", "q_substring_rewrite",
+        "q_span_contamination", "q_stream_contamination"),
       DedupQueries.buildSubWindowsTemplate _),
     Template("text_70", Set("q_stream_text_index"),
       RetrievalQueries.buildText70Template _),

@@ -110,6 +110,21 @@ class SubstringDedupSpec extends SparkSpec {
       (2L, words("beta", 80) + " " + sub))), w).isEmpty)
   }
 
+  test("the materialized rewrite emits exactly the uncovered tokens; the keeper's text is never touched") {
+    val span = words("dup", 12)
+    val keeperTail = words("omega", 6)
+    val a = words("alpha", 10) + " " + span + " " + keeperTail
+    val b = words("beta", 20) + " " + span
+    val corpus = docs(Seq((1L, a), (2L, b)))
+    val out = DedupQueries.substringRewrite(
+      corpus, DedupQueries.substringWindows(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // only doc 2 (the later copy) is rewritten, and it loses exactly
+    // the planted span — the emitted text is its own prefix verbatim
+    assert(out.toSeq == Seq((2L, 32L, 12L, words("beta", 20))),
+      s"rewrite mismatch: ${out.toSeq}")
+  }
+
   test("the gated scrub census: every injected doc loses at least its planted span") {
     val out = DedupQueries.qSubstringScrub(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
