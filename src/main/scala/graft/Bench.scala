@@ -74,8 +74,12 @@ object Bench {
     // measured in isolation while optimizing it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // a typo'd name must fail loudly, not emit a vacuous clean run
+    // a typo'd name must fail loudly, not emit a vacuous clean run —
+    // and so must an EMPTY selection (SPARK_GRAFT_ONLY="" / ","),
+    // which would otherwise run zero queries and print a clean JSON
     only.foreach { names =>
+      require(names.nonEmpty,
+        "SPARK_GRAFT_ONLY is set but names no queries")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted}")

@@ -41,9 +41,11 @@ case class LevenshteinCapped(left: Expression, right: Expression, cap: Int)
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (cap < 0)
+    if (cap < 0 || cap > LevenshteinCapped.MaxCap)
       TypeCheckResult.TypeCheckFailure(
-        "levenshtein_capped requires a non-negative integer literal cap")
+        "levenshtein_capped requires an integer literal cap in " +
+          s"[0, ${LevenshteinCapped.MaxCap}] (cap + 1 must not overflow " +
+          "the banded DP's clamp; for an uncapped distance use levenshtein)")
     else (left.dataType, right.dataType) match {
       case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
@@ -67,8 +69,16 @@ case class LevenshteinCapped(left: Expression, right: Expression, cap: Int)
 
 object LevenshteinCapped {
 
+  /** Cap ceiling: far beyond any edit-distance threshold a dedup
+    * verify uses, small enough that `cap + 1` and the banded DP's
+    * `prev(j) + 1` arithmetic can never overflow Int (values clamp at
+    * cap + 1, so the largest intermediate is cap + 2).
+    */
+  val MaxCap: Int = 1 << 20
+
   /** Builder for function registration: the cap must be a foldable
-    * integer literal (it is baked into codegen).
+    * WHOLE-number literal (it is baked into codegen; a fractional cap
+    * is a caller bug, not something to truncate silently).
     */
   def fromExprs(exprs: Seq[Expression]): LevenshteinCapped = {
     require(exprs.length == 3,
@@ -76,9 +86,14 @@ object LevenshteinCapped {
     require(exprs(2).foldable,
       "levenshtein_capped argument 3 (cap) must be a literal integer")
     val cap = exprs(2).eval() match {
-      case n: java.lang.Number => n.intValue()
+      case n @ (_: java.lang.Integer | _: java.lang.Long |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        val v = n.asInstanceOf[java.lang.Number].longValue()
+        require(v >= 0 && v <= MaxCap,
+          s"levenshtein_capped cap must be in [0, $MaxCap], got $v")
+        v.toInt
       case other => throw new IllegalArgumentException(
-        s"levenshtein_capped cap must be an integer, got $other")
+        s"levenshtein_capped cap must be a whole-number literal, got $other")
     }
     LevenshteinCapped(exprs(0), exprs(1), cap)
   }

@@ -1459,46 +1459,49 @@ object DedupQueries {
   private def subWindowsBase(spark: SparkSession, dir: String): String =
     FixtureTemplates.readOnlyPath("sub_windows", spark, dir)
 
-  /** Window hashes hotter than [[SubCap]] documents STORE-WIDE: the
-    * generation df partials summed (disjoint doc-sets make the sum
-    * exact). One row per distinct hot hash — boilerplate-sized, so
-    * the anti-join against it broadcasts under AQE.
+  /** ONE store snapshot, resolved from ONE manifest read: the kept
+    * (df-capped) window frame, the hot-window set, and the per-doc
+    * metadata, all derived from the SAME version's file list. A probe
+    * that resolved the manifest per frame could straddle a racing
+    * streamed-ingest commit — e.g. windows from version N but df
+    * partials from N+1, capping the two sides of a join against
+    * DIFFERENT censuses — exactly the "windows without their census"
+    * state [[writeSubWindowsGen]]'s atomic commit exists to prevent.
+    * Resolving once makes every probe a consistent cut by
+    * construction.
     */
-  private def storedHotWindows(spark: SparkSession, base: String): DataFrame = {
+  private[operators] final case class SubWindowsSnapshot(
+      kept: DataFrame, hot: DataFrame, docs: DataFrame)
+
+  private[operators] def storedSnapshot(
+      spark: SparkSession, base: String): SubWindowsSnapshot = {
     import graft.sources.IndexCatalog
-    val dfF = IndexCatalog.latestFiles(base)
-      .filter(f => IndexCatalog.partitionKey(f).exists(_.startsWith("dfp=")))
-    spark.read.option("basePath", s"$base/dfstats").parquet(dfF: _*)
+    val files = IndexCatalog.latestFiles(base) // the ONE resolution
+    def part(prefix: String): Seq[String] =
+      files.filter(f => IndexCatalog.partitionKey(f).exists(_.startsWith(prefix)))
+    // hot = df partials summed store-wide (disjoint doc-sets make the
+    // sum exact); one row per distinct hot hash — boilerplate-sized,
+    // so the anti-join against it broadcasts under AQE
+    val hot = spark.read.option("basePath", s"$base/dfstats")
+      .parquet(part("dfp="): _*)
       .groupBy(col("wh")).agg(sum(col("df")).as("df"))
       .filter(col("df") > SubCap).select(col("wh"))
+    val kept = spark.read.option("basePath", s"$base/windows")
+      .parquet(part("whb="): _*)
+      .select(col("doc_id"), col("p"), col("wh"), col("is_train"))
+      .join(hot, Seq("wh"), "left_anti")
+    val docs = spark.read.option("basePath", s"$base/docs")
+      .parquet(part("docs="): _*)
+      .select(col("doc_id"), col("n_tokens"), col("is_train"))
+    SubWindowsSnapshot(kept, hot, docs)
   }
 
-  /** The df-capped window frame, answered FROM the store: the
-    * manifest's `whb=` files minus the hot set — no tokenize, no
-    * hashing, no full df census at probe time.
+  /** The df-capped window frame from one consistent snapshot — the
+    * single-frame convenience the census/rewrite probes use.
     */
   private[operators] def storedKeptWindows(
-      spark: SparkSession, base: String): DataFrame = {
-    import graft.sources.IndexCatalog
-    val winF = IndexCatalog.latestFiles(base)
-      .filter(f => IndexCatalog.partitionKey(f).exists(_.startsWith("whb=")))
-    spark.read.option("basePath", s"$base/windows").parquet(winF: _*)
-      .select(col("doc_id"), col("p"), col("wh"), col("is_train"))
-      .join(storedHotWindows(spark, base), Seq("wh"), "left_anti")
-  }
-
-  /** Per-doc metadata from the store: `(doc_id, n_tokens, is_train)`,
-    * covering every ingested doc (including those too short to carry
-    * a window).
-    */
-  private[operators] def storedDocs(
-      spark: SparkSession, base: String): DataFrame = {
-    import graft.sources.IndexCatalog
-    val docF = IndexCatalog.latestFiles(base)
-      .filter(f => IndexCatalog.partitionKey(f).exists(_.startsWith("docs=")))
-    spark.read.option("basePath", s"$base/docs").parquet(docF: _*)
-      .select(col("doc_id"), col("n_tokens"), col("is_train"))
-  }
+      spark: SparkSession, base: String): DataFrame =
+    storedSnapshot(spark, base).kept
 
   /** One micro-batch of the STREAMING contamination gate: the eval
     * batch's windows (hashed inline, df-capped by the STORE's census
@@ -1517,11 +1520,14 @@ object DedupQueries {
     import graft.sources.{IndexCatalog, StagedWrite}
     val tag = s"ingest-batch=$batchId"
     if (IndexCatalog.committedTags(resBase).contains(tag)) return false
+    // ONE snapshot: the eval-side cap and the train windows must come
+    // from the SAME store version even while ingest appends concurrently
+    val snap = storedSnapshot(spark, trainBase)
     val evalW = substringWindowFrame(
         batch.select(col("doc_id"), col("text")), SubW)
-      .join(storedHotWindows(spark, trainBase), Seq("wh"), "left_anti")
+      .join(snap.hot, Seq("wh"), "left_anti")
       .select(col("doc_id").as("e_id"), col("p").as("pe"), col("wh"))
-    val trainW = storedKeptWindows(spark, trainBase)
+    val trainW = snap.kept
       .filter(col("is_train"))
       .select(col("doc_id").as("t_id"), col("p").as("pt"), col("wh"))
     val rows = spanLeakCensus(evalW, trainW,
@@ -1556,9 +1562,9 @@ object DedupQueries {
     * the census query.
     */
   def qSubstringScrub(spark: SparkSession, dir: String): DataFrame = {
-    val base = subWindowsBase(spark, dir)
-    substringScrubCensusOf(storedKeptWindows(spark, base),
-      storedDocs(spark, base).select(col("doc_id"), col("n_tokens")))
+    val snap = storedSnapshot(spark, subWindowsBase(spark, dir))
+    substringScrubCensusOf(snap.kept,
+      snap.docs.select(col("doc_id"), col("n_tokens")))
   }
 
   /** The scrub census over an arbitrary `(doc_id, text)` frame — the
@@ -1668,14 +1674,13 @@ object DedupQueries {
     * group-bys over frames bounded by document length.
     */
   def qSpanContamination(spark: SparkSession, dir: String): DataFrame = {
-    val base = subWindowsBase(spark, dir)
-    val kept = storedKeptWindows(spark, base)
+    val snap = storedSnapshot(spark, subWindowsBase(spark, dir))
     spanLeakCensus(
-      kept.filter(!col("is_train"))
+      snap.kept.filter(!col("is_train"))
         .select(col("doc_id").as("e_id"), col("p").as("pe"), col("wh")),
-      kept.filter(col("is_train"))
+      snap.kept.filter(col("is_train"))
         .select(col("doc_id").as("t_id"), col("p").as("pt"), col("wh")),
-      storedDocs(spark, base).filter(!col("is_train"))
+      snap.docs.filter(!col("is_train"))
         .select(col("doc_id"), col("n_tokens")))
   }
 

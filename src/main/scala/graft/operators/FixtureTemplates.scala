@@ -83,6 +83,11 @@ object FixtureTemplates {
   /** The query-side entry: copy `(kind, sfDir)`'s template into `dest`
     * (building it first iff this process hasn't), using the ONE
     * registered builder — call sites cannot drift from the registry.
+    * ADDING A CALL SITE: declare the calling query in this kind's
+    * `consumers` set above, or a `SPARK_GRAFT_ONLY` run of that query
+    * will skip the prewarm and pay the template build inside its
+    * timed measurement (FixtureTemplatesSpec pins what is statically
+    * checkable; this direction is the review contract).
     */
   def cloneInto(kind: String, spark: SparkSession, sfDir: String,
       dest: String): Unit =

@@ -548,7 +548,10 @@ object TextQueries {
     try {
       if (vocab.count() <= driverVocabMax) {
         // dict-sized vocabulary: train on the collected word counts —
-        // the in-memory loop every production tokenizer trainer runs
+        // the in-memory loop every production tokenizer trainer runs.
+        // Pairs are CODE-POINT pairs (not UTF-16 units), so this path
+        // learns the same table as the distributed path and the SQL
+        // oracle on any text, surrogate pairs included
         val dict = vocab.as[(String, Long)].collect()
         var corpus = dict
         var merges = Seq.empty[(Long, String, Long, String)]
@@ -557,9 +560,10 @@ object TextQueries {
         while (r < BpeTrainRounds && !exhausted) {
           val counts = scala.collection.mutable.Map.empty[String, Long]
           corpus.foreach { case (w, cnt) =>
+            val cps = w.codePoints().toArray
             var i = 0
-            while (i < w.length - 1) {
-              val p = w.substring(i, i + 2)
+            while (i < cps.length - 1) {
+              val p = new String(cps, i, 2)
               counts(p) = counts.getOrElse(p, 0L) + cnt
               i += 1
             }
@@ -578,10 +582,14 @@ object TextQueries {
       var exhausted = false
       (0 until BpeTrainRounds).foreach { r =>
         if (!exhausted) {
-          val chain = merges.foldLeft("w") { case (e, (p, u, _)) =>
-            s"replace($e, '$p', '$u')" }
+          // learned pairs are corpus-derived STRINGS: apply them with
+          // the replace() Column function, never by splicing them into
+          // SQL text (an apostrophe in a winning pair — "'t" in real
+          // English — would break a generated expr() chain)
+          val mergedW = merges.foldLeft(col("w")) { case (c, (p, u, _)) =>
+            org.apache.spark.sql.functions.replace(c, lit(p), lit(u)) }
           val top = vocab
-            .select(expr(chain).as("mw"), col("cnt"))
+            .select(mergedW.as("mw"), col("cnt"))
             // a merged form can shrink below 2 units ("th" → "0")
             .filter(length(col("mw")) >= 2)
             .select(explode(

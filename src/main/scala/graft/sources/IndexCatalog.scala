@@ -821,7 +821,16 @@ class IndexCatalogOps(val fs: CatalogFs) {
       val pastGrace = graceMs <= 0 ||
         fs.mtimeMillis(p).exists(_ < cutoff) // vanished = racing GC won
       if (!referenced.contains(p) && pastGrace && txnDecision(p).isDefined) {
-        fs.delete(p); Some(p)
+        fs.delete(p)
+        // drop the memoized verdict with the file: a GC'd marker path
+        // must read as absent in THIS process too (markers are
+        // contract-bound to never be reused, but the cache must not
+        // make same-name reuse fail here while succeeding in a fresh
+        // process). Cross-process caches are safe by the GC contract:
+        // deletion requires that no live manifest references the
+        // marker, so no resolution ever consults it again.
+        decidedCache.remove(p)
+        Some(p)
       } else None
     }.sorted
   }

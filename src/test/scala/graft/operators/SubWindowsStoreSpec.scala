@@ -64,15 +64,15 @@ class SubWindowsStoreSpec extends SparkSpec {
       // scrub agrees too (the removal path reads the same store)
       val scrubG = DedupQueries.substringScrubCensusOf(
         DedupQueries.storedKeptWindows(spark, grown),
-        DedupQueries.storedDocs(spark, grown).select(col("doc_id"), col("n_tokens")))
+        DedupQueries.storedSnapshot(spark, grown).docs.select(col("doc_id"), col("n_tokens")))
         .collect().map(_.toSeq)
       val scrubR = DedupQueries.substringScrubCensusOf(
         DedupQueries.storedKeptWindows(spark, rebuilt),
-        DedupQueries.storedDocs(spark, rebuilt).select(col("doc_id"), col("n_tokens")))
+        DedupQueries.storedSnapshot(spark, rebuilt).docs.select(col("doc_id"), col("n_tokens")))
         .collect().map(_.toSeq)
       assert(scrubG.toSeq == scrubR.toSeq)
       // per-doc metadata covers the window-less short doc
-      val meta = DedupQueries.storedDocs(spark, grown)
+      val meta = DedupQueries.storedSnapshot(spark, grown).docs
         .filter(col("doc_id") === 2L).collect()
       assert(meta.length == 1 && meta(0).getLong(1) == 3L,
         "short (window-less) doc missing from the stored doc metadata")
@@ -112,7 +112,7 @@ class SubWindowsStoreSpec extends SparkSpec {
         .collect().map(_.toSeq)
       val storeScrub = DedupQueries.substringScrubCensusOf(
         DedupQueries.storedKeptWindows(spark, base),
-        DedupQueries.storedDocs(spark, base).select(col("doc_id"), col("n_tokens")))
+        DedupQueries.storedSnapshot(spark, base).docs.select(col("doc_id"), col("n_tokens")))
         .collect().map(_.toSeq)
       assert(storeScrub.toSeq == inlineScrub.toSeq, "store scrub != inline scrub")
       val inlineContam = DedupQueries.spanContamination(corpus)
@@ -123,7 +123,7 @@ class SubWindowsStoreSpec extends SparkSpec {
           .select(col("doc_id").as("e_id"), col("p").as("pe"), col("wh")),
         kept.filter(col("is_train"))
           .select(col("doc_id").as("t_id"), col("p").as("pt"), col("wh")),
-        DedupQueries.storedDocs(spark, base).filter(!col("is_train"))
+        DedupQueries.storedSnapshot(spark, base).docs.filter(!col("is_train"))
           .select(col("doc_id"), col("n_tokens")))
         .collect().map(_.toSeq)
       assert(storeContam.toSeq == inlineContam.toSeq,
@@ -163,7 +163,7 @@ class SubWindowsStoreSpec extends SparkSpec {
       DedupQueries.writeSubWindowsGen(spark, docs(Seq(
         (1L, words("alpha", 10) + " " + span),
         (2L, words("beta", 40)))), trainBase)
-      val donorTrain = DedupQueries.storedDocs(spark, trainBase)
+      val donorTrain = DedupQueries.storedSnapshot(spark, trainBase).docs
         .filter(col("doc_id") === 1L).collect()(0).getBoolean(2)
       assert(donorTrain, "fixture drift: the donor text no longer hashes train-side")
       val evalBatch = docs(Seq((900L, words("omega", 15) + " " + span)))
