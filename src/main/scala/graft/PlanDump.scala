@@ -102,7 +102,7 @@ object PlanDump {
     "q_ivf_filtered" ->
       "round 12: ONE corpus-sized join, keyed on (centroid_id, label) — the metadata filter is part of the join key, so the candidate frame is the label-thinned cell occupancy and no post-filter of unfiltered candidates exists anywhere; the per-query ranking window sees only that thinned frame. A fixed-label probe instead prunes label= partitions at the scan (SimilaritySpec measures files read < files live).",
     "q_substring_dedup" ->
-      "round 14 (store probe): every scan Location points into the persisted sub_windows store — no tokenize, no md5, no position explode anywhere in the plan; the df-partial aggregate and hot-window anti-join replace the corpus census, the cross-doc pass stays a hash EQUI-join on the (full 128-bit) window hash (no cartesian/BNLJ), and the gaps-and-islands run collapse is a window over per-(i, j, diagonal) frames bounded by document length.",
+      "round 14 (store probe): every scan Location points into the persisted sub_windows store — no tokenize, no md5, no position explode anywhere in the plan; the write-time-maintained hot=1 summary partition feeds the hot-window anti-join (probes aggregate nothing), the cross-doc pass stays a hash EQUI-join on the (full 128-bit) window hash (no cartesian/BNLJ), and the gaps-and-islands run collapse is a window over per-(i, j, diagonal) frames bounded by document length.",
     "q_loader_pipeline" ->
       "round 13: three loader stages, all strata-parallel — the budget rank window and the pack running sum both partition by source (one exchange each, the second reuses nothing global), and the epoch shuffle of the PACKS is a codegen'd hash-mod projection + one (shard)-keyed exchange with a shard-local sort; no global Sort node and no corpus-sized frame after the pack census.",
     "q_substring_scrub" ->

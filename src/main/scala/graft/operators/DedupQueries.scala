@@ -1379,9 +1379,11 @@ object DedupQueries {
     * are NEW doc_ids. Window df is countDistinct(doc) WITHIN a batch,
     * and since batch doc-sets are disjoint the store-wide df is the
     * SUM of the generation partials — an append writes O(batch) rows
-    * and never re-reads, re-hashes or rewrites the corpus; probes
-    * aggregate the partials (map-side combined, one row per distinct
-    * window hash) instead of re-counting the window frame.
+    * and never re-reads, re-hashes or rewrites the corpus. The df-cap
+    * census is maintained AT WRITE TIME: each commit supersedes the
+    * `hot=1` summary partition from the full partials on the same
+    * atomic manifest, so probes READ the hot set and never aggregate
+    * anything.
     *
     * 100 TB shape: the build is the same linear map-side hashing the
     * inline form pays, amortized over every later probe; the df
@@ -1417,9 +1419,31 @@ object DedupQueries {
           col("is_train"))
         .withColumn("docs", lit(1)).repartition(1),
       s"$base/docs", Seq("docs"))
-    val newFiles = winFiles ++ dfFiles ++ docFiles
-    if (newFiles.nonEmpty)
-      IndexCatalog.commitWithRetry(base)(_ => (newFiles, commitTags))
+    val batchFiles = winFiles ++ dfFiles ++ docFiles
+    if (batchFiles.nonEmpty)
+      // the HOT SET is maintained AT WRITE TIME as a superseding
+      // `hot=1` partition (each commit replaces it on the same atomic
+      // manifest): probes then never aggregate the df partials — at
+      // 100 TB a gate must not re-census 10^10 partial rows per probe,
+      // and commits (where the partials are already in hand) are the
+      // rare side. Derived INSIDE prepare against the observed version,
+      // so a lost CAS re-derives it over the winner's partials; a
+      // loser's staged hot file is orphan debris for vacuum, the
+      // deleteTextDocs precedent.
+      IndexCatalog.commitWithRetry(base, removeKeys = Set("hot=1")) { cur =>
+        val priorDfp =
+          if (cur == 0) Seq.empty
+          else IndexCatalog.files(base, cur).filter(f =>
+            IndexCatalog.partitionKey(f).exists(_.startsWith("dfp=")))
+        val hotFiles = StagedWrite.partitioned(
+          spark.read.option("basePath", s"$base/dfstats")
+            .parquet((priorDfp ++ dfFiles): _*)
+            .groupBy(col("wh")).agg(sum(col("df")).as("df"))
+            .filter(col("df") > SubCap).select(col("wh"))
+            .withColumn("hot", lit(1)).repartition(1),
+          s"$base/hotset", Seq("hot"))
+        (batchFiles ++ hotFiles, commitTags)
+      }
   }
 
   /** One micro-batch of STREAMED window-store ingest — the live train
@@ -1476,16 +1500,21 @@ object DedupQueries {
   private[operators] def storedSnapshot(
       spark: SparkSession, base: String): SubWindowsSnapshot = {
     import graft.sources.IndexCatalog
+    import spark.implicits._
     val files = IndexCatalog.latestFiles(base) // the ONE resolution
     def part(prefix: String): Seq[String] =
       files.filter(f => IndexCatalog.partitionKey(f).exists(_.startsWith(prefix)))
-    // hot = df partials summed store-wide (disjoint doc-sets make the
-    // sum exact); one row per distinct hot hash — boilerplate-sized,
-    // so the anti-join against it broadcasts under AQE
-    val hot = spark.read.option("basePath", s"$base/dfstats")
-      .parquet(part("dfp="): _*)
-      .groupBy(col("wh")).agg(sum(col("df")).as("df"))
-      .filter(col("df") > SubCap).select(col("wh"))
+    // hot = the write-time-maintained `hot=1` summary partition (each
+    // commit supersedes it from the full df partials, so it is always
+    // the store-wide census at THIS version) — a probe reads it, never
+    // re-aggregates the partials. Boilerplate-sized, so the anti-join
+    // against it broadcasts under AQE. An empty live hot set (no
+    // window over the cap) is an empty file list, not an empty file.
+    val hotF = part("hot=")
+    val hot =
+      if (hotF.isEmpty) Seq.empty[String].toDF("wh")
+      else spark.read.option("basePath", s"$base/hotset").parquet(hotF: _*)
+        .select(col("wh"))
     val kept = spark.read.option("basePath", s"$base/windows")
       .parquet(part("whb="): _*)
       .select(col("doc_id"), col("p"), col("wh"), col("is_train"))

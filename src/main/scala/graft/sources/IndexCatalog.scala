@@ -702,14 +702,25 @@ class IndexCatalogOps(val fs: CatalogFs) {
     * two concurrent ingest streams into ONE store need: both commits
     * land (distinct versions, union content), neither blocks on
     * manual intervention.
+    *
+    * `removeKeys` names partition keys this commit SUPERSEDES — the
+    * derived-summary pattern (a `hot=` boilerplate census, a
+    * `stats=`-style rollup): the commit's files append, while the
+    * named keys' previous files leave the live set in the SAME atomic
+    * manifest, so readers always see data and its derived summary
+    * from one version. Prior versions keep their own summary (time
+    * travel stays consistent); a summary the prepare recomputes must
+    * be staged INSIDE `prepare` so a lost CAS re-derives it against
+    * the winner's state.
     */
-  def commitWithRetry(base: String, maxAttempts: Int = 16)
+  def commitWithRetry(base: String, maxAttempts: Int = 16,
+      removeKeys: Set[String] = Set.empty)
       (prepare: Int => (Seq[String], Seq[String])): Int =
     retryingCommit(maxAttempts) {
       val cur = currentVersion(base)
       val (newFiles, commitTags) = prepare(cur)
       require(newFiles.nonEmpty, "no parquet files to commit")
-      writeDeltaAt(base, cur + 1, newFiles.sorted, Set.empty, commitTags)
+      writeDeltaAt(base, cur + 1, newFiles.sorted, removeKeys, commitTags)
     }
 
   /** Phase 1 of a MULTI-STORE TRANSACTION: publish an append delta in
