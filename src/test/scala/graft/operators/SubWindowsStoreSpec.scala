@@ -79,24 +79,37 @@ class SubWindowsStoreSpec extends SparkSpec {
     } finally Seq(grown, rebuilt).foreach(graft.Fs.deleteRecursively)
   }
 
-  test("committed generations are byte-immutable under append") {
+  test("committed generations are byte-immutable under append; only the hot=1 census partition is superseded") {
     val base = tmp()
+    val boiler = words("hot", 8) // one window shared by 70 v1 docs: hot at v1
     try {
       DedupQueries.writeSubWindowsGen(spark,
-        docs(Seq((1L, words("alpha", 30)), (2L, words("beta", 30)))), base)
+        docs(Seq((1L, words("alpha", 30)), (2L, words("beta", 30))) ++
+          (100L until 170L).map(i => (i, words(s"f$i-", 4) + " " + boiler))),
+        base)
       val v1 = graft.sources.IndexCatalog.files(base, 1)
+      def hotKeyed(fs: Seq[String]) = fs.filter(f =>
+        graft.sources.IndexCatalog.partitionKey(f).exists(_.startsWith("hot=")))
+      assert(hotKeyed(v1).nonEmpty, "fixture produced no hot census file")
       val before = v1.map(f => f -> Files.readAllBytes(Paths.get(f)).toSeq).toMap
       DedupQueries.writeSubWindowsGen(spark,
-        docs(Seq((3L, words("gamma", 30)))), base)
-      // v1 resolves to the same paths, and every byte is unchanged
+        docs(Seq((300L, words("gamma", 30)))), base)
+      // v1 resolves to the same paths — its own hot census included —
+      // and every byte is unchanged (time travel stays consistent)
       assert(graft.sources.IndexCatalog.files(base, 1) == v1)
       v1.foreach { f =>
         assert(Files.readAllBytes(Paths.get(f)).toSeq == before(f),
           s"append rewrote committed file $f")
       }
-      // v2 is a strict superset: old files all still live
-      val v2 = graft.sources.IndexCatalog.files(base, 2)
-      assert(v1.toSet.subsetOf(v2.toSet))
+      // v2 keeps every v1 data file and supersedes EXACTLY the hot
+      // census partition (the derived summary is per-version; data is
+      // append-only)
+      val v2 = graft.sources.IndexCatalog.files(base, 2).toSet
+      assert((v1.toSet -- hotKeyed(v1)).subsetOf(v2),
+        "append dropped a committed data file")
+      assert(hotKeyed(v1).forall(f => !v2.contains(f)),
+        "append left the stale v1 hot census live")
+      assert(hotKeyed(v2.toSeq).nonEmpty, "v2 has no hot census")
     } finally graft.Fs.deleteRecursively(base)
   }
 
