@@ -165,6 +165,39 @@ class SubWindowsStoreSpec extends SparkSpec {
     } finally Seq(streamed, oneShot).foreach(graft.Fs.deleteRecursively)
   }
 
+  test("a probe racing a concurrent append always reads a consistent cut: census is pre- or post-append, never torn") {
+    val base = tmp()
+    try {
+      val span = words("dup", 12)
+      val a = Seq(
+        (1L, words("alpha", 10) + " " + span),
+        (2L, words("beta", 20) + " " + span))
+      // the append adds BOTH a new span copy and 70 carriers of a new
+      // boilerplate window — a torn read (windows from v2, hot census
+      // from v1 or vice versa) would produce a census matching NEITHER
+      // version (boiler pairs present, or the v2 span copy missing)
+      val boiler = words("hot", 8)
+      val b = Seq((51L, words("gamma", 15) + " " + span)) ++
+        (100L until 170L).map(i => (i, words(s"f$i-", 4) + " " + boiler))
+      DedupQueries.writeSubWindowsGen(spark, docs(a), base)
+      val censusV1 = census(base)
+      @volatile var seen = List.empty[Seq[(Long, Long, Long, Long)]]
+      val prober = new Thread(() => {
+        (0 until 12).foreach { _ => seen = census(base) :: seen }
+      })
+      prober.start()
+      DedupQueries.writeSubWindowsGen(spark, docs(b), base)
+      prober.join()
+      val censusV2 = census(base)
+      assert(censusV2.contains((1L, 51L, 12L, 5L)) &&
+        censusV2.contains((2L, 51L, 12L, 5L)))
+      seen.foreach { c =>
+        assert(c == censusV1 || c == censusV2,
+          s"torn census observed during append:\n$c\nv1=$censusV1\nv2=$censusV2")
+      }
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("the streaming gate's batch commit is exactly-once: a replayed batchId is a no-op") {
     val trainBase = tmp()
     val resBase = tmp()
