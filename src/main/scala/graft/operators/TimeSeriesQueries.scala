@@ -114,11 +114,6 @@ object TimeSeriesQueries {
     val cents = Engine.table(spark, dir, "lineitem")
       .select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))").as("cents"))
-    val stats = cents.groupBy("l_returnflag")
-      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum("cents").as("s1"),
-        sum(expr("cents * cents")).as("s2"),
-        max(abs(col("cents"))).as("xmax"))
     // Fail-fast guard on the documented exactness bound: the largest
     // intermediate is (n-1)(n·x − S)² ≤ 4·n³·x_max², so under non-ANSI
     // Spark an overflow past DECIMAL(38,0) would return NULL and
@@ -126,15 +121,26 @@ object TimeSeriesQueries {
     // (3·log10 n + 2·log10 x_max ≤ 37 leaves >1 digit for the factor
     // 4 and every smaller intermediate); beyond it the predicate must
     // be rebuilt on group-sharded partial sums, as documented above.
+    // Everything per-row-CONSTANT lives on this 3-row frame — the guard
+    // and the threshold 2·n·(n·S₂ − S²) are evaluated once per group,
+    // not once per fact row (the per-row side below is left with the
+    // minimum: one difference and two wide multiplications).
+    val stats = cents.groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("cents").as("s1"),
+        sum(expr("cents * cents")).as("s2"),
+        max(abs(col("cents"))).as("xmax"))
+      .select(col("l_returnflag"), col("n"), col("s1"),
+        expr(
+          """CASE WHEN 3 * log10(cast(n AS double)) +
+            |          2 * log10(cast(greatest(xmax, 1) AS double)) > 37
+            |  THEN raise_error(concat('q_outliers: DECIMAL(38,0) exactness bound ',
+            |       'exceeded for group ', l_returnflag,
+            |       ' - rebuild on group-sharded partial sums'))
+            |  ELSE 2 * n * (n * s2 - s1 * s1)
+            |END""".stripMargin).as("rhs"))
     val isOut = expr(
-      """CASE WHEN 3 * log10(cast(n AS double)) +
-        |          2 * log10(cast(greatest(xmax, 1) AS double)) > 37
-        |  THEN raise_error(concat('q_outliers: DECIMAL(38,0) exactness bound ',
-        |       'exceeded for group ', l_returnflag,
-        |       ' - rebuild on group-sharded partial sums'))
-        |  ELSE (n - 1) * (n * cents - s1) * (n * cents - s1)
-        |         > 2 * n * (n * s2 - s1 * s1)
-        |END""".stripMargin)
+      "(n - 1) * (n * cents - s1) * (n * cents - s1) > rhs")
     cents.join(broadcast(stats), Seq("l_returnflag"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
