@@ -117,18 +117,26 @@ object LevenshteinCapped {
     if (m == 0) return math.min(n, big).toLong
     if (n == 0) return math.min(m, big).toLong
     if (math.abs(m - n) > cap) return big.toLong
-    val prev = new Array[Int](n + 1)
-    val cur = new Array[Int](n + 1)
+    // Per-row work must stay O(band), not O(n): rows advance by
+    // REFERENCE SWAP (never a full-row copy), and only the band plus
+    // its two boundary cells are written each row. The boundary cells
+    // are what make the swap sound — row i reads prev at [from-1, to],
+    // exactly one cell past each end of row i-1's band, and those two
+    // cells are pinned to `big` when row i-1 runs (stale row i-2
+    // values beyond them are never read because the band shifts by at
+    // most one per row). The one O(n) touch left is the row-0 init.
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
     java.util.Arrays.fill(prev, big)
     var j = 0
     while (j <= math.min(n, cap)) { prev(j) = j; j += 1 }
     var i = 1
     while (i <= m) {
-      java.util.Arrays.fill(cur, big)
       val from = math.max(1, i - cap)
       val to = math.min(n, i + cap)
-      if (from == 1) cur(0) = math.min(i, big)
-      var best = cur(0)
+      var best = big
+      if (from == 1) { cur(0) = math.min(i, big); best = cur(0) }
+      else cur(from - 1) = big // left boundary: outside the band is big
       val si = s(lo + i - 1)
       j = from
       while (j <= to) {
@@ -142,8 +150,9 @@ object LevenshteinCapped {
         if (v < best) best = v
         j += 1
       }
+      if (to < n) cur(to + 1) = big // right boundary for the next row
       if (best >= big) return big.toLong // the whole band exceeded cap
-      System.arraycopy(cur, 0, prev, 0, n + 1)
+      val swap = prev; prev = cur; cur = swap
       i += 1
     }
     math.min(prev(n), big).toLong

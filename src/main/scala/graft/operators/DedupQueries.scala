@@ -1394,7 +1394,7 @@ object DedupQueries {
     */
   private[operators] def writeSubWindowsGen(
       spark: SparkSession, batch: DataFrame, base: String,
-      commitTags: Seq[String] = Nil): Unit = {
+      fenceTag: Option[String] = None): Boolean = {
     import graft.sources.{IndexCatalog, StagedWrite}
     val docs = splitFlagged(batch.filter(col("text").isNotNull))
     // stage-cut: the window frame feeds the partitioned write AND the
@@ -1420,30 +1420,51 @@ object DedupQueries {
         .withColumn("docs", lit(1)).repartition(1),
       s"$base/docs", Seq("docs"))
     val batchFiles = winFiles ++ dfFiles ++ docFiles
-    if (batchFiles.nonEmpty)
-      // the HOT SET is maintained AT WRITE TIME as a superseding
-      // `hot=1` partition (each commit replaces it on the same atomic
-      // manifest): probes then never aggregate the df partials — at
-      // 100 TB a gate must not re-census 10^10 partial rows per probe,
-      // and commits (where the partials are already in hand) are the
-      // rare side. Derived INSIDE prepare against the observed version,
-      // so a lost CAS re-derives it over the winner's partials; a
-      // loser's staged hot file is orphan debris for vacuum, the
-      // deleteTextDocs precedent.
-      IndexCatalog.commitWithRetry(base, removeKeys = Set("hot=1")) { cur =>
-        val priorDfp =
-          if (cur == 0) Seq.empty
-          else IndexCatalog.files(base, cur).filter(f =>
-            IndexCatalog.partitionKey(f).exists(_.startsWith("dfp=")))
-        val hotFiles = StagedWrite.partitioned(
+    // an empty batch stages nothing and commits nothing — a total
+    // no-op whose replay recomputes the same nothing, so it needs no
+    // tag to be exactly-once
+    if (batchFiles.isEmpty) return true
+    // the HOT SET is maintained AT WRITE TIME as a superseding
+    // `hot=1` partition (each commit replaces it on the same atomic
+    // manifest): probes then never aggregate the df partials — at
+    // 100 TB a gate must not re-census 10^10 partial rows per probe,
+    // and commits (where the partials are already in hand) are the
+    // rare side. Derived INSIDE prepare against the observed version,
+    // so a lost CAS re-derives it over the winner's partials; a
+    // loser's staged hot file is orphan debris for vacuum, the
+    // deleteTextDocs precedent.
+    def prepare(cur: Int): (Seq[String], Seq[String]) = {
+      val priorDfp =
+        if (cur == 0) Seq.empty
+        else IndexCatalog.files(base, cur).filter(f =>
+          IndexCatalog.partitionKey(f).exists(_.startsWith("dfp=")))
+      val dfAll = priorDfp ++ dfFiles
+      // a store fed only sub-window-length docs has NO df partials yet
+      // (windows/dfstats stage nothing; the doc metadata still
+      // commits): zero paths is a valid prepare state, not a read
+      val hotFiles =
+        if (dfAll.isEmpty) Seq.empty
+        else StagedWrite.partitioned(
           spark.read.option("basePath", s"$base/dfstats")
-            .parquet((priorDfp ++ dfFiles): _*)
+            .parquet(dfAll: _*)
             .groupBy(col("wh")).agg(sum(col("df")).as("df"))
             .filter(col("df") > SubCap).select(col("wh"))
             .withColumn("hot", lit(1)).repartition(1),
           s"$base/hotset", Seq("hot"))
-        (batchFiles ++ hotFiles, commitTags)
-      }
+      (batchFiles ++ hotFiles, Nil)
+    }
+    fenceTag match {
+      // streamed ingest: the replay guard is the commit-layer fence —
+      // re-checked inside the CAS loop, so a concurrent replay of the
+      // same batch can never double-commit its df partials
+      case Some(t) =>
+        IndexCatalog.commitTaggedOnce(base, t,
+          removeKeys = Set("hot=1"))(prepare).isDefined
+      case None =>
+        IndexCatalog.commitWithRetry(base,
+          removeKeys = Set("hot=1"))(prepare)
+        true
+    }
   }
 
   /** One micro-batch of STREAMED window-store ingest — the live train
@@ -1463,9 +1484,12 @@ object DedupQueries {
       batchId: Long): Boolean = {
     import graft.sources.IndexCatalog
     val tag = s"ingest-batch=$batchId"
-    val fresh = !IndexCatalog.committedTags(base).contains(tag)
-    if (fresh) writeSubWindowsGen(spark, batch, base, Seq(tag))
-    fresh
+    // cheap fast path only (no staging work on a sequential replay);
+    // the AUTHORITATIVE guard is the fence inside the commit CAS loop
+    // — two concurrent replays racing past this check still commit at
+    // most once (commitTaggedOnce)
+    if (IndexCatalog.committedTags(base).contains(tag)) return false
+    writeSubWindowsGen(spark, batch, base, fenceTag = Some(tag))
   }
 
   /** The `sub_windows` template body: the full injected fixture
@@ -1515,13 +1539,26 @@ object DedupQueries {
       if (hotF.isEmpty) Seq.empty[String].toDF("wh")
       else spark.read.option("basePath", s"$base/hotset").parquet(hotF: _*)
         .select(col("wh"))
-    val kept = spark.read.option("basePath", s"$base/windows")
-      .parquet(part("whb="): _*)
-      .select(col("doc_id"), col("p"), col("wh"), col("is_train"))
-      .join(hot, Seq("wh"), "left_anti")
-    val docs = spark.read.option("basePath", s"$base/docs")
-      .parquet(part("docs="): _*)
-      .select(col("doc_id"), col("n_tokens"), col("is_train"))
+    // zero-path partitions are VALID store states, not read errors: a
+    // store fed only sub-window-length docs has doc metadata but no
+    // window/df files (and an empty store asked for a snapshot has
+    // neither) — each frame falls back to its empty typed shape
+    val winF = part("whb=")
+    val kept =
+      if (winF.isEmpty)
+        Seq.empty[(Long, Int, String, Boolean)]
+          .toDF("doc_id", "p", "wh", "is_train")
+      else spark.read.option("basePath", s"$base/windows")
+        .parquet(winF: _*)
+        .select(col("doc_id"), col("p"), col("wh"), col("is_train"))
+        .join(hot, Seq("wh"), "left_anti")
+    val docF = part("docs=")
+    val docs =
+      if (docF.isEmpty)
+        Seq.empty[(Long, Long, Boolean)].toDF("doc_id", "n_tokens", "is_train")
+      else spark.read.option("basePath", s"$base/docs")
+        .parquet(docF: _*)
+        .select(col("doc_id"), col("n_tokens"), col("is_train"))
     SubWindowsSnapshot(kept, hot, docs)
   }
 
@@ -1567,9 +1604,10 @@ object DedupQueries {
     // a leak-free batch stages nothing and commits nothing — its
     // replay recomputes the same empty census, so the tag is not
     // needed for idempotence
-    if (files.nonEmpty)
-      IndexCatalog.commitWithRetry(resBase)(_ => (files, Seq(tag)))
-    true
+    if (files.isEmpty) true
+    // the fence re-checks the tag inside the CAS loop: concurrent
+    // replays of the same eval batch commit their leak census once
+    else IndexCatalog.commitTaggedOnce(resBase, tag)(_ => (files, Nil)).isDefined
   }
 
   /** The REMOVAL half of substring dedup — what a pipeline actually

@@ -259,7 +259,8 @@ object RetrievalQueries {
     */
   private[operators] def writeTextIndexGen(
       spark: SparkSession, rawDocs: DataFrame, base: String,
-      extraTags: Seq[String] = Nil, hotDf: Long = DefaultHotTokenDf): Unit = {
+      extraTags: Seq[String] = Nil, hotDf: Long = DefaultHotTokenDf,
+      fenceTag: Option[String] = None): Boolean = {
     import graft.sources.{IndexCatalog, StagedWrite}
     // corpus = non-NULL-text docs, exactly as [[bm25Partials]] counts
     // them: a NULL row stages no postings, so counting it in the
@@ -283,7 +284,7 @@ object RetrievalQueries {
     val agg = docs.agg(count(lit(1)).cast("long"),
       coalesce(sum(size(split(col("text"), " "))).cast("long"), lit(0L)))
       .collect()(0)
-    if (agg.getLong(0) == 0L) return
+    if (agg.getLong(0) == 0L) return true
     // cached: the batch postings feed the hot census (a broadcast
     // subplan) AND the write — uncached the explode+groupBy runs twice
     // in the one write job; O(batch) rows, freed right after
@@ -305,12 +306,23 @@ object RetrievalQueries {
     // retry re-reads the winner's totals, so two RACING appenders both
     // land with the true running sum — reading them once up front
     // would let the loser's tag silently drop the winner's batch
-    if (newFiles.nonEmpty)
-      IndexCatalog.commitWithRetry(base)(cur =>
-        (newFiles, {
-          val (n0, t0) = if (cur == 0) (0L, 0L) else storedStats(base)
-          statsTagOf(n0 + agg.getLong(0), t0 + agg.getLong(1)) +: extraTags
-        }))
+    if (newFiles.isEmpty) return true
+    def prepare(cur: Int): (Seq[String], Seq[String]) =
+      (newFiles, {
+        val (n0, t0) = if (cur == 0) (0L, 0L) else storedStats(base)
+        statsTagOf(n0 + agg.getLong(0), t0 + agg.getLong(1)) +: extraTags
+      })
+    fenceTag match {
+      // streamed ingest: the replay guard re-checks inside the CAS
+      // loop (commitTaggedOnce), so a concurrent replay of the same
+      // batch can neither double-commit its postings nor double-count
+      // the running corpus_stats= totals
+      case Some(t) =>
+        IndexCatalog.commitTaggedOnce(base, t)(prepare).isDefined
+      case None =>
+        IndexCatalog.commitWithRetry(base)(prepare)
+        true
+    }
   }
 
   private def statsTagOf(nDocs: Long, nToks: Long): String =

@@ -1182,7 +1182,8 @@ object SimilarityQueries {
     */
   private[operators] def writeEmbedGen(
       spark: SparkSession, vecs: DataFrame, base: String,
-      commitTags: Seq[String] = Nil, assumeFresh: Boolean = false): Unit = {
+      commitTags: Seq[String] = Nil, assumeFresh: Boolean = false,
+      fenceTag: Option[String] = None): Boolean = {
     import graft.sources.{IndexCatalog, StagedWrite}
     val target = s"$base/corpus"
     val planes = spark.read.parquet(s"$base/planes")
@@ -1215,8 +1216,17 @@ object SimilarityQueries {
     // produced — the data-skipping metadata q_store_skipping gates
     // (commit-visibility is the manifest's; sidecars are inert until)
     graft.sources.FileStats.record(base, newFiles, Seq("vec_id"))
-    if (newFiles.nonEmpty)
-      IndexCatalog.commitWithRetry(base)(_ => (newFiles, commitTags))
+    if (newFiles.isEmpty) true
+    else fenceTag match {
+      // streamed ingest: the replay guard re-checks inside the CAS
+      // loop, so concurrent replays of one batch commit at most once
+      case Some(t) =>
+        IndexCatalog.commitTaggedOnce(base, t)(_ => (newFiles, commitTags))
+          .isDefined
+      case None =>
+        IndexCatalog.commitWithRetry(base)(_ => (newFiles, commitTags))
+        true
+    }
   }
 
   /** Multi-slice BACKFILL ingest: N upstream-partitioned batches land

@@ -934,10 +934,13 @@ object StreamingQueries {
       ss: SparkSession, batch: DataFrame, base: String, batchId: Long): Boolean = {
     val tag = s"ingest-batch=$batchId"
     // tag check first (no Spark job); writeTextIndexGen's own census
-    // already no-ops an empty batch, so no isEmpty pre-pass is needed
-    val fresh = !graft.sources.IndexCatalog.committedTags(base).contains(tag)
-    if (fresh) RetrievalQueries.writeTextIndexGen(ss, batch, base, Seq(tag))
-    fresh
+    // already no-ops an empty batch, so no isEmpty pre-pass is needed.
+    // This is only the cheap fast path — the AUTHORITATIVE replay
+    // guard is the tag fence inside the commit CAS loop
+    // (commitTaggedOnce), which two CONCURRENT replays cannot race past
+    if (graft.sources.IndexCatalog.committedTags(base).contains(tag))
+      return false
+    RetrievalQueries.writeTextIndexGen(ss, batch, base, fenceTag = Some(tag))
   }
 
   /** Streaming ingest INTO the persisted inverted index — the TEXT
@@ -1415,6 +1418,11 @@ object StreamingQueries {
     var done = false
     while (!done) {
       attempts += 1
+      // re-check the replay tag on EVERY attempt: a concurrent replay
+      // of this batchId that wins the CAS sends the loser back here,
+      // where the fence turns it into the replay no-op instead of a
+      // rebased duplicate fold (which would double-count the delta)
+      if (IndexCatalog.committedTags(mvBase).contains(tag)) return false
       val basedOn = IndexCatalog.currentVersion(mvBase)
       val curFiles =
         if (basedOn == 0) Seq.empty else IndexCatalog.files(mvBase, basedOn)
@@ -1623,10 +1631,13 @@ object StreamingQueries {
   private[operators] def commitIngestBatch(
       ss: SparkSession, batch: DataFrame, base: String, batchId: Long): Boolean = {
     val tag = s"ingest-batch=$batchId"
-    val fresh = !batch.isEmpty &&
-      !graft.sources.IndexCatalog.committedTags(base).contains(tag)
-    if (fresh) SimilarityQueries.writeEmbedGen(ss, batch, base, Seq(tag))
-    fresh
+    // isEmpty/tag pre-checks are the cheap fast path; the AUTHORITATIVE
+    // replay guard is the fence inside the commit CAS loop — two
+    // concurrent replays of one batch commit at most once
+    if (batch.isEmpty ||
+        graft.sources.IndexCatalog.committedTags(base).contains(tag))
+      return false
+    SimilarityQueries.writeEmbedGen(ss, batch, base, fenceTag = Some(tag))
   }
 
   /** Exactly-once ATOMIC FAN-OUT of one micro-batch to N stores — the
@@ -1836,6 +1847,10 @@ object StreamingQueries {
       var done = false
       while (!done) {
         attempts += 1
+        // re-check the replay tag on EVERY attempt (the commitMvDelta
+        // fence): a concurrent replay that wins the CAS must turn the
+        // loser into a no-op, not a re-derived duplicate merge
+        if (IndexCatalog.committedTags(store).contains(tag)) return false
         val basedOn = IndexCatalog.currentVersion(store)
         val storedFiles =
           if (basedOn == 0) Seq.empty else IndexCatalog.files(store, basedOn)

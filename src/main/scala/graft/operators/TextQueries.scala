@@ -535,6 +535,26 @@ object TextQueries {
     */
   private[operators] val BpeDriverVocabMax = 1L << 16
 
+  /** Strict UTF-8 lexicographic order — the collation Spark's string
+    * comparison (UTF8String bytes) and DuckDB's VARCHAR ORDER BY both
+    * use. Needed wherever driver-side Scala code must rank strings the
+    * way a distributed orderBy would ([[bpeTrain]]'s tie-break): Java's
+    * `String.compareTo` ranks UTF-16 code units, which inverts
+    * [U+E000, U+FFFF] against supplementary code points.
+    */
+  private[operators] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val lim = math.min(x.length, y.length)
+    var i = 0
+    while (i < lim) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private[operators] def bpeTrain(
       texts: DataFrame, driverVocabMax: Long = BpeDriverVocabMax): DataFrame = {
     val spark = texts.sparkSession
@@ -570,7 +590,19 @@ object TextQueries {
           }
           if (counts.isEmpty) exhausted = true
           else {
-            val (pair, n) = counts.minBy { case (p, c) => (-c, p) }
+            // tie-break in UTF-8 BYTE order (= code-point order), NOT
+            // Java String order (UTF-16 code units): the two differ on
+            // [U+E000, U+FFFF] vs supplementary characters (a surrogate
+            // 0xD800-0xDFFF sorts below 0xE000 as a code unit but names
+            // a HIGHER code point), and both the distributed path's
+            // orderBy(pair) and the DuckDB oracle's ORDER BY compare
+            // UTF-8 bytes — a String-order tie-break would let the two
+            // paths learn different merge tables on such a tie, and
+            // every later round would diverge from the substitution
+            val (pair, n) = counts.reduce { (a, b) =>
+              if (a._2 > b._2 || (a._2 == b._2 && utf8Less(a._1, b._1))) a
+              else b
+            }
             merges = merges :+ ((r + 1L, pair, n, r.toString))
             corpus = corpus.map { case (w, c) => (w.replace(pair, r.toString), c) }
             r += 1

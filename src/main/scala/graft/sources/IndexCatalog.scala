@@ -723,6 +723,49 @@ class IndexCatalogOps(val fs: CatalogFs) {
       writeDeltaAt(base, cur + 1, newFiles.sorted, removeKeys, commitTags)
     }
 
+  /** [[commitWithRetry]] with an exactly-once TAG FENCE evaluated
+    * INSIDE the CAS loop — the commit-layer form of the streamed
+    * ingest replay guard. A check done once before the commit
+    * (check-then-act) leaves a window where two concurrent replays of
+    * the same micro-batch — a zombie driver and its restarted
+    * replacement — both see the tag absent and both commit, silently
+    * doubling the batch's rows (and, for stores whose probes SUM
+    * per-generation partials, corrupting every later census). Here the
+    * fence re-evaluates on every attempt against a tag snapshot at
+    * least as new as the observed version, and publication is the same
+    * version CAS: a racing duplicate either sees the winner's tag
+    * before preparing, or loses the CAS, re-runs, and then sees it.
+    * At most one commit can ever carry `fenceTag`.
+    *
+    * Returns the committed version, or None when fenced (the replay
+    * no-op). `prepare`'s extra tags ride the same manifest as the
+    * fence tag. A fenced loser's already-staged files become orphan
+    * debris outside any manifest — [[vacuum]]'s normal crashed-writer
+    * cleanup, the price of not holding locks.
+    */
+  def commitTaggedOnce(base: String, fenceTag: String, maxAttempts: Int = 16,
+      removeKeys: Set[String] = Set.empty)
+      (prepare: Int => (Seq[String], Seq[String])): Option[Int] = {
+    var n = 0
+    while (n < maxAttempts) {
+      n += 1
+      val cur = currentVersion(base)
+      // committedTags resolves against the version current at ITS read
+      // (>= cur): a same-tag commit landing in [cur-read, fence-read]
+      // is seen here; one landing after is at cur + 1 and fails our CAS
+      if (committedTags(base).contains(fenceTag)) return None
+      val (newFiles, extraTags) = prepare(cur)
+      require(newFiles.nonEmpty, "no parquet files to commit")
+      try return Some(writeDeltaAt(base, cur + 1, newFiles.sorted, removeKeys,
+        fenceTag +: extraTags))
+      catch {
+        case e if isCommitConflict(e) && n < maxAttempts =>
+          Thread.sleep(math.min(64L, 1L << math.min(n, 6)))
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $maxAttempts attempts")
+  }
+
   /** Phase 1 of a MULTI-STORE TRANSACTION: publish an append delta in
     * this store that is INVISIBLE until the transaction at `marker`
     * decides. The prepare occupies the next version slot through the

@@ -81,4 +81,25 @@ class LevenshteinCappedSpec extends SparkSpec {
       }
     }
   }
+
+  test("trim-proof long pairs (edits at BOTH ends) stay exact: the band swap never reads a stale cell") {
+    // One substitution at each end defeats the prefix/suffix trim
+    // entirely, so the banded DP runs the full length — the shape that
+    // exercises every band-boundary cell across thousands of row
+    // swaps (a reference-swap bug that left a stale value one past
+    // the band would misreport exactly these pairs)
+    val mid = ("x" * 4000)
+    val a = "A" + mid + "Z"
+    val b = "B" + mid + "Y"                    // distance 2
+    val c = "B" + mid.patch(2000, "q", 0) + "Y" // vs a: 2 subs + 1 insert = 3
+    val d = "B" + ("x" * 3996) + "Y"           // vs a: 2 subs + 4 deletes = 6 > cap
+    assert(both(a, b, 4) == ((2L, 2L)))
+    assert(both(a, c, 4) == ((3L, 3L)))
+    assert(both(a, d, 4)._1 == 5L)
+    // asymmetric lengths right at the |m-n| = cap boundary
+    val e = "A" + mid + "Z" + "pppp"           // vs a: 4 pure inserts... but
+    assert(both(a, e, 4) == ((4L, 4L)))        // trim answers; force the DP:
+    val f = "B" + mid + "Y" + "pp"             // 2 subs + 2 inserts = 4 == cap
+    assert(both(a, f, 4) == ((4L, 4L)))
+  }
 }

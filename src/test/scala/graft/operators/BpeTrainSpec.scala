@@ -19,25 +19,43 @@ class BpeTrainSpec extends SparkSpec {
   }
 
   /** Reference trainer: the same greedy loop in plain Scala — count
-    * adjacent char pairs inside words of the (merge-applied) corpus,
-    * promote the (count desc, pair asc) winner to the digit unit.
+    * adjacent CODE-POINT pairs inside words of the (merge-applied)
+    * corpus, promote the winner by (count desc, pair asc in UTF-8
+    * byte order — the collation Spark's orderBy and the DuckDB
+    * oracle's ORDER BY share; Java String order would invert
+    * [U+E000, U+FFFF] against supplementary characters).
     */
   private def referenceTrain(
       texts: Seq[String], rounds: Int): Seq[(Long, String, Long, String)] = {
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val lim = math.min(x.length, y.length)
+      var i = 0
+      while (i < lim) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
     var corpus = texts
     (0 until rounds).flatMap { r =>
       val counts = scala.collection.mutable.Map.empty[String, Long]
       corpus.foreach { t =>
-        t.split(" ").filter(_.length >= 2).foreach { w =>
-          (0 until w.length - 1).foreach { i =>
-            val p = w.substring(i, i + 2)
+        t.split(" ").foreach { w =>
+          val cps = w.codePoints().toArray
+          (0 until cps.length - 1).foreach { i =>
+            val p = new String(cps, i, 2)
             counts(p) = counts.getOrElse(p, 0L) + 1L
           }
         }
       }
       if (counts.isEmpty) None
       else {
-        val (pair, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+        val (pair, n) = counts.reduce { (a, b) =>
+          if (a._2 > b._2 || (a._2 == b._2 && utf8Less(a._1, b._1))) a else b
+        }
         corpus = corpus.map(_.replace(pair, r.toString))
         Some((r + 1L, pair, n, r.toString))
       }
@@ -88,6 +106,31 @@ class BpeTrainSpec extends SparkSpec {
     val out = train(corpus, 2)
     assert(out(0) == (1L, "ab", 20L, "0"), s"tie must pick 'ab' < 'ba': ${out(0)}")
     assert(out(1) == (2L, "ba", 20L, "1"), s"round 2: ${out(1)}")
+  }
+
+  test("ties beyond the BMP break in UTF-8 order on BOTH paths — U+E000 beats U+1F600 even though Java String order says otherwise") {
+    // counts tie at 20: pair A = U+1F600+'a' (a surrogate pair, UTF-16
+    // units 0xD83D 0xDE00), pair B = U+E000+'a'. Java String order
+    // ranks A first (0xD83D < 0xE000 as code units); UTF-8 byte order
+    // — Spark's orderBy and DuckDB's ORDER BY — ranks B first
+    // (EE 80 80 < F0 9F 98 80). Both engine paths must pick B, then
+    // learn A in round 2; a String-order tie-break diverges here and
+    // every later round inherits the wrong substitution
+    val smile = new String(Character.toChars(0x1F600))
+    val priv = "\uE000"
+    val corpus = Seq.fill(20)(smile + "a") ++ Seq.fill(20)(priv + "a") ++
+      Seq.fill(3)("cc")
+    val expect = Seq(
+      (1L, priv + "a", 20L, "0"),
+      (2L, smile + "a", 20L, "1"),
+      (3L, "cc", 3L, "2"))
+    assert(train(corpus, 3) == expect, "driver-dict path tie-break")
+    val dist = TextQueries.bpeTrain(docs(corpus), driverVocabMax = 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSeq.take(3)
+    assert(dist == expect, "distributed path tie-break")
+    assert(referenceTrain(corpus, 3) == expect, "reference loop tie-break")
   }
 
   test("round 1 on the fixture equals q_bpe_learn's rank-1 pair") {

@@ -228,4 +228,38 @@ class SubWindowsStoreSpec extends SparkSpec {
       assert(rows2 == rows1, "replayed batch changed the result store")
     } finally Seq(trainBase, resBase).foreach(graft.Fs.deleteRecursively)
   }
+
+  test("a store whose first batch has only sub-window-length docs is a valid state: probes are empty, a later append repairs it") {
+    val base = tmp()
+    try {
+      // every doc < SubW tokens: no window rows, no df partials — only
+      // the doc-metadata partition commits. Snapshots and probes must
+      // treat the zero-path window/df partitions as empty frames, not
+      // unreadable stores (the state a live ingest of short documents
+      // produces on day one)
+      val shorts = Seq((1L, words("tiny", 3)), (2L, words("mini", 5)))
+      DedupQueries.writeSubWindowsGen(spark, docs(shorts), base)
+      assert(graft.sources.IndexCatalog.currentVersion(base) == 1,
+        "doc metadata alone must still commit a generation")
+      val snap = DedupQueries.storedSnapshot(spark, base)
+      assert(snap.kept.count() == 0L && snap.hot.count() == 0L)
+      assert(snap.docs.count() == 2L,
+        "short docs must still appear in the stored doc metadata")
+      assert(census(base).isEmpty)
+      // the append brings the first real windows; the grown store then
+      // equals a one-shot rebuild over the union corpus
+      val span = words("dup", 12)
+      val longs = Seq(
+        (10L, words("alpha", 10) + " " + span),
+        (11L, words("beta", 20) + " " + span))
+      DedupQueries.writeSubWindowsGen(spark, docs(longs), base)
+      val rebuilt = tmp()
+      try {
+        DedupQueries.writeSubWindowsGen(spark, docs(shorts ++ longs), rebuilt)
+        assert(census(base) == census(rebuilt),
+          "short-doc-first store census != one-shot rebuild")
+        assert(census(base).contains((10L, 11L, 12L, 5L)))
+      } finally graft.Fs.deleteRecursively(rebuilt)
+    } finally graft.Fs.deleteRecursively(base)
+  }
 }

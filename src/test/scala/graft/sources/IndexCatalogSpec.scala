@@ -408,4 +408,53 @@ class IndexCatalogSpec extends AnyFunSuite {
       assert(IndexCatalog.latestFiles(base).toSet == Set(f2, inflight.toString))
     } finally graft.Fs.deleteRecursively(base)
   }
+
+  test("commitTaggedOnce: concurrent replays of one tagged batch commit at most once") {
+    val base = store()
+    try {
+      // the check-then-act hole this primitive closes: every thread
+      // passes the fence check BEFORE any commit exists (the barrier
+      // sits inside prepare, which commitTaggedOnce only reaches after
+      // its fence check), then all race the same version CAS — the
+      // losers must re-check and become replay no-ops, never a second
+      // tagged commit. This is the zombie-driver-plus-replacement
+      // shape a streamed ingest's foreachBatch can produce.
+      val n = 4
+      val inPrepare = new java.util.concurrent.CyclicBarrier(n)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val failures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val threads = (0 until n).map { t =>
+        new Thread(() => {
+          val f = fakeGen(base, s"gen-dup-$t")
+          try {
+            val r = IndexCatalog.commitTaggedOnce(base, "ingest-batch=42") {
+              _ =>
+                inPrepare.await(30, java.util.concurrent.TimeUnit.SECONDS)
+                (Seq(f), Seq(s"writer=$t"))
+            }
+            if (r.isDefined) wins.incrementAndGet()
+          } catch { case e: Throwable => failures.add(e.toString) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(failures.isEmpty, s"unexpected failures: $failures")
+      assert(wins.get() == 1, s"exactly one replay must commit, got ${wins.get()}")
+      assert(IndexCatalog.currentVersion(base) == 1,
+        "a fenced loser must not occupy a version slot")
+      assert(IndexCatalog.committedTags(base).contains("ingest-batch=42"))
+      // a later sequential replay is fenced without preparing at all
+      var prepared = false
+      val late = IndexCatalog.commitTaggedOnce(base, "ingest-batch=42") { _ =>
+        prepared = true
+        (Seq(fakeGen(base, "gen-late")), Nil)
+      }
+      assert(late.isEmpty && !prepared,
+        "a fenced replay must return None before running prepare")
+      // a DIFFERENT tag commits normally through the same primitive
+      val other = IndexCatalog.commitTaggedOnce(base, "ingest-batch=43")(
+        _ => (Seq(fakeGen(base, "gen-next")), Nil))
+      assert(other.contains(2))
+    } finally graft.Fs.deleteRecursively(base)
+  }
 }
