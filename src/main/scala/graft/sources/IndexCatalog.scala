@@ -441,11 +441,25 @@ class IndexCatalogOps(val fs: CatalogFs) {
   /** A fresh generation directory for the NEXT commit. Writers put new
     * parquet files here, then call [[commit]]; until then the
     * generation is invisible to every reader.
+    *
+    * The directory is UNIQUE PER CALL (version-prefixed for
+    * debuggability, random-suffixed for identity): deriving the name
+    * from `currentVersion` alone would hand two concurrent writers —
+    * e.g. a zombie driver and its restarted replacement replaying one
+    * micro-batch — the SAME directory, where an `overwrite`-mode
+    * writer deletes the other's possibly already-COMMITTED files (the
+    * live manifest then references deleted data), and even append-mode
+    * writers cross-contaminate each other's `listDataFiles` commit
+    * listing. Generation-dir names carry no semantics (partition keys
+    * are the `k=v` segments under them), so uniqueness is free; an
+    * abandoned loser's directory is ordinary orphan debris for
+    * [[vacuum]].
     */
   def newGenDir(base: String): String = {
     val v = currentVersion(base) + 1
-    val p = Paths.get(base, f"gen-v$v%05d").toString
-    fs.mkdirs(p)
+    val p = Paths.get(base,
+      f"gen-v$v%05d-${java.util.UUID.randomUUID().toString.take(12)}").toString
+    fs.mkdirs(p) // through the CatalogFs seam, like every other touch
     p
   }
 
@@ -821,8 +835,9 @@ class IndexCatalogOps(val fs: CatalogFs) {
   def commitTxn(marker: String,
       parts: Seq[(String, Seq[String], Seq[String])]): Option[Seq[Int]] = {
     // one prepare per store: a second prepare in the same store would
-    // fence the first — the transaction would abort itself
-    require(parts.map(_._1).distinct.size == parts.size,
+    // fence the first — the transaction would abort itself. Identity is
+    // the canonical path: two spellings of one store are one store.
+    require(parts.map(p => normBase(p._1)).distinct.size == parts.size,
       s"duplicate store in transaction parts: ${parts.map(_._1)}")
     val prepared =
       try parts.map { case (base, newFiles, tags) =>
@@ -866,15 +881,23 @@ class IndexCatalogOps(val fs: CatalogFs) {
     */
   def vacuumTxnMarkers(markerDir: String, bases: Seq[String],
       graceMs: Long = DefaultOrphanGraceMs): Seq[String] = {
+    // marker identity is the CANONICAL path ([[normBase]]'s treatment):
+    // manifests record the marker string the COORDINATOR spelled — a
+    // relative or non-normalized spelling there would otherwise never
+    // equal this walk's absolute candidate, and a decided marker that
+    // live manifests still reference would be deleted, permanently
+    // flipping a committed participant back to in-doubt (strict
+    // resolution then throws on it forever)
     val referenced: Set[String] = bases.flatMap { b =>
       liveVersions(b).flatMap(v => readManifest(b, v).pendingTxn)
-    }.toSet
+    }.map(normBase).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     fs.listNames(markerDir).flatMap { n =>
       val p = Paths.get(markerDir, n).toString
       val pastGrace = graceMs <= 0 ||
         fs.mtimeMillis(p).exists(_ < cutoff) // vanished = racing GC won
-      if (!referenced.contains(p) && pastGrace && txnDecision(p).isDefined) {
+      if (!referenced.contains(normBase(p)) && pastGrace &&
+          txnDecision(p).isDefined) {
         fs.delete(p)
         // drop the memoized verdict with the file: a GC'd marker path
         // must read as absent in THIS process too (markers are
@@ -1086,12 +1109,28 @@ class IndexCatalogOps(val fs: CatalogFs) {
     // ONE resolution per live version; live/ever-committed/roots all
     // derive from this map — on a remote CatalogFs each manifest is a
     // metadata round-trip, so re-listing per derived set would triple
-    // the protocol's I/O for no reason
+    // the protocol's I/O for no reason. Bounded to the versions fenced
+    // at entry (<= cur): a commit landing DURING the vacuum — or a txn
+    // prepare, which strict resolution would throw on as in-doubt — is
+    // not this vacuum's concern, and its just-written files are
+    // orphan-grace-protected like any in-flight append's.
     val byVersion: Map[Int, Seq[String]] =
-      liveVersions(base).map(v => v -> files(base, v)).toMap
+      liveVersions(base).filter(_ <= cur).map(v => v -> files(base, v)).toMap
+    // membership identity is the CANONICAL path (absolute, lexically
+    // normalized — the same treatment `basePath` below gets): manifests
+    // record paths in the WRITER's spelling, so a store written via a
+    // relative or non-normalized base would otherwise have every
+    // committed file mis-classified as an orphan and mass-deleted once
+    // the grace window passed — silent data loss from a path spelling.
+    def canon(f: String): String =
+      Paths.get(f).toAbsolutePath.normalize.toString
+    // canonical -> the manifest spellings that map to it (needed again
+    // for sidecar cleanup: sidecar names hash the RECORDED spelling)
+    val spellings: Map[String, Seq[String]] =
+      byVersion.values.flatten.toSeq.groupBy(canon)
     val live = byVersion.collect {
-      case (v, fs) if v >= horizon => fs }.flatten.toSet
-    val everCommitted = byVersion.values.flatten.toSet
+      case (v, fs) if v >= horizon => fs }.flatten.map(canon).toSet
+    val everCommitted = spellings.keySet
     // roots governed by a live manifest (committed paths' first segment
     // under base) — superseded files under them are in scope even when
     // only expired manifests referenced those exact files. Files
@@ -1109,22 +1148,27 @@ class IndexCatalogOps(val fs: CatalogFs) {
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     val deleted = roots.toSeq.sorted.flatMap { r =>
       listDataFiles(basePath.resolve(r).toString)
-        .filterNot(f => live.contains(f))
+        .filterNot(f => live.contains(canon(f)))
         // superseded (ever-committed) files delete unconditionally;
         // orphans only past the grace window. A candidate deleted
         // between listing and stat (another process, or a racing
         // vacuum) is already gone — skip it, mirroring the tolerant
         // delete below.
-        .filter(f => everCommitted.contains(f) || orphanGraceMs <= 0L ||
-          fs.mtimeMillis(f).exists(_ < cutoff))
+        .filter(f => everCommitted.contains(canon(f)) ||
+          orphanGraceMs <= 0L || fs.mtimeMillis(f).exists(_ < cutoff))
     }
     deleted.foreach(fs.delete)
     // a data file's sidecars ([[FileStats]] ranges, [[FileBloom]]
-    // sketches) die with the file — both are keyed by path, so this is
-    // an exact cleanup, and a file that never had one is a no-op delete
+    // sketches) die with the file — both are keyed by the path STRING
+    // the writer recorded, so the cleanup deletes the sidecar of every
+    // manifest spelling that canonicalizes to the deleted file (plus
+    // the listed spelling itself, which covers never-committed
+    // orphans); a file that never had one is a no-op delete
     deleted.foreach { f =>
-      fs.delete(FileStats.statsPath(base, f))
-      fs.delete(FileBloom.bloomPath(base, f))
+      (spellings.getOrElse(canon(f), Nil) :+ f).distinct.foreach { sp =>
+        fs.delete(FileStats.statsPath(base, sp))
+        fs.delete(FileBloom.bloomPath(base, sp))
+      }
     }
     (1 until horizon).foreach { v =>
       fs.delete(manifestPath(base, v))

@@ -89,14 +89,21 @@ class StoreChangeSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val base = properties.get("path")
+    // Spark hands getTable the ORIGINAL-cased option map (inferSchema
+    // got the case-insensitive wrapper): a raw properties.get here
+    // would silently drop a user's "Mode"/"STARTINGVERSION" spelling —
+    // the stream would run in append mode against the CDC schema the
+    // inference just promised, or start at 0 instead of the requested
+    // version. Re-wrap so both hooks read options the same way.
+    val opts = new CaseInsensitiveStringMap(properties)
+    val base = opts.get("path")
     require(base != null && base.nonEmpty,
       "graft-store-changes requires .option(\"path\", <store base dir>)")
-    val mode = Option(properties.get("mode")).getOrElse("append")
+    val mode = Option(opts.get("mode")).getOrElse("append")
     require(mode == "append" || mode == "cdc",
       s"graft-store-changes mode must be 'append' or 'cdc', got '$mode'")
     new StoreChangeTable(base,
-      Option(properties.get("startingVersion")).getOrElse("0"), mode)
+      Option(opts.get("startingVersion")).getOrElse("0"), mode)
   }
 }
 
@@ -212,20 +219,25 @@ private[sources] class StoreChangeStream(base: String, startingVersion: String,
     */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[V].v, end.asInstanceOf[V].v)
-    // one manifest resolution per version in the range, shared by both
-    // sides of every step's diff
-    val byV: Map[Int, Seq[String]] = (s to e)
-      .map(v => v -> (if (v == 0) Seq.empty[String]
-        else IndexCatalog.files(base, v))).toMap
     def bucketOf(f: String): Long = IndexCatalog.partitionKey(f) match {
       case Some(k) if k.startsWith("bucket=") =>
         k.stripPrefix("bucket=").toLong
       case other => throw new IllegalStateException(
         s"store file without a bucket= partition: $f ($other)")
     }
+    // one manifest resolution per version in the range, shared by both
+    // sides of every step's diff — carried as a SLIDING (prev, cur)
+    // pair, never a whole-range map: a consumer catching up V versions
+    // of an N-file store would otherwise hold V full file lists on the
+    // driver at once (checkpoints bound each resolution's cost, but
+    // nothing bounds V x N retention except this fold)
+    def filesOf(v: Int): Seq[String] =
+      if (v == 0) Seq.empty[String] else IndexCatalog.files(base, v)
+    var prevList = filesOf(s)
     (s + 1 to e).flatMap { v =>
-      val prev = byV(v - 1).toSet
-      val cur = byV(v)
+      val prev = prevList.toSet
+      val cur = filesOf(v)
+      prevList = cur
       val removed = (prev -- cur.toSet).toSeq.sorted
       val added = cur.filterNot(prev).sorted
       if (mode == "cdc")

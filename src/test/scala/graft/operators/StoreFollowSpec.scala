@@ -219,4 +219,25 @@ class StoreFollowSpec extends SparkSpec {
       assert(feed.keys.count(_._1 == 3L) == 1)
     } finally Seq(base, ckpt, sink).foreach(graft.Fs.deleteRecursively)
   }
+
+  test("reader options are case-insensitive in getTable, not just schema inference") {
+    // Spark resolves inferSchema through a CaseInsensitiveStringMap but
+    // hands getTable the ORIGINAL-cased map: a raw get there silently
+    // ignored a user's "Mode"/"STARTINGVERSION" spelling — the table
+    // then ran append-mode against the 6-column CDC schema the
+    // inference had already promised for the same options
+    import scala.jdk.CollectionConverters._
+    val src = new graft.sources.StoreChangeSource
+    val odd = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("Mode" -> "cdc", "PATH" -> "/tmp/nowhere",
+        "STARTINGVERSION" -> "5").asJava)
+    assert(src.inferSchema(odd) == graft.sources.StoreChangeSource.CdcSchema)
+    val table = src.getTable(null, Array.empty,
+      Map("Mode" -> "cdc", "PATH" -> "/tmp/nowhere",
+        "STARTINGVERSION" -> "5").asJava)
+    assert(table.schema() == graft.sources.StoreChangeSource.CdcSchema,
+      "getTable ignored the original-cased mode option")
+    assert(table.name().endsWith(",cdc)"),
+      s"mode lost in getTable: ${table.name()}")
+  }
 }

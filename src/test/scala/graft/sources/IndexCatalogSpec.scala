@@ -457,4 +457,72 @@ class IndexCatalogSpec extends AnyFunSuite {
       assert(other.contains(2))
     } finally graft.Fs.deleteRecursively(base)
   }
+
+  test("newGenDir is unique per call: concurrent writers never share (and overwrite) one generation directory") {
+    val base = store()
+    try {
+      // same observed version, two calls — a version-derived name would
+      // collide here, and an overwrite-mode writer in the shared dir
+      // would delete the other's possibly already-committed files
+      val g1 = IndexCatalog.newGenDir(base)
+      val g2 = IndexCatalog.newGenDir(base)
+      assert(g1 != g2, "two writers handed the same generation directory")
+      assert(Files.isDirectory(Paths.get(g1)) && Files.isDirectory(Paths.get(g2)))
+      // each commit lists ONLY its own directory's files
+      Files.writeString(Paths.get(g1, "part-a.parquet"), "a")
+      Files.writeString(Paths.get(g2, "part-b.parquet"), "b")
+      IndexCatalog.commit(base, g1)
+      IndexCatalog.commit(base, g2)
+      assert(IndexCatalog.files(base, 1).map(f =>
+        Paths.get(f).getFileName.toString) == Seq("part-a.parquet"))
+      assert(IndexCatalog.files(base, 2).size == 2)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("vacuum membership is canonical-path based: a store written through a non-normalized base spelling never mass-deletes live data") {
+    val canonical = store()
+    // every write AND this vacuum go through a redundant './' spelling
+    // — manifests then record files under that spelling, while the
+    // deletion candidates are listed under the normalized absolute
+    // root; raw string comparison would classify every live file as an
+    // orphan and delete it at grace <= 0
+    val base = canonical + java.io.File.separator + "." +
+      java.io.File.separator
+    try {
+      val f1 = fakeGen(base, "gen-one")
+      IndexCatalog.commitRewrite(base, Seq(f1), Nil, 0)
+      val f2 = fakeGen(base, "gen-two")
+      IndexCatalog.commitRewrite(base, Seq(f2), Nil, 1) // supersedes f1
+      val deleted = IndexCatalog.vacuum(base, retain = 1, orphanGraceMs = 0L)
+      // exactly the superseded file goes; the live one survives
+      assert(deleted == Seq(f1) ||
+        deleted.map(d => Paths.get(d).toAbsolutePath.normalize.toString) ==
+          Seq(Paths.get(f1).toAbsolutePath.normalize.toString),
+        s"vacuum deleted $deleted, expected only the superseded $f1")
+      assert(Files.exists(Paths.get(f2)),
+        "live data deleted: path-spelling mismatch in vacuum membership")
+      assert(IndexCatalog.latestFiles(base) == Seq(f2))
+    } finally graft.Fs.deleteRecursively(canonical)
+  }
+
+  test("vacuumTxnMarkers compares canonical marker paths: a referenced decided marker spelled differently is never GC'd") {
+    val base = store()
+    val mdirCanon = store()
+    try {
+      // the coordinator spells the marker with a redundant './' — the
+      // manifests record that spelling; the GC walk lists the
+      // canonical one. Raw comparison would delete the decided marker
+      // a live manifest still references, flipping the committed
+      // participant permanently back to in-doubt.
+      val marker = mdirCanon + java.io.File.separator + "." +
+        java.io.File.separator + "m1"
+      val f = fakeGen(base, "gen-txn")
+      val committed = IndexCatalog.commitTxn(marker, Seq((base, Seq(f), Nil)))
+      assert(committed.isDefined, "txn should commit cleanly")
+      val gone = IndexCatalog.vacuumTxnMarkers(mdirCanon, Seq(base), graceMs = 0L)
+      assert(gone.isEmpty, s"GC deleted a still-referenced marker: $gone")
+      // the committed participant must still resolve
+      assert(IndexCatalog.latestFiles(base) == Seq(f))
+    } finally Seq(base, mdirCanon).foreach(graft.Fs.deleteRecursively)
+  }
 }
