@@ -135,8 +135,57 @@ object StreamingQueries {
     val maxBefore = before.map(_.lastModified).foldLeft(0L)(math.max)
     new java.io.File(inDir).listFiles()
       .filterNot(before)
-      .foreach(f => f.setLastModified(math.max(f.lastModified, maxBefore + 1000)))
+      .foreach { f =>
+        val target = math.max(f.lastModified, maxBefore + 1000)
+        // fail LOUDLY when the bump is needed but refused (some mounts
+        // return false instead of throwing): silently keeping the
+        // natural mtime reintroduces the sentinel-ties-with-fixture
+        // race this helper exists to prevent, as a flaky late-drop
+        // with nothing pointing at the cause
+        if (f.lastModified < target && !f.setLastModified(target))
+          throw new IllegalStateException(
+            s"appendOrderedAfter: setLastModified refused on $f - " +
+              "the mtime ordering guard cannot hold on this filesystem")
+      }
   }
+
+  /** Move a `partitionBy("sl")` slice-staging dir's files into the
+    * feed dir in slice order — one mtime-fenced append per slice —
+    * then drop the staging dir. The slice → micro-batch (and hence
+    * `ingest-batch=` tag) mapping stays deterministic even on a
+    * coarse-mtime filesystem. One definition shared by every
+    * streamed-ingest query, so the fence cannot drift per site.
+    */
+  private def stageSlices(stage: String, inDir: String,
+      nSlices: Int = 2): Unit = {
+    (0 until nSlices).foreach { s =>
+      appendOrderedAfter(inDir) {
+        graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
+          .zipWithIndex.foreach { case (f, k) =>
+            Files.move(Paths.get(f), Paths.get(inDir, s"slice-$s-$k.parquet"))
+          }
+      }
+    }
+    graft.Fs.deleteRecursively(stage)
+  }
+
+  /** The outer joins' two-row sentinel (one view + one click with
+    * DISTINCT negative users, so they match no fixture row and not
+    * each other — BOTH branch watermarks advance), written under the
+    * same mtime fence as [[writeSentinel]]: without it the sentinel
+    * can tie with the just-copied fixture on a coarse-mtime
+    * filesystem, sort FIRST, jump the watermark before any data ran,
+    * and late-drop the entire fixture.
+    */
+  private def writeTwoBranchSentinel(ss: SparkSession, inDir: String): Unit =
+    appendOrderedAfter(inDir) {
+      ss.createDataFrame(
+        java.util.Arrays.asList(
+          Row(-1L, SentinelNtz, -1L, "view", 0.0, "{}"),
+          Row(-2L, SentinelNtz, -2L, "click", 0.0, "{}")),
+        StreamingDistinct.eventsSchema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
 
   /** Write THE sentinel file: one far-future row (user -1, type
     * `sentinel`) appended to the source dir. Queries needing custom
@@ -571,12 +620,7 @@ object StreamingQueries {
       // stateful streams is demonstrated by the sessionize / funnel /
       // retention trio; join state rides the same state-store
       // machinery, and a second pass here was pure harness cost.)
-      ss.createDataFrame(
-        java.util.Arrays.asList(
-          Row(-1L, SentinelNtz, -1L, "view", 0.0, "{}"),
-          Row(-2L, SentinelNtz, -2L, "click", 0.0, "{}")),
-        StreamingDistinct.eventsSchema)
-        .coalesce(1).write.mode("append").parquet(inDir)
+      writeTwoBranchSentinel(ss, inDir)
       val src = eventsSource(ss, inDir)
         .withWatermark("ts", "1 hour") // BEFORE the branch filters
       val imps = src.filter(col("event_type") === "view")
@@ -625,12 +669,7 @@ object StreamingQueries {
     val ckpt = Files.createTempDirectory("graft_sfo_ckpt").toString
     try {
       stageFixture(dir, inDir)
-      ss.createDataFrame(
-        java.util.Arrays.asList(
-          Row(-1L, SentinelNtz, -1L, "view", 0.0, "{}"),
-          Row(-2L, SentinelNtz, -2L, "click", 0.0, "{}")),
-        StreamingDistinct.eventsSchema)
-        .coalesce(1).write.mode("append").parquet(inDir)
+      writeTwoBranchSentinel(ss, inDir)
       val src = eventsSource(ss, inDir)
         .withWatermark("ts", "1 hour") // BEFORE the branch filters
       val imps = src.filter(col("event_type") === "view")
@@ -793,15 +832,7 @@ object StreamingQueries {
       // two engine passes of harness floor.
       batchA.withColumn("sl", expr("pmod(vec_id div 4, 2)"))
         .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
-      (0 until 2).foreach { s =>
-        appendOrderedAfter(inDir) {
-          graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
-            .zipWithIndex.foreach { case (f, k) =>
-              Files.move(Paths.get(f), Paths.get(inDir, s"slice-$s-$k.parquet"))
-            }
-        }
-      }
-      graft.Fs.deleteRecursively(stage)
+      stageSlices(stage, inDir)
       val feedSchema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
@@ -878,15 +909,7 @@ object StreamingQueries {
       docs.filter(col("doc_id") % 3 === 1)
         .withColumn("sl", expr("pmod(doc_id div 3, 2)"))
         .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
-      (0 until 2).foreach { s =>
-        appendOrderedAfter(inDir) {
-          graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
-            .zipWithIndex.foreach { case (f, k) =>
-              Files.move(Paths.get(f), Paths.get(inDir, s"slice-$s-$k.parquet"))
-            }
-        }
-      }
-      graft.Fs.deleteRecursively(stage)
+      stageSlices(stage, inDir)
       val feedSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("lang", StringType)))
       val q = ss.readStream.schema(feedSchema)
@@ -985,15 +1008,7 @@ object StreamingQueries {
         .select(col("doc_id"), col("text"),
           when(pmod(col("doc_id"), lit(10)) === 7, lit(0)).otherwise(1).as("sl"))
         .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
-      (0 until 2).foreach { s =>
-        appendOrderedAfter(inDir) {
-          graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
-            .zipWithIndex.foreach { case (f, k) =>
-              Files.move(Paths.get(f), Paths.get(inDir, s"slice-$s-$k.parquet"))
-            }
-        }
-      }
-      graft.Fs.deleteRecursively(stage)
+      stageSlices(stage, inDir)
       val feedSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType)))
@@ -1060,15 +1075,7 @@ object StreamingQueries {
         .select(col("doc_id"), col("text"),
           pmod(col("doc_id"), lit(2)).cast("int").as("sl"))
         .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
-      (0 until 2).foreach { s =>
-        appendOrderedAfter(inDir) {
-          graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
-            .zipWithIndex.foreach { case (f, k) =>
-              Files.move(Paths.get(f), Paths.get(inDir, s"slice-$s-$k.parquet"))
-            }
-        }
-      }
-      graft.Fs.deleteRecursively(stage)
+      stageSlices(stage, inDir)
       val feedSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType)))
@@ -1187,15 +1194,7 @@ object StreamingQueries {
       // moves into the feed
       feed.withColumn("sl", expr("pmod(vec_id div 4, 2)"))
         .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
-      (0 until 2).foreach { s =>
-        appendOrderedAfter(inDir) {
-          graft.sources.IndexCatalog.listDataFiles(s"$stage/sl=$s")
-            .zipWithIndex.foreach { case (f, k) =>
-              Files.move(Paths.get(f), Paths.get(inDir, s"slice-$s-$k.parquet"))
-            }
-        }
-      }
-      graft.Fs.deleteRecursively(stage)
+      stageSlices(stage, inDir)
       val feedSchema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
@@ -1223,7 +1222,16 @@ object StreamingQueries {
         sum(col("vec_id")).cast("long").as("id_sum"),
         countDistinct(col("bucket")).as("n_buckets"))
       .withColumn("side", lit("store"))
-    val dlq = ss.read.option("basePath", quar).parquet(quar)
+    // an all-clean feed writes NO dead-letter files (and prunes stale
+    // ones), so the read-back must treat the empty dir as the empty
+    // census, not a failed schema inference
+    val quarFiles = graft.sources.IndexCatalog.listDataFiles(quar)
+    val quarRows =
+      if (quarFiles.isEmpty) {
+        import ss.implicits._
+        Seq.empty[Long].toDF("vec_id")
+      } else ss.read.option("basePath", quar).parquet(quar)
+    val dlq = quarRows
       .agg(count(lit(1)).as("n_rows"),
         sum(col("vec_id")).cast("long").as("id_sum"))
       .withColumn("n_buckets", lit(0L))
@@ -1411,6 +1419,11 @@ object StreamingQueries {
     val tag = s"mv-batch=$batchId"
     if (IndexCatalog.committedTags(mvBase).contains(tag)) return false
     val dAgg = dAggIn.localCheckpoint()
+    // freed on EVERY exit (the commitClusterBatch precedent): a
+    // long-lived stream session otherwise pins one checkpointed delta
+    // per micro-batch until teardown — storage memory linear in batch
+    // count
+    try {
     if (dAgg.isEmpty) return false
     val touchedKeys = dAgg.select("bucket").collect()
       .map(r => s"bucket=${r.getLong(0)}").toSet
@@ -1455,6 +1468,7 @@ object StreamingQueries {
       }
     }
     true
+    } finally DedupQueries.freeLocalCheckpoint(dAgg)
   }
 
   /** Incrementally-maintained MATERIALIZED VIEW — the derived-data
@@ -1670,12 +1684,33 @@ object StreamingQueries {
     val tag = s"ingest-batch=$batchId"
     if (parts.exists { case (b, _) =>
         IndexCatalog.committedTags(b).contains(tag) }) return false
-    if (parts.head._2.isEmpty) return false // empty batch: derived slices are too
-    val staged = parts.map { case (base, df) =>
-      val gen = IndexCatalog.newGenDir(base)
-      df.write.mode("overwrite").parquet(gen)
-      (base, IndexCatalog.listDataFiles(gen), Seq(tag))
-    }
+    // pin every slice before ANY of it is consumed (the
+    // quarantineIngestBatch precedent): each part frame is read twice
+    // (isEmpty + write), and the txn's whole point is that the N
+    // stores publish ONE consistent view of the batch — an unpinned
+    // non-deterministic upstream could materialize the doc slice and
+    // the stats slice from different row sets and atomically commit a
+    // pair that disagree
+    val pinned = parts.map { case (b, df) => (b, df.localCheckpoint()) }
+    try {
+      if (pinned.head._2.isEmpty) return false // empty batch: derived slices are too
+      val staged = pinned.map { case (base, df) =>
+        val gen = IndexCatalog.newGenDir(base)
+        df.write.mode("overwrite").parquet(gen)
+        (base, IndexCatalog.listDataFiles(gen), Seq(tag))
+      }
+      commitStaged(batchId, markerDir, staged, maxAttempts)
+    } finally pinned.foreach { case (_, df) =>
+      DedupQueries.freeLocalCheckpoint(df) }
+  }
+
+  /** The marker-retry loop of [[commitTxnBatch]], over already-staged
+    * generation files.
+    */
+  private def commitStaged(batchId: Long, markerDir: String,
+      staged: Seq[(String, Seq[String], Seq[String])],
+      maxAttempts: Int): Boolean = {
+    import graft.sources.IndexCatalog
     var k = 0
     while (k < maxAttempts) {
       val marker = java.nio.file.Paths
@@ -1764,6 +1799,10 @@ object StreamingQueries {
             .coalesce(1).write.mode("append").parquet(inDir)
         }
       }
+      // both slice writes are on disk: free the pinned pair frame now,
+      // or the memoized stream session carries its blocks until
+      // teardown (the commitClusterBatch precedent)
+      DedupQueries.freeLocalCheckpoint(es)
       val feedSchema = StructType(Seq(
         StructField("i", LongType), StructField("j", LongType)))
       val q = ss.readStream.schema(feedSchema)
@@ -1854,7 +1893,13 @@ object StreamingQueries {
         val basedOn = IndexCatalog.currentVersion(store)
         val storedFiles =
           if (basedOn == 0) Seq.empty else IndexCatalog.files(store, basedOn)
-        val stored = ss.read.parquet(storedFiles: _*)
+        // an empty store (no committed base yet) is a valid state the
+        // branch above creates — a zero-path parquet read is not
+        val stored =
+          if (storedFiles.isEmpty) {
+            import ss.implicits._
+            Seq.empty[(Long, Long)].toDF("node", "comp")
+          } else ss.read.parquet(storedFiles: _*)
         val nodes = batch.filter(col("j").isNull)
           .select(col("i").as("node")).distinct()
           .join(stored.select(col("node")), Seq("node"), "left_anti")

@@ -56,6 +56,21 @@ object StreamingFunnel {
 
   private val Empty = FunnelState(None, None, None, 0L)
 
+  /** Finalization horizon: a user's funnel record is emitted once the
+    * watermark passes their last activity + this, the same sized
+    * constant [[StreamingRetention.HorizonMs]] uses — "final only when
+    * no more events can arrive" is only as true as this horizon, and a
+    * buried small constant (it was a hardcoded hour) silently
+    * finalizes any user whose stage gap exceeds it: the record emits
+    * without the later stage, and that stage's eventual arrival
+    * re-opens empty state where it is discarded (a duplicate,
+    * stage-poorer row vs the batch funnel). 35 days covers any
+    * plausible view→purchase window; a domain with longer journeys
+    * sizes it up, trading state residence time, exactly the retention
+    * tradeoff.
+    */
+  private[streaming] val HorizonMs = 35L * 86400 * 1000
+
   /** The per-user transition. Exposed for direct unit testing. */
   def onUser(
       userId: Long,
@@ -90,10 +105,11 @@ object StreamingFunnel {
     }
     if (s.tView.isDefined) {
       state.update(s)
-      // flush when the watermark passes the user's last activity + 1h
-      // (+1 ms: the timeout clock is ms-grained); any later real event
-      // re-arms the horizon before the watermark can reach it
-      state.setTimeoutTimestamp(s.lastUs / 1000L + 3600L * 1000L + 1L)
+      // flush when the watermark passes the user's last activity +
+      // [[HorizonMs]] (+1 ms: the timeout clock is ms-grained); any
+      // later real event re-arms the horizon before the watermark can
+      // reach it
+      state.setTimeoutTimestamp(s.lastUs / 1000L + HorizonMs + 1L)
     }
     Iterator.empty
   }

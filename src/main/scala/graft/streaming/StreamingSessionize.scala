@@ -77,7 +77,19 @@ object StreamingSessionize {
           closed += close(userId, s)
           cur = Some(SessionState(t, t, 1))
         case Some(s) =>
-          cur = Some(SessionState(s.startUs, math.max(s.lastUs, t), s.nEvents + 1))
+          // CROSS-BATCH disorder contract (within a batch `sorted`
+          // makes order immaterial): an out-of-order event from a
+          // LATER batch that lands within the open session's span — or
+          // within the gap BEFORE its start — folds in, and min()
+          // extends the start backwards so that case matches the batch
+          // gaps-and-islands answer exactly. An event more than a gap
+          // before the start folds too (a single-open-session
+          // transition cannot re-open closed history); the batch query
+          // would report a separate earlier session — the same
+          // one-divergence tradeoff the funnel documents, and late
+          // data past the watermark never reaches here at all.
+          cur = Some(SessionState(math.min(s.startUs, t),
+            math.max(s.lastUs, t), s.nEvents + 1))
         case None =>
           cur = Some(SessionState(t, t, 1))
       }

@@ -91,10 +91,11 @@ class StreamingFunnelSpec extends SparkSpec {
       q.processAllAvailable()
       // nothing final yet
       assert(spark.table("funnel_rows").isEmpty)
-      // two watermark-advancing batches fire the 1h-horizon timeouts
-      input.addData((99L, "view", Timestamp.valueOf("2024-01-02 10:00:00")))
+      // two watermark-advancing batches fire the 35-day-horizon
+      // timeouts (StreamingFunnel.HorizonMs — sized like retention's)
+      input.addData((99L, "view", Timestamp.valueOf("2024-02-20 10:00:00")))
       q.processAllAvailable()
-      input.addData((99L, "view", Timestamp.valueOf("2024-01-03 10:00:00")))
+      input.addData((99L, "view", Timestamp.valueOf("2024-04-10 10:00:00")))
       q.processAllAvailable()
       val rows = spark.table("funnel_rows").as[FunnelRow].collect().sortBy(_.user_id)
       // user 1 finalized; user 2 (click only) never held state

@@ -53,6 +53,29 @@ class StreamingSessionizeSpec extends SparkSpec {
     assert(state.value.exists(_.nEvents == 2L)) // open tail session
   }
 
+  test("a cross-batch straggler within the gap BEFORE the open session's start extends it backwards (batch-exact)") {
+    val gapMs = 5 * 60 * 1000L
+    val state = new TestGroupState[SessionState]
+    // batch 1: session opens at 10:10
+    StreamingSessionize.onUser(gapMs)(7L, Iterator(Event(7L, ts(10))), state)
+    assert(state.value.exists(s => micros(ts(10)) == s.startUs))
+    // batch 2: a within-watermark straggler at 10:07 (3 min before the
+    // start, inside the 5-min gap) — the batch gaps-and-islands query
+    // reports ONE session [10:07, 10:10]; the transition must agree,
+    // not keep the start pinned at 10:10
+    StreamingSessionize.onUser(gapMs)(7L, Iterator(Event(7L, ts(7))), state)
+    val s = state.value.get
+    assert(s.startUs == micros(ts(7)),
+      s"straggler did not extend the session start: ${s.startUs}")
+    assert(s.lastUs == micros(ts(10)) && s.nEvents == 2L)
+    // the documented divergence: a straggler MORE than a gap before
+    // the start still folds (single-open-session contract) — pin the
+    // shape so the contract is explicit, not accidental
+    StreamingSessionize.onUser(gapMs)(7L, Iterator(Event(7L, ts(0))), state)
+    val s2 = state.value.get
+    assert(s2.startUs == micros(ts(0)) && s2.nEvents == 3L)
+  }
+
   /** Minimal GroupState stub for driving the transition directly. */
   private class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
     private var s: Option[S] = None
