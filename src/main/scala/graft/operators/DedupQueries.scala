@@ -232,11 +232,7 @@ object DedupQueries {
     // once per collision row; round 7 paid that probe twice per
     // collision (31M pairs at 10× fixture scale) and it dominated the
     // verify stage's measured cost.
-    val bandCols = (0 until NumBands).map { b =>
-      val parts = (0 until BandSize).map(r => col(s"h${b * BandSize + r}"))
-      md5(concat(parts: _*)).as(s"bh$b")
-    }
-    val bandNames = (0 until NumBands).map(b => col(s"bh$b"))
+    val (bandCols, bandNames) = bandColumns()
     // stage boundary: the band-bucket frame feeds BOTH sides of the
     // collision self-join — the streaming side and the broadcast-build
     // future would otherwise race to materialize the same signature
@@ -381,18 +377,50 @@ object DedupQueries {
     * exact all-pairs baseline. Exposed for the skew spec, which drives
     * both modes over a synthetic hot-shingle corpus.
     */
+  /** The LSH band hashes `bh0..bh{NumBands-1}` — md5 over each band's
+    * [[BandSize]] seed-hash columns — in ONE place for the inline
+    * pipeline ([[lshPairs]]), the store writer ([[writeLshGen]]) and
+    * the store probe ([[probeLshStore]]): persisted buckets are only
+    * matchable while all three derive bit-identical band keys, and a
+    * drifted copy would collapse probe recall silently (every batch
+    * reads as "all new"). `prefix` renames the query side (`qbh`) so
+    * the probe carries both sides' bands through its join. Returns
+    * (aliased band expressions, the bare column refs).
+    */
+  private def bandColumns(
+      prefix: String = "bh"): (Seq[Column], Seq[Column]) = {
+    val cols = (0 until NumBands).map { b =>
+      val parts = (0 until BandSize).map(r => col(s"h${b * BandSize + r}"))
+      md5(concat(parts: _*)).as(s"$prefix$b")
+    }
+    (cols, (0 until NumBands).map(b => col(s"$prefix$b")))
+  }
+
   private[operators] def shinglePairs(
-      docs: DataFrame, cap: Option[Int]): DataFrame = {
-    val sh = shingles(docs)
+      docs: DataFrame, cap: Option[Int]): DataFrame =
+    cappedSelfJoin(shingles(docs), cap)._1
+
+  /** The df-capped shingle self-join — census, cap filter, `<`-ordered
+    * self-join, per-pair intersection count — shared by
+    * [[shinglePairs]] (the spec driver) and [[cappedPairs]] (the
+    * oracle-gated production path, which caches the frames): ONE
+    * definition, so the blocking semantics (the cap comparison, the
+    * join shape) cannot silently diverge between the path the spec
+    * exercises and the path the oracle gates. Returns (pairs, kept
+    * shingle universe) — the universe feeds the Jaccard size census.
+    */
+  private def cappedSelfJoin(
+      sh: DataFrame, cap: Option[Int]): (DataFrame, DataFrame) = {
     val kept = cap.fold(sh) { c =>
       val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= c).select(col("s"))
       sh.join(rare, "s")
     }
-    kept.as("a")
+    val pairs = kept.as("a")
       .join(kept.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("inter"))
+    (pairs, kept)
   }
 
   /** Jaccard filter + output shape shared by both variants. */
@@ -456,13 +484,10 @@ object DedupQueries {
     // uncached this plan re-tokenizes the corpus ~6×. Lazy; session
     // owners clearCache per query (the bm25Partials precedent).
     val sh = shingles(docs).cache()
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select(col("s"))
-    val kept = sh.join(rare, "s").cache()
-    val pairs = kept.as("a")
-      .join(kept.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter"))
+    val (pairs, kept) = cappedSelfJoin(sh, Some(MaxShingleDf))
+    // cache registration is by logical plan, so the pair plan built a
+    // line above hits this cache at execution
+    kept.cache()
     jaccardOutput(pairs, kept)
   }
 
@@ -888,11 +913,7 @@ object DedupQueries {
     val vocab = reps.select(explode(col("ws")).as("w")).distinct()
     val nVocab = vocab.count() // measured broadcast guard, as in lshPairs
     val sigs = repSignatures(reps, vocab, nVocab, BroadcastVocabMaxWords)
-    val bandCols = (0 until NumBands).map { b =>
-      val parts = (0 until BandSize).map(r => col(s"h${b * BandSize + r}"))
-      md5(concat(parts: _*)).as(s"bh$b")
-    }
-    val bandNames = (0 until NumBands).map(b => col(s"bh$b"))
+    val (bandCols, bandNames) = bandColumns()
     try {
       val gen = graft.sources.IndexCatalog.newGenDir(base)
       sigs.join(reps, "fp")
@@ -900,7 +921,13 @@ object DedupQueries {
         .select(col("fp") +: col("ws") +: col("n") +: bandNames :+
           posexplode(array(bandNames: _*)).as(Seq("band", "bh")): _*)
         .write.mode("overwrite").parquet(gen)
-      graft.sources.IndexCatalog.commit(base, gen)
+      // ride the optimistic-retry loop like every other store writer:
+      // commit() re-reads currentVersion per attempt, so losing the
+      // version CAS to a concurrent committer re-publishes against the
+      // winner's state instead of aborting the ingest
+      graft.sources.IndexCatalog.retryingCommit()(
+        graft.sources.IndexCatalog.commit(base, gen))
+      ()
     } finally reps.unpersist()
   }
 
@@ -923,11 +950,20 @@ object DedupQueries {
     Engine.register(spark) // sorted_inter_atleast on the verify path
     val store = spark.read.schema(lshStoreSchema)
       .parquet(graft.sources.IndexCatalog.latestFiles(base): _*)
+    // cached: the batch tokenize+md5 frame feeds the rep groupBy AND
+    // the final census join, and qreps below fans out to four
+    // consumers (vocab explode, signature join, band attach, the
+    // broadcast-guard count) — uncached, each consumer re-reads the
+    // documents table and re-hashes the batch from scratch (the
+    // writeLshGen `reps` precedent). Both frames are batch-sized;
+    // they stay resident for the session like any cached probe input,
+    // bounded by the two probe queries that build them.
     val incoming = Engine.table(spark, dir, "documents")
       .filter(batchFilter)
       .select(col("doc_id"), col("source"),
         sort_array(array_distinct(split(col("text"), " "))).as("dws"))
       .withColumn("qfp", md5(concat_ws(" ", col("dws"))))
+      .cache()
     // Unique-set dedup on the batch side too — the inline pipeline's
     // founding trick ([[lshPairs]]): docs with identical word sets
     // have identical signatures and verdicts, so candidates and
@@ -939,15 +975,12 @@ object DedupQueries {
     // as the corpus build.
     val qreps = incoming.groupBy(col("qfp")).agg(
       first(col("dws")).as("ws"), size(first(col("dws"))).as("qn"))
+      .cache() // populated by the broadcast-guard count below
     val bVocab = qreps.select(explode(col("ws")).as("w")).distinct()
     val nBVocab = bVocab.count()
     val sigs = repSignatures(
       qreps, bVocab, nBVocab, BroadcastVocabMaxWords, key = "qfp")
-    val bandCols = (0 until NumBands).map { b =>
-      val parts = (0 until BandSize).map(r => col(s"h${b * BandSize + r}"))
-      md5(concat(parts: _*)).as(s"qbh$b")
-    }
-    val bandNames = (0 until NumBands).map(b => col(s"qbh$b"))
+    val (bandCols, bandNames) = bandColumns(prefix = "qbh")
     val qb = sigs.join(qreps, "qfp")
       .select(col("qfp") +: col("ws").as("qws") +: col("qn") +: bandCols: _*)
       .select(col("qfp") +: col("qws") +: col("qn") +: bandNames :+

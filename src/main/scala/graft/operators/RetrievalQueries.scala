@@ -422,10 +422,14 @@ object RetrievalQueries {
     val files = IndexCatalog.latestFiles(base)
       .filter(f => IndexCatalog.partitionKey(f).exists(keys.contains))
     val (nDocs, nToks) = storedStats(base)
-    val avg10 = (10L * nToks) / nDocs
-    if (files.isEmpty)
+    // an EMPTIED corpus (every doc tombstoned: the stats tag reads
+    // 0:0 while posting files stay live) must answer the empty
+    // ranking, not divide by zero — checked before avg10, and before
+    // the files guard (which an emptied store never trips)
+    if (files.isEmpty || nDocs == 0L)
       return Seq.empty[(Long, Long, Long, Long)]
         .toDF("query_id", "rk", "doc_id", "score")
+    val avg10 = (10L * nToks) / nDocs
     // cached for the same fork reason as bm25Partials' tf frame —
     // though here the double-read would only re-touch the PRUNED
     // posting lists, not a corpus

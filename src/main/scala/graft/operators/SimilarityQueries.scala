@@ -1180,6 +1180,26 @@ object SimilarityQueries {
     * own by construction, so concurrent appenders to one store can
     * never claim each other's files).
     */
+  /** The embed store's FROZEN sign-hash family, in ONE place: a row's
+    * bucket is its embedding's sign pattern against the stored planes
+    * (bit b set iff dot(embedding, plane b) ≥ 0). Writers, probes and
+    * every DML verb derive buckets through this single definition —
+    * the store's compatibility contract is that the family never
+    * changes within a store's lifetime, and a drifted copy (bit
+    * order, sign convention, plane-id mapping) would produce
+    * writer/prober buckets that silently never match: a recall
+    * collapse with no error, the exact corruption class the frozen
+    * generations exist to prevent.
+    */
+  private def signBuckets(vecs: DataFrame, planes: DataFrame,
+      as: String = "bucket"): DataFrame =
+    vecs.crossJoin(planes)
+      .withColumn("bit",
+        when(dot(col("embedding"), col("p_emb")) >= 0,
+          expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(sum(col("bit")).as(as))
+
   private[operators] def writeEmbedGen(
       spark: SparkSession, vecs: DataFrame, base: String,
       commitTags: Seq[String] = Nil, assumeFresh: Boolean = false,
@@ -1198,12 +1218,7 @@ object SimilarityQueries {
       val ids = readStoreFiles(spark, stored).select(col("vec_id")).distinct()
       vecs.join(ids, Seq("vec_id"), "left_anti")
     } else vecs
-    val rows = fresh.crossJoin(planes) // NPlanes rows — bounded small side
-      .withColumn("bit",
-        when(dot(col("embedding"), col("p_emb")) >= 0,
-          expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
-      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
-      .agg(sum(col("bit")).as("bucket"))
+    val rows = signBuckets(fresh, planes) // NPlanes rows — bounded small side
     // a fully-duplicate batch dedups to zero rows and writes no files —
     // the documented skip, so the append is a no-op, not a failed commit.
     // The commit rides the optimistic-retry loop: losing the version
@@ -1248,13 +1263,7 @@ object SimilarityQueries {
     import graft.sources.{IndexCatalog, StagedWrite}
     val target = s"$base/corpus"
     val planes = spark.read.parquet(s"$base/planes")
-    val rows = vecs.crossJoin(planes)
-      .withColumn("bit",
-        when(dot(col("embedding"), col("p_emb")) >= 0,
-          expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
-      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
-      .agg(sum(col("bit")).as("bucket"))
-      .withColumn("sl", sliceCol)
+    val rows = signBuckets(vecs, planes).withColumn("sl", sliceCol)
     val rootP = java.nio.file.Paths.get(target)
     java.nio.file.Files.createDirectories(rootP.getParent)
     val staging =
@@ -1318,14 +1327,8 @@ object SimilarityQueries {
     val corpus = readStoreFiles(spark, storeFiles)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"), col("bucket").as("n_bucket"))
-    val q = embeddings(spark, dir)
-      .filter(batchFilter)
-      .crossJoin(planes)
-      .withColumn("bit",
-        when(dot(col("embedding"), col("p_emb")) >= 0,
-          expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
-      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
-      .agg(sum(col("bit")).as("q_bucket"))
+    val q = signBuckets(
+      embeddings(spark, dir).filter(batchFilter), planes, as = "q_bucket")
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("q_bucket"))
     val w = Window.partitionBy(col("query_id"))
@@ -1504,12 +1507,19 @@ object SimilarityQueries {
         countDistinct(col("bucket")).as("n_buckets"))
   }
 
-  /** Row-level DELETE from the embed store — copy-on-write with the
-    * partition pruning the hash family gives for free: a row's bucket
-    * is a FUNCTION of the row (its sign pattern against the stored
-    * planes), so the delete set's target partitions are computed by
-    * re-hashing the deletes — no store scan ever runs to FIND the
-    * rows. Only the target buckets' live rows are read (anti-joined
+  /** Row-level DELETE from the embed store — find-then-rewrite with
+    * the store's OWN metadata: a stats-pruned skinny scan
+    * ([[graft.sources.FileStats.prune]] over the per-file
+    * `vec_id`-range sidecars, the [[mergeIntoEmbedStore]] step-2
+    * pattern) resolves the delete ids' CURRENT buckets, so the delete
+    * finds a row WHEREVER it lives. Re-hashing the caller's
+    * (vec_id, embedding) pairs — the previous derivation — silently
+    * missed any row whose stored embedding had since been UPDATED
+    * (its bucket migrated; the hash-derived partition set pointed at
+    * the old location and the "deleted" row survived): an erasure
+    * must never depend on the caller holding the current embedding,
+    * and the passed embeddings are now not consulted at all. Only the
+    * buckets actually HOLDING deleted rows are read back (anti-joined
     * on the delete ids) and rewritten in place-by-replacement; a
     * bucket whose rows are ALL deleted is replaced with nothing
     * (`extraReplacedKeys`), and every untouched partition carries
@@ -1518,38 +1528,48 @@ object SimilarityQueries {
     * conflict, like the compaction paths.
     *
     * 100 TB shape: the GDPR-style erasure pattern — cost is
-    * O(partitions holding deleted rows), a sliver of the store; time
-    * travel still serves the deleted rows at pre-delete versions
-    * (by design) until [[graft.sources.IndexCatalog.vacuum]] expires
-    * those manifests, so PHYSICAL erasure = delete + vacuum past the
-    * retention horizon, exactly as in production table formats.
+    * O(partitions whose id-ranges cover deleted rows), a sliver of
+    * the store; time travel still serves the deleted rows at
+    * pre-delete versions (by design) until
+    * [[graft.sources.IndexCatalog.vacuum]] expires those manifests,
+    * so PHYSICAL erasure = delete + vacuum past the retention
+    * horizon, exactly as in production table formats.
     */
   private[operators] def deleteFromEmbedStore(
       spark: SparkSession, base: String, delIds: DataFrame): Unit = {
-    import graft.sources.{IndexCatalog, StagedWrite}
+    import graft.sources.{FileStats, IndexCatalog, StagedWrite}
     val target = s"$base/corpus"
-    val planes = spark.read.parquet(s"$base/planes")
-    // the delete set's buckets via the stored hash family — bounded by
-    // 2^NPlanes, a driver-side constant set
-    val targetKeys = delIds.crossJoin(planes)
-      .withColumn("bit",
-        when(dot(col("embedding"), col("p_emb")) >= 0,
-          expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
-      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
-      .select(col("bucket")).distinct()
-      .collect().map(r => s"bucket=${r.getLong(0)}").toSet
+    val ids = delIds.select(col("vec_id"))
+    // bounded driver read: the delete set's id RANGE drives the
+    // sidecar prune (coarser than the exact set — conservative)
+    val bounds = ids.agg(min(col("vec_id")), max(col("vec_id"))).collect()(0)
+    if (bounds.isNullAt(0)) return // empty delete set: no-op
+    val (idLo, idHi) = (bounds.getLong(0), bounds.getLong(1))
     var attempts = 0
     var done = false
     while (!done) {
       attempts += 1
       val basedOn = IndexCatalog.currentVersion(base)
       require(basedOn >= 1, s"nothing to delete from: $base has no version")
-      val live = IndexCatalog.files(base, basedOn)
+      val liveAll = IndexCatalog.files(base, basedOn)
+      // FIND: the delete ids' CURRENT buckets from the store itself —
+      // a stats-pruned skinny scan (the mergeIntoEmbedStore step-2
+      // pattern), re-run per attempt against the observed version.
+      // Only the buckets actually HOLDING deleted rows rewrite.
+      val candidates = FileStats.prune(base, liveAll, "vec_id", idLo, idHi)
+      val targetKeys =
+        if (candidates.isEmpty) Set.empty[String]
+        else readStoreFiles(spark, candidates)
+          .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+          .join(ids, Seq("vec_id"), "left_semi")
+          .select(col("bucket")).distinct()
+          .collect().map(r => s"bucket=${r.getLong(0)}").toSet
+      val live = liveAll
         .filter(f => IndexCatalog.partitionKey(f).exists(targetKeys.contains))
       if (live.isEmpty) done = true // ids not in the store: no-op
       else {
         val remaining = readStoreFiles(spark, live)
-          .join(delIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .join(ids, Seq("vec_id"), "left_anti")
         try {
           val rewritten = StagedWrite.partitioned(
             remaining.repartition(col("bucket")), target, Seq("bucket"))
@@ -1630,13 +1650,10 @@ object SimilarityQueries {
     val planes = spark.read.parquet(s"$base/planes")
     // the batch's rows under the STORED hash family — small (batch ×
     // NPlanes), checkpointed once and reused across the retry loop
-    val hashed = batch.crossJoin(planes)
-      .withColumn("bit",
-        when(dot(col("embedding"), col("p_emb")) >= 0,
-          expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
-      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
-      .agg(sum(col("bit")).as("bucket"))
-      .localCheckpoint()
+    val hashed = signBuckets(batch, planes).localCheckpoint()
+    // freed on every exit: a leaked checkpoint survives to session
+    // teardown (the DedupQueries.freeLocalCheckpoint discipline)
+    try {
     val bounds = hashed.agg(min("vec_id"), max("vec_id")).collect()(0)
     if (bounds.isNullAt(0)) return // empty batch: no-op, no commit
     val (idLo, idHi) = (bounds.getLong(0), bounds.getLong(1))
@@ -1681,6 +1698,7 @@ object SimilarityQueries {
         case e if IndexCatalog.isCommitConflict(e) && attempts < 5 => ()
       }
     }
+    } finally graft.operators.DedupQueries.freeLocalCheckpoint(hashed)
   }
 
   /** The gated MERGE query: build the store over the even corpus (v1),
@@ -1770,21 +1788,23 @@ object SimilarityQueries {
           .select(col("vec_id"), col("embedding"), col("nrm"),
             col("bucket").cast("long").as("bucket"))
           .localCheckpoint()
-      if (matched == null || matched.isEmpty) done = true // no match: no-op
-      else {
+      if (matched == null) done = true // no candidate files: no-op
+      else if (matched.isEmpty) {
+        // the per-attempt checkpoints are freed BEFORE the next
+        // attempt (or exit): leaked, each CAS retry would pin another
+        // snapshot until session teardown
+        graft.operators.DedupQueries.freeLocalCheckpoint(matched)
+        done = true // no match: no-op
+      } else try {
         val oldKeys = matched.select(col("bucket")).distinct()
           .collect().map(r => s"bucket=${r.getLong(0)}").toSet
         // SET + re-norm + re-hash against the stored (frozen) planes
-        val updated = matched
+        val updated = signBuckets(matched
           .select(col("vec_id"), setEmbedding(col("embedding")).as("embedding"))
-          .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
-          .crossJoin(planes)
-          .withColumn("bit",
-            when(dot(col("embedding"), col("p_emb")) >= 0,
-              expr("shiftleft(1L, cast(plane_id div 2 AS int))")).otherwise(0L))
-          .groupBy(col("vec_id"), col("embedding"), col("nrm"))
-          .agg(sum(col("bit")).as("bucket"))
+          .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)"))),
+          planes)
           .localCheckpoint()
+        try {
         val newKeys = updated.select(col("bucket")).distinct()
           .collect().map(r => s"bucket=${r.getLong(0)}").toSet
         val targetKeys = oldKeys ++ newKeys
@@ -1816,7 +1836,8 @@ object SimilarityQueries {
         } catch {
           case e if IndexCatalog.isCommitConflict(e) && attempts < 5 => ()
         }
-      }
+        } finally graft.operators.DedupQueries.freeLocalCheckpoint(updated)
+      } finally graft.operators.DedupQueries.freeLocalCheckpoint(matched)
     }
   }
 
