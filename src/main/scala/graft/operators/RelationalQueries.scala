@@ -702,7 +702,12 @@ object RelationalQueries {
         array_contains(col("toks"), "the").as("has_the"),
         size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
         array_max(col("toks")).as("max_tok"),
-        array_position(col("toks"), "value").as("value_pos"),
+        // nullif: Spark's array_position encodes "absent" as 0 where
+        // DuckDB's list_position returns NULL — without the mapping
+        // the two engines agree only on corpora where every doc
+        // happens to contain the token, a fixture accident not a
+        // contract
+        nullif(array_position(col("toks"), "value"), lit(0L)).as("value_pos"),
         arrays_overlap(col("toks"), array(lit("fast"), lit("slow"))).as("has_speed"))
       .orderBy("doc_id")
   }

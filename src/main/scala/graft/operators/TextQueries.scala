@@ -193,10 +193,13 @@ object TextQueries {
     * identical arithmetic in Spark and DuckDB (literal replace, exact
     * integer-valued division).
     */
-  private def occurrences(text: Column, m: String): Column = {
-    val esc = m.replace("'", "''")
-    ((length(text) - length(expr(s"replace(text, '$esc', '')"))) / m.length).cast("long")
-  }
+  private def occurrences(text: Column, m: String): Column =
+    // the Column-API replace: the passed column binds on BOTH sides of
+    // the subtraction (an expr() half would hard-bind the name "text"
+    // and silently mix columns for any other input), and the marker
+    // string travels as a literal, never spliced into SQL text
+    ((length(text) - length(replace(text, lit(m), lit("")))) / m.length)
+      .cast("long")
 
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Engine.table(spark, dir, "documents")
@@ -365,7 +368,13 @@ object TextQueries {
         length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars_nospace"),
         length(regexp_replace(col("merged"), " ", "")).cast("long").as("n_bpe_tokens"))
       .withColumn("compression_pct",
-        floor(lit(100.0) * col("n_bpe_tokens") / col("n_chars_nospace")).cast("long"))
+        // greatest(n, 1): an empty/all-space text has zero non-space
+        // chars, and 0.0/0 is NaN — which Spark's floor/cast absorbs
+        // while the oracle's CAST(floor(NaN)) errors; the guard (the
+        // funnelOf precedent, mirrored in the oracle text) makes the
+        // ratio 0 on both engines
+        floor(lit(100.0) * col("n_bpe_tokens") /
+          greatest(col("n_chars_nospace"), lit(1L))).cast("long"))
       .withColumn("n_ctx_windows",
         expr(s"(n_bpe_tokens + ${CtxTokens - 1}) div $CtxTokens"))
       .orderBy("doc_id")
