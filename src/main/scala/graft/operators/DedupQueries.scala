@@ -1015,7 +1015,8 @@ object DedupQueries {
           col("qws"), array_compact(col("ws")), 9, 10))
       .filter(col("inter") >= 0)
       .select(col("qfp")).distinct()
-    incoming.select(col("doc_id"), col("source"), col("qfp"))
+    val census = incoming
+      .select(col("doc_id"), col("source"), col("qfp"))
       .join(hits.withColumn("hit", lit(1L)), Seq("qfp"), "left_outer")
       .groupBy(col("source"))
       .agg(
@@ -1025,6 +1026,14 @@ object DedupQueries {
         sum(when(col("hit").isNull, 1L).otherwise(0L))
           .cast("long").as("n_new"))
       .orderBy("source")
+    // Materialize the (source-count-sized) census eagerly, then release
+    // both batch-sized cached inputs — without this, every probe call in
+    // a long-lived session leaves two fresh cached frames resident until
+    // teardown (the writeLshGen reps.unpersist() precedent). The
+    // checkpointed census is a few rows; its blocks are freed by the
+    // ContextCleaner once the caller drops the frame.
+    try census.localCheckpoint()
+    finally { incoming.unpersist(); qreps.unpersist() }
   }
 
   /** The bucket store's declared read schema (stable column types

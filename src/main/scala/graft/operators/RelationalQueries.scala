@@ -702,11 +702,10 @@ object RelationalQueries {
         array_contains(col("toks"), "the").as("has_the"),
         size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
         array_max(col("toks")).as("max_tok"),
-        // nullif: Spark's array_position encodes "absent" as 0 where
-        // DuckDB's list_position returns NULL — without the mapping
-        // the two engines agree only on corpora where every doc
-        // happens to contain the token, a fixture accident not a
-        // contract
+        // Absent-element contract: both engines encode "not found" as 0
+        // (Spark array_position AND DuckDB 1.0 list_position — measured,
+        // not assumed). We expose absent as NULL, so BOTH sides wrap in
+        // NULLIF(pos, 0); the oracle mirrors this exactly.
         nullif(array_position(col("toks"), "value"), lit(0L)).as("value_pos"),
         arrays_overlap(col("toks"), array(lit("fast"), lit("slow"))).as("has_speed"))
       .orderBy("doc_id")
@@ -1056,7 +1055,7 @@ object RelationalQueries {
         |       list_contains(string_split(text, ' '), 'the') AS has_the,
         |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
         |       list_aggregate(string_split(text, ' '), 'max') AS max_tok,
-        |       CAST(list_position(string_split(text, ' '), 'value') AS BIGINT) AS value_pos,
+        |       NULLIF(CAST(list_position(string_split(text, ' '), 'value') AS BIGINT), 0) AS value_pos,
         |       list_has_any(string_split(text, ' '), ['fast', 'slow']) AS has_speed
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_asof_join" ->

@@ -2752,6 +2752,61 @@ object SimilarityQueries {
       .orderBy("removed_id")
   }
 
+  /** SEMANTIC train→eval contamination gate — the embedding-level
+    * firewall the shingle-ratio (`q_contamination`) and verbatim-span
+    * (`q_span_contamination`) gates cannot provide: a paraphrased or
+    * translated eval item shares no n-grams with its source, but its
+    * embedding still lies within cosine [[SemThr]] of the train doc it
+    * leaks from. Composition of two existing halves: [[qSemDedup]]'s
+    * cell-bounded cross-similarity and `q_train_split`'s content-hash
+    * split coin ([[DedupQueries.splitFlagged]], applied to the raw
+    * documents table exactly as the `q_train_split` oracle spells it).
+    *
+    * Pipeline: learn the SAME k-means cells over the whole corpus as
+    * [[qSemDedup]] (cells bound the cross product; restricting pairs to
+    * eval×train only SHRINKS each cell's tile), assign every vector,
+    * attach the split flag by id (embeddings and documents share the id
+    * space), and compare eval rows against train rows WITHIN a cell
+    * only. An eval doc is flagged when any same-cell train doc is
+    * within the threshold, reporting its closest source (max cosine,
+    * ties to the lower train id) — the row a curation pipeline uses to
+    * either drop the eval item or trace the leak.
+    *
+    * 100 TB shape: identical to [[qSemDedup]] — the only corpus-sized
+    * shuffles are the assignment and the cell-keyed equi-join, the
+    * comparison count is Σ(|cell_eval|·|cell_train|) ≤ Σ(cell²), and
+    * the split-flag attach is an id equi-join, no text ever read at
+    * compare time. Cell-bounding is the gate's documented recall
+    * contract (a cross-cell leak needs the multiprobe posture —
+    * ARCHITECTURE.md §3.1), the same trade [[qSemDedup]] ships.
+    */
+  def qSemContamination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, dir)
+    val flags = DedupQueries.splitFlagged(
+        Engine.table(spark, dir, "documents").select(
+          col("doc_id"), col("text")))
+      .select(col("doc_id").as("vec_id"), col("is_train"))
+    val cent = kmeansCentroids(e, KmIters).cache()
+    val a = assignToCentroids(e, cent).join(flags, "vec_id")
+    val train = a.filter(col("is_train"))
+      .select(col("centroid_id"), col("vec_id").as("train_id"),
+        col("embedding").as("t_emb"), col("nrm").as("t_nrm"))
+    val ev = a.filter(!col("is_train"))
+      .select(col("centroid_id"), col("vec_id").as("eval_id"),
+        col("embedding").as("e_emb"), col("nrm").as("e_nrm"))
+    val w = Window.partitionBy(col("eval_id"))
+      .orderBy(col("cos").desc, col("train_id"))
+    train.join(ev, Seq("centroid_id"))
+      .withColumn("cos",
+        dot(col("t_emb"), col("e_emb")) / (col("t_nrm") * col("e_nrm")))
+      .filter(col("cos") >= SemThr)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("eval_id"), col("train_id"), col("centroid_id"))
+      .orderBy("eval_id")
+  }
+
   // --- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2786,7 +2841,8 @@ object SimilarityQueries {
     "q_store_constraint" -> (qStoreConstraint _),
     "q_store_optimize" -> (qStoreOptimize _),
     "q_embed_neardup" -> (qEmbedNearDup _),
-    "q_semdedup" -> (qSemDedup _)
+    "q_semdedup" -> (qSemDedup _),
+    "q_sem_contamination" -> (qSemContamination _)
   )
 
   private val duckCos =
@@ -3450,6 +3506,37 @@ object SimilarityQueries {
          |           FROM pairs WHERE cos >= $SemThr)
          |SELECT removed_id, keeper_id, centroid_id FROM ranked WHERE rk = 1
          |ORDER BY removed_id""".stripMargin,
+    // the q_semdedup replica CTE with the q_train_split content-hash
+    // coin restricting pairs to eval×train: x = train side (its dot
+    // orientation and the keeper-rank tiebreak mirror the Spark plan)
+    "q_sem_contamination" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |en AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) AS nrm FROM e),
+         |tr AS (SELECT * FROM en),
+         |c0 AS (SELECT vec_id AS centroid_id, emb AS c FROM e WHERE vec_id < $NList),
+         |${(1 to KmIters).map(i => duckKmIter(i, s"c${i - 1}")).mkString(",\n")},
+         |cnf AS (SELECT centroid_id, c, sqrt(list_inner_product(c, c)) AS cn FROM c$KmIters),
+         |af AS (SELECT vec_id, emb, nrm, centroid_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY
+         |           list_inner_product(emb, c) / (nrm * cn) DESC, centroid_id) AS rk
+         |       FROM en CROSS JOIN cnf),
+         |asg AS (SELECT vec_id, emb, nrm, centroid_id FROM af WHERE rk = 1),
+         |flags AS (SELECT doc_id AS vec_id,
+         |                 substr(md5('split1|' || text), 1, 1) < 'd' AS is_train
+         |          FROM documents),
+         |pairs AS (
+         |  SELECT y.vec_id AS eval_id, x.vec_id AS train_id,
+         |         y.centroid_id AS centroid_id,
+         |         list_inner_product(x.emb, y.emb) / (x.nrm * y.nrm) AS cos
+         |  FROM asg x JOIN flags fx ON x.vec_id = fx.vec_id AND fx.is_train
+         |       JOIN asg y ON x.centroid_id = y.centroid_id
+         |       JOIN flags fy ON y.vec_id = fy.vec_id AND NOT fy.is_train),
+         |ranked AS (SELECT eval_id, train_id, centroid_id,
+         |                  row_number() OVER (PARTITION BY eval_id
+         |                                     ORDER BY cos DESC, train_id) AS rk
+         |           FROM pairs WHERE cos >= $SemThr)
+         |SELECT eval_id, train_id, centroid_id FROM ranked WHERE rk = 1
+         |ORDER BY eval_id""".stripMargin,
     // the catalog history after build → append → compact →
     // vacuum(retain=2): v1 expired, v2/v3 both hold corpus ∪ batch —
     // the row counts are the content census, the tags are the

@@ -948,7 +948,7 @@ object TextQueries {
          |       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
          |       CAST(length(replace(merged, ' ', '')) AS BIGINT) AS n_bpe_tokens,
          |       CAST(floor(100.0 * length(replace(merged, ' ', ''))
-         |                  / length(replace(text, ' ', ''))) AS BIGINT) AS compression_pct,
+         |                  / greatest(length(replace(text, ' ', '')), 1)) AS BIGINT) AS compression_pct,
          |       CAST((length(replace(merged, ' ', '')) + ${CtxTokens - 1}) // $CtxTokens AS BIGINT)
          |         AS n_ctx_windows
          |FROM m ORDER BY doc_id""".stripMargin,

@@ -1139,12 +1139,22 @@ class IndexCatalogOps(val fs: CatalogFs) {
     // borrower's vacuum never walks (let alone deletes) a foreign
     // root, the same ownership rule table formats give shallow clones.
     val basePath = Paths.get(base).toAbsolutePath.normalize
-    val roots = byVersion.values.flatten.flatMap { f =>
+    val manifestRoots = byVersion.values.flatten.flatMap { f =>
       val rel = basePath.relativize(Paths.get(f).toAbsolutePath.normalize)
       if (rel.getNameCount >= 1 && rel.getName(0).toString != "..")
         Some(rel.getName(0).toString)
       else None
     }.toSet
+    // NEVER-COMMITTED generation dirs are invisible to the manifest
+    // walk above: [[newGenDir]]'s unique suffix means a writer that
+    // died between staging and commit left a directory no manifest
+    // will ever reference, so deriving roots from committed paths
+    // alone would leak its parquet forever. List `gen-v*` names
+    // directly under base as additional roots — a committed gen's
+    // files are `live` and survive; an abandoned gen's files are
+    // orphans and die past the grace window like any staged debris.
+    val roots = manifestRoots ++
+      fs.listNames(base).filter(_.startsWith("gen-v"))
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     val deleted = roots.toSeq.sorted.flatMap { r =>
       listDataFiles(basePath.resolve(r).toString)

@@ -35,6 +35,29 @@ class QueriesSmokeSpec extends SparkSpec {
       Seq("a_except_b", "a_intersect_b", "a_union_b"))
   }
 
+  test("q_array_funcs absent-element contract: value_pos is NULL iff the token is absent") {
+    // the r14 regression shape: the Spark side mapped absent→NULL while
+    // the oracle kept DuckDB's 0 — both engines natively return 0 for
+    // absent (measured on DuckDB 1.0.0), and the shared contract is
+    // NULLIF(pos, 0) on BOTH sides. Guard the Spark half here: a doc
+    // lacking the token must read NULL, one containing it a 1-based
+    // position — never 0, which would mean the NULLIF mapping fell off.
+    val rows = RelationalQueries.qArrayFuncs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Engine.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val has = docs(r.getLong(0)).split(" ").contains("value")
+      val pos = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      assert(pos.isEmpty == !has,
+        s"doc ${r.getLong(0)}: has=$has but value_pos=$pos")
+      pos.foreach(p => assert(p >= 1L, s"doc ${r.getLong(0)}: pos $p"))
+    }
+    // the fixture must exercise BOTH branches or this test proves nothing
+    assert(rows.exists(_.isNullAt(5)) && rows.exists(!_.isNullAt(5)))
+  }
+
   test("q_dedup_exact keeps every doc when no duplicates exist") {
     val docs = graft.Engine.table(spark, dir, "documents").count()
     assert(TextQueries.qDedupExact(spark, dir).count() == docs)

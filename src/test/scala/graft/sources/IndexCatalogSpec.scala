@@ -505,6 +505,32 @@ class IndexCatalogSpec extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(canonical)
   }
 
+  test("vacuum reclaims a crashed writer's never-committed generation dir past the grace window") {
+    val base = store()
+    try {
+      val f1 = fakeGen(base, "gen-live")
+      IndexCatalog.commitFiles(base, Seq(f1))
+      // a writer takes a unique gen dir, stages data, and dies before
+      // commit: no manifest will EVER reference this directory, so a
+      // roots walk derived from committed paths alone leaks it forever
+      val dead = IndexCatalog.newGenDir(base)
+      val staged = Paths.get(dead, "part-staged.parquet")
+      Files.writeString(staged, "staged-then-crashed")
+      // fresh: the default grace window protects an in-flight writer
+      assert(IndexCatalog.vacuum(base, retain = 1).isEmpty)
+      assert(Files.exists(staged))
+      // aged past the grace it is crash debris and must be swept
+      Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2 * IndexCatalog.DefaultOrphanGraceMs))
+      assert(IndexCatalog.vacuum(base, retain = 1) == Seq(staged.toString))
+      assert(!Files.exists(staged))
+      // the committed store is untouched
+      assert(IndexCatalog.latestFiles(base) == Seq(f1))
+      assert(Files.exists(Paths.get(f1)))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("vacuumTxnMarkers compares canonical marker paths: a referenced decided marker spelled differently is never GC'd") {
     val base = store()
     val mdirCanon = store()
