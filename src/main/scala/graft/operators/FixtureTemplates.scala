@@ -55,7 +55,7 @@ object FixtureTemplates {
     Template("embed_evens_checked",
       Set("q_store_constraint", "q_stream_quarantine"),
       SimilarityQueries.buildEmbedStoreChecked _),
-    Template("ivf_evens", Set("q_ivf_append"),
+    Template("ivf_evens", Set("q_ivf_append", "q_ivf_recluster"),
       SimilarityQueries.buildIvfEvensTemplate _),
     Template("ivf_full", Set("q_ivf_persisted"),
       SimilarityQueries.buildIvfIndex _),

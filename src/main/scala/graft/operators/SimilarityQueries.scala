@@ -482,19 +482,34 @@ object SimilarityQueries {
     } finally cent.unpersist()
   }
 
+  /** Resolve the store's CURRENT centroid generation: the newest
+    * `centroids=` manifest tag names the directory a [[reclusterIvfStore]]
+    * rewrite published; a store that has never reclustered falls back
+    * to the build-time `centroids/` dir. Old versions' geometry stays
+    * resolvable the same way — read the tag at that version
+    * ([[graft.sources.IndexCatalog.tags]]) and the old centroid files
+    * are still on disk until vacuum, which is what keeps time travel
+    * probe-able at the old cell family.
+    */
+  private[operators] def ivfCentroidsPath(base: String): String =
+    graft.sources.IndexCatalog.newestTag(base, "centroids=")
+      .map(t => s"$base/${t.stripPrefix("centroids=")}")
+      .getOrElse(s"$base/centroids")
+
   /** Append an ingest batch's vectors INTO the IVF store as a new
     * committed generation: cells come from the STORED centroids (never
-    * retrained — the cell family is fixed at build time, which is what
-    * keeps every generation's partitioning compatible), new files land
-    * inside the existing `centroid_id=` directories, and the manifest
-    * rename publishes them. Vectors already stored are skipped via an
+    * retrained by an append — the cell family is fixed until an
+    * explicit [[reclusterIvfStore]], which is what keeps every
+    * generation's partitioning compatible), new files land inside the
+    * existing `centroid_id=` directories, and the manifest rename
+    * publishes them. Vectors already stored are skipped via an
     * anti-join on the store's id column; append cost is proportional
     * to the batch, the stored corpus is never re-assigned.
     */
   private[operators] def appendIvfStore(
       spark: SparkSession, vecs: DataFrame, base: String): Unit =
     writeIvfGen(spark, vecs, base,
-      spark.read.parquet(s"$base/centroids"))
+      spark.read.parquet(ivfCentroidsPath(base)))
 
   /** Shared generation writer for [[buildIvfStore]]/[[appendIvfStore]]:
     * assign `vecs` to `cent`'s cells, stage the rows into the store's
@@ -586,7 +601,7 @@ object SimilarityQueries {
       batchFilter: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Engine.register(spark) // vec_dot on the scoring path
-    val cent = spark.read.parquet(s"$base/centroids")
+    val cent = spark.read.parquet(ivfCentroidsPath(base))
     val corpus = spark.read.option("basePath", s"$base/corpus")
       .parquet(graft.sources.IndexCatalog.latestFiles(base): _*)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
@@ -635,6 +650,88 @@ object SimilarityQueries {
     graft.Lease.lease("q_ivf_append", Seq(base))
     probeIvfBatch(spark, dir, base,
       pmod(col("vec_id"), lit(4)) === 3 && col("vec_id") < 4 * NQueries)
+  }
+
+  /** `OPTIMIZE ... RECLUSTER` — the IVF store's maintenance verb, the
+    * vector-index sibling of `q_store_optimize`'s sorted compaction:
+    * retrain the centroid family over the CURRENT corpus (the same
+    * fixed-point Lloyd's job the build runs), reassign every stored
+    * row to the new cells, and publish the result as ONE rewrite
+    * commit. The append contract deliberately freezes centroids so
+    * generations stay partition-compatible — but under real drift a
+    * year of appends degrades cell balance (batch vectors crowd the
+    * nearest frozen cell) and with it probe cost and recall; this is
+    * the retrain-and-reassign escape hatch, run as scheduled
+    * maintenance, not per append.
+    *
+    * The new centroids land in a versioned `centroids-v<N>/` dir and
+    * ride the manifest as a `centroids=` governing tag (the
+    * `corpus_stats=` pattern — carried past vacuum horizons, resolved
+    * by [[ivfCentroidsPath]]), so probes and later appends atomically
+    * flip to the new geometry WITH the corpus rewrite: no reader ever
+    * sees new cells with old files or vice versa. Old versions stay
+    * probe-able at the OLD geometry via time travel — their manifests
+    * reference the pre-rewrite files and their tag chain names the
+    * pre-rewrite centroid dir (spec-pinned).
+    *
+    * 100 TB shape: one corpus-sized Lloyd's job (the build cost,
+    * amortized over the maintenance interval) + one corpus-sized
+    * partitioned rewrite — exactly what `OPTIMIZE` costs on a table
+    * store, scheduled the same way. The CAS on `basedOn` makes a
+    * racing append fail loudly rather than be silently dropped by the
+    * rewrite; the maintenance job re-derives and retries like any
+    * optimistic writer.
+    */
+  private[operators] def reclusterIvfStore(
+      spark: SparkSession, base: String): Int = {
+    import graft.sources.{IndexCatalog, StagedWrite}
+    val basedOn = IndexCatalog.currentVersion(base)
+    // the store's own rows are the training corpus — the raw table is
+    // never touched (drop the stored cell: it is the OLD geometry)
+    val corpus = readStoreFiles(spark, IndexCatalog.files(base, basedOn))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val cent = kmeansCentroids(corpus, KmIters).cache()
+    try {
+      val cdir = f"centroids-v${basedOn + 1}%05d"
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$base/$cdir")
+      val rows = assignToCentroids(corpus,
+          cent.select(col("centroid_id"), col("c_emb")))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("centroid_id"))
+        .repartition(col("centroid_id")) // one file per cell per rewrite
+      val newFiles =
+        StagedWrite.partitioned(rows, s"$base/corpus", Seq("centroid_id"))
+      IndexCatalog.commitRewrite(
+        base, newFiles, Seq(s"centroids=$cdir", "recluster"), basedOn)
+    } finally cent.unpersist()
+  }
+
+  /** The RECLUSTER lifecycle, gated: clone the even-corpus IVF store
+    * (centroids trained on — and frozen at — the even half), append
+    * the ENTIRE odd half (maximal drift: the frozen family never saw
+    * an odd vector), then RECLUSTER and probe. Because the retrain
+    * runs the standard whole-corpus k-means (seeds `vec_id <`
+    * [[NList]], [[KmIters]] iterations — all fixed-point arithmetic,
+    * so training over the store's rows is bit-identical to training
+    * over the raw table), the post-recluster probe answers exactly
+    * what a FROM-SCRATCH build over the same corpus answers — the
+    * `q_ivf_kmeans` oracle, shared verbatim. The before/after cell-
+    * balance measurement on the drifted store lives in
+    * IvfReclusterSpec.
+    */
+  def qIvfRecluster(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfrc").toString
+    try {
+      FixtureTemplates.cloneInto("ivf_evens", spark, dir, base)
+      appendIvfStore(spark,
+        embeddings(spark, dir).filter(pmod(col("vec_id"), lit(2)) === 1), base)
+      reclusterIvfStore(spark, base)
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
+    }
+    graft.Lease.lease("q_ivf_recluster", Seq(base))
+    probeIvfIndex(spark, base)
   }
 
   // --- FILTERED ANN: metadata predicates inside the index ---------------
@@ -2822,6 +2919,7 @@ object SimilarityQueries {
     "q_ivf_persisted" -> (qIvfPersisted _),
     "q_ivf_filtered" -> (qIvfFiltered _),
     "q_ivf_append" -> (qIvfAppend _),
+    "q_ivf_recluster" -> (qIvfRecluster _),
     "q_embed_lsh" -> (qEmbedLsh _),
     "q_embed_ingest" -> (qEmbedIngest _),
     "q_embed_append" -> (qEmbedAppend _),
@@ -3204,6 +3302,10 @@ object SimilarityQueries {
     // (same centroids, same assignment, same rank) — one oracle text,
     // two execution postures (recompute-inline vs write-once/probe-many)
     "q_ivf_persisted" -> duckIvfKmeansSql,
+    // recluster over evens ∪ odds = the whole table, retrained with
+    // the standard seed/iteration family — a from-scratch build, so
+    // the probe shares q_ivf_kmeans's oracle verbatim
+    "q_ivf_recluster" -> duckIvfKmeansSql,
     // the same replica with the per-query label equality joined into
     // the candidate set — the Spark side's (cell, label) join key
     "q_ivf_filtered" -> duckIvfFilteredSql,
