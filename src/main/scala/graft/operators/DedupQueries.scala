@@ -1308,6 +1308,22 @@ object DedupQueries {
   def qSubstringDedup(spark: SparkSession, dir: String): DataFrame =
     substringSpansOf(storedKeptWindows(spark, subWindowsBase(spark, dir)))
 
+  /** The duplicate-span census at the Lee-et-al W=50 production width,
+    * probing the `sub_windows_w50` sibling store: identical probe
+    * plan to [[qSubstringDedup]] (store-resolved kept windows →
+    * cross-doc hash equi-join → gaps-and-islands run collapse), only
+    * the indexed width differs — a run of r windows is now a shared
+    * span of r+49 tokens. The 12-token injected donors are invisible
+    * at this width BY DESIGN (they are below the span standard); what
+    * survives is the fixture's natural ≥50-token verbatim overlaps,
+    * exactly the spans a production scrub would act on.
+    */
+  def qSubstringDedupW50(spark: SparkSession, dir: String): DataFrame =
+    substringSpansOf(
+      storedKeptWindows(spark,
+        FixtureTemplates.readOnlyPath("sub_windows_w50", spark, dir)),
+      w = SubW50)
+
   /** The duplicate-span census over an arbitrary `(doc_id, text)`
     * frame — the INLINE (storeless) form, kept as the spec's driver
     * for planted verbatim spans, no-overlap controls, over-cap hot
@@ -1436,14 +1452,23 @@ object DedupQueries {
     */
   private[operators] def writeSubWindowsGen(
       spark: SparkSession, batch: DataFrame, base: String,
-      fenceTag: Option[String] = None): Boolean = {
+      fenceTag: Option[String] = None, w: Int = SubW): Boolean = {
     import graft.sources.{IndexCatalog, StagedWrite}
+    // ONE width per store, declared by the `window_w=` governing tag
+    // (vacuum-carried): window hashes of different widths share no
+    // keys, so a mixed-width store would silently answer every probe
+    // from a partial window set — a second width is a SIBLING store
+    // family (the `sub_windows_w50` template), never a mixed commit.
+    IndexCatalog.newestTag(base, "window_w=").foreach { t =>
+      require(t == s"window_w=$w",
+        s"store $base carries $t; refusing a w=$w generation")
+    }
     val docs = splitFlagged(batch.filter(col("text").isNotNull))
     // stage-cut: the window frame feeds the partitioned write AND the
     // df census; uncut, the tokenize+hash pass would run twice
     val wins = substringWindowFrame(
         docs.select(col("doc_id"), col("is_train"), col("text")),
-        SubW, Seq("is_train"))
+        w, Seq("is_train"))
       .withColumn("whb", substring(col("wh"), 1, 1))
       .localCheckpoint()
     val winFiles = StagedWrite.partitioned(
@@ -1493,7 +1518,7 @@ object DedupQueries {
             .filter(col("df") > SubCap).select(col("wh"))
             .withColumn("hot", lit(1)).repartition(1),
           s"$base/hotset", Seq("hot"))
-      (batchFiles ++ hotFiles, Nil)
+      (batchFiles ++ hotFiles, Seq(s"window_w=$w"))
     }
     fenceTag match {
       // streamed ingest: the replay guard is the commit-layer fence —
@@ -1540,6 +1565,26 @@ object DedupQueries {
   private[operators] def buildSubWindowsTemplate(
       spark: SparkSession, dir: String, d: String): Unit =
     writeSubWindowsGen(spark, substringCorpus(spark, dir), d)
+
+  /** The Lee-et-al standard window width (Deduplicating Training Data
+    * Makes Language Models Better, 2022: 50-token windows). The
+    * fixture default [[SubW]] = 8 fits the short-doc fixture; the W=50
+    * family runs the PRODUCTION width over the same corpus — only
+    * spans a real training-data pipeline would scrub (~54-token mean
+    * docs keep it non-trivial: the fixture's natural long verbatim
+    * overlaps survive, the 12-token injections correctly do not).
+    */
+  private[operators] val SubW50 = 50
+
+  /** The `sub_windows_w50` template body: the SAME injected corpus
+    * indexed at the Lee-et-al width — a sibling store family, one
+    * width per store (the `window_w=` tag fences mixed commits).
+    */
+  private[operators] def buildSubWindows50Template(
+      spark: SparkSession, dir: String, d: String): Unit = {
+    writeSubWindowsGen(spark, substringCorpus(spark, dir), d, w = SubW50)
+    ()
+  }
 
   /** The fixture store for `dir`, built once per process and read IN
     * PLACE — all three gated probes are pure readers, so they share
@@ -1850,6 +1895,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_contamination" -> (qSpanContamination _),
     "q_substring_dedup" -> (qSubstringDedup _),
+    "q_substring_dedup_w50" -> (qSubstringDedupW50 _),
     "q_substring_scrub" -> (qSubstringScrub _),
     "q_substring_rewrite" -> (qSubstringRewrite _),
     "q_minhash_lsh" -> (qMinhashLsh _),
@@ -1897,38 +1943,46 @@ object DedupQueries {
     .map(j => s"(CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END)")
     .mkString(" + ")
 
+  /** The substring span-census oracle parameterized by window width —
+    * ONE text instantiated for the fixture width ([[SubW]]) and the
+    * Lee-et-al production width ([[SubW50]]), mirroring how the Spark
+    * side shares [[substringSpansOf]] across both gated probes.
+    */
+  private def duckSubstringDedupSql(w: Int): String =
+    s"""WITH base AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN dn.b_text IS NOT NULL
+       |                   AND len(string_split(dn.b_text, ' ')) >= ${SubSpan + 1}
+       |              THEN d.text || ' ' ||
+       |                   array_to_string(string_split(dn.b_text, ' ')[2:${SubSpan + 1}], ' ')
+       |              ELSE d.text END AS text
+       |  FROM documents d
+       |  LEFT JOIN (SELECT doc_id AS b_id, text AS b_text FROM documents) dn
+       |    ON d.doc_id % 10 = 3 AND d.doc_id - 1 = dn.b_id),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base
+       |         WHERE len(string_split(text, ' ')) >= $w),
+       |wins AS (SELECT doc_id, i AS p,
+       |                md5(array_to_string(tk[i:i+${w - 1}], ' ')) AS wh
+       |         FROM toks, unnest(generate_series(1, len(tk) - ${w - 1})) AS u(i)),
+       |cool AS (SELECT wh FROM wins GROUP BY wh
+       |         HAVING count(DISTINCT doc_id) <= $SubCap),
+       |kept AS (SELECT w.doc_id, w.p, w.wh FROM wins w JOIN cool USING (wh)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.p AS pa, b.p AS pb
+       |          FROM kept a JOIN kept b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+       |runs AS (SELECT i, j, pa - pb AS dg,
+       |                pa - row_number() OVER (PARTITION BY i, j, pa - pb ORDER BY pa) AS isl
+       |         FROM pairs),
+       |rl AS (SELECT i, j, dg, isl, count(*) AS run FROM runs GROUP BY 1, 2, 3, 4)
+       |SELECT i, j,
+       |       CAST(max(run) + ${w - 1} AS BIGINT) AS max_span,
+       |       CAST(sum(run) AS BIGINT) AS n_matches
+       |FROM rl GROUP BY i, j ORDER BY i, j""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the identical window-hash construction: injected spans, md5'd
     // token windows, df cap, cross-doc join, gaps-and-islands runs
-    "q_substring_dedup" ->
-      s"""WITH base AS (
-         |  SELECT d.doc_id,
-         |         CASE WHEN dn.b_text IS NOT NULL
-         |                   AND len(string_split(dn.b_text, ' ')) >= ${SubSpan + 1}
-         |              THEN d.text || ' ' ||
-         |                   array_to_string(string_split(dn.b_text, ' ')[2:${SubSpan + 1}], ' ')
-         |              ELSE d.text END AS text
-         |  FROM documents d
-         |  LEFT JOIN (SELECT doc_id AS b_id, text AS b_text FROM documents) dn
-         |    ON d.doc_id % 10 = 3 AND d.doc_id - 1 = dn.b_id),
-         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base
-         |         WHERE len(string_split(text, ' ')) >= $SubW),
-         |wins AS (SELECT doc_id, i AS p,
-         |                md5(array_to_string(tk[i:i+${SubW - 1}], ' ')) AS wh
-         |         FROM toks, unnest(generate_series(1, len(tk) - ${SubW - 1})) AS u(i)),
-         |cool AS (SELECT wh FROM wins GROUP BY wh
-         |         HAVING count(DISTINCT doc_id) <= $SubCap),
-         |kept AS (SELECT w.doc_id, w.p, w.wh FROM wins w JOIN cool USING (wh)),
-         |pairs AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.p AS pa, b.p AS pb
-         |          FROM kept a JOIN kept b ON a.wh = b.wh AND a.doc_id < b.doc_id),
-         |runs AS (SELECT i, j, pa - pb AS dg,
-         |                pa - row_number() OVER (PARTITION BY i, j, pa - pb ORDER BY pa) AS isl
-         |         FROM pairs),
-         |rl AS (SELECT i, j, dg, isl, count(*) AS run FROM runs GROUP BY 1, 2, 3, 4)
-         |SELECT i, j,
-         |       CAST(max(run) + ${SubW - 1} AS BIGINT) AS max_span,
-         |       CAST(sum(run) AS BIGINT) AS n_matches
-         |FROM rl GROUP BY i, j ORDER BY i, j""".stripMargin,
+    "q_substring_dedup" -> duckSubstringDedupSql(SubW),
+    "q_substring_dedup_w50" -> duckSubstringDedupSql(SubW50),
     // the cross-split gate: same base/wins/cool construction with the
     // q_train_split coin, eval x train window hits, run collapse and
     // union coverage per eval doc

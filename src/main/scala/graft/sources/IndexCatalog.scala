@@ -126,7 +126,8 @@ class IndexCatalogOps(val fs: CatalogFs) {
     * StreamClusterAppendSpec.
     */
   private val GoverningTagFamilies =
-    Set("corpus_stats=", "stats_cols=", "check=", "schema=", "centroids=")
+    Set("corpus_stats=", "stats_cols=", "check=", "schema=", "centroids=",
+      "window_w=")
 
   /** Highest OCCUPIED version slot, 0 if the store has none — the
     * writer-side counter (the next commit targets this + 1). Readers

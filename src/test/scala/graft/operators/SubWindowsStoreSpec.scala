@@ -229,6 +229,48 @@ class SubWindowsStoreSpec extends SparkSpec {
     } finally Seq(trainBase, resBase).foreach(graft.Fs.deleteRecursively)
   }
 
+  test("one width per store: the window_w tag fences a mixed-width commit; a sibling W=50 store finds only >=50-token spans") {
+    val base = tmp()
+    val base50 = tmp()
+    try {
+      // a 60-token verbatim span shared by two docs, plus a 12-token
+      // one — the W=8 store sees both pairs, the W=50 store only the
+      // long one (the Lee-et-al standard: sub-width spans are not
+      // duplicates at the production width)
+      val long = words("lee", 60)
+      val short = words("sub", 12)
+      val corpus = Seq(
+        (1L, words("a", 5) + " " + long),
+        (2L, words("b", 7) + " " + long),
+        (3L, words("c", 5) + " " + short),
+        (4L, words("d", 9) + " " + short))
+      DedupQueries.writeSubWindowsGen(spark, docs(corpus), base)
+      DedupQueries.writeSubWindowsGen(
+        spark, docs(corpus), base50, w = DedupQueries.SubW50)
+      // widths are declared on the manifest and survive as governing tags
+      assert(graft.sources.IndexCatalog.newestTag(base, "window_w=")
+        .contains("window_w=" + DedupQueries.SubW))
+      assert(graft.sources.IndexCatalog.newestTag(base50, "window_w=")
+        .contains("window_w=" + DedupQueries.SubW50))
+      // a mixed-width generation is refused loudly, not silently mixed
+      val e = intercept[IllegalArgumentException] {
+        DedupQueries.writeSubWindowsGen(
+          spark, docs(Seq((9L, words("x", 60)))), base, w = DedupQueries.SubW50)
+      }
+      assert(e.getMessage.contains("window_w="))
+      // the W=8 census sees both pairs; the W=50 census only the long
+      // span, at its exact length
+      val c8 = census(base).map(t => (t._1, t._2) -> t._3).toMap
+      assert(c8.keySet == Set((1L, 2L), (3L, 4L)))
+      assert(c8((1L, 2L)) == 60L && c8((3L, 4L)) == 12L)
+      val c50 = DedupQueries.substringSpansOf(
+          DedupQueries.storedKeptWindows(spark, base50), w = DedupQueries.SubW50)
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(c50.keySet == Set((1L, 2L)))
+      assert(c50((1L, 2L)) == 60L)
+    } finally Seq(base, base50).foreach(graft.Fs.deleteRecursively)
+  }
+
   test("a store whose first batch has only sub-window-length docs is a valid state: probes are empty, a later append repairs it") {
     val base = tmp()
     try {

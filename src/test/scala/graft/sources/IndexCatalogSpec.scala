@@ -9,8 +9,21 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Pure-JVM contracts of the manifest catalog itself (no Spark): the
   * commit protocol's concurrent-writer failure, vacuum's tolerance of
   * earlier vacuums' manifest gaps, and the orphan grace window.
+  *
+  * ABSTRACT over the [[graft.sources.CatalogFs]] implementation: the
+  * protocol's port-readiness claim ("implement the seam, keep the
+  * protocol") is executed, not argued, by running this whole suite
+  * twice — once on [[graft.sources.LocalCatalogFs]] (hard-link
+  * create-if-absent) and once on [[ObjectStoreFakeFs]] (a conditional
+  * -PUT object store). Concrete suites at the bottom of this file.
   */
-class IndexCatalogSpec extends AnyFunSuite {
+abstract class IndexCatalogContract extends AnyFunSuite {
+
+  /** The catalog under test — every test body's `IndexCatalog.` call
+    * resolves to this instance, not the global object.
+    */
+  protected def ops: graft.sources.IndexCatalogOps
+  private lazy val IndexCatalog = ops
 
   private def store(): String =
     Files.createTempDirectory("graft_cat_spec").toString
@@ -551,4 +564,65 @@ class IndexCatalogSpec extends AnyFunSuite {
       assert(IndexCatalog.latestFiles(base) == Seq(f))
     } finally Seq(base, mdirCanon).foreach(graft.Fs.deleteRecursively)
   }
+}
+
+/** The default binding: the catalog as every operator uses it, over
+  * the hard-link [[LocalCatalogFs]].
+  */
+class IndexCatalogSpec extends IndexCatalogContract {
+  protected def ops: IndexCatalogOps = graft.sources.IndexCatalog
+}
+
+/** [[CatalogFs]] as an OBJECT STORE would implement it — the
+  * port-readiness fake: the data plane (list/read/delete/stat) passes
+  * through to the backing "bucket" (the local filesystem here), and
+  * the one primitive with teeth, [[CatalogFs.publishIfAbsent]], is a
+  * server-arbitrated conditional PUT (S3 `If-None-Match: *` / GCS
+  * `ifGenerationMatch(0)`): one atomic exists-check-and-create
+  * decision per key on the "server" (a JVM-wide lock standing in for
+  * the store's internal arbitration), a single-shot full-object write
+  * (atomic move — no reader ever observes a torn object), and
+  * reject-on-exists returned to the loser. No hard links, no
+  * client-visible staging files — the mechanism LocalCatalogFs leans
+  * on is deliberately absent, so a protocol that accidentally relied
+  * on link semantics would fail this suite.
+  */
+object ObjectStoreFakeFs extends CatalogFs {
+  import java.nio.file.StandardCopyOption
+
+  def listNames(dir: String): Seq[String] = LocalCatalogFs.listNames(dir)
+  def listFilesRecursive(dir: String, suffix: String): Seq[String] =
+    LocalCatalogFs.listFilesRecursive(dir, suffix)
+  def readString(path: String): String = LocalCatalogFs.readString(path)
+  def exists(path: String): Boolean = LocalCatalogFs.exists(path)
+  def mkdirs(dir: String): Unit = LocalCatalogFs.mkdirs(dir)
+  def delete(path: String): Unit = LocalCatalogFs.delete(path)
+  def mtimeMillis(path: String): Option[Long] = LocalCatalogFs.mtimeMillis(path)
+
+  def publishIfAbsent(path: String, content: String): Boolean =
+    ObjectStoreFakeFs.synchronized {
+      val target = Paths.get(path)
+      if (Files.exists(target)) false // conditional PUT: reject-on-exists
+      else {
+        // single-shot visibility: stage under a non-target name, then
+        // atomic move INSIDE the arbitration — readers (who never take
+        // the lock) see the full object or nothing, the PUT contract
+        val tmp = Files.createTempFile(target.getParent, ".put-", ".stage")
+        try {
+          Files.writeString(tmp, content)
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          true
+        } finally { Files.deleteIfExists(tmp); () }
+      }
+    }
+}
+
+/** The ENTIRE catalog contract suite re-run over the object-store
+  * fake — concurrent committers, commitWithRetry races, the
+  * commitTaggedOnce fence, vacuum/GC, txn markers, all of it — which
+  * is what turns "ports to any object store offering conditional PUT"
+  * from an argument into an executed fact.
+  */
+class ObjectStoreCatalogSpec extends IndexCatalogContract {
+  protected def ops: IndexCatalogOps = new IndexCatalogOps(ObjectStoreFakeFs)
 }
