@@ -108,7 +108,11 @@ object PlanDump {
     "q_substring_scrub" ->
       "round 14 (store probe): the duplicated-window test is ONE left-semi join of the STORED window frame against itself (smaller-id keeper; no cartesian/BNLJ; removal keyed on the full 128-bit hash), coverage is a per-doc position explode + distinct bounded by document length, and per-doc token counts come from the store's docs= rows — the documents table appears nowhere in the plan.",
     "q_span_contamination" ->
-      "round 14 (store probe): the census query's join RESTRICTED to eval x train — the split flag is a STORED column (filters are map-side scan predicates on the window rows; restriction only shrinks the join), and the per-eval-doc span/coverage aggregates run over frames bounded by document length; the train corpus is never re-read or re-hashed.")
+      "round 14 (store probe): the census query's join RESTRICTED to eval x train — the split flag is a STORED column (filters are map-side scan predicates on the window rows; restriction only shrinks the join), and the per-eval-doc span/coverage aggregates run over frames bounded by document length; the train corpus is never re-read or re-hashed.",
+    "q_substring_dedup_w50" ->
+      "round 15: q_substring_dedup's store-probe plan at the Lee-et-al W=50 production width — same scans into the sub_windows_w50 sibling store, same hash equi-join and run-collapse window; the width changed the STORE's content (fewer, longer windows), not one node of the probe plan.",
+    "q_sem_contamination" ->
+      "round 15: q_semdedup's cell-bounded plan with the pair join RESTRICTED to eval x train — the split coin is an id equi-join attached AFTER assignment (no text reaches the compare), the cross product stays keyed on centroid_id (no cartesian), and the per-eval-doc best-source window ranks only its in-cell qualifying set.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"

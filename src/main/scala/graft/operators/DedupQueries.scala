@@ -947,6 +947,27 @@ object DedupQueries {
   private[operators] def probeLshStore(
       spark: SparkSession, dir: String, base: String,
       batchFilter: Column = col("doc_id") % 2 === 1): DataFrame = {
+    val (census, incoming, qreps) =
+      probeLshStoreFrame(spark, dir, base, batchFilter)
+    // Materialize the (source-count-sized) census eagerly, then release
+    // both batch-sized cached inputs — without this, every probe call in
+    // a long-lived session leaves two fresh cached frames resident until
+    // teardown (the writeLshGen reps.unpersist() precedent). The
+    // checkpointed census is a few rows; its blocks are freed by the
+    // ContextCleaner once the caller drops the frame.
+    try census.localCheckpoint()
+    finally { incoming.unpersist(); qreps.unpersist() }
+  }
+
+  /** The probe's LAZY census frame plus its two cached inputs — the
+    * plan-inspectable form (the [[qMinhashLshPlan]] precedent): the
+    * spec asserts scan/join shape on the UNCUT plan, which the
+    * materializing wrapper above necessarily truncates to a
+    * `LogicalRDD` leaf. Callers own the two caches' release.
+    */
+  private[operators] def probeLshStoreFrame(
+      spark: SparkSession, dir: String, base: String,
+      batchFilter: Column): (DataFrame, DataFrame, DataFrame) = {
     Engine.register(spark) // sorted_inter_atleast on the verify path
     val store = spark.read.schema(lshStoreSchema)
       .parquet(graft.sources.IndexCatalog.latestFiles(base): _*)
@@ -1026,14 +1047,7 @@ object DedupQueries {
         sum(when(col("hit").isNull, 1L).otherwise(0L))
           .cast("long").as("n_new"))
       .orderBy("source")
-    // Materialize the (source-count-sized) census eagerly, then release
-    // both batch-sized cached inputs — without this, every probe call in
-    // a long-lived session leaves two fresh cached frames resident until
-    // teardown (the writeLshGen reps.unpersist() precedent). The
-    // checkpointed census is a few rows; its blocks are freed by the
-    // ContextCleaner once the caller drops the frame.
-    try census.localCheckpoint()
-    finally { incoming.unpersist(); qreps.unpersist() }
+    (census, incoming, qreps)
   }
 
   /** The bucket store's declared read schema (stable column types

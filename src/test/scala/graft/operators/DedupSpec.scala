@@ -148,7 +148,12 @@ class DedupSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("lsh_store_spec").toString
     try {
       DedupQueries.buildLshStore(spark, dir, base)
-      val probe = DedupQueries.probeLshStore(spark, dir, base)
+      // the plan-inspectable form: the production probeLshStore wrapper
+      // materializes through a localCheckpoint (to release its caches),
+      // which truncates the plan to a LogicalRDD leaf — shape assertions
+      // must read the UNCUT frame
+      val (probe, incoming, qreps) = DedupQueries.probeLshStoreFrame(
+        spark, dir, base, col("doc_id") % 2 === 1)
       // the corpus side of the probe reads ONLY stored bucket rows —
       // every scan is either the store or the documents fixture (the
       // incoming batch itself), and the bucket join is an equi-join
@@ -176,6 +181,7 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(got == expected)
       assert(got.exists(_._3 > 0), "fixture should have cross-split near-dups")
+      incoming.unpersist(); qreps.unpersist() // the frame form's contract
     } finally graft.Fs.deleteRecursively(base)
   }
 }
