@@ -144,11 +144,21 @@ per-query scaladoc "100 TB shape" notes.
     def elide(plan: String): String =
       plan.replaceAll("0x[0-9A-Fa-f]{64}[0-9A-Fa-f]*",
         "0x<binary literal elided>")
+    // queries that MATERIALIZE through a localCheckpoint (to release
+    // probe caches) show only a LogicalRDD leaf — dump their lazy
+    // plan forms instead, where the store scans/joins are visible
+    val planForm: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "q_neardup_ingest" -> (graft.operators.DedupQueries.qNeardupIngestPlan _),
+      "q_neardup_append" -> (graft.operators.DedupQueries.qNeardupAppendPlan _))
     notes.foreach { case (name, note) =>
-      val df = SparkEntry.queries(name)(spark, dir)
+      val df = planForm.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      out ++= s"\n## $name\n\n$note\n\n```\n${elide(plan)}```\n"
+      val formNote = if (planForm.contains(name))
+        " (lazy pipeline form — the gated query cuts this same plan at " +
+          "its cache-releasing localCheckpoint)" else ""
+      out ++= s"\n## $name$formNote\n\n$note\n\n```\n${elide(plan)}```\n"
     }
     // q_minhash_lsh materializes through staged localCheckpoints, so
     // its returned frame's plan is a sort over stored partitions —
@@ -234,7 +244,7 @@ per-query scaladoc "100 TB shape" notes.
         val df =
           if (name == "q_minhash_lsh")
             graft.operators.DedupQueries.qMinhashLshPlan(aqe, dir)
-          else SparkEntry.queries(name)(aqe, dir)
+          else planForm.getOrElse(name, SparkEntry.queries(name))(aqe, dir)
         df.collect() // materialize so the adaptive plan is final
         out ++= s"\n## $name (AQE final plan)\n\n$note\n\n" +
           s"```\n${elide(df.queryExecution.executedPlan.toString)}\n```\n"

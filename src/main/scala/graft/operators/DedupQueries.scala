@@ -1093,6 +1093,23 @@ object DedupQueries {
     probeLshStore(spark, dir, base)
   }
 
+  /** [[qNeardupIngest]]'s LAZY probe plan over a fresh store clone —
+    * the plan-inspectable form for PlanDump ([[qMinhashLshPlan]]
+    * precedent): the gated query materializes through a
+    * `localCheckpoint` (to release the probe caches), which truncates
+    * its visible plan to a `LogicalRDD` leaf, so the store-scan /
+    * equi-join / broadcast-guard evidence must be dumped from the
+    * uncut frame. Caller owns the store lease and cache lifetime
+    * (PlanDump's session is ephemeral).
+    */
+  private[graft] def qNeardupIngestPlan(
+      spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_lshplan").toString
+    buildLshStoreCached(spark, dir, base)
+    graft.Lease.lease("q_neardup_ingest_plan", Seq(base))
+    probeLshStoreFrame(spark, dir, base, col("doc_id") % 2 === 1)._1
+  }
+
   /** The append-maintained form of [[qNeardupIngest]] — the full index
     * LIFECYCLE a 100 TB ingest pipeline runs: build the store from the
     * base corpus (even doc_ids), APPEND batch A (doc_id % 4 == 1) as a
@@ -1119,6 +1136,20 @@ object DedupQueries {
     }
     graft.Lease.lease("q_neardup_append", Seq(base))
     probeLshStore(spark, dir, base, col("doc_id") % 4 === 3)
+  }
+
+  /** [[qNeardupAppend]]'s LAZY probe plan over a grown store clone —
+    * see [[qNeardupIngestPlan]] for why the plan form exists.
+    */
+  private[graft] def qNeardupAppendPlan(
+      spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_lshplanA").toString
+    buildLshStoreCached(spark, dir, base)
+    appendLshStore(spark,
+      Engine.table(spark, dir, "documents").filter(col("doc_id") % 4 === 1),
+      base)
+    graft.Lease.lease("q_neardup_append_plan", Seq(base))
+    probeLshStoreFrame(spark, dir, base, col("doc_id") % 4 === 3)._1
   }
 
   // --- registry ----------------------------------------------------------
@@ -1473,10 +1504,17 @@ object DedupQueries {
     // keys, so a mixed-width store would silently answer every probe
     // from a partial window set — a second width is a SIBLING store
     // family (the `sub_windows_w50` template), never a mixed commit.
-    IndexCatalog.newestTag(base, "window_w=").foreach { t =>
-      require(t == s"window_w=$w",
-        s"store $base carries $t; refusing a w=$w generation")
-    }
+    // Checked HERE as the cheap fast path and AGAIN inside prepare —
+    // prepare re-runs on every CAS attempt, so two different-width
+    // writers racing an empty store cannot both pass (the loser
+    // re-prepares after the winner's tag is visible and fails loudly;
+    // a check-then-act outside the loop would let both commit).
+    def widthFence(): Unit =
+      IndexCatalog.newestTag(base, "window_w=").foreach { t =>
+        require(t == s"window_w=$w",
+          s"store $base carries $t; refusing a w=$w generation")
+      }
+    widthFence()
     val docs = splitFlagged(batch.filter(col("text").isNotNull))
     // stage-cut: the window frame feeds the partitioned write AND the
     // df census; uncut, the tokenize+hash pass would run twice
@@ -1515,6 +1553,7 @@ object DedupQueries {
     // loser's staged hot file is orphan debris for vacuum, the
     // deleteTextDocs precedent.
     def prepare(cur: Int): (Seq[String], Seq[String]) = {
+      widthFence() // in-loop: re-checked against the CAS winner's tags
       val priorDfp =
         if (cur == 0) Seq.empty
         else IndexCatalog.files(base, cur).filter(f =>

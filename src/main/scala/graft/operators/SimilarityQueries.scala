@@ -683,27 +683,46 @@ object SimilarityQueries {
     * optimistic writer.
     */
   private[operators] def reclusterIvfStore(
-      spark: SparkSession, base: String): Int = {
+      spark: SparkSession, base: String, maxAttempts: Int = 5): Int = {
     import graft.sources.{IndexCatalog, StagedWrite}
-    val basedOn = IndexCatalog.currentVersion(base)
-    // the store's own rows are the training corpus — the raw table is
-    // never touched (drop the stored cell: it is the OLD geometry)
-    val corpus = readStoreFiles(spark, IndexCatalog.files(base, basedOn))
-      .select(col("vec_id"), col("embedding"), col("nrm"))
-    val cent = kmeansCentroids(corpus, KmIters).cache()
-    try {
-      val cdir = f"centroids-v${basedOn + 1}%05d"
-      cent.coalesce(1).write.mode("overwrite").parquet(s"$base/$cdir")
-      val rows = assignToCentroids(corpus,
-          cent.select(col("centroid_id"), col("c_emb")))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("centroid_id"))
-        .repartition(col("centroid_id")) // one file per cell per rewrite
-      val newFiles =
-        StagedWrite.partitioned(rows, s"$base/corpus", Seq("centroid_id"))
-      IndexCatalog.commitRewrite(
-        base, newFiles, Seq(s"centroids=$cdir", "recluster"), basedOn)
-    } finally cent.unpersist()
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val basedOn = IndexCatalog.currentVersion(base)
+      // the store's own rows are the training corpus — the raw table is
+      // never touched (drop the stored cell: it is the OLD geometry)
+      val corpus = readStoreFiles(spark, IndexCatalog.files(base, basedOn))
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val cent = kmeansCentroids(corpus, KmIters).cache()
+      try {
+        // unique per attempt (the newGenDir rationale): two racing
+        // reclusters observing the same version would otherwise share
+        // a dir name, and the loser's overwrite-mode write could
+        // replace the winner's already-committed centroid files
+        val cdir = f"centroids-v${basedOn + 1}%05d-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        cent.coalesce(1).write.mode("overwrite").parquet(s"$base/$cdir")
+        val rows = assignToCentroids(corpus,
+            cent.select(col("centroid_id"), col("c_emb")))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("centroid_id"))
+          .repartition(col("centroid_id")) // one file per cell per rewrite
+        val newFiles =
+          StagedWrite.partitioned(rows, s"$base/corpus", Seq("centroid_id"))
+        // a racing append landing after basedOn fails the CAS: the
+        // WHOLE derivation re-runs against the winner's corpus (a
+        // stale retrain would silently drop the appended rows from the
+        // rewrite). The loser's staged corpus files and centroid dir
+        // are orphan debris — vacuum reclaims both past the grace
+        // window (the centroid dir is unreferenced by any live tag).
+        return IndexCatalog.commitRewrite(
+          base, newFiles, Seq(s"centroids=$cdir", "recluster"), basedOn)
+      } catch {
+        case e if IndexCatalog.isCommitConflict(e) && attempts < maxAttempts =>
+          () // re-derive against the winner's version
+      } finally cent.unpersist()
+    }
+    sys.error("unreachable")
   }
 
   /** The RECLUSTER lifecycle, gated: clone the even-corpus IVF store

@@ -90,8 +90,12 @@ object LocalCatalogFs extends CatalogFs {
     if (!Files.isDirectory(p)) Seq.empty
     else {
       val s = Files.walk(p)
+      // regular files only: Files.walk also emits directories, and a
+      // directory whose NAME matches the suffix (or any dir under an
+      // empty-suffix listing) must not surface as a deletable "file"
       try s.iterator().asScala
-        .filter(f => f.getFileName.toString.endsWith(suffix))
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(suffix))
         .map(_.toString).toSeq
       finally s.close()
     }

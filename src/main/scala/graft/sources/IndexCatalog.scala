@@ -103,18 +103,13 @@ class IndexCatalogOps(val fs: CatalogFs) {
 
   private val ManifestName = raw"v(\d+)\.txt".r
 
-  /** Tags with a `key=` shape (no whitespace in the key) form a
-    * FAMILY where the newest instance governs — `corpus_stats=`,
-    * `stats_cols=`, `check=`, `schema=`. [[vacuum]] re-carries the
-    * newest instance of each GOVERNING family that would otherwise
-    * expire with the pre-horizon chain, because these are load-bearing
-    * store metadata, not per-commit history: losing the last
-    * `corpus_stats=` to retention would brick every text-index probe
-    * even though the postings themselves survive.
-    */
-  private val CarriedTagFamily = raw"([A-Za-z0-9_.-]+=).*".r
-
-  /** The families vacuum's carry applies to. Per-commit GUARD/HISTORY
+  /** The families vacuum's carry applies to — tags with a `key=`
+    * shape where the newest instance governs. [[vacuum]] re-carries
+    * the newest instance of each that would otherwise expire with the
+    * pre-horizon chain, because these are load-bearing store metadata,
+    * not per-commit history: losing the last `corpus_stats=` to
+    * retention would brick every text-index probe even though the
+    * postings themselves survive. Per-commit GUARD/HISTORY
     * tags (`ingest-batch=`, `slice=`, `mv-batch=`, `restore-of=`) are
     * deliberately NOT governing: each instance is a fact about one
     * commit, so "newest instance wins" is the wrong algebra — carrying
@@ -380,14 +375,46 @@ class IndexCatalogOps(val fs: CatalogFs) {
     * expired chains' horizons, newest first (a version's own manifest
     * tags supersede tags carried AT it, which are older by
     * construction). The lookup every newest-wins tag family
-    * (`corpus_stats=`, `stats_cols=`, `check=`) goes through, so
-    * retention can never silently un-declare store metadata.
+    * (`corpus_stats=`, `stats_cols=`, `check=`, `centroids=`) goes
+    * through, so retention can never silently un-declare store
+    * metadata.
+    *
+    * RESTORE-AWARE: governing tags are content-coupled (a schema, a
+    * stats census, a centroid geometry describe the FILES), and a
+    * restore commit rebases the store's content to its target — so
+    * when the walk reaches a `restore-of=K` commit that does not
+    * itself declare the family, resolution JUMPS to K and continues
+    * there, exactly as file resolution does. Without the jump, a
+    * rollback past a RECLUSTER would pair the restored old-geometry
+    * rows with the newest (undone) centroid family — the torn state
+    * the atomic rewrite exists to prevent; with it, a family declared
+    * only in the undone suffix correctly resolves to None.
     */
   def newestTag(base: String, prefix: String): Option[String] =
-    liveVersions(base).sorted.reverse.iterator.flatMap { v =>
-      appliedTags(base, v).reverseIterator.filter(_.startsWith(prefix)) ++
-        carriedTags(base, v).iterator.filter(_.startsWith(prefix))
-    }.nextOption()
+    newestTagThrough(base, prefix, Int.MaxValue)
+
+  /** [[newestTag]] restricted to live versions <= `cap` — the shared
+    * walk (newest-first, applied tags over carried, restore-of
+    * lineage jumps) that both the global lookup and vacuum's
+    * carried-tag fold resolve through.
+    */
+  private def newestTagThrough(
+      base: String, prefix: String, cap: Int): Option[String] = {
+    var vs = liveVersions(base).filter(_ <= cap).sorted.reverse.toList
+    while (vs.nonEmpty) {
+      val v = vs.head
+      vs = vs.tail
+      val applied = appliedTags(base, v)
+      val hit = applied.reverseIterator.find(_.startsWith(prefix))
+        .orElse(carriedTags(base, v).reverseIterator.find(_.startsWith(prefix)))
+      if (hit.isDefined) return hit
+      applied.reverseIterator.find(_.startsWith("restore-of=")).foreach { r =>
+        val k = r.stripPrefix("restore-of=").toInt
+        vs = vs.filter(_ <= k)
+      }
+    }
+    None
+  }
 
   /** Version `v`'s manifest tags IF its content applies — empty for
     * an aborted txn participant (its tags were never committed) and
@@ -1092,20 +1119,32 @@ class IndexCatalogOps(val fs: CatalogFs) {
     // the horizon — content is determined by the immutable chain, so
     // create-if-absent makes racing vacuums agree
     if (horizon > 1) {
-      val carried = scala.collection.mutable.LinkedHashMap[String, String]()
-      (1 until horizon).foreach { v =>
-        if (fs.exists(manifestPath(base, v)))
-          // appliedTags: an aborted txn participant's tags were never
-          // committed, so the carry must not resurrect them
-          (carriedTags(base, v) ++ appliedTags(base, v)).foreach {
-            case t @ CarriedTagFamily(fam) if GoverningTagFamilies(fam) =>
-              carried(fam) = t
-            case _ => ()
-          }
+      // per family, the newest instance over the expiring pre-horizon
+      // chain THROUGH THE SAME restore-aware walk newestTag uses —
+      // folding the chain linearly would resurrect a tag a restore in
+      // that chain had undone (appliedTags inside the walk already
+      // excludes aborted txn participants' never-committed tags). The
+      // HORIZON's own restore-of indirection caps the walk too: when
+      // the new oldest live version is itself a restore, the expired
+      // chain's view from it is its TARGET's lineage — without the cap
+      // a vacuum landing right after a rollback would carry the undone
+      // suffix's declarations into the horizon snapshot. (Tag lineage
+      // below a restore target that retention has already expired is
+      // gone — retention must exceed the rollback window, the same
+      // rule the replay guards impose on consumer lag.)
+      // (horizon's manifest may itself be a gap an earlier, tighter
+      // vacuum left — no manifest, no indirection to honor)
+      val hJump =
+        if (!fs.exists(manifestPath(base, horizon))) None
+        else appliedTags(base, horizon).reverseIterator
+          .find(_.startsWith("restore-of="))
+          .map(_.stripPrefix("restore-of=").toInt)
+      val cap = math.min(horizon - 1, hJump.getOrElse(horizon - 1))
+      val carried = GoverningTagFamilies.toSeq.sorted.flatMap { fam =>
+        newestTagThrough(base, fam, cap)
       }
       if (carried.nonEmpty)
-        fs.publishIfAbsent(tagsPath(base, horizon),
-          carried.values.mkString("\n"))
+        fs.publishIfAbsent(tagsPath(base, horizon), carried.mkString("\n"))
     }
     // ONE resolution per live version; live/ever-committed/roots all
     // derive from this map — on a remote CatalogFs each manifest is a
@@ -1186,7 +1225,34 @@ class IndexCatalogOps(val fs: CatalogFs) {
       fs.delete(ckptPath(base, v)) // a pre-horizon snapshot dies with its chain
       fs.delete(tagsPath(base, v)) // its families were folded into the new one
     }
-    deleted
+    // RECLUSTER centroid generations (`centroids-v*` dirs) are
+    // referenced only by `centroids=` TAGS, never by a manifest's file
+    // list, so the roots walk above can never govern them: without
+    // this pass every recluster leaves a permanent centroid dir even
+    // after its version expires (and a CAS-losing recluster's
+    // pre-staged dir leaks forever). A dir is reclaimable when no tag
+    // instance still on a live manifest or carried snapshot names it —
+    // computed AFTER the expirations above, so an undone or expired
+    // declaration no longer pins its geometry — and, like any staged
+    // debris, only past the orphan grace window (a racing recluster
+    // writes its centroids BEFORE its commit).
+    val liveCentroidDirs: Set[String] = liveVersions(base).flatMap { v =>
+      (appliedTags(base, v) ++ carriedTags(base, v))
+        .filter(_.startsWith("centroids="))
+        .map(_.stripPrefix("centroids="))
+    }.toSet
+    val centroidDebris = fs.listNames(base)
+      .filter(_.startsWith("centroids-v"))
+      .filterNot(liveCentroidDirs.contains)
+      .flatMap { d =>
+        val files = fs.listFilesRecursive(basePath.resolve(d).toString, "")
+        if (files.nonEmpty && (orphanGraceMs <= 0L ||
+            files.forall(f => fs.mtimeMillis(f).forall(_ < cutoff))))
+          files
+        else Seq.empty
+      }
+    centroidDebris.foreach(fs.delete)
+    deleted ++ centroidDebris
   }
 }
 

@@ -146,6 +146,7 @@ class DedupSpec extends SparkSpec {
 
   test("persisted LSH store: probe census matches the inline pipeline's cross-split hits") {
     val base = java.nio.file.Files.createTempDirectory("lsh_store_spec").toString
+    var caches = Seq.empty[org.apache.spark.sql.DataFrame]
     try {
       DedupQueries.buildLshStore(spark, dir, base)
       // the plan-inspectable form: the production probeLshStore wrapper
@@ -154,6 +155,7 @@ class DedupSpec extends SparkSpec {
       // must read the UNCUT frame
       val (probe, incoming, qreps) = DedupQueries.probeLshStoreFrame(
         spark, dir, base, col("doc_id") % 2 === 1)
+      caches = Seq(incoming, qreps)
       // the corpus side of the probe reads ONLY stored bucket rows —
       // every scan is either the store or the documents fixture (the
       // incoming batch itself), and the bucket join is an equi-join
@@ -181,7 +183,12 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(got == expected)
       assert(got.exists(_._3 > 0), "fixture should have cross-split near-dups")
-      incoming.unpersist(); qreps.unpersist() // the frame form's contract
-    } finally graft.Fs.deleteRecursively(base)
+    } finally {
+      // the frame form's contract: callers release the caches — in a
+      // finally, or a failed assertion leaks them into the shared
+      // suite session
+      caches.foreach(_.unpersist())
+      graft.Fs.deleteRecursively(base)
+    }
   }
 }

@@ -35,12 +35,12 @@ class IvfReclusterSpec extends SparkSpec {
     v.toSeq
   }
 
-  private def writeCorpus(df: Seq[Row], dest: String): DataFrame = {
+  private def mkCorpus(rows: Seq[Row]): DataFrame = {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType, containsNull = false)),
       StructField("label", IntegerType)))
-    spark.createDataFrame(java.util.Arrays.asList(df: _*), schema)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .coalesce(1)
   }
 
@@ -77,15 +77,14 @@ class IvfReclusterSpec extends SparkSpec {
   test("recluster restores cell balance on a drifted append and equals a from-scratch build") {
     val store = Files.createTempDirectory("graft_rc_store").toString
     val fresh = Files.createTempDirectory("graft_rc_fresh").toString
-    val tmpA = Files.createTempDirectory("graft_rc_a").toString
     try {
-      val a = withNrm(writeCorpus(aRows, tmpA))
+      val a = withNrm(mkCorpus(aRows))
       // build on A only: centroids frozen before B exists
       SimilarityQueries.buildIvfStore(spark, store, a, a,
         col("vec_id") < SimilarityQueries.NList)
       val vBuild = IndexCatalog.currentVersion(store)
       // drifted append: the frozen family never saw a B-direction row
-      val b = withNrm(writeCorpus(bRows, tmpA))
+      val b = withNrm(mkCorpus(bRows))
       SimilarityQueries.appendIvfStore(spark, b, store)
       val before = occupancy(store)
       val vDrifted = IndexCatalog.currentVersion(store)
@@ -105,7 +104,7 @@ class IvfReclusterSpec extends SparkSpec {
       assert(after.values.sum == before.values.sum)
 
       // probe ≡ a from-scratch build over the same corpus
-      val full = withNrm(writeCorpus(aRows ++ bRows, tmpA))
+      val full = withNrm(mkCorpus(aRows ++ bRows))
       SimilarityQueries.buildIvfStore(spark, fresh, full, full,
         col("vec_id") < SimilarityQueries.NList)
       val got = SimilarityQueries.probeIvfIndex(spark, store).collect().toSeq
@@ -113,10 +112,11 @@ class IvfReclusterSpec extends SparkSpec {
       assert(got == want, "post-recluster probe diverges from a from-scratch build")
 
       // the new centroids ride the manifest tag and resolve atomically
+      // (dir name is attempt-unique — assert the version prefix)
       assert(IndexCatalog.newestTag(store, "centroids=")
-        .contains(f"centroids=centroids-v$vNew%05d"))
+        .exists(_.startsWith(f"centroids=centroids-v$vNew%05d")))
       assert(SimilarityQueries.ivfCentroidsPath(store)
-        .endsWith(f"centroids-v$vNew%05d"))
+        .contains(f"centroids-v$vNew%05d"))
 
       // old geometry stays probe-able: the pre-recluster version's
       // files still resolve (manifest time travel) and carry the OLD
@@ -133,25 +133,69 @@ class IvfReclusterSpec extends SparkSpec {
       assert(IndexCatalog.tags(store, vDrifted).forall(!_.startsWith("centroids=")))
       assert(new java.io.File(s"$store/centroids").isDirectory)
       assert(vBuild >= 1)
-    } finally Seq(store, fresh, tmpA).foreach(graft.Fs.deleteRecursively)
+    } finally Seq(store, fresh).foreach(graft.Fs.deleteRecursively)
+  }
+
+  test("restore to a pre-recluster version rebases centroid resolution to the old geometry; vacuum then reclaims the unreferenced centroid dir") {
+    val store = Files.createTempDirectory("graft_rc_store3").toString
+    try {
+      val a = withNrm(mkCorpus(aRows))
+      SimilarityQueries.buildIvfStore(spark, store, a, a,
+        col("vec_id") < SimilarityQueries.NList)
+      val b = withNrm(mkCorpus(bRows))
+      SimilarityQueries.appendIvfStore(spark, b, store)
+      val vDrifted = IndexCatalog.currentVersion(store)
+      val preProbe = SimilarityQueries.probeIvfIndex(spark, store)
+        .collect().toSeq
+      SimilarityQueries.reclusterIvfStore(spark, store)
+      val cdir = SimilarityQueries.ivfCentroidsPath(store)
+      assert(cdir.contains("centroids-v"))
+
+      // ROLLBACK: the recluster is judged bad and the store restores
+      // to the drifted (old-geometry) version — centroid resolution
+      // must rebase WITH the files (newestTag follows restore-of
+      // lineage), or probes would assign queries in the new family
+      // against old-family rows
+      IndexCatalog.restore(store, vDrifted)
+      assert(SimilarityQueries.ivfCentroidsPath(store) == s"$store/centroids",
+        "restored store must resolve the build-time centroid family")
+      val postProbe = SimilarityQueries.probeIvfIndex(spark, store)
+        .collect().toSeq
+      assert(postProbe == preProbe,
+        "post-restore probe must equal the pre-recluster probe")
+
+      // the undone recluster's centroid dir is referenced only by the
+      // still-live (but lineage-bypassed) recluster manifest; once
+      // retention expires that manifest, vacuum reclaims the dir
+      assert(new java.io.File(cdir).isDirectory)
+      IndexCatalog.vacuum(store, retain = 1, orphanGraceMs = 0L)
+      val leftover = Option(new java.io.File(cdir).list())
+        .map(_.toSeq).getOrElse(Nil)
+      assert(leftover.isEmpty,
+        s"undone centroid dir not reclaimed: $cdir -> $leftover")
+      // the build-time dir survives (it is the live geometry)
+      assert(new java.io.File(s"$store/centroids").isDirectory)
+      // and the restored store still probes identically
+      assert(SimilarityQueries.probeIvfIndex(spark, store)
+        .collect().toSeq == preProbe)
+    } finally graft.Fs.deleteRecursively(store)
   }
 
   test("an append AFTER recluster assigns against the retrained centroids") {
     val store = Files.createTempDirectory("graft_rc_store2").toString
-    val tmpA = Files.createTempDirectory("graft_rc_a2").toString
     try {
-      val a = withNrm(writeCorpus(aRows, tmpA))
+      val a = withNrm(mkCorpus(aRows))
       SimilarityQueries.buildIvfStore(spark, store, a, a,
         col("vec_id") < SimilarityQueries.NList)
-      val b = withNrm(writeCorpus(bRows, tmpA))
+      val b = withNrm(mkCorpus(bRows))
       SimilarityQueries.appendIvfStore(spark, b, store)
       SimilarityQueries.reclusterIvfStore(spark, store)
       // a LATER batch in the B2 direction must land in the retrained
       // B2 cell, not the old frozen e0 cell
-      val late = withNrm(writeCorpus(
+      val late = withNrm(mkCorpus(
         (100L to 103L).map { i =>
           val v = vec(3, 1.0, i).toArray; v(0) = 0.1f; Row(i, v.toSeq, 0)
-        }, tmpA))
+        }))
       SimilarityQueries.appendIvfStore(spark, late, store)
       val cells = spark.read.option("basePath", s"$store/corpus")
         .parquet(IndexCatalog.latestFiles(store): _*)
@@ -164,6 +208,6 @@ class IvfReclusterSpec extends SparkSpec {
         .select(col("centroid_id").cast("long")).collect().head.getLong(0)
       assert(cells == Set(b2Cell),
         s"late batch landed in $cells, expected the retrained B2 cell $b2Cell")
-    } finally Seq(store, tmpA).foreach(graft.Fs.deleteRecursively)
+    } finally graft.Fs.deleteRecursively(store)
   }
 }

@@ -544,6 +544,43 @@ abstract class IndexCatalogContract extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("newestTag follows restore-of lineage: a rollback never pairs restored files with the undone suffix's governing tags") {
+    val base = store()
+    try {
+      val f1 = fakeGen(base, "gen-one")
+      IndexCatalog.commitFiles(base, Seq(f1), Seq("corpus_stats=a")) // v1
+      val f2 = fakeGen(base, "gen-two")
+      // v2 declares BOTH a newer instance of an existing family and a
+      // family v1 never had
+      IndexCatalog.commitFiles(base, Seq(f2),
+        Seq("corpus_stats=b", "centroids=centroids-v2")) // v2
+      assert(IndexCatalog.newestTag(base, "corpus_stats=")
+        .contains("corpus_stats=b"))
+      // restore to v1: content lineage rebases, so resolution must see
+      // v1's stats and NO centroid declaration at all — walking the
+      // linear chain through the undone v2 would return b / v2's
+      // centroids and pair them with v1's files (the torn-geometry bug)
+      IndexCatalog.restore(base, 1) // v3
+      assert(IndexCatalog.newestTag(base, "corpus_stats=")
+        .contains("corpus_stats=a"))
+      assert(IndexCatalog.newestTag(base, "centroids=").isEmpty)
+      // a declaration AFTER the restore wins over the rebased lineage
+      val f4 = fakeGen(base, "gen-four")
+      IndexCatalog.commitFiles(base, Seq(f4), Seq("corpus_stats=c")) // v4
+      assert(IndexCatalog.newestTag(base, "corpus_stats=")
+        .contains("corpus_stats=c"))
+      assert(IndexCatalog.newestTag(base, "centroids=").isEmpty)
+      // vacuum's carried-tag fold resolves through the SAME lineage:
+      // expiring v1..v3 must carry stats=c's predecessors correctly —
+      // the undone corpus_stats=b and centroids=v2 must NOT resurrect
+      IndexCatalog.vacuum(base, retain = 1)
+      assert(IndexCatalog.liveVersions(base) == Seq(4))
+      assert(IndexCatalog.newestTag(base, "corpus_stats=")
+        .contains("corpus_stats=c"))
+      assert(IndexCatalog.newestTag(base, "centroids=").isEmpty)
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("vacuumTxnMarkers compares canonical marker paths: a referenced decided marker spelled differently is never GC'd") {
     val base = store()
     val mdirCanon = store()
@@ -604,10 +641,13 @@ object ObjectStoreFakeFs extends CatalogFs {
       val target = Paths.get(path)
       if (Files.exists(target)) false // conditional PUT: reject-on-exists
       else {
-        // single-shot visibility: stage under a non-target name, then
-        // atomic move INSIDE the arbitration — readers (who never take
-        // the lock) see the full object or nothing, the PUT contract
-        val tmp = Files.createTempFile(target.getParent, ".put-", ".stage")
+        // single-shot visibility: stage OUTSIDE the bucket namespace
+        // (the system temp dir — an object store's internal upload
+        // buffer is never listable by clients), then atomic move
+        // INSIDE the arbitration — readers (who never take the lock,
+        // and may list the target's directory concurrently) see the
+        // full object or nothing, and never a staging entry
+        val tmp = Files.createTempFile(".put-", ".stage")
         try {
           Files.writeString(tmp, content)
           Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
