@@ -39,11 +39,19 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Mechanical throttle adjudication (round-15 verdict #2): a
+    // single-thread CPU probe before the warm-up, after the first
+    // timed pass, and after the rerun loop. The three readings land in
+    // the JSON as `cpu_probe_s`; compare against the healthy band
+    // BASELINE.md records ("CPU probe healthy band") — a hot reading
+    // means the surrounding numbers measured the host, not the plans.
+    val probeStart = Probe.cpuProbeSecs()
     // JIT/codegen/scheduler warm-up so the first measured query isn't
     // charged for session infrastructure (startup still ~6s before this)
     spark.range(1000000).selectExpr("count(distinct id % 100)").collect()
@@ -109,6 +117,7 @@ object Bench {
     // sorting first. Its timed run below now measures the plan alone.
     ordered.headOption.foreach { case (_, fn) => runOnce(fn) }
     val firstPass = ordered.map { case (name, fn) => (name, fn, runOnce(fn)) }
+    val probeMid = Probe.cpuProbeSecs()
 
     // Re-measure suspected starvation artifacts AFTER the full pass
     // (time separation from the slowdown window); min over attempts.
@@ -141,18 +150,22 @@ object Bench {
     val reruns = results.collect { case (k, _, _, attempts) if attempts.nonEmpty =>
       s"\"" + k + "\":" + attempts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val probeEnd = Probe.cpuProbeSecs()
+    val probeJson =
+      f"""[$probeStart%.4f,$probeMid%.4f,$probeEnd%.4f]"""
     val total = results.collect { case (_, v, None, _) => v }.sum
     val fixTotal = fixtureSecs.map(_._2).sum
     val fixJson = fixtureSecs.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline fields FIRST: a tail-truncated capture of this line (the
     // round-6 BENCH artifact lost its tail) must still carry the total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"fixture_build_total":$fixTotal,"fixture_build":$fixJson,"queries":$qs,"errors":$errs,"reruns":$reruns,"policy":"min-of-reruns above ${RerunThresholdSecs}s (slow-side only: small disclosed downward bias); fixture templates pre-built untimed, seconds in fixture_build; see BASELINE.md variance"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"fixture_build_total":$fixTotal,"fixture_build":$fixJson,"queries":$qs,"errors":$errs,"reruns":$reruns,"cpu_probe_s":$probeJson,"policy":"min-of-reruns above ${RerunThresholdSecs}s (slow-side only: small disclosed downward bias); fixture templates pre-built untimed, seconds in fixture_build; see BASELINE.md variance"}""")
     // The driver captures only the LAST 2KB of output, which truncates
     // the big line from the FRONT — so the headline numbers also go on
     // a short trailing line that always survives the tail capture.
     val rerunsN = results.count { case (_, _, _, a) => a.nonEmpty }
-    println(s"""{"total":$total,"n_queries":${results.size},"reruns_n":$rerunsN}""")
+    // the probe readings must survive the driver's 2KB tail capture too
+    println(s"""{"total":$total,"n_queries":${results.size},"reruns_n":$rerunsN,"cpu_probe_s":$probeJson}""")
     spark.stop()
   }
 }

@@ -19,6 +19,13 @@ import graft.functions.{Fnv1a64, LevenshteinCapped, FnvGrams, HashSetCountDistin
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL surface for the store-maintenance verbs (OPTIMIZE / VACUUM /
+    // RESTORE / DESCRIBE HISTORY) — the DDL-then-SQL workflow extended
+    // to the lifecycle ops a production operator schedules from SQL;
+    // grammar and verb→catalog-op mapping in
+    // [[graft.operators.MaintenanceSql]]
+    ext.injectParser((_, delegate) =>
+      new graft.operators.MaintenanceParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("count300k"),
       new ExpressionInfo(classOf[HashSetCountDistinct].getCanonicalName, "count300k"),

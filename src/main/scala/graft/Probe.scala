@@ -1,0 +1,52 @@
+package graft
+
+/** Single-thread CPU probe: the mechanical throttle detector.
+  *
+  * This VM shows intermittent multi-minute whole-machine slowdown
+  * windows (BASELINE.md "Variance"): identical code/input measured at
+  * 1.3-25x, process CPU-seconds flat — external starvation. Every
+  * breach post-mortem so far leaned on an ad-hoc probe quoted in
+  * BASELINE.md prose; this object makes the probe part of the bench
+  * artifact itself so adjudication is mechanical (round-15 verdict
+  * "What's wrong #2").
+  *
+  * Method: one untimed 40M-iteration JIT warm-up, then a timed
+  * 400M-iteration serial FNV-style multiply-xor loop (the historic
+  * ad-hoc probe's 10M iterations JIT down to ~13 ms here — too short
+  * to separate throttle from scheduler noise; 400M lands a healthy
+  * reading near 0.5 s, the same magnitude the prose band used, while
+  * keeping three readings under 2 s of harness cost). Pure ALU work,
+  * one thread, no allocation, no syscalls — wall time scales 1:1 with
+  * how much CPU the host actually grants a runnable thread. The
+  * healthy band for THIS loop on THIS box is recorded once in
+  * BASELINE.md ("CPU probe healthy band"); readings well above it mean
+  * the surrounding measurements ran in a throttled window and measure
+  * the host, not the plans.
+  */
+object Probe {
+  /** Sink defeating dead-code elimination of the probe loop. */
+  @volatile private var blackhole: Long = 0L
+
+  private def spin(iters: Long): Long = {
+    var h = 1469598103934665603L // FNV-1a offset basis (public constant)
+    var i = 0L
+    while (i < iters) {
+      h ^= i
+      h *= 1099511628211L
+      i += 1
+    }
+    h
+  }
+
+  /** One probe reading: seconds for the timed 400M-iteration loop. */
+  def cpuProbeSecs(): Double = {
+    blackhole = spin(40000000L) // untimed JIT warm-up
+    val t0 = System.nanoTime()
+    blackhole = spin(400000000L)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Standalone window check: prints three comma-separated readings. */
+  def main(args: Array[String]): Unit =
+    println((1 to 3).map(_ => f"${cpuProbeSecs()}%.4f").mkString(","))
+}

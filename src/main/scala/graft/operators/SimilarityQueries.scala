@@ -744,7 +744,12 @@ object SimilarityQueries {
       FixtureTemplates.cloneInto("ivf_evens", spark, dir, base)
       appendIvfStore(spark,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(2)) === 1), base)
-      reclusterIvfStore(spark, base)
+      // the maintenance step runs through the SQL verb surface — the
+      // production schedule path ([[MaintenanceSql]]; it dispatches to
+      // [[reclusterIvfStore]], so the Scala and SQL surfaces cannot
+      // drift). Sessions without graft's extensions keep the direct
+      // Scala call available.
+      spark.sql(s"OPTIMIZE '$base' RECLUSTER").collect()
     } catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e

@@ -169,6 +169,30 @@ object StreamingQueries {
     graft.Fs.deleteRecursively(stage)
   }
 
+  /** JVM-lifetime cache of the constant sentinel parquet files. The
+    * sentinel rows never vary across runs, but writing them through a
+    * Spark job costs a full job submit per streaming query — pure
+    * engine-start floor repeated at ten gated callsites (round-15
+    * verdict #1). The first call per shape writes the file once
+    * through the normal Spark writer (so the bytes are exactly what
+    * the old per-query write produced); every later call copies the
+    * KB-sized file under the same mtime fence.
+    */
+  private val sentinelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def sentinelTemplate(
+      ss: SparkSession, key: String, rows: java.util.List[Row]): java.nio.file.Path =
+    sentinelCache.computeIfAbsent(key, _ => {
+      val d = Files.createTempDirectory(s"graft_sent_$key")
+      ss.createDataFrame(rows, StreamingDistinct.eventsSchema)
+        .coalesce(1).write.mode("overwrite").parquet(d.toString)
+      new java.io.File(d.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet"))
+        .head.toPath
+    })
+
   /** The outer joins' two-row sentinel (one view + one click with
     * DISTINCT negative users, so they match no fixture row and not
     * each other — BOTH branch watermarks advance), written under the
@@ -179,12 +203,12 @@ object StreamingQueries {
     */
   private def writeTwoBranchSentinel(ss: SparkSession, inDir: String): Unit =
     appendOrderedAfter(inDir) {
-      ss.createDataFrame(
-        java.util.Arrays.asList(
+      Files.copy(
+        sentinelTemplate(ss, "two", java.util.Arrays.asList(
           Row(-1L, SentinelNtz, -1L, "view", 0.0, "{}"),
-          Row(-2L, SentinelNtz, -2L, "click", 0.0, "{}")),
-        StreamingDistinct.eventsSchema)
-        .coalesce(1).write.mode("append").parquet(inDir)
+          Row(-2L, SentinelNtz, -2L, "click", 0.0, "{}"))),
+        Paths.get(inDir, "sentinel-two.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
     }
 
   /** Write THE sentinel file: one far-future row (user -1, type
@@ -194,11 +218,11 @@ object StreamingQueries {
     */
   private[operators] def writeSentinel(ss: SparkSession, inDir: String): Unit =
     appendOrderedAfter(inDir) {
-      ss.createDataFrame(
-        java.util.Arrays.asList(
-          Row(-1L, SentinelNtz, -1L, "sentinel", 0.0, "{}")),
-        StreamingDistinct.eventsSchema)
-        .coalesce(1).write.mode("append").parquet(inDir)
+      Files.copy(
+        sentinelTemplate(ss, "one", java.util.Arrays.asList(
+          Row(-1L, SentinelNtz, -1L, "sentinel", 0.0, "{}"))),
+        Paths.get(inDir, "sentinel-one.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
     }
 
   /** The standard watermarkable events file source over a staged dir:
@@ -281,21 +305,23 @@ object StreamingQueries {
     }
   }
 
-  /** The ordered funnel as INCREMENTAL maintenance, including a
-    * CHECKPOINT RESTART — the event-analytics batch staple
-    * (`q_funnel`) kept current for O(delta) per micro-batch instead
-    * of a corpus re-aggregation per refresh. Pass 1 streams the
-    * events fixture through `flatMapGroupsWithState` (per-user
-    * set-once stage stamps; nothing emits, because a funnel record is
-    * final only when no more events can arrive). Then ONE far-future
-    * sentinel file lands in the source directory and pass 2 resumes
-    * from the same checkpoint: the sentinel batch advances the
-    * watermark and the engine's no-data micro-batch fires the
-    * event-time timeouts, flushing every user's finalized record
-    * through the append sink. The sentinel user (-1) never records a
-    * view, so it holds no state and emits nothing. Oracle: the batch
-    * per-user stage-time table (earliest view; earliest click strictly
-    * after it; earliest purchase strictly after that).
+  /** The ordered funnel as INCREMENTAL maintenance — the
+    * event-analytics batch staple (`q_funnel`) kept current for
+    * O(delta) per micro-batch instead of a corpus re-aggregation per
+    * refresh. Single pass, sentinel up front ([[qStreamSessionWindow]]'s
+    * shape, adopted round 16 — each extra AvailableNow drain is pure
+    * engine-start floor, and the checkpoint-RESTART proof this query
+    * used to duplicate lives in [[qStreamSessionize]] and
+    * StreamingDistinctSpec): the fixture batch streams through
+    * `flatMapGroupsWithState` (per-user set-once stage stamps; nothing
+    * emits, because a funnel record is final only when no more events
+    * can arrive), the pre-staged far-future sentinel file's batch then
+    * advances the watermark, and the engine's no-data micro-batch
+    * fires the event-time timeouts, flushing every user's finalized
+    * record through the append sink. The sentinel user (-1) never
+    * records a view, so it holds no state and emits nothing. Oracle:
+    * the batch per-user stage-time table (earliest view; earliest
+    * click strictly after it; earliest purchase strictly after that).
     */
   def qStreamFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
@@ -305,24 +331,18 @@ object StreamingQueries {
     val ckpt = Files.createTempDirectory("graft_fn_ckpt").toString
     try {
       stageFixture(dir, inDir)
-
-      def pipeline(): DataFrame = {
-        val src = eventsSource(ss, inDir)
-        StreamingFunnel.funnel(
-          src.select(col("user_id"), col("event_type"), col("ts"))
-            .withWatermark("ts", "1 hour")
-            .as[StreamingFunnel.FunnelEvent])
-          .toDF()
-          .filter(col("user_id") >= 0) // drop the watermark sentinels
-      }
-
-      runPass(pipeline(), outDir, ckpt, noData = false)
       writeSentinel(ss, inDir)
-      val resumed = pipeline()
-      runPass(resumed, outDir, ckpt) // resumes from the checkpoint
+      val src = eventsSource(ss, inDir)
+      val out = StreamingFunnel.funnel(
+        src.select(col("user_id"), col("event_type"), col("ts"))
+          .withWatermark("ts", "1 hour")
+          .as[StreamingFunnel.FunnelEvent])
+        .toDF()
+        .filter(col("user_id") >= 0) // drop the watermark sentinels
+      runPass(out, outDir, ckpt)
 
       lease("q_stream_funnel", Seq(inDir, outDir, ckpt))
-      ss.read.schema(resumed.schema).parquet(outDir)
+      ss.read.schema(out.schema).parquet(outDir)
         .orderBy("user_id")
     } catch {
       case e: Throwable =>
@@ -331,25 +351,28 @@ object StreamingQueries {
     }
   }
 
-  /** Weekly cohort retention as INCREMENTAL maintenance, including a
-    * CHECKPOINT RESTART — the streaming twin of the batch matrix
-    * (`q_retention`), and the third `flatMapGroupsWithState` operator
-    * after sessionize and the funnel. The stream maintains the
-    * per-user half (first-signup cohort week + distinct active weeks
-    * — the part whose batch form re-shuffles the corpus per refresh)
-    * and flushes finalized per-user week rows on event-time timeout;
-    * the (cohort_week, week_offset) matrix is then one bounded-output
+  /** Weekly cohort retention as INCREMENTAL maintenance — the
+    * streaming twin of the batch matrix (`q_retention`), and the third
+    * `flatMapGroupsWithState` operator after sessionize and the
+    * funnel. The stream maintains the per-user half (first-signup
+    * cohort week + distinct active weeks — the part whose batch form
+    * re-shuffles the corpus per refresh) and flushes finalized
+    * per-user week rows on event-time timeout; the
+    * (cohort_week, week_offset) matrix is then one bounded-output
     * aggregate over the sink (cardinality weeks², never events),
-    * computed distributed at read time. Sentinel choreography and
-    * restart are identical to [[qStreamFunnel]]: pass 1 streams the
-    * fixture (everything stays in state — a retention row is final
-    * only when no more events can arrive), one far-future sentinel
-    * file advances the watermark, and pass 2 resumes from the same
-    * checkpoint to fire the timeouts through the append sink. The
-    * sentinel user (-1) never signs up, so it holds no cohort and
-    * emits nothing. Week truncation runs through the SAME
-    * `date_trunc("week", ts)` the batch query uses, inside the
-    * streaming plan. Oracle: the batch cohort matrix.
+    * computed distributed at read time. Single pass, sentinel up front
+    * ([[qStreamFunnel]]'s round-16 shape — the second drain this query
+    * used to run was a duplicate of [[qStreamSessionize]]'s
+    * checkpoint-restart proof, pure engine-start floor here): the
+    * fixture batches stream in (everything stays in state — a
+    * retention row is final only when no more events can arrive), the
+    * pre-staged far-future sentinel file's batch advances the
+    * watermark, and the engine's no-data micro-batch fires the
+    * timeouts through the append sink. The sentinel user (-1) never
+    * signs up, so it holds no cohort and emits nothing. Week
+    * truncation runs through the SAME `date_trunc("week", ts)` the
+    * batch query uses, inside the streaming plan. Oracle: the batch
+    * cohort matrix.
     */
   def qStreamRetention(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
@@ -359,25 +382,19 @@ object StreamingQueries {
     val ckpt = Files.createTempDirectory("graft_ret_ckpt").toString
     try {
       stageFixture(dir, inDir)
-
-      def pipeline(): DataFrame = {
-        val src = eventsSource(ss, inDir)
-        StreamingRetention.retention(
-          src.select(col("user_id"), col("event_type"), col("ts"),
-              unix_micros(date_trunc("week", col("ts"))).as("wk_us"))
-            .withWatermark("ts", "1 hour")
-            .as[StreamingRetention.RetentionEvent])
-          .toDF()
-          .filter(col("user_id") >= 0) // drop the watermark sentinels
-      }
-
-      runPass(pipeline(), outDir, ckpt, noData = false)
       writeSentinel(ss, inDir)
-      val resumed = pipeline()
-      runPass(resumed, outDir, ckpt) // resumes from the checkpoint
+      val src = eventsSource(ss, inDir)
+      val out = StreamingRetention.retention(
+        src.select(col("user_id"), col("event_type"), col("ts"),
+            unix_micros(date_trunc("week", col("ts"))).as("wk_us"))
+          .withWatermark("ts", "1 hour")
+          .as[StreamingRetention.RetentionEvent])
+        .toDF()
+        .filter(col("user_id") >= 0) // drop the watermark sentinels
+      runPass(out, outDir, ckpt)
 
       lease("q_stream_retention", Seq(inDir, outDir, ckpt))
-      ss.read.schema(resumed.schema).parquet(outDir)
+      ss.read.schema(out.schema).parquet(outDir)
         .groupBy(
           expr("cohort_us div 1000000").as("cohort_week_s"),
           expr(s"(wk_us - cohort_us) div ${7L * 86400 * 1000000}")

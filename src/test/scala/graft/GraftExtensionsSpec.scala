@@ -62,4 +62,82 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  // --- SQL maintenance-verb surface (MaintenanceSql via injectParser) ---
+
+  import graft.operators.MaintenanceSql
+  import graft.operators.MaintenanceSql._
+
+  test("maintenance grammar: every verb form parses to its command") {
+    assert(MaintenanceSql.parse("OPTIMIZE '/s'") ==
+      Some(OptimizeCommand("/s", OptPlain)))
+    assert(MaintenanceSql.parse("optimize '/s' recluster;") ==
+      Some(OptimizeCommand("/s", OptRecluster)))
+    assert(MaintenanceSql.parse("OPTIMIZE '/s' SORT BY vec_id") ==
+      Some(OptimizeCommand("/s", OptSort(Seq("vec_id")))))
+    assert(MaintenanceSql.parse("OPTIMIZE '/s' SORT BY a, b") ==
+      Some(OptimizeCommand("/s", OptSort(Seq("a", "b")))))
+    assert(MaintenanceSql.parse("OPTIMIZE '/s' ZORDER BY (ub, hr)") ==
+      Some(OptimizeCommand("/s", OptZorder("ub", "hr"))))
+    assert(MaintenanceSql.parse("OPTIMIZE '/s' WHERE bucket IN (3, 7)") ==
+      Some(OptimizeCommand("/s", OptWhere(Seq(3L, 7L)))))
+    assert(MaintenanceSql.parse("VACUUM '/s' RETAIN 3") ==
+      Some(VacuumCommand("/s", 3)))
+    assert(MaintenanceSql.parse("RESTORE '/s' TO VERSION 2") ==
+      Some(RestoreCommand("/s", 2)))
+    assert(MaintenanceSql.parse("DESCRIBE  HISTORY '/s'") ==
+      Some(HistoryCommand("/s")))
+    // non-maintenance statements delegate untouched — including plain
+    // DESCRIBE (Spark's own verb) and verb-PREFIXED identifiers
+    assert(MaintenanceSql.parse("SELECT 1").isEmpty)
+    assert(MaintenanceSql.parse("DESCRIBE some_table").isEmpty)
+    assert(MaintenanceSql.parse("SELECT * FROM vacuum_log").isEmpty)
+    assert(MaintenanceSql.parse("VACUUM_TABLE('x')").isEmpty)
+  }
+
+  test("maintenance grammar: near-misses fail loudly with the grammar, not Spark's parser") {
+    def err(sql: String): String =
+      intercept[MaintenanceParseError](MaintenanceSql.parse(sql)).getMessage
+    assert(err("VACUUM '/s' KEEP 3").contains("VACUUM '<base>' RETAIN n"))
+    assert(err("OPTIMIZE '/s' ZORDER BY ub, hr").contains("ZORDER BY (cx, cy)"))
+    assert(err("RESTORE '/s' VERSION 2").contains("TO VERSION"))
+    assert(err("DESCRIBE HISTORY mystore").contains("DESCRIBE HISTORY '<base>'"))
+    assert(err("OPTIMIZE mystore").contains("OPTIMIZE '<base>'"))
+  }
+
+  test("maintenance verbs drive a real store lifecycle through spark.sql") {
+    val s = SparkSpec.session // extensions-configured (parser injected)
+    import graft.sources.IndexCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft_sqlmaint").toString
+    try {
+      def gen(lo: Int, hi: Int, tags: Seq[String]): Unit = {
+        val d = IndexCatalog.newGenDir(base)
+        s.range(lo, hi).selectExpr("id", "id * 10 AS v")
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        IndexCatalog.commitFiles(base, IndexCatalog.listDataFiles(d), tags)
+      }
+      gen(0, 4, Seq("build")) // v1
+      gen(4, 8, Seq("append")) // v2
+      val hist = s.sql(s"DESCRIBE HISTORY '$base'").collect()
+      assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "build"), (2L, "append")))
+      // flat store: SORT BY routes to the layout rewrite → v3
+      val v3 = s.sql(s"OPTIMIZE '$base' SORT BY v").collect()(0).getLong(0)
+      assert(v3 == 3L)
+      assert(s.read.parquet(IndexCatalog.files(base, 3): _*).count() == 8)
+      // rollback commit → v4 carrying v1's content
+      val v4 = s.sql(s"RESTORE '$base' TO VERSION 1").collect()(0).getLong(0)
+      assert(v4 == 4L)
+      assert(s.read.parquet(IndexCatalog.latestFiles(base): _*).count() == 4)
+      // retention: v1, v2 expire; reclaim count is the command's output
+      val reclaimed =
+        s.sql(s"VACUUM '$base' RETAIN 2").collect()(0).getLong(0)
+      assert(reclaimed >= 0L)
+      assert(IndexCatalog.liveVersions(base) == Seq(3, 4))
+      assert(s.read.parquet(IndexCatalog.latestFiles(base): _*).count() == 4)
+      // a near-miss through the FULL spark.sql path fails with OUR error
+      val e = intercept[MaintenanceParseError](s.sql(s"VACUUM '$base' KEEP 1"))
+      assert(e.getMessage.contains("RETAIN"))
+    } finally graft.Fs.deleteRecursively(base)
+  }
 }

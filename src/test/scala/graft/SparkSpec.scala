@@ -14,6 +14,7 @@ object SparkSpec {
       .builder()
       .master("local[4]")
       .appName("graft-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
