@@ -112,7 +112,11 @@ object PlanDump {
     "q_substring_dedup_w50" ->
       "round 15: q_substring_dedup's store-probe plan at the Lee-et-al W=50 production width — same scans into the sub_windows_w50 sibling store, same hash equi-join and run-collapse window; the width changed the STORE's content (fewer, longer windows), not one node of the probe plan.",
     "q_sem_contamination" ->
-      "round 15: q_semdedup's cell-bounded plan with the pair join RESTRICTED to eval x train — the split coin is an id equi-join attached AFTER assignment (no text reaches the compare), the cross product stays keyed on centroid_id (no cartesian), and the per-eval-doc best-source window ranks only its in-cell qualifying set.")
+      "round 15 (centroid cut round 16): q_semdedup's cell-bounded plan with the pair join RESTRICTED to eval x train — the split coin is an id equi-join attached AFTER assignment (no text reaches the compare), the cross product stays keyed on centroid_id (no cartesian), and the per-eval-doc best-source window ranks only its in-cell qualifying set; the centroid table enters as an eagerly-materialized NList-row leaf (the Lloyd job runs once and releases — only its RESULT is broadcast into assignment).",
+    "q_ivf_recluster" ->
+      "round 16 (query landed round 15): the POST-RECLUSTER probe — node-for-node q_ivf_persisted's store probe (cell-keyed equi-join over the manifest-resolved cell-partitioned corpus), with the corpus scans listing the REWRITE generation's files and the centroid scan reading the centroids-v* dir the `centroids=` governing tag names; the retrain/reassign/rewrite itself is the maintenance job (one Lloyd pass + one partitioned rewrite commit, now scheduled via the SQL verb) and is invisible to the probe plan by design.",
+    "q_span_contamination_w50" ->
+      "round 16: q_span_contamination's store-probe plan against the sub_windows_w50 sibling store — same split-flagged stored-window scans, eval x train hash equi-join and run-collapse window; the width changes the STORE's content (fewer, longer windows) and the +49 span constant, not one node of the probe plan.")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"

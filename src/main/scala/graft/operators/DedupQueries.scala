@@ -1891,6 +1891,31 @@ object DedupQueries {
         .select(col("doc_id"), col("n_tokens")))
   }
 
+  /** The contamination gate at the Lee-et-al W=50 PRODUCTION width —
+    * the family's production use at its production config, probing
+    * the `sub_windows_w50` sibling store: identical machinery to
+    * [[qSpanContamination]] (one consistent store snapshot, eval ×
+    * train window hits, run collapse, union coverage), only the
+    * indexed width differs. The 12-token injected donor spans are
+    * invisible here BY DESIGN (below the span standard); what the
+    * gate reports is the fixture's natural ≥50-token verbatim
+    * overlaps that happen to cross the content-hash split — exactly
+    * the leaks a production firewall quarantines
+    * (`q_substring_dedup_w50` censuses the same spans split-blind).
+    */
+  def qSpanContaminationW50(spark: SparkSession, dir: String): DataFrame = {
+    val snap = storedSnapshot(spark,
+      FixtureTemplates.readOnlyPath("sub_windows_w50", spark, dir))
+    spanLeakCensus(
+      snap.kept.filter(!col("is_train"))
+        .select(col("doc_id").as("e_id"), col("p").as("pe"), col("wh")),
+      snap.kept.filter(col("is_train"))
+        .select(col("doc_id").as("t_id"), col("p").as("pt"), col("wh")),
+      snap.docs.filter(!col("is_train"))
+        .select(col("doc_id"), col("n_tokens")),
+      w = SubW50)
+  }
+
   /** The INLINE contamination form over an arbitrary `(doc_id, text)`
     * corpus — the spec's driver; the gated query probes the persisted
     * window store with identical machinery.
@@ -1947,6 +1972,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_contamination" -> (qSpanContamination _),
+    "q_span_contamination_w50" -> (qSpanContaminationW50 _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_substring_dedup_w50" -> (qSubstringDedupW50 _),
     "q_substring_scrub" -> (qSubstringScrub _),
@@ -2031,6 +2057,60 @@ object DedupQueries {
        |       CAST(sum(run) AS BIGINT) AS n_matches
        |FROM rl GROUP BY i, j ORDER BY i, j""".stripMargin
 
+  /** The cross-split leak-census oracle parameterized by window width —
+    * one text instantiated at the fixture width ([[SubW]]) and the
+    * Lee-et-al production width ([[SubW50]]), mirroring how the Spark
+    * side shares [[spanLeakCensus]] across both gated probes.
+    */
+  private def duckSpanContaminationSql(w: Int): String =
+    s"""WITH base AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN dn.b_text IS NOT NULL
+       |                   AND len(string_split(dn.b_text, ' ')) >= ${SubSpan + 1}
+       |              THEN d.text || ' ' ||
+       |                   array_to_string(string_split(dn.b_text, ' ')[2:${SubSpan + 1}], ' ')
+       |              ELSE d.text END AS text
+       |  FROM documents d
+       |  LEFT JOIN (SELECT doc_id AS b_id, text AS b_text FROM documents) dn
+       |    ON d.doc_id % 10 = 3 AND d.doc_id - 1 = dn.b_id),
+       |sp AS (SELECT doc_id, text,
+       |              substr(md5('split1|' || text), 1, 1) < 'd' AS is_train
+       |       FROM base),
+       |toks AS (SELECT doc_id, is_train, string_split(text, ' ') AS tk FROM sp
+       |         WHERE len(string_split(text, ' ')) >= $w),
+       |wins AS (SELECT doc_id, is_train, i AS p,
+       |                md5(array_to_string(tk[i:i+${w - 1}], ' ')) AS wh
+       |         FROM toks, unnest(generate_series(1, len(tk) - ${w - 1})) AS u(i)),
+       |cool AS (SELECT wh FROM wins GROUP BY wh
+       |         HAVING count(DISTINCT doc_id) <= $SubCap),
+       |kept AS (SELECT w.doc_id, w.is_train, w.p, w.wh
+       |         FROM wins w JOIN cool USING (wh)),
+       |hits AS (SELECT DISTINCT e.doc_id AS e_id, t.doc_id AS t_id,
+       |                e.p AS pe, t.p AS pt
+       |         FROM kept e JOIN kept t ON e.wh = t.wh
+       |         WHERE NOT e.is_train AND t.is_train),
+       |runs AS (SELECT e_id, t_id, pe - pt AS dg,
+       |                pe - row_number() OVER (PARTITION BY e_id, t_id, pe - pt
+       |                                        ORDER BY pe) AS isl
+       |         FROM hits),
+       |rl AS (SELECT e_id, t_id, dg, isl, count(*) AS run
+       |       FROM runs GROUP BY 1, 2, 3, 4),
+       |spans AS (SELECT e_id,
+       |                 CAST(max(run) + ${w - 1} AS BIGINT) AS max_leak_span,
+       |                 CAST(count(DISTINCT t_id) AS BIGINT) AS n_train_docs
+       |          FROM rl GROUP BY e_id),
+       |cov AS (SELECT e_id, CAST(count(*) AS BIGINT) AS leaked_tokens
+       |        FROM (SELECT DISTINCT e_id, pe + o AS pos
+       |              FROM hits, unnest(generate_series(0, ${w - 1})) AS u(o)) c
+       |        GROUP BY e_id)
+       |SELECT sp.doc_id,
+       |       CAST(len(string_split(sp.text, ' ')) AS BIGINT) AS n_tokens,
+       |       cov.leaked_tokens, spans.max_leak_span, spans.n_train_docs
+       |FROM sp JOIN spans ON sp.doc_id = spans.e_id
+       |JOIN cov ON sp.doc_id = cov.e_id
+       |WHERE NOT sp.is_train
+       |ORDER BY sp.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the identical window-hash construction: injected spans, md5'd
     // token windows, df cap, cross-doc join, gaps-and-islands runs
@@ -2038,55 +2118,9 @@ object DedupQueries {
     "q_substring_dedup_w50" -> duckSubstringDedupSql(SubW50),
     // the cross-split gate: same base/wins/cool construction with the
     // q_train_split coin, eval x train window hits, run collapse and
-    // union coverage per eval doc
-    "q_span_contamination" ->
-      s"""WITH base AS (
-         |  SELECT d.doc_id,
-         |         CASE WHEN dn.b_text IS NOT NULL
-         |                   AND len(string_split(dn.b_text, ' ')) >= ${SubSpan + 1}
-         |              THEN d.text || ' ' ||
-         |                   array_to_string(string_split(dn.b_text, ' ')[2:${SubSpan + 1}], ' ')
-         |              ELSE d.text END AS text
-         |  FROM documents d
-         |  LEFT JOIN (SELECT doc_id AS b_id, text AS b_text FROM documents) dn
-         |    ON d.doc_id % 10 = 3 AND d.doc_id - 1 = dn.b_id),
-         |sp AS (SELECT doc_id, text,
-         |              substr(md5('split1|' || text), 1, 1) < 'd' AS is_train
-         |       FROM base),
-         |toks AS (SELECT doc_id, is_train, string_split(text, ' ') AS tk FROM sp
-         |         WHERE len(string_split(text, ' ')) >= $SubW),
-         |wins AS (SELECT doc_id, is_train, i AS p,
-         |                md5(array_to_string(tk[i:i+${SubW - 1}], ' ')) AS wh
-         |         FROM toks, unnest(generate_series(1, len(tk) - ${SubW - 1})) AS u(i)),
-         |cool AS (SELECT wh FROM wins GROUP BY wh
-         |         HAVING count(DISTINCT doc_id) <= $SubCap),
-         |kept AS (SELECT w.doc_id, w.is_train, w.p, w.wh
-         |         FROM wins w JOIN cool USING (wh)),
-         |hits AS (SELECT DISTINCT e.doc_id AS e_id, t.doc_id AS t_id,
-         |                e.p AS pe, t.p AS pt
-         |         FROM kept e JOIN kept t ON e.wh = t.wh
-         |         WHERE NOT e.is_train AND t.is_train),
-         |runs AS (SELECT e_id, t_id, pe - pt AS dg,
-         |                pe - row_number() OVER (PARTITION BY e_id, t_id, pe - pt
-         |                                        ORDER BY pe) AS isl
-         |         FROM hits),
-         |rl AS (SELECT e_id, t_id, dg, isl, count(*) AS run
-         |       FROM runs GROUP BY 1, 2, 3, 4),
-         |spans AS (SELECT e_id,
-         |                 CAST(max(run) + ${SubW - 1} AS BIGINT) AS max_leak_span,
-         |                 CAST(count(DISTINCT t_id) AS BIGINT) AS n_train_docs
-         |          FROM rl GROUP BY e_id),
-         |cov AS (SELECT e_id, CAST(count(*) AS BIGINT) AS leaked_tokens
-         |        FROM (SELECT DISTINCT e_id, pe + o AS pos
-         |              FROM hits, unnest(generate_series(0, ${SubW - 1})) AS u(o)) c
-         |        GROUP BY e_id)
-         |SELECT sp.doc_id,
-         |       CAST(len(string_split(sp.text, ' ')) AS BIGINT) AS n_tokens,
-         |       cov.leaked_tokens, spans.max_leak_span, spans.n_train_docs
-         |FROM sp JOIN spans ON sp.doc_id = spans.e_id
-         |JOIN cov ON sp.doc_id = cov.e_id
-         |WHERE NOT sp.is_train
-         |ORDER BY sp.doc_id""".stripMargin,
+    // union coverage per eval doc — one text, both gated widths
+    "q_span_contamination" -> duckSpanContaminationSql(SubW),
+    "q_span_contamination_w50" -> duckSpanContaminationSql(SubW50),
     // the removal half: same base/wins/cool construction, then the
     // smaller-id duplicated-window semi-join, coverage expansion, and
     // the per-doc scrub census

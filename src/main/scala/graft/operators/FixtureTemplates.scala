@@ -70,7 +70,8 @@ object FixtureTemplates {
       Set("q_substring_dedup", "q_substring_scrub", "q_substring_rewrite",
         "q_span_contamination", "q_stream_contamination"),
       DedupQueries.buildSubWindowsTemplate _),
-    Template("sub_windows_w50", Set("q_substring_dedup_w50"),
+    Template("sub_windows_w50",
+      Set("q_substring_dedup_w50", "q_span_contamination_w50"),
       DedupQueries.buildSubWindows50Template _),
     Template("text_70", Set("q_stream_text_index"),
       RetrievalQueries.buildText70Template _),

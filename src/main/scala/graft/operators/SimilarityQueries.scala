@@ -2851,9 +2851,13 @@ object SimilarityQueries {
   def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(spark, dir)
-    // tiny NList-row table; cache so the Lloyd lineage is not replanned
-    // per join side (same posture as probeIvfKmeans)
-    val cent = kmeansCentroids(e, KmIters).cache()
+    // tiny NList-row table, materialized EAGERLY (localCheckpoint): the
+    // Lloyd lineage is computed once instead of replanned per join
+    // side, and — unlike the cache() this replaces — nothing stays
+    // resident per gated call in a long-lived session (the
+    // probeLshStore release pattern; its blocks free via the
+    // ContextCleaner when the caller drops the frame)
+    val cent = kmeansCentroids(e, KmIters).localCheckpoint()
     val a = assignToCentroids(e, cent)
     val keep = a.select(col("centroid_id"), col("vec_id").as("keeper_id"),
       col("embedding").as("k_emb"), col("nrm").as("k_nrm"))
@@ -2908,7 +2912,9 @@ object SimilarityQueries {
         Engine.table(spark, dir, "documents").select(
           col("doc_id"), col("text")))
       .select(col("doc_id").as("vec_id"), col("is_train"))
-    val cent = kmeansCentroids(e, KmIters).cache()
+    // eager centroid cut, not cache(): see [[qSemDedup]] — a cached
+    // frame here leaked one resident entry per gated call
+    val cent = kmeansCentroids(e, KmIters).localCheckpoint()
     val a = assignToCentroids(e, cent).join(flags, "vec_id")
     val train = a.filter(col("is_train"))
       .select(col("centroid_id"), col("vec_id").as("train_id"),

@@ -1104,7 +1104,34 @@ class IndexCatalogOps(val fs: CatalogFs) {
       readManifest(base, cur).pendingTxn.foreach { marker =>
         if (txnDecision(marker).isEmpty) decideTxn(marker, "abort")
       }
-    val horizon = math.max(1, cur - retain + 1)
+    var horizon = math.max(1, cur - retain + 1)
+    // A LIVE restore ABOVE the horizon whose target falls BELOW it
+    // would have its tag lineage expired out from under it: its
+    // newestTag walk jumps to <= target and finds neither a live
+    // manifest nor a carried snapshot there — the horizon carry below
+    // reflects the HORIZON's own lineage, which such a restore
+    // bypasses — so the restored head's files stay live while the
+    // store's governing tags (window_w=, centroids=) silently
+    // un-declare. A restore sitting AT the horizon is fine (the carry
+    // resolves through its restore-of indirection, `hJump` below); a
+    // restore BELOW the horizon expires whole and its lineage folds
+    // into the carry's restore-aware walk. So: cap the horizon at the
+    // minimum restore-of target among strictly-above-horizon live
+    // versions. Fixpoint — capping keeps more versions live, which
+    // can surface deeper live restores; each step strictly lowers the
+    // horizon, so it terminates at >= 1.
+    var rescanRestores = true
+    while (rescanRestores) {
+      rescanRestores = false
+      ((horizon + 1) to cur)
+        .filter(v => fs.exists(manifestPath(base, v)))
+        .flatMap(v => appliedTags(base, v).reverseIterator
+          .find(_.startsWith("restore-of="))
+          .map(_.stripPrefix("restore-of=").toInt))
+        .filter(_ < horizon)
+        .minOption
+        .foreach { t => horizon = t; rescanRestores = true }
+    }
     // the horizon version must stay resolvable once its predecessor
     // delta chain expires: materialize its snapshot first (idempotent;
     // skipped when its own manifest is already full, or when an
@@ -1241,17 +1268,36 @@ class IndexCatalogOps(val fs: CatalogFs) {
         .filter(_.startsWith("centroids="))
         .map(_.stripPrefix("centroids="))
     }.toSet
-    val centroidDebris = fs.listNames(base)
+    val unreferencedCentroidDirs = fs.listNames(base)
       .filter(_.startsWith("centroids-v"))
       .filterNot(liveCentroidDirs.contains)
+    val centroidDebris = unreferencedCentroidDirs
       .flatMap { d =>
         val files = fs.listFilesRecursive(basePath.resolve(d).toString, "")
+          // defense-in-depth: no manifest ever lists files under a
+          // centroid dir (they ride `centroids=` tags), but if one
+          // ever did, the live set must win over the tag census —
+          // same never-delete-live rule as the roots walk above
+          .filterNot(f => live.contains(canon(f)))
         if (files.nonEmpty && (orphanGraceMs <= 0L ||
             files.forall(f => fs.mtimeMillis(f).forall(_ < cutoff))))
           files
         else Seq.empty
       }
     centroidDebris.foreach(fs.delete)
+    // an unreferenced dir that now holds nothing (reclaimed above, by
+    // an earlier vacuum, or a writer that died before writing a file)
+    // must not linger as an empty entry forever — remove the entry
+    // itself. Tolerant delete: a racing recluster that mkdir'd (empty,
+    // young) is mtime-protected, and one that lands a file between the
+    // emptiness check and the delete surfaces as
+    // DirectoryNotEmptyException — swallowed, the dir survives.
+    unreferencedCentroidDirs.foreach { d =>
+      val p = basePath.resolve(d).toString
+      if (fs.listFilesRecursive(p, "").isEmpty &&
+          (orphanGraceMs <= 0L || fs.mtimeMillis(p).forall(_ < cutoff)))
+        scala.util.Try(fs.delete(p))
+    }
     deleted ++ centroidDebris
   }
 }

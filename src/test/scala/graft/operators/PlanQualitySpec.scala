@@ -159,7 +159,10 @@ class PlanQualitySpec extends SparkSpec with BeforeAndAfterAll {
     Seq(
       DedupQueries.qSubstringDedup(spark, dir),
       DedupQueries.qSubstringScrub(spark, dir),
-      DedupQueries.qSpanContamination(spark, dir)).foreach { df =>
+      DedupQueries.qSpanContamination(spark, dir),
+      // the W=50 sibling store's probes: same pure-store contract
+      DedupQueries.qSubstringDedupW50(spark, dir),
+      DedupQueries.qSpanContaminationW50(spark, dir)).foreach { df =>
       val s = plan(df).toString
       // every scan Location points into the persisted store: no
       // fixture-table scan, hence no tokenize/md5 pass at probe time

@@ -581,6 +581,59 @@ abstract class IndexCatalogContract extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("vacuum caps its horizon so a live restore's target lineage is never expired") {
+    val base = store()
+    try {
+      val f1 = fakeGen(base, "gen-a")
+      IndexCatalog.commitFiles(base, Seq(f1), Seq("window_w=8")) // v1 declares
+      val f2 = fakeGen(base, "gen-b")
+      IndexCatalog.commitFiles(base, Seq(f2), Seq("window_w=9")) // v2 re-declares
+      val f3 = fakeGen(base, "gen-c")
+      IndexCatalog.commitFiles(base, Seq(f3)) // v3
+      IndexCatalog.restore(base, 1) // v4: lineage rebases to v1's view
+      val f5 = fakeGen(base, "gen-e")
+      IndexCatalog.commitFiles(base, Seq(f5)) // v5, linear on the restore
+      assert(IndexCatalog.newestTag(base, "window_w=").contains("window_w=8"))
+      // naive horizon (retain=3) = 3, leaving the v4 restore LIVE and
+      // STRICTLY ABOVE the horizon with its target below it: expiring
+      // v1 would leave the restore's lineage walk jumping to an
+      // expired target — files survive but window_w= silently
+      // un-declares (the horizon carry at v3 folds v3's LINEAR lineage
+      // — window_w=9 — which the restore bypasses, so it cannot help).
+      // The cap keeps the target live instead. (A restore sitting AT
+      // the horizon needs no cap — the carry resolves through its own
+      // restore-of indirection; the lineage spec above covers that.)
+      IndexCatalog.vacuum(base, retain = 3)
+      assert(IndexCatalog.newestTag(base, "window_w=").contains("window_w=8"),
+        "live restore's governing-tag lineage was expired by vacuum")
+      assert(IndexCatalog.liveVersions(base).contains(1),
+        "the live restore's target version must stay resolvable")
+      // content resolution through the restored head is intact too
+      assert(IndexCatalog.files(base, 4) == Seq(f1))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
+  test("vacuum removes an emptied (or already-empty) unreferenced centroid dir entry") {
+    val base = store()
+    try {
+      val f1 = fakeGen(base, "gen-a")
+      IndexCatalog.commitFiles(base, Seq(f1))
+      // a CAS-losing recluster's staged dir: one file, no tag names it
+      val dead = Paths.get(base, "centroids-v00002-dead")
+      Files.createDirectories(dead)
+      Files.writeString(dead.resolve("part-x.parquet"), "x")
+      IndexCatalog.vacuum(base, retain = 1, orphanGraceMs = 0L)
+      assert(!Files.exists(dead),
+        "emptied unreferenced centroid dir must not linger as an entry")
+      // a writer that died right after mkdirs: empty dir, nothing to
+      // reclaim file-wise — the entry itself is the debris
+      val empty = Paths.get(base, "centroids-v00003-dead")
+      Files.createDirectories(empty)
+      IndexCatalog.vacuum(base, retain = 1, orphanGraceMs = 0L)
+      assert(!Files.exists(empty))
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("vacuumTxnMarkers compares canonical marker paths: a referenced decided marker spelled differently is never GC'd") {
     val base = store()
     val mdirCanon = store()
