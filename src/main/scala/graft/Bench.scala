@@ -52,6 +52,7 @@ object Bench {
     // BASELINE.md records ("CPU probe healthy band") — a hot reading
     // means the surrounding numbers measured the host, not the plans.
     val probeStart = Probe.cpuProbeSecs()
+    val probeParStart = Probe.cpuProbeParSecs()
     // JIT/codegen/scheduler warm-up so the first measured query isn't
     // charged for session infrastructure (startup still ~6s before this)
     spark.range(1000000).selectExpr("count(distinct id % 100)").collect()
@@ -118,6 +119,7 @@ object Bench {
     ordered.headOption.foreach { case (_, fn) => runOnce(fn) }
     val firstPass = ordered.map { case (name, fn) => (name, fn, runOnce(fn)) }
     val probeMid = Probe.cpuProbeSecs()
+    val probeParMid = Probe.cpuProbeParSecs()
 
     // Re-measure suspected starvation artifacts AFTER the full pass
     // (time separation from the slowdown window); min over attempts.
@@ -151,21 +153,26 @@ object Bench {
       s"\"" + k + "\":" + attempts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val probeEnd = Probe.cpuProbeSecs()
+    val probeParEnd = Probe.cpuProbeParSecs()
     val probeJson =
       f"""[$probeStart%.4f,$probeMid%.4f,$probeEnd%.4f]"""
+    // the parallel probe catches the throttle class the single-thread
+    // one provably misses (capped aggregate CPU with one free core)
+    val probeParJson =
+      f"""[$probeParStart%.4f,$probeParMid%.4f,$probeParEnd%.4f]"""
     val total = results.collect { case (_, v, None, _) => v }.sum
     val fixTotal = fixtureSecs.map(_._2).sum
     val fixJson = fixtureSecs.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline fields FIRST: a tail-truncated capture of this line (the
     // round-6 BENCH artifact lost its tail) must still carry the total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"fixture_build_total":$fixTotal,"fixture_build":$fixJson,"queries":$qs,"errors":$errs,"reruns":$reruns,"cpu_probe_s":$probeJson,"policy":"min-of-reruns above ${RerunThresholdSecs}s (slow-side only: small disclosed downward bias); fixture templates pre-built untimed, seconds in fixture_build; see BASELINE.md variance"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"fixture_build_total":$fixTotal,"fixture_build":$fixJson,"queries":$qs,"errors":$errs,"reruns":$reruns,"cpu_probe_s":$probeJson,"cpu_probe_par_s":$probeParJson,"policy":"min-of-reruns above ${RerunThresholdSecs}s (slow-side only: small disclosed downward bias); fixture templates pre-built untimed, seconds in fixture_build; see BASELINE.md variance"}""")
     // The driver captures only the LAST 2KB of output, which truncates
     // the big line from the FRONT — so the headline numbers also go on
     // a short trailing line that always survives the tail capture.
     val rerunsN = results.count { case (_, _, _, a) => a.nonEmpty }
     // the probe readings must survive the driver's 2KB tail capture too
-    println(s"""{"total":$total,"n_queries":${results.size},"reruns_n":$rerunsN,"cpu_probe_s":$probeJson}""")
+    println(s"""{"total":$total,"n_queries":${results.size},"reruns_n":$rerunsN,"cpu_probe_s":$probeJson,"cpu_probe_par_s":$probeParJson}""")
     spark.stop()
   }
 }

@@ -46,7 +46,34 @@ object Probe {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Standalone window check: prints three comma-separated readings. */
-  def main(args: Array[String]): Unit =
-    println((1 to 3).map(_ => f"${cpuProbeSecs()}%.4f").mkString(","))
+  /** Parallel probe: 16 threads each run the same timed spin loop;
+    * reports WALL seconds for all to finish. The single-thread probe
+    * has a measured blind spot: a host window can cap PARALLEL
+    * capacity while still granting one runnable thread its full core
+    * (round 16: single-thread readings 0.49–0.56 s — healthy — while
+    * the 32-thread suite ran 1.5–4× its warm floors and a
+    * no-clone control query sat at 4.4× its healthy time). Healthy
+    * here = close to the single-thread reading (cores are free);
+    * a multiple of it = the window caps aggregate CPU and every
+    * parallel measurement around it is inflated.
+    */
+  def cpuProbeParSecs(): Double = {
+    val n = 16
+    blackhole = spin(40000000L) // shared JIT warm-up
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { _ =>
+      new Thread(() => { blackhole = spin(400000000L) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Standalone window check: three single-thread readings, then one
+    * parallel reading (`par=`).
+    */
+  def main(args: Array[String]): Unit = {
+    println((1 to 3).map(_ => f"${cpuProbeSecs()}%.4f").mkString(",") +
+      f",par=${cpuProbeParSecs()}%.4f")
+  }
 }

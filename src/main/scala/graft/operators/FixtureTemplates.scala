@@ -73,6 +73,22 @@ object FixtureTemplates {
     Template("sub_windows_w50",
       Set("q_substring_dedup_w50", "q_span_contamination_w50"),
       DedupQueries.buildSubWindows50Template _),
+    // FEED templates: the slice-partitioned parquet a streamed-ingest
+    // query's simulated unbounded source consumes — input ARRIVAL, a
+    // pure function of (kind, sfDir) like every store template, built
+    // untimed here and copied (KB–MB) into each run's own feed dir
+    Template("feed_cluster", Set("q_stream_cluster_append"),
+      StreamingQueries.buildClusterFeedTemplate _),
+    Template("feed_contam", Set("q_stream_contamination"),
+      StreamingQueries.buildContamFeedTemplate _),
+    Template("feed_embed_a", Set("q_stream_index_append"),
+      StreamingQueries.buildEmbedFeedTemplate _),
+    Template("feed_quarantine", Set("q_stream_quarantine"),
+      StreamingQueries.buildQuarantineFeedTemplate _),
+    Template("feed_text70", Set("q_stream_text_index"),
+      StreamingQueries.buildText70FeedTemplate _),
+    Template("feed_txn_docs", Set("q_stream_txn"),
+      StreamingQueries.buildTxnFeedTemplate _),
     Template("text_70", Set("q_stream_text_index"),
       RetrievalQueries.buildText70Template _),
     Template("text_ba",

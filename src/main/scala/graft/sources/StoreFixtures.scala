@@ -119,7 +119,19 @@ object StoreFixtures {
           Files.writeString(t, Files.readString(p).replace(src, dest))
         else if (isSidecar) () // re-keyed below, not copied by name
         else {
-          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+          // HARD LINK, not byte copy: committed data files are
+          // immutable by the catalog's contract (generations are
+          // write-once; rewrites create NEW files; vacuum/DML only
+          // unlink whole files, which removes the clone's name and
+          // never touches the template's), so sharing the inode is
+          // safe and turns the per-query clone from O(store bytes)
+          // into O(file count) of metadata ops. Fallback to a copy
+          // where linking is refused (foreign filesystem boundary).
+          Files.deleteIfExists(t)
+          try Files.createLink(t, p)
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+          }
           if (!p.toString.contains("/manifests/")) dataFiles += p.toString
         }
       }
