@@ -398,16 +398,27 @@ object SimilarityQueries {
     * recall-vs-iterations experiment hook (only `KmIters` is wired to
     * the oracle).
     */
-  def probeIvfKmeans(spark: SparkSession, dir: String, iters: Int): DataFrame = {
+  def probeIvfKmeans(spark: SparkSession, dir: String, iters: Int): DataFrame =
+    probeIvfKmeansOf(embeddings(spark, dir), iters)
+
+  /** [[probeIvfKmeans]] over an ARBITRARY corpus frame — the
+    * clustered-fixture experiment hook (ClusteredRecallSpec): the
+    * fixture embeddings are isotropic, so "learned centroids beat
+    * data-row seeds" is unmeasurable on them BY CONSTRUCTION (nothing
+    * to learn — SURVEY §8's standing disclosure); the spec generates a
+    * planted-cluster corpus and measures recall through this exact
+    * probe machinery instead.
+    */
+  private[operators] def probeIvfKmeansOf(
+      e: DataFrame, iters: Int, nQueries: Long = NQueries): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = embeddings(spark, dir)
     // cache the tiny (NList-row) centroid table: `a` feeds both join
     // sides below, and without this the whole nested Lloyd lineage
     // (crossJoin per iteration) is planned — and absent exchange
     // reuse, executed — once per side
     val cent = kmeansCentroids(e, iters).cache()
     val a = assignToCentroids(e, cent)
-    val queries = a.filter(col("vec_id") < NQueries)
+    val queries = a.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("centroid_id").as("q_cent"))
     val corpus = a.select(col("vec_id").as("neighbor_id"),
