@@ -53,9 +53,22 @@ object Bench {
     // means the surrounding numbers measured the host, not the plans.
     val probeStart = Probe.cpuProbeSecs()
     val probeParStart = Probe.cpuProbeParSecs()
+    // Third probe class: a fixed SPARK job (codegen + 32-way partial
+    // aggregation + one exchange, no disk) — round 16 measured a
+    // throttle window where BOTH CPU probes sat in their healthy bands
+    // while every Spark query ran 1.4-2.7x its floor (untouched
+    // queries included); whatever that window caps (memory bandwidth /
+    // scheduler capacity), this probe runs through the same machinery
+    // the measured queries do and catches it.
+    def sparkProbeSecs(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("count(distinct id % 1000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // JIT/codegen/scheduler warm-up so the first measured query isn't
     // charged for session infrastructure (startup still ~6s before this)
     spark.range(1000000).selectExpr("count(distinct id % 100)").collect()
+    val sparkProbeStart = sparkProbeSecs()
 
     // One timed run: noop sink forces full evaluation of every output
     // column (count() would let Spark skip projected expressions);
@@ -120,6 +133,7 @@ object Bench {
     val firstPass = ordered.map { case (name, fn) => (name, fn, runOnce(fn)) }
     val probeMid = Probe.cpuProbeSecs()
     val probeParMid = Probe.cpuProbeParSecs()
+    val sparkProbeMid = sparkProbeSecs()
 
     // Re-measure suspected starvation artifacts AFTER the full pass
     // (time separation from the slowdown window); min over attempts.
@@ -154,25 +168,28 @@ object Bench {
     }.mkString("{", ",", "}")
     val probeEnd = Probe.cpuProbeSecs()
     val probeParEnd = Probe.cpuProbeParSecs()
+    val sparkProbeEnd = sparkProbeSecs()
     val probeJson =
       f"""[$probeStart%.4f,$probeMid%.4f,$probeEnd%.4f]"""
     // the parallel probe catches the throttle class the single-thread
     // one provably misses (capped aggregate CPU with one free core)
     val probeParJson =
       f"""[$probeParStart%.4f,$probeParMid%.4f,$probeParEnd%.4f]"""
+    val sparkProbeJson =
+      f"""[$sparkProbeStart%.4f,$sparkProbeMid%.4f,$sparkProbeEnd%.4f]"""
     val total = results.collect { case (_, v, None, _) => v }.sum
     val fixTotal = fixtureSecs.map(_._2).sum
     val fixJson = fixtureSecs.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline fields FIRST: a tail-truncated capture of this line (the
     // round-6 BENCH artifact lost its tail) must still carry the total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"fixture_build_total":$fixTotal,"fixture_build":$fixJson,"queries":$qs,"errors":$errs,"reruns":$reruns,"cpu_probe_s":$probeJson,"cpu_probe_par_s":$probeParJson,"policy":"min-of-reruns above ${RerunThresholdSecs}s (slow-side only: small disclosed downward bias); fixture templates pre-built untimed, seconds in fixture_build; see BASELINE.md variance"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"fixture_build_total":$fixTotal,"fixture_build":$fixJson,"queries":$qs,"errors":$errs,"reruns":$reruns,"cpu_probe_s":$probeJson,"cpu_probe_par_s":$probeParJson,"spark_probe_s":$sparkProbeJson,"policy":"min-of-reruns above ${RerunThresholdSecs}s (slow-side only: small disclosed downward bias); fixture templates pre-built untimed, seconds in fixture_build; see BASELINE.md variance"}""")
     // The driver captures only the LAST 2KB of output, which truncates
     // the big line from the FRONT — so the headline numbers also go on
     // a short trailing line that always survives the tail capture.
     val rerunsN = results.count { case (_, _, _, a) => a.nonEmpty }
     // the probe readings must survive the driver's 2KB tail capture too
-    println(s"""{"total":$total,"n_queries":${results.size},"reruns_n":$rerunsN,"cpu_probe_s":$probeJson,"cpu_probe_par_s":$probeParJson}""")
+    println(s"""{"total":$total,"n_queries":${results.size},"reruns_n":$rerunsN,"cpu_probe_s":$probeJson,"cpu_probe_par_s":$probeParJson,"spark_probe_s":$sparkProbeJson}""")
     spark.stop()
   }
 }

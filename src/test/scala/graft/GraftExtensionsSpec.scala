@@ -129,12 +129,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val v4 = s.sql(s"RESTORE '$base' TO VERSION 1").collect()(0).getLong(0)
       assert(v4 == 4L)
       assert(s.read.parquet(IndexCatalog.latestFiles(base): _*).count() == 4)
-      // retention: v1, v2 expire; reclaim count is the command's output
+      // retention: the live restore (v4) targets v1, which the naive
+      // horizon (retain=2 → v3) would expire — the round-16 cap keeps
+      // the target's lineage live instead (IndexCatalogSpec pins the
+      // tag semantics; here the SQL surface observes the cap)
       val reclaimed =
         s.sql(s"VACUUM '$base' RETAIN 2").collect()(0).getLong(0)
       assert(reclaimed >= 0L)
-      assert(IndexCatalog.liveVersions(base) == Seq(3, 4))
+      assert(IndexCatalog.liveVersions(base) == Seq(1, 2, 3, 4))
       assert(s.read.parquet(IndexCatalog.latestFiles(base): _*).count() == 4)
+      // once the restore itself falls below the horizon it expires
+      // whole (its lineage folds into the carried snapshot) and
+      // retention reclaims the superseded files
+      gen(8, 12, Seq("tail")) // v5 = restored content + 4 new rows
+      val reclaimed2 =
+        s.sql(s"VACUUM '$base' RETAIN 1").collect()(0).getLong(0)
+      assert(reclaimed2 > 0L)
+      assert(IndexCatalog.liveVersions(base) == Seq(5))
+      assert(s.read.parquet(IndexCatalog.latestFiles(base): _*).count() == 8)
       // a near-miss through the FULL spark.sql path fails with OUR error
       val e = intercept[MaintenanceParseError](s.sql(s"VACUUM '$base' KEEP 1"))
       assert(e.getMessage.contains("RETAIN"))
