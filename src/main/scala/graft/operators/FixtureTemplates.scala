@@ -77,7 +77,8 @@ object FixtureTemplates {
     // query's simulated unbounded source consumes — input ARRIVAL, a
     // pure function of (kind, sfDir) like every store template, built
     // untimed here and copied (KB–MB) into each run's own feed dir
-    Template("feed_cluster", Set("q_stream_cluster_append"),
+    Template("feed_cluster",
+      Set("q_stream_cluster_append", "q_cluster_append"),
       StreamingQueries.buildClusterFeedTemplate _),
     Template("feed_contam", Set("q_stream_contamination"),
       StreamingQueries.buildContamFeedTemplate _),
