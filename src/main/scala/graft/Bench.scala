@@ -68,6 +68,10 @@ object Bench {
     // JIT/codegen/scheduler warm-up so the first measured query isn't
     // charged for session infrastructure (startup still ~6s before this)
     spark.range(1000000).selectExpr("count(distinct id % 100)").collect()
+    // untimed throwaway: the probe's own one-time codegen/JIT must not
+    // ride the first reading (run 1's first reading was 5.6s of which
+    // ~4.5s was warm-up — incomparable with the later two)
+    sparkProbeSecs()
     val sparkProbeStart = sparkProbeSecs()
 
     // One timed run: noop sink forces full evaluation of every output
