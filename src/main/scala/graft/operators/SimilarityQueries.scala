@@ -1586,7 +1586,9 @@ object SimilarityQueries {
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
         base) // v2: + the batch later judged bad
       val before = IndexCatalog.listDataFiles(s"$base/corpus")
-      val v3 = IndexCatalog.restore(base, 1)
+      // the rollback runs through the SQL verb surface
+      val v3 = spark.sql(s"RESTORE '$base' TO VERSION 1")
+        .collect()(0).getLong(0).toInt
       val after = IndexCatalog.listDataFiles(s"$base/corpus")
       appendEmbedStore(spark,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(8)) === 5),
@@ -2537,7 +2539,9 @@ object SimilarityQueries {
       buildEmbedStoreCached(spark, dir, base) // v1: one full-range generation
       val all1 = IndexCatalog.latestFiles(base)
       val kept1 = FileStats.prune(base, all1, "vec_id", SkipLo, SkipHi)
-      compactEmbedStoreSorted(spark, base) // v2: tight id slices
+      // the layout rewrite runs through the SQL verb surface (the
+      // bucketed store routes SORT BY vec_id to the sorted compaction)
+      spark.sql(s"OPTIMIZE '$base' SORT BY vec_id").collect() // v2
       val all2 = IndexCatalog.latestFiles(base)
       val kept2 = FileStats.prune(base, all2, "vec_id", SkipLo, SkipHi)
       // sorting trades file count for range tightness (more, smaller
@@ -2644,12 +2648,18 @@ object SimilarityQueries {
       val inflight = java.nio.file.Paths.get(preVacuumLive.head).getParent
         .resolve("part-inflight-append.parquet")
       java.nio.file.Files.writeString(inflight, "in-flight")
-      val deleted = IndexCatalog.vacuum(base, retain = 1)
+      // retention runs through the SQL verb surface (the production
+      // schedule path — MaintenanceSql dispatches to IndexCatalog.vacuum,
+      // so the surfaces cannot drift); the command reports the
+      // reclaimed-file count, and the file-level facts are checked
+      // directly below
+      val reclaimed =
+        spark.sql(s"VACUUM '$base' RETAIN 1").collect()(0).getLong(0)
       def gone(p: String) = !java.nio.file.Files.exists(java.nio.file.Paths.get(p))
       superseded.forall(gone) && gone(orphan.toString) &&
         !gone(inflight.toString) &&
         java.nio.file.Files.deleteIfExists(inflight) &&
-        deleted.toSet == (superseded + orphan.toString) &&
+        reclaimed == superseded.size + 1 &&
         IndexCatalog.currentVersion(base) == 3 &&
         IndexCatalog.latestFiles(base) == preVacuumLive &&
         preVacuumLive.forall(f => !gone(f)) &&
@@ -2685,7 +2695,7 @@ object SimilarityQueries {
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
         base, Seq("ingest-batch=0")) // v2
       compactEmbedStore(spark, base) // v3
-      IndexCatalog.vacuum(base, retain = 2) // v1 expires
+      spark.sql(s"VACUUM '$base' RETAIN 2").collect() // v1 expires
     } catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
