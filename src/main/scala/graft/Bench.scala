@@ -25,6 +25,15 @@ import org.apache.spark.sql.SparkSession
   * cross-round comparison stays fair because every round uses the
   * identical policy. BASELINE.md "Variance" records the same caveat
   * next to the 5-run spreads.
+  *
+  * Window hygiene (round 17): the harness no longer just RECORDS the
+  * throttle probes — a spark-probe sample lands every
+  * [[Bench.ProbeEveryN]] queries, queries measured inside a hot span
+  * are re-measured once after the pass (min-of-2, disclosed), and the
+  * artifact carries a mechanical `window_dirty` verdict: every
+  * bracketing probe reading in its band and no more hot spans than
+  * the rerun budget. No more prose adjudication of the headline
+  * number — the JSON says whether its own window was clean.
   */
 object Bench {
   /** Above this, a first-pass time is treated as a suspected
@@ -33,6 +42,24 @@ object Bench {
     * pathological runs are 40-250s.
     */
   private val RerunThresholdSecs = 15.0
+
+  /** Healthy-band ceilings for the three probe classes (BASELINE.md
+    * "healthy bands", recorded round 16; the spark probe's suspicious
+    * line is ≳1.0 s — round-16 adjudication band). A reading above its
+    * ceiling marks the surrounding window dirty.
+    */
+  private val CpuBandS = 0.60
+  private val CpuParBandS = 0.65
+  private val SparkBandS = 1.0
+
+  /** First-pass queries between two mid-run spark-probe samples. The
+    * spark probe is the only class that catches the round-16 third
+    * throttle (aggregate Spark capacity capped while both CPU probes
+    * stay healthy), and at ~0.5 s a sample the per-25-query cadence
+    * costs ~4 s across a 170-query pass — the price of knowing WHICH
+    * span a hot window hit instead of adjudicating the whole run.
+    */
+  private val ProbeEveryN = 25
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,14 +161,44 @@ object Bench {
     // q_agg_group read 3.8-4.2s for a sub-second group-by purely by
     // sorting first. Its timed run below now measures the plan alone.
     ordered.headOption.foreach { case (_, fn) => runOnce(fn) }
-    val firstPass = ordered.map { case (name, fn) => (name, fn, runOnce(fn)) }
+    // Mid-run spark-probe SAMPLES (round-16 verdict "act on a hot
+    // probe"): one reading every ProbeEveryN queries, so a throttle
+    // window is located to a SPAN of the pass instead of adjudicated
+    // over the whole run from the three bracketing triples.
+    val firstPassBuf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        (Double, Option[String]))]
+    val probeSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
+      firstPassBuf += ((name, fn, runOnce(fn)))
+      if ((i + 1) % ProbeEveryN == 0 && (i + 1) < ordered.size)
+        probeSamples += ((i + 1, sparkProbeSecs()))
+    }
+    val firstPass = firstPassBuf.toSeq
     val probeMid = Probe.cpuProbeSecs()
     val probeParMid = Probe.cpuProbeParSecs()
     val sparkProbeMid = sparkProbeSecs()
 
+    // Hot spans: a sample above the band dirties the queries measured
+    // since the previous (clean) sample — exactly those get one
+    // re-measurement each after the pass (min-of-2, disclosed like
+    // every rerun). The span budget is capped: a run where most
+    // samples are hot is a dirty WINDOW, not a rerun problem — it gets
+    // flagged, not silently doubled in harness time.
+    val MaxRerunSpans = 3
+    val spanBounds =
+      ((0, sparkProbeStart) +: probeSamples.toSeq) :+
+        (ordered.size, sparkProbeMid)
+    val hotSpans = spanBounds.sliding(2).collect {
+      case Seq((lo, _), (hi, s)) if s > SparkBandS => (lo, hi)
+    }.toList
+    val rerunSpans = hotSpans.take(MaxRerunSpans)
+    val inHotSpan: Set[Int] =
+      rerunSpans.flatMap { case (lo, hi) => lo until hi }.toSet
+
     // Re-measure suspected starvation artifacts AFTER the full pass
     // (time separation from the slowdown window); min over attempts.
-    val results = firstPass.map { case (name, fn, (t1, err1)) =>
+    val results = firstPass.zipWithIndex.map { case ((name, fn, (t1, err1)), i) =>
       if (err1.isEmpty && t1 > RerunThresholdSecs) {
         var attempts = List(t1)
         // loop on the best SUCCESSFUL time: a failed rerun records -1.0
@@ -153,6 +210,13 @@ object Bench {
           attempts = attempts :+ (if (err.isEmpty) t else -1.0)
         }
         (name, best, err1, attempts)
+      } else if (err1.isEmpty && inHotSpan.contains(i)) {
+        // window-hygiene rerun: the first pass of this query ran inside
+        // a probe-confirmed hot span — re-measure once in the post-pass
+        // stretch (the end probes bracket it) and keep the min
+        val (t, err) = runOnce(fn)
+        val attempts = List(t1, if (err.isEmpty) t else -1.0)
+        (name, attempts.filter(_ >= 0).min, err1, attempts)
       } else {
         // a failed query records -1.0, never its wall time — a broken
         // query must be visible in the emitted JSON, not look fast
@@ -181,19 +245,35 @@ object Bench {
       f"""[$probeParStart%.4f,$probeParMid%.4f,$probeParEnd%.4f]"""
     val sparkProbeJson =
       f"""[$sparkProbeStart%.4f,$sparkProbeMid%.4f,$sparkProbeEnd%.4f]"""
+    val probeSamplesJson = probeSamples
+      .map { case (i, s) => f"[$i,$s%.4f]" }.mkString("[", ",", "]")
+    // MECHANICAL adjudication (BASELINE.md "healthy bands", extended
+    // round 17): the artifact is window-clean iff every bracketing
+    // probe reading sits in its band AND no more hot mid-run spans
+    // appeared than the rerun budget could re-measure. Hot spans
+    // WITHIN budget do not dirty the artifact by themselves — their
+    // queries were re-measured in the post-pass stretch the (clean)
+    // end probes bracket, which is the same time-separation argument
+    // the threshold rerun has always used.
+    val windowDirty =
+      Seq(probeStart, probeMid, probeEnd).exists(_ > CpuBandS) ||
+        Seq(probeParStart, probeParMid, probeParEnd).exists(_ > CpuParBandS) ||
+        Seq(sparkProbeStart, sparkProbeMid, sparkProbeEnd)
+          .exists(_ > SparkBandS) ||
+        hotSpans.size > MaxRerunSpans
     val total = results.collect { case (_, v, None, _) => v }.sum
     val fixTotal = fixtureSecs.map(_._2).sum
     val fixJson = fixtureSecs.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // headline fields FIRST: a tail-truncated capture of this line (the
     // round-6 BENCH artifact lost its tail) must still carry the total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"fixture_build_total":$fixTotal,"fixture_build":$fixJson,"queries":$qs,"errors":$errs,"reruns":$reruns,"cpu_probe_s":$probeJson,"cpu_probe_par_s":$probeParJson,"spark_probe_s":$sparkProbeJson,"policy":"min-of-reruns above ${RerunThresholdSecs}s (slow-side only: small disclosed downward bias); fixture templates pre-built untimed, seconds in fixture_build; see BASELINE.md variance"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"window_dirty":$windowDirty,"fixture_build_total":$fixTotal,"fixture_build":$fixJson,"queries":$qs,"errors":$errs,"reruns":$reruns,"cpu_probe_s":$probeJson,"cpu_probe_par_s":$probeParJson,"spark_probe_s":$sparkProbeJson,"spark_probe_samples":$probeSamplesJson,"hot_spans":${hotSpans.size},"policy":"min-of-reruns above ${RerunThresholdSecs}s (slow-side only: small disclosed downward bias); hot mid-run probe spans re-measured once (window hygiene, cap $MaxRerunSpans spans); fixture templates pre-built untimed, seconds in fixture_build; see BASELINE.md variance + healthy bands"}""")
     // The driver captures only the LAST 2KB of output, which truncates
     // the big line from the FRONT — so the headline numbers also go on
     // a short trailing line that always survives the tail capture.
     val rerunsN = results.count { case (_, _, _, a) => a.nonEmpty }
     // the probe readings must survive the driver's 2KB tail capture too
-    println(s"""{"total":$total,"n_queries":${results.size},"reruns_n":$rerunsN,"cpu_probe_s":$probeJson,"cpu_probe_par_s":$probeParJson,"spark_probe_s":$sparkProbeJson}""")
+    println(s"""{"total":$total,"n_queries":${results.size},"reruns_n":$rerunsN,"window_dirty":$windowDirty,"hot_spans":${hotSpans.size},"cpu_probe_s":$probeJson,"cpu_probe_par_s":$probeParJson,"spark_probe_s":$sparkProbeJson,"spark_probe_samples":$probeSamplesJson}""")
     spark.stop()
   }
 }

@@ -55,9 +55,22 @@ import graft.sources.IndexCatalog
   */
 object MaintenanceSql {
 
-  /** Parse-error contract for near-miss maintenance statements. */
+  /** Parse-error contract for near-miss maintenance statements —
+    * thrown at PARSE time only (grammar near-misses). Statements that
+    * parse but name a store whose KIND cannot execute the verb raise
+    * [[MaintenanceExecutionError]] from the command's `run` instead:
+    * the store kind is a runtime fact (one manifest read), not a
+    * property of the SQL text.
+    */
   final class MaintenanceParseError(message: String)
     extends IllegalArgumentException(message)
+
+  /** Execution-time contract: the statement parsed, but the addressed
+    * store's kind cannot run it (e.g. ZORDER on a bucketed embed
+    * store, SORT BY a non-`vec_id` key on one).
+    */
+  final class MaintenanceExecutionError(message: String)
+    extends IllegalStateException(message)
 
   private def bad(sql: String, hint: String): Nothing =
     throw new MaintenanceParseError(
@@ -154,14 +167,14 @@ object MaintenanceSql {
           if (isBucketed(base)) {
             // the bucketed embed store's sorted compaction is keyed on
             // vec_id by construction — same contract as the Scala call
-            if (cols != Seq("vec_id")) throw new MaintenanceParseError(
+            if (cols != Seq("vec_id")) throw new MaintenanceExecutionError(
               s"bucketed store $base: sorted compaction supports SORT BY vec_id " +
                 s"(got ${cols.mkString(", ")})")
             SimilarityQueries.compactEmbedStoreSorted(session, base)
           } else SourceQueries.optimizeLayout(session, base,
             cols.map(col), s"optimize sort=${cols.mkString(",")}")
         case OptZorder(cx, cy) =>
-          if (isBucketed(base)) throw new MaintenanceParseError(
+          if (isBucketed(base)) throw new MaintenanceExecutionError(
             s"bucketed store $base: ZORDER layout rewrite applies to flat " +
               "stores — use OPTIMIZE ... WHERE bucket IN (...) or RECLUSTER")
           SourceQueries.optimizeLayout(session, base,

@@ -412,11 +412,15 @@ object SimilarityQueries {
   private[operators] def probeIvfKmeansOf(
       e: DataFrame, iters: Int, nQueries: Long = NQueries): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cache the tiny (NList-row) centroid table: `a` feeds both join
-    // sides below, and without this the whole nested Lloyd lineage
-    // (crossJoin per iteration) is planned — and absent exchange
-    // reuse, executed — once per side
-    val cent = kmeansCentroids(e, iters).cache()
+    // materialize the tiny (NList-row) centroid table EAGERLY
+    // (localCheckpoint): `a` feeds both join sides below, and without
+    // this the whole nested Lloyd lineage (crossJoin per iteration) is
+    // planned — and absent exchange reuse, executed — once per side.
+    // localCheckpoint, not cache(): nothing stays resident per call in
+    // a long-lived session (same leak-class fix as qSemDedup /
+    // qSemContamination — blocks free via the ContextCleaner when the
+    // caller drops the frame)
+    val cent = kmeansCentroids(e, iters).localCheckpoint()
     val a = assignToCentroids(e, cent)
     val queries = a.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -540,6 +544,12 @@ object SimilarityQueries {
     val rows = assignToCentroids(fresh,
         cent.select(col("centroid_id"), col("c_emb")))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+      // key the write's one shuffle on the partition column: each cell
+      // lands as one file per generation instead of
+      // one-per-task-per-cell (the compaction writers' layout rule —
+      // without it a 32-task write sprays |cells|×tasks tiny files and
+      // every later scan/commit pays the open/footer cost)
+      .repartition(col("centroid_id"))
     // a fully-duplicate batch dedups to zero rows and writes no files —
     // the documented skip, so the append is a no-op, not a failed commit
     val newFiles = StagedWrite.partitioned(rows, target, Seq("centroid_id"))
@@ -1028,6 +1038,9 @@ object SimilarityQueries {
       .join(fresh.select(col("vec_id"), col("label")), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("codes"),
         col("label"), col("centroid_id"))
+      // one file per cell per generation, not one per task per cell
+      // (same layout rule as [[writeIvfGen]]/[[writeEmbedGen]])
+      .repartition(col("centroid_id"))
     val newFiles = StagedWrite.partitioned(rows, s"$base/corpus",
       Seq("centroid_id"))
     if (newFiles.nonEmpty)
@@ -1358,7 +1371,15 @@ object SimilarityQueries {
     // re-publishes — both appends land as distinct versions with union
     // content. (Writers racing with OVERLAPPING vectors must partition
     // their input upstream — the anti-join above reads pre-race state.)
-    val newFiles = StagedWrite.partitioned(rows, target, Seq("bucket"))
+    // one shuffle keyed on the partition column: each bucket lands as
+    // ONE file per generation instead of one-per-task-per-bucket —
+    // without this a 32-task write sprays up to 32×16 tiny files per
+    // commit, and every later manifest resolution, census scan,
+    // footer-stats pass and hard-link clone pays that file count (the
+    // rule [[compactEmbedStore]] always followed; the append path now
+    // matches it)
+    val newFiles = StagedWrite.partitioned(
+      rows.repartition(col("bucket")), target, Seq("bucket"))
     // per-file id-range stats off the parquet footers the write just
     // produced — the data-skipping metadata q_store_skipping gates
     // (commit-visibility is the manifest's; sidecars are inert until)
@@ -1401,7 +1422,12 @@ object SimilarityQueries {
     val staging =
       java.nio.file.Files.createTempDirectory(rootP.getParent, ".staging-")
     try {
-      rows.write.mode("overwrite").partitionBy("sl", "bucket")
+      // one shuffle keyed on the write's partition columns: each
+      // (slice, bucket) cell lands as exactly one file — without this
+      // the 32-task union write sprays a file per task per cell and
+      // the backfill's NINE commits each census hundreds of KB files
+      rows.repartition(col("sl"), col("bucket"))
+        .write.mode("overwrite").partitionBy("sl", "bucket")
         .parquet(staging.toString)
       val bySlice = IndexCatalog.listDataFiles(staging.toString)
         .groupBy { f =>
@@ -2613,17 +2639,26 @@ object SimilarityQueries {
   }
 
   /** The retention end of the index lifecycle: build → append →
-    * COMPACT (rewrite commit) → VACUUM (retention GC) → probe. After
-    * vacuum only the compacted file set and its manifest survive —
-    * superseded generation files, pre-horizon manifests, and a planted
-    * STALE torn-write orphan are all gone, while a FRESH uncommitted
-    * file (an in-flight append racing the vacuum) outlives the default
-    * orphan grace — yet the probe is row-identical
-    * to [[qEmbedAppend]]'s (the store's content is invariant under
-    * compaction + vacuum). The filesystem facts are checked eagerly
-    * driver-side (a few dozen paths — catalog metadata, not data
-    * motion) and pinned as the `vacuum_ok` boolean the oracle asserts
-    * TRUE, the same gating pattern as q_hll_rollup's `hll_ok`.
+    * COMPACT (partition-scoped rewrite commit) → VACUUM (retention GC)
+    * → probe. The compaction runs through the SQL verb surface as
+    * `OPTIMIZE … WHERE bucket IN (0..7)` — the PRODUCTION shape:
+    * the append fragmented every bucket, the hot half gets rewritten
+    * in place-by-replacement, the cold half's files carry forward in
+    * the manifest BY PATH, and the rewrite reads/writes half the store
+    * instead of all of it. After vacuum, superseded hot-bucket
+    * generation files, pre-horizon manifests, and a planted STALE
+    * torn-write orphan are all gone — the carried-forward cold-bucket
+    * files stay, because the live manifest still references them —
+    * while a FRESH uncommitted file (an in-flight append racing the
+    * vacuum) outlives the default orphan grace; the probe is
+    * row-identical to [[qEmbedAppend]]'s (the store's content is
+    * invariant under compaction + vacuum). The superseded set is
+    * COMPUTED from the manifests (`referencedFiles − live`), so the
+    * reclaimed-count assertion is exact whatever the compaction's
+    * scope. The filesystem facts are checked eagerly driver-side (a
+    * few dozen paths — catalog metadata, not data motion) and pinned
+    * as the `vacuum_ok` boolean the oracle asserts TRUE, the same
+    * gating pattern as q_hll_rollup's `hll_ok`.
     */
   def qStoreVacuum(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexCatalog
@@ -2632,7 +2667,11 @@ object SimilarityQueries {
       buildEmbedStoreCached(spark, dir, base)
       appendEmbedStore(spark,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1), base)
-      compactEmbedStore(spark, base)
+      // the sign-hash domain is 0..15 ([[NPlanes]] = 4 planes); the
+      // "hot" half compacts via the SQL maintenance verb
+      spark.sql(
+        s"OPTIMIZE '$base' WHERE bucket IN (0, 1, 2, 3, 4, 5, 6, 7)")
+        .collect()
       val preVacuumLive = IndexCatalog.latestFiles(base)
       val superseded = IndexCatalog.referencedFiles(base, 1) -- preVacuumLive
       // a STALE torn write that never committed (aged past the orphan
@@ -2680,32 +2719,39 @@ object SimilarityQueries {
     * → retention vacuum), then report one row per LIVE version — its
     * manifest tags and the store's ROW COUNT at that version, computed
     * by scanning exactly that manifest's file list (time travel as a
-    * query). Deterministic and oracle-pinned: vacuum(retain=2) expires
-    * v1 (the build), and v2 (the append) and v3 (the compaction) both
-    * hold corpus ∪ batch, so both counts equal the DuckDB census over
-    * the same id predicates. File-count columns are deliberately
-    * absent — they reflect the writer's task layout, not content.
+    * query). The whole maintenance half runs through the SQL verb
+    * surface: plain `OPTIMIZE` is the compaction rewrite (v3), `VACUUM`
+    * the retention step, and the version/tag rows the census joins
+    * against come from `DESCRIBE HISTORY` itself — the operator's
+    * workflow is SQL end-to-end, Scala touches only the per-version
+    * time-travel scans. Deterministic and oracle-pinned:
+    * vacuum(retain=2) expires v1 (the build), and v2 (the append) and
+    * v3 (the compaction) both hold corpus ∪ batch, so both counts
+    * equal the DuckDB census over the same id predicates. File-count
+    * columns are deliberately absent — they reflect the writer's task
+    * layout, not content.
     */
   def qStoreHistory(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexCatalog
     val base = java.nio.file.Files.createTempDirectory("graft_storehist").toString
-    try {
+    val hist = try {
       buildEmbedStoreCached(spark, dir, base) // v1
       writeEmbedGen(spark,
         embeddings(spark, dir).filter(pmod(col("vec_id"), lit(4)) === 1),
         base, Seq("ingest-batch=0")) // v2
-      compactEmbedStore(spark, base) // v3
+      spark.sql(s"OPTIMIZE '$base'").collect() // v3: compaction rewrite
       spark.sql(s"VACUUM '$base' RETAIN 2").collect() // v1 expires
+      spark.sql(s"DESCRIBE HISTORY '$base'").collect() // (version, tags)
     } catch {
       case e: Throwable =>
         scala.util.Try(graft.Fs.deleteRecursively(base)); throw e
     }
     graft.Lease.lease("q_store_history", Seq(base))
-    IndexCatalog.liveVersions(base).map { v =>
-      spark.read.parquet(IndexCatalog.files(base, v): _*)
+    hist.toSeq.map { r =>
+      val v = r.getLong(0)
+      spark.read.parquet(IndexCatalog.files(base, v.toInt): _*)
         .agg(count(lit(1)).as("n_rows"))
-        .select(lit(v.toLong).as("version"),
-          lit(IndexCatalog.tags(base, v).mkString(",")).as("tags"),
+        .select(lit(v).as("version"), lit(r.getString(1)).as("tags"),
           col("n_rows"))
     }.reduce(_.unionByName(_)).orderBy("version")
   }

@@ -401,13 +401,18 @@ object SourceQueries {
       val ev = eventsStoreRows(spark, dir)
       writeEventsGen(spark, dir, base, ev, col("event_id"), ZOptFiles,
         Seq(FileStats.declareTag(Seq("event_id", "ub", "hr")))) // v1: ingest
-      // event_id as the secondary range key keeps each layout file's
-      // slice deterministic under ties (same contract as v1's split)
-      def optimize(layout: Column, tag: String): Unit =
-        optimizeLayout(spark, base, Seq(layout, col("event_id")), tag)
-      optimize(col("ub"), "optimize sort=ub") // v2: 1-D sort
-      optimize(expr(sparkMorton("ub", "hr")),
-        "optimize zorder=(ub,hr)") // v3: z-order
+      // both rewrites run through the SQL maintenance-verb surface
+      // (the flat store routes SORT BY / ZORDER BY to
+      // [[optimizeLayout]]). event_id rides SORT BY as the secondary
+      // range key; the z-order step keys on the Morton code alone —
+      // rows sharing a (ub, hr) cell share the code, so range
+      // partitioning keeps each cell's rows in one file either way,
+      // and the file-census booleans below ride the measured 2x
+      // kept-fraction margin between the layouts, not a tie order
+      spark.sql(s"OPTIMIZE '$base' SORT BY ub, event_id")
+        .collect() // v2: 1-D sort
+      spark.sql(s"OPTIMIZE '$base' ZORDER BY (ub, hr)")
+        .collect() // v3: z-order
       def keptAt(v: Int): (Int, Int) = {
         val files = IndexCatalog.files(base, v)
         (FileStats.pruneAll(base, files, preds).size, files.size)

@@ -130,6 +130,15 @@ object StreamingQueries {
     * watermark first, and late-drop everything.
     */
   private[operators] def appendOrderedAfter(inDir: String)(write: => Unit): Unit = {
+    // a feed dir must never BE a shared fixture template: the fence
+    // below bumps mtimes in place, and through a hard link that bump
+    // would smear onto the template for every later clone — the
+    // invariant [[stageSlicesFrom]] documents, enforced here so a
+    // future call site cannot silently violate it (templates' files
+    // are also marked read-only, but root bypasses the bit)
+    require(!graft.sources.StoreFixtures.isTemplatePath(inDir),
+      s"appendOrderedAfter: $inDir is a shared fixture template — " +
+        "stage into a per-query feed dir instead")
     val before = new java.io.File(inDir).listFiles().toSet
     write
     val maxBefore = before.map(_.lastModified).foldLeft(0L)(math.max)

@@ -60,9 +60,16 @@ object FileStats {
     * requested integer columns — across all row groups, skipping
     * columns whose statistics are absent or value-less.
     */
+  /** One shared Hadoop conf for every footer read: `new
+    * Configuration()` re-parses the default XML resources each call —
+    * pure driver-side overhead that used to be paid once PER FILE at
+    * every commit's stats pass. The conf is read-only here.
+    */
+  private lazy val footerConf = new Configuration()
+
   private def footerRanges(file: String, cols: Set[String]): Map[String, (Long, Long)] = {
     val rdr = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), new Configuration()))
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), footerConf))
     try {
       rdr.getFooter.getBlocks.asScala.iterator
         .flatMap(_.getColumns.asScala)

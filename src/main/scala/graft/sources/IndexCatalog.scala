@@ -1271,6 +1271,15 @@ class IndexCatalogOps(val fs: CatalogFs) {
     val unreferencedCentroidDirs = fs.listNames(base)
       .filter(_.startsWith("centroids-v"))
       .filterNot(liveCentroidDirs.contains)
+    // the dirs' PRE-deletion mtimes, captured before the debris sweep
+    // below: deleting a dir's files bumps the dir's own mtime, so a
+    // grace check against the post-sweep mtime would keep every
+    // just-emptied dir alive until a LATER vacuum — the recorded
+    // pre-sweep value is what actually dates the dir's last real write
+    val preSweepDirMtime: Map[String, Option[Long]] =
+      unreferencedCentroidDirs.map { d =>
+        d -> fs.mtimeMillis(basePath.resolve(d).toString)
+      }.toMap
     val centroidDebris = unreferencedCentroidDirs
       .flatMap { d =>
         val files = fs.listFilesRecursive(basePath.resolve(d).toString, "")
@@ -1288,14 +1297,18 @@ class IndexCatalogOps(val fs: CatalogFs) {
     // an unreferenced dir that now holds nothing (reclaimed above, by
     // an earlier vacuum, or a writer that died before writing a file)
     // must not linger as an empty entry forever — remove the entry
-    // itself. Tolerant delete: a racing recluster that mkdir'd (empty,
-    // young) is mtime-protected, and one that lands a file between the
-    // emptiness check and the delete surfaces as
-    // DirectoryNotEmptyException — swallowed, the dir survives.
+    // itself, judging grace by the PRE-sweep mtime (a dir this vacuum
+    // just emptied was last genuinely written when its expired files
+    // were, not when the sweep unlinked them). Tolerant delete: a
+    // racing recluster that mkdir'd (empty, young) is mtime-protected,
+    // and one that lands a file between the emptiness check and the
+    // delete surfaces as DirectoryNotEmptyException — swallowed, the
+    // dir survives.
     unreferencedCentroidDirs.foreach { d =>
       val p = basePath.resolve(d).toString
       if (fs.listFilesRecursive(p, "").isEmpty &&
-          (orphanGraceMs <= 0L || fs.mtimeMillis(p).forall(_ < cutoff)))
+          (orphanGraceMs <= 0L ||
+            preSweepDirMtime.getOrElse(d, None).forall(_ < cutoff)))
         scala.util.Try(fs.delete(p))
     }
     deleted ++ centroidDebris

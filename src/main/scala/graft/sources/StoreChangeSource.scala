@@ -282,7 +282,7 @@ private[sources] class StoreFileReader(p: StoreFilePartition)
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new HPath(p.file))
-      .withConf(new Configuration())
+      .withConf(StoreFileReader.conf)
       .build()
 
   private var current: Group = _
@@ -312,4 +312,13 @@ private[sources] class StoreFileReader(p: StoreFilePartition)
   }
 
   override def close(): Unit = reader.close()
+}
+
+private[sources] object StoreFileReader {
+  /** One JVM-wide Hadoop conf for the group readers: `new
+    * Configuration()` re-parses the default XML resources, and the old
+    * per-file construction charged that to every partition read.
+    * Read-only here, so sharing across reader threads is safe.
+    */
+  private[sources] lazy val conf = new Configuration()
 }

@@ -54,9 +54,39 @@ object StoreFixtures {
     cache.computeIfAbsent(s"$kind|$sfDir", _ => {
       val d = Files.createTempDirectory(s"graft_fixture_$kind").toString
       build(d)
+      // freeze the built template's files: clones hard-link data files
+      // (shared inodes), so the whole scheme rests on the
+      // never-mutate-committed-files invariant — make an accidental
+      // in-place write fail loudly (non-root) instead of silently
+      // smearing onto every later consumer's template. Directories
+      // stay writable (nothing appends into a template, and the
+      // shutdown sweep needs the unlink right anyway).
+      val walk = Files.walk(Paths.get(d))
+      try walk.forEach(p =>
+        if (!Files.isDirectory(p)) { p.toFile.setWritable(false, false); () })
+      finally walk.close()
       d
     })
     ()
+  }
+
+  /** True iff `p` lies under any template this process built — the
+    * belt-and-suspenders guard for mtime-bumping helpers
+    * (e.g. the streamed-feed `appendOrderedAfter` fence): a bump
+    * through a hard link would smear onto the shared template inode
+    * for every later clone, and root bypasses the read-only bit above,
+    * so the writing paths check the DESTINATION explicitly and fail
+    * loudly rather than corrupt the cache.
+    */
+  def isTemplatePath(p: String): Boolean = {
+    val abs = Paths.get(p).toAbsolutePath.normalize.toString
+    val it = cache.values.iterator
+    var hit = false
+    while (!hit && it.hasNext) {
+      val t = it.next()
+      hit = abs == t || abs.startsWith(t + java.io.File.separator)
+    }
+    hit
   }
 
   /** The template directory itself, for READ-ONLY consumers: probes

@@ -152,4 +152,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(e.getMessage.contains("RETAIN"))
     } finally graft.Fs.deleteRecursively(base)
   }
+
+  test("store-kind mismatches raise MaintenanceExecutionError at run time, never a parse error") {
+    val s = SparkSpec.session
+    import graft.sources.IndexCatalog
+    val base = java.nio.file.Files.createTempDirectory("graft_sqlkind").toString
+    try {
+      // a BUCKETED store (bucket= partition dirs), built minimally:
+      // one committed generation under corpus/bucket=0
+      val gen = IndexCatalog.newGenDir(base)
+      s.range(0, 4).selectExpr("id AS vec_id", "CAST(0 AS BIGINT) AS bucket")
+        .coalesce(1).write.mode("overwrite").partitionBy("bucket").parquet(gen)
+      IndexCatalog.commit(base, gen)
+      // the statements PARSE (valid grammar — spec above pins that);
+      // execution rejects them for this store's kind with the
+      // execution-error contract, not MaintenanceParseError
+      val e1 = intercept[MaintenanceExecutionError](
+        s.sql(s"OPTIMIZE '$base' ZORDER BY (a, b)"))
+      assert(e1.getMessage.contains("bucketed store"))
+      val e2 = intercept[MaintenanceExecutionError](
+        s.sql(s"OPTIMIZE '$base' SORT BY other_col"))
+      assert(e2.getMessage.contains("SORT BY vec_id"))
+    } finally graft.Fs.deleteRecursively(base)
+  }
 }

@@ -634,6 +634,38 @@ abstract class IndexCatalogContract extends AnyFunSuite {
     } finally graft.Fs.deleteRecursively(base)
   }
 
+  test("vacuum under DEFAULT grace removes a dir it just emptied (pre-sweep mtime governs)") {
+    val base = store()
+    try {
+      val f1 = fakeGen(base, "gen-a")
+      IndexCatalog.commitFiles(base, Seq(f1))
+      // an expired recluster's leftover: its one file AND the dir's own
+      // mtime are both past the grace window — the sweep deletes the
+      // file (which bumps the dir mtime) and must still remove the
+      // emptied dir in the SAME vacuum, because grace is judged by the
+      // dir's PRE-sweep mtime, not the bump the sweep itself caused
+      val dead = Paths.get(base, "centroids-v00002-dead")
+      Files.createDirectories(dead)
+      val part = dead.resolve("part-x.parquet")
+      Files.writeString(part, "x")
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * IndexCatalog.DefaultOrphanGraceMs)
+      Files.setLastModifiedTime(part, old)
+      Files.setLastModifiedTime(dead, old)
+      IndexCatalog.vacuum(base, retain = 1) // default grace
+      assert(!Files.exists(dead),
+        "a dir emptied by this vacuum must not survive to the next one " +
+          "when its pre-sweep mtime is past the grace window")
+      // control: a YOUNG dir (fresh mkdir by a racing recluster) keeps
+      // its grace protection under the same default-grace vacuum
+      val young = Paths.get(base, "centroids-v00003-race")
+      Files.createDirectories(young)
+      IndexCatalog.vacuum(base, retain = 1)
+      assert(Files.exists(young),
+        "a young empty dir inside the grace window must survive")
+    } finally graft.Fs.deleteRecursively(base)
+  }
+
   test("vacuumTxnMarkers compares canonical marker paths: a referenced decided marker spelled differently is never GC'd") {
     val base = store()
     val mdirCanon = store()
