@@ -11,10 +11,16 @@ import graft.SparkSpec
   */
 class AggPerfSpec extends SparkSpec {
 
-  /** Median of three timed runs — single-shot timings flap badly when
-    * other suites share the session's scheduler. The credible isolated
-    * number comes from `graft.PerfCheck` (dedicated session); this
-    * spec only guards order-of-magnitude regressions.
+  /** MIN of three timed runs — single-shot timings flap badly when
+    * other suites share the session's scheduler, and under a
+    * whole-box throttle even the median of three can read 10-40x
+    * intrinsic (a full-suite run saw one side at 45 s that re-read
+    * 2 s in isolation minutes later). The min is the standard
+    * interference-robust estimator of intrinsic cost — the same
+    * slow-side-only policy the bench's min-of-reruns uses. The
+    * credible isolated number comes from `graft.PerfCheck`
+    * (dedicated session); this spec only guards order-of-magnitude
+    * regressions.
     */
   private def time3(body: => Unit): Double = {
     val ts = (1 to 3).map { _ =>
@@ -22,7 +28,7 @@ class AggPerfSpec extends SparkSpec {
       body
       (System.nanoTime() - t0) / 1e9
     }
-    ts.sorted.apply(1)
+    ts.min
   }
 
   test("count300k at 300k distinct stays within 20x of built-in countDistinct") {
@@ -41,7 +47,7 @@ class AggPerfSpec extends SparkSpec {
     val tOurs = time3 {
       spark.sql(s"SELECT count300k($q) FROM range(3000000)").collect()
     }
-    info(f"count300k: $tOurs%.2fs vs countDistinct: $tBuiltin%.2fs (${tOurs / tBuiltin}%.1fx, median of 3)")
+    info(f"count300k: $tOurs%.2fs vs countDistinct: $tBuiltin%.2fs (${tOurs / tBuiltin}%.1fx, min of 3)")
     // wide margin: parallel test suites add scheduler noise; this guards
     // order-of-magnitude regressions only (isolated ratio: see PerfCheck)
     assert(tOurs < tBuiltin * 20, f"count300k too slow: $tOurs%.2fs vs $tBuiltin%.2fs")
@@ -60,7 +66,7 @@ class AggPerfSpec extends SparkSpec {
     val tBuiltin = time3 {
       spark.sql(s"SELECT $colsBuiltin FROM range(3000000)").collect()
     }
-    info(f"3x count300k: $tOurs%.2fs vs 3x countDistinct (Expand rewrite): $tBuiltin%.2fs (median of 3)")
+    info(f"3x count300k: $tOurs%.2fs vs 3x countDistinct (Expand rewrite): $tBuiltin%.2fs (min of 3)")
     // one shared scan + one agg pass vs Spark's Expand-based rewrite;
     // ours must at least stay in the same ballpark
     assert(tOurs < tBuiltin * 10, f"$tOurs%.2fs vs $tBuiltin%.2fs")
