@@ -80,18 +80,10 @@ object Bench {
     // means the surrounding numbers measured the host, not the plans.
     val probeStart = Probe.cpuProbeSecs()
     val probeParStart = Probe.cpuProbeParSecs()
-    // Third probe class: a fixed SPARK job (codegen + 32-way partial
-    // aggregation + one exchange, no disk) — round 16 measured a
-    // throttle window where BOTH CPU probes sat in their healthy bands
-    // while every Spark query ran 1.4-2.7x its floor (untouched
-    // queries included); whatever that window caps (memory bandwidth /
-    // scheduler capacity), this probe runs through the same machinery
-    // the measured queries do and catches it.
-    def sparkProbeSecs(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(100000000L).selectExpr("count(distinct id % 1000)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // Third probe class: the fixed SPARK job shared with the Probe
+    // main's --spark pre-flight mode — see [[Probe.sparkProbeSecs]]
+    // for why the pure-CPU probes provably miss this class.
+    def sparkProbeSecs(): Double = Probe.sparkProbeSecs(spark)
     // JIT/codegen/scheduler warm-up so the first measured query isn't
     // charged for session infrastructure (startup still ~6s before this)
     spark.range(1000000).selectExpr("count(distinct id % 100)").collect()

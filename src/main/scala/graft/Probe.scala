@@ -69,11 +69,43 @@ object Probe {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The fixed Spark probe JOB (shared with [[Bench]]'s bracketing and
+    * mid-run samples): codegen + 32-way partial aggregation + one
+    * exchange over 100M generated rows, no disk. Round 16 measured a
+    * throttle class where BOTH CPU probes sit in their healthy bands
+    * while every Spark query runs 1.4-2.7x its floor; this job runs
+    * through the same machinery the measured queries do and catches
+    * it. Callers must run it once untimed first (its own one-time
+    * codegen otherwise rides the first reading).
+    */
+  def sparkProbeSecs(spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(100000000L).selectExpr("count(distinct id % 1000)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Standalone window check: three single-thread readings, then one
-    * parallel reading (`par=`).
+    * parallel reading (`par=`). With `--spark`, also builds a minimal
+    * local session and prints three readings of the SAME fixed Spark
+    * job the bench brackets with (`spark=`) — the pre-flight view of
+    * the third throttle class, which the pure-CPU readings provably
+    * miss (round-17 run 2: par probe 0.55 minutes before launch, yet
+    * the run's own spark probes read 1.25/1.12 and the artifact
+    * flagged itself dirty).
     */
   def main(args: Array[String]): Unit = {
     println((1 to 3).map(_ => f"${cpuProbeSecs()}%.4f").mkString(",") +
       f",par=${cpuProbeParSecs()}%.4f")
+    if (args.contains("--spark")) {
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      sparkProbeSecs(spark) // untimed codegen warm-up
+      println((1 to 3).map(_ => f"${sparkProbeSecs(spark)}%.4f")
+        .mkString("spark=", ",", ""))
+      spark.stop()
+    }
   }
 }
