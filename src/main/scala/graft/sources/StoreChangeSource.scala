@@ -42,7 +42,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    batch probes get);
   *  - [[SupportsTriggerAvailableNow]] caps a run at the version
   *    observed when the trigger fires, so maintenance jobs can drain
-  *    "everything committed so far" and exit.
+  *    "everything committed so far" and exit;
+  *  - `.option("versionsPerBatch", k)` bounds how many commits one
+  *    micro-batch spans (admission control, the maxFilesPerTrigger
+  *    analogue): the default 0 drains the whole backlog in one batch
+  *    (fast catch-up), `1` replays the history one manifest delta per
+  *    batch — the granularity an incremental-fold consumer (matview
+  *    refresh, per-commit census) keys its work on, without needing
+  *    one engine start per commit.
   * Retention interacts the documented way: the checkpointed version
   * must stay inside the store's vacuum retention (a resume past the
   * horizon fails fast at manifest resolution, like any expired read).
@@ -102,8 +109,11 @@ class StoreChangeSource extends TableProvider with DataSourceRegister {
     val mode = Option(opts.get("mode")).getOrElse("append")
     require(mode == "append" || mode == "cdc",
       s"graft-store-changes mode must be 'append' or 'cdc', got '$mode'")
+    val vpb = Option(opts.get("versionsPerBatch")).map(_.trim.toInt).getOrElse(0)
+    require(vpb >= 0,
+      s"graft-store-changes versionsPerBatch must be >= 0, got $vpb")
     new StoreChangeTable(base,
-      Option(opts.get("startingVersion")).getOrElse("0"), mode)
+      Option(opts.get("startingVersion")).getOrElse("0"), mode, vpb)
   }
 }
 
@@ -130,7 +140,7 @@ object StoreChangeSource {
 }
 
 private[sources] class StoreChangeTable(base: String, startingVersion: String,
-    mode: String) extends Table with SupportsRead {
+    mode: String, versionsPerBatch: Int = 0) extends Table with SupportsRead {
   override def name(): String = s"graft-store-changes($base,$mode)"
   override def schema(): StructType = StoreChangeSource.schemaFor(mode)
   override def capabilities(): util.Set[TableCapability] =
@@ -145,7 +155,7 @@ private[sources] class StoreChangeTable(base: String, startingVersion: String,
             "graft-store-changes is a streaming source; batch reads go " +
               "through the manifest-resolved parquet scan")
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new StoreChangeStream(base, startingVersion, mode)
+          new StoreChangeStream(base, startingVersion, mode, versionsPerBatch)
       }
     }
 }
@@ -163,7 +173,7 @@ private[sources] class StoreChangeTable(base: String, startingVersion: String,
   * horizon rule any as-of read has.
   */
 private[sources] class StoreChangeStream(base: String, startingVersion: String,
-    mode: String = "append")
+    mode: String = "append", versionsPerBatch: Int = 0)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private case class V(v: Int) extends Offset {
@@ -189,12 +199,25 @@ private[sources] class StoreChangeStream(base: String, startingVersion: String,
   override def latestOffset(): Offset =
     V(if (cap >= 0) cap else IndexCatalog.readableVersion(base))
 
-  // SupportsTriggerAvailableNow extends SupportsAdmissionControl; the
-  // store has no rate knob — a version is all-or-nothing — so every
-  // read limit resolves to "everything committed up to the cap"
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl. A
+  // version is all-or-nothing (no finer rate knob exists), but the
+  // number of versions one micro-batch spans IS a knob:
+  // `versionsPerBatch = 0` (default) drains everything committed up
+  // to the cap in one batch — the fast catch-up posture a consumer
+  // resuming after a long lag wants — while `versionsPerBatch = k`
+  // admits at most k commits per micro-batch, so a drain REPLAYS the
+  // commit history at that granularity (k = 1: one batch per manifest
+  // delta, the per-commit fold the matview/follower lifecycles
+  // process). Engine-side this is the same admission-control contract
+  // maxFilesPerTrigger gives the file source under AvailableNow: the
+  // trigger loops micro-batches until the prepared cap is reached.
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val head = if (cap >= 0) cap else IndexCatalog.readableVersion(base)
+    val s = start.asInstanceOf[V].v
+    V(if (versionsPerBatch <= 0) math.max(head, s)
+      else math.max(s, math.min(head, s + versionsPerBatch)))
+  }
 
   override def deserializeOffset(json: String): Offset = V(json.trim.toInt)
 

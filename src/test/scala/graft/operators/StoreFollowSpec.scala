@@ -88,6 +88,69 @@ class StoreFollowSpec extends SparkSpec {
     } finally Seq(base, ckpt, sink).foreach(graft.Fs.deleteRecursively)
   }
 
+  test("versionsPerBatch=1 replays a multi-commit backlog one manifest delta per micro-batch") {
+    val base = Files.createTempDirectory("graft_vpb").toString
+    val ckpt = Files.createTempDirectory("graft_vpb_ck").toString
+    val sink = Files.createTempDirectory("graft_vpb_sink").toString
+    def drainWith(vpb: String): Unit = {
+      val q = spark.readStream.format("graft-store-changes")
+        .option("path", base).option("versionsPerBatch", vpb).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.groupBy()
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("vec_id")).cast("long").as("id_sum"))
+            .withColumn("batch", lit(id))
+            .write.mode("append").parquet(sink)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      // three commits BEFORE any drain: the backlog posture the gated
+      // q_stream_store_follow now runs (one engine start, not three)
+      SimilarityQueries.buildEmbedStore(spark, dir, base) // v1
+      SimilarityQueries.appendEmbedStore(spark,
+        embeddingsOf(pmod(col("vec_id"), lit(8)) === 1), base) // v2
+      SimilarityQueries.appendEmbedStore(spark,
+        embeddingsOf(pmod(col("vec_id"), lit(8)) === 5), base) // v3
+      drainWith("1")
+      val out = spark.read.parquet(sink).orderBy("batch")
+        .collect().map(r => (r.getAs[Long]("batch"),
+          r.getAs[Long]("n_rows"), r.getAs[Long]("id_sum")))
+      val expect = Seq(
+        embeddingsOf(pmod(col("vec_id"), lit(2)) === 0),
+        embeddingsOf(pmod(col("vec_id"), lit(8)) === 1),
+        embeddingsOf(pmod(col("vec_id"), lit(8)) === 5))
+        .map(df => (df.count(),
+          df.agg(sum("vec_id").cast("long")).collect()(0).getLong(0)))
+      // one batch per version, ids 0,1,2, each census exactly one delta
+      assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+      out.zip(expect).foreach { case ((_, n, s), (en, es)) =>
+        assert(n == en && s == es, s"per-version census ($n,$s) != ($en,$es)")
+      }
+      // idle drain under admission control: offset parked at the cap,
+      // no further batch
+      val before = out.length
+      drainWith("1")
+      assert(spark.read.parquet(sink).count() == before.toLong,
+        "idle drain produced a batch under versionsPerBatch=1")
+      // a further append then drains with k=2: one batch spanning it —
+      // k bounds the SPAN, it never splits below one version
+      SimilarityQueries.appendEmbedStore(spark,
+        embeddingsOf(pmod(col("vec_id"), lit(8)) === 3), base) // v4
+      drainWith("2")
+      val last = spark.read.parquet(sink).orderBy("batch").collect().last
+      val a4 = embeddingsOf(pmod(col("vec_id"), lit(8)) === 3)
+      assert(last.getAs[Long]("n_rows") == a4.count() &&
+        last.getAs[Long]("id_sum") ==
+          a4.agg(sum("vec_id").cast("long")).collect()(0).getLong(0))
+    } finally Seq(base, ckpt, sink).foreach(graft.Fs.deleteRecursively)
+  }
+
   test("startingVersion=latest tail-follows: history invisible, only new commits stream") {
     val base = Files.createTempDirectory("graft_tail").toString
     val ckpt = Files.createTempDirectory("graft_tail_ck").toString
